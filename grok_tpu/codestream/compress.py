@@ -1,0 +1,225 @@
+"""Codestream compression driver.
+
+Parity: CodeStreamCompress (SURVEY.md §2.1 "Codestream compress",
+src/lib/core/codestream/CodeStreamCompress.cpp [P]): writes the main header
+(SOC SIZ [CAP] COD [COC] QCD [QCC] [POC] [COM] [RGN]), drives per-tile
+compression, emits tile-parts (SOT..SOD..data), rewrites TLM at the end,
+terminates with EOC.
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import math
+
+import numpy as np
+
+from ..errors import ParamError
+from ..image import GrkImage
+from ..params import (
+    CblkStyle,
+    CodingParams,
+    CompressParams,
+    Profile,
+    QuantStyle,
+    TileCodingParams,
+    TileComponentCodingParams,
+)
+from ..tile.geometry import Rect, tile_rect
+from ..tile.processor import TileCompressor, build_tile
+from ..transform import mct as mct_mod
+from ..transform import quant as quant_mod
+from . import markers as mk
+
+log = logging.getLogger("grok_tpu")
+
+
+def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
+    p.validate()
+    cp = CodingParams()
+    cp.rsiz = int(p.profile)
+    if p.ht:
+        cp.rsiz |= int(Profile.PART15)
+        cp.ht = True
+    if p.tile_size:
+        cp.t_width, cp.t_height = p.tile_size
+        cp.tx0, cp.ty0 = p.tile_offset
+    else:
+        cp.tx0, cp.ty0 = 0, 0
+        cp.t_width = image.x1 - cp.tx0
+        cp.t_height = image.y1 - cp.ty0
+    cp.t_grid_w = -(-(image.x1 - cp.tx0) // cp.t_width)
+    cp.t_grid_h = -(-(image.y1 - cp.ty0) // cp.t_height)
+
+    numlayers = p.numlayers
+    if p.layer_rates:
+        numlayers = len(p.layer_rates)
+    elif p.layer_psnr:
+        numlayers = len(p.layer_psnr)
+
+    mct = p.mct
+    if p.custom_mct is not None:
+        mct = 2
+    elif mct is None:
+        mct = 1 if image.numcomps >= 3 and all(
+            c.dx == image.comps[0].dx and c.dy == image.comps[0].dy
+            and c.prec == image.comps[0].prec
+            for c in image.comps[:3]) else 0
+    reversible = not p.irreversible
+    guard = p.num_guard_bits if p.num_guard_bits is not None else 2
+
+    for _ in range(cp.numtiles):
+        tcp = TileCodingParams()
+        tcp.prog_order = p.prog_order
+        tcp.numlayers = numlayers
+        tcp.mct = mct
+        tcp.progression_changes = list(p.progression_changes)
+        if mct == 2:
+            tcp.mct_matrix = np.asarray(p.custom_mct, dtype=np.float64)
+        for compno, comp in enumerate(image.comps):
+            tccp = TileComponentCodingParams()
+            tccp.numresolutions = p.numresolution
+            tccp.cblkw = int(math.log2(p.cblk_width))
+            tccp.cblkh = int(math.log2(p.cblk_height))
+            tccp.cblk_style = p.cblk_style
+            tccp.qmfbid = 1 if reversible else 0
+            tccp.num_guard_bits = guard
+            tccp.ht = p.ht
+            if p.precincts:
+                # CLI order: highest resolution first; replicate last entry
+                n = tccp.numresolutions
+                prc = list(p.precincts)
+                while len(prc) < n:
+                    prc.append(prc[-1])
+                prc = prc[:n]
+                # signaled low-res-first; auto-halve like the oracle does?
+                # the reference maps CLI entries highest-res-first:
+                tccp.prcw = [int(math.log2(prc[n - 1 - r][0]))
+                             for r in range(n)]
+                tccp.prch = [int(math.log2(prc[n - 1 - r][1]))
+                             for r in range(n)]
+            else:
+                tccp.prcw = [15] * tccp.numresolutions
+                tccp.prch = [15] * tccp.numresolutions
+            tccp.qnt_style = (QuantStyle.NONE if reversible
+                              else QuantStyle.SCALAR_EXPOUNDED)
+            if p.quant_style is not None:
+                tccp.qnt_style = p.quant_style
+            tccp.stepsizes = quant_mod.default_stepsizes(
+                comp.prec, tccp.numresolutions, reversible, guard,
+                p.quant_step)
+            if p.roi_comp == compno or p.roi_comp == -2:
+                tccp.roi_shift = p.roi_shift
+            tcp.tccps.append(tccp)
+        cp.tcps.append(tcp)
+    return cp
+
+
+def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
+    cp = setup_coding_params(image, p)
+    tcp0 = cp.tcps[0]
+
+    out = bytearray()
+    out += mk.u16(mk.SOC)
+    si = mk.SizInfo(
+        rsiz=cp.rsiz, xsiz=image.x1, ysiz=image.y1,
+        xosiz=image.x0, yosiz=image.y0,
+        xtsiz=cp.t_width, ytsiz=cp.t_height,
+        xtosiz=cp.tx0, ytosiz=cp.ty0,
+        comps=[(c.prec, c.sgnd, c.dx, c.dy) for c in image.comps])
+    out += mk.write_siz(si)
+    if cp.ht:
+        out += mk.write_cap(ccap15=0)
+    has_prc = p.precincts is not None
+    out += mk.write_cod(tcp0, has_prc, sop=p.sop, eph=p.eph)
+    out += mk.write_qcd(tcp0.tccps[0])
+    # per-component overrides (differing precision -> different stepsizes)
+    for compno in range(1, image.numcomps):
+        if tcp0.tccps[compno].stepsizes != tcp0.tccps[0].stepsizes:
+            out += mk.write_qcc(compno, image.numcomps, tcp0.tccps[compno])
+    if tcp0.mct == 2:
+        out += mk.write_mct_matrix(0, tcp0.mct_matrix)
+    if tcp0.progression_changes:
+        out += mk.write_poc(tcp0.progression_changes, image.numcomps)
+    for compno in range(image.numcomps):
+        if tcp0.tccps[compno].roi_shift:
+            out += mk.write_rgn(compno, image.numcomps,
+                                tcp0.tccps[compno].roi_shift)
+    comments = p.comment
+    if isinstance(comments, str):
+        comments = [comments]
+    for c in comments or []:
+        out += mk.write_com(c)
+
+    tlm_pos = None
+    if p.tlm:
+        tlm_pos = len(out)
+        # placeholder rewritten at the end (seek-back TLM, SURVEY.md §3.1)
+        out += mk.write_tlm(0, [(t, 0) for t in range(cp.numtiles)])
+
+    img_rect = Rect(image.x0, image.y0, image.x1, image.y1)
+    raw_bytes = sum(c.data.shape[0] * c.data.shape[1] * c.prec
+                    for c in image.comps) / 8.0
+
+    mct_norms_arr = None
+    if tcp0.mct == 1:
+        mct_norms_arr = mct_mod.mct_norms(p.irreversible)
+    elif tcp0.mct == 2:
+        mct_norms_arr = mct_mod.custom_mct_norms(tcp0.mct_matrix)
+
+    tlm_entries = []
+    for q in range(cp.t_grid_h):
+        for pt in range(cp.t_grid_w):
+            tidx = q * cp.t_grid_w + pt
+            tcp = cp.tcps[tidx]
+            trect = tile_rect(pt, q, cp.t_width, cp.t_height,
+                              cp.tx0, cp.ty0, img_rect)
+            tile = build_tile(tidx, trect, image, tcp)
+            tc = TileCompressor(tile, tcp, image, cp, backend=p.backend,
+                                mct_norms_arr=mct_norms_arr)
+            tc.run_transforms()
+            tc.run_t1()
+            # layer budgets
+            tile_frac = (trect.area / max(1, (img_rect.area))) if \
+                cp.numtiles > 1 else 1.0
+            targets = _layer_targets(p, tcp.numlayers, raw_bytes * tile_frac)
+            tc.assign_layers(targets)
+            comp_info = [(c.dx, c.dy, tcp.tccps[i].numresolutions)
+                         for i, c in enumerate(image.comps)]
+            body = tc.write_packets(comp_info, sop=p.sop, eph=p.eph)
+            plt_seg = b""
+            psot = 12 + len(plt_seg) + 2 + len(body)
+            tp = bytearray()
+            tp += mk.write_sot(tidx, psot, 0, 1)
+            tp += plt_seg
+            tp += mk.u16(mk.SOD)
+            tp += body
+            out += tp
+            tlm_entries.append((tidx, len(tp)))
+
+    out += mk.u16(mk.EOC)
+    if tlm_pos is not None:
+        seg = mk.write_tlm(0, tlm_entries)
+        out[tlm_pos:tlm_pos + len(seg)] = seg
+    return bytes(out)
+
+
+def _layer_targets(p: CompressParams, numlayers: int, raw_bytes: float):
+    if p.layer_rates:
+        targets = []
+        for r in p.layer_rates:
+            if r <= 0:
+                targets.append(None)
+            else:
+                targets.append(raw_bytes / r)
+        return targets
+    if p.layer_psnr:
+        # quality mode: approximate via distortion thresholds is handled by
+        # rate control; for now translate PSNR to generous byte budgets by
+        # bisection at the T2 level.  TODO(quality-mode): true -q parity.
+        return [None] * numlayers
+    if p.max_cs_size:
+        step = p.max_cs_size / numlayers
+        return [step * (i + 1) for i in range(numlayers - 1)] + [p.max_cs_size]
+    return [None] * numlayers

@@ -1,0 +1,318 @@
+"""Codestream decompression driver.
+
+Parity: CodeStreamDecompress (SURVEY.md §2.1 "Codestream decompress",
+src/lib/core/codestream/CodeStreamDecompress*.cpp [P]): marker-driven main
+header parse into CodingParams, SOT/SOD tile-part scan, per-tile header
+overrides (COD/COC/QCD/QCC/POC/RGN), PPM/PPT packed headers, tolerant
+"non-strict" mode for truncated/corrupt streams, TLM-based tile seeking.
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..errors import CodestreamError, TruncatedStreamError, UnsupportedError
+from ..image import ColorSpace, GrkImage, ImageComponent
+from ..params import CodingParams, DecompressParams, TileCodingParams, \
+    TileComponentCodingParams
+from ..tile.geometry import Rect, tile_rect
+from ..tile.processor import TileDecompressor, build_tile
+from . import markers as mk
+
+log = logging.getLogger("grok_tpu")
+
+
+@dataclass
+class TilePartData:
+    tile_index: int
+    data: bytes
+
+
+@dataclass
+class HeaderInfo:
+    siz: mk.SizInfo = None
+    cp: CodingParams = None
+    image: GrkImage = None
+    comments: list[str] = field(default_factory=list)
+    cap: dict | None = None
+    marker_log: list[tuple[str, int, int]] = field(default_factory=list)
+    sop: bool = False
+    eph: bool = False
+    main_poc: list = field(default_factory=list)
+    roi_shifts: dict = field(default_factory=dict)
+
+
+class CodestreamDecoder:
+    """Parses a raw .j2k codestream and decodes tiles on demand."""
+
+    def __init__(self, data: bytes, strict: bool = False):
+        self.data = data
+        self.strict = strict
+        self.hi = HeaderInfo()
+        self.tile_parts: dict[int, list[bytes]] = {}
+        self.tile_tcps: dict[int, TileCodingParams] = {}
+        self.tile_ppt: dict[int, bytearray] = {}
+        self._parsed = False
+
+    # ------------------------------------------------------------- parsing
+
+    def _err(self, msg: str):
+        if self.strict:
+            raise CodestreamError(msg)
+        log.warning("codestream: %s", msg)
+
+    def parse(self) -> HeaderInfo:
+        d = self.data
+        if len(d) < 4 or struct.unpack(">H", d[0:2])[0] != mk.SOC:
+            raise CodestreamError("missing SOC marker")
+        pos = 2
+        hi = self.hi
+        cp = None
+        tcp_template = None
+        while pos + 2 <= len(d):
+            code = struct.unpack(">H", d[pos:pos + 2])[0]
+            if code == mk.EOC:
+                hi.marker_log.append(("EOC", pos, 2))
+                pos += 2
+                break
+            if code == mk.SOT:
+                pos = self._parse_tile_part(pos)
+                continue
+            if pos + 4 > len(d):
+                self._err("truncated marker segment")
+                break
+            seglen = struct.unpack(">H", d[pos + 2:pos + 4])[0]
+            payload = d[pos + 4:pos + 2 + seglen]
+            name = mk.MARKER_NAMES.get(code, f"0x{code:04X}")
+            hi.marker_log.append((name, pos, seglen + 2))
+            if code == mk.SIZ:
+                hi.siz = mk.read_siz(payload)
+                cp = self._init_cp(hi.siz)
+                hi.cp = cp
+                tcp_template = cp.tcps[0]
+            elif code == mk.CAP:
+                hi.cap = mk.read_cap(payload)
+            elif code == mk.COD:
+                sop, eph = mk.read_cod(payload, tcp_template)
+                hi.sop, hi.eph = sop, eph
+                self._sync_tcps(cp, tcp_template)
+            elif code == mk.COC:
+                mk.read_coc(payload, tcp_template, len(hi.siz.comps))
+                self._sync_tcps(cp, tcp_template)
+            elif code == mk.QCD:
+                mk.read_qcd(payload, tcp_template)
+                self._sync_tcps(cp, tcp_template)
+            elif code == mk.QCC:
+                mk.read_qcc(payload, tcp_template, len(hi.siz.comps))
+                self._sync_tcps(cp, tcp_template)
+            elif code == mk.POC:
+                pocs = mk.read_poc(payload, len(hi.siz.comps))
+                hi.main_poc = pocs
+                for t in cp.tcps:
+                    t.progression_changes = list(pocs)
+            elif code == mk.RGN:
+                compno, shift = mk.read_rgn(payload, len(hi.siz.comps))
+                hi.roi_shifts[compno] = shift
+                for t in cp.tcps:
+                    t.tccps[compno].roi_shift = shift
+            elif code == mk.COM:
+                hi.comments.append(mk.read_com(payload))
+            elif code == mk.TLM:
+                cp.tlm = [(t, ln) for t, ln in mk.read_tlm(payload)]
+            elif code == mk.PPM:
+                cp.ppm_data = (cp.ppm_data or b"") + payload[1:]
+            elif code == mk.MCT:
+                try:
+                    m = mk.read_mct_matrix(payload)
+                    for t in cp.tcps:
+                        t.mct_matrix = m
+                except Exception:
+                    self._err("unparseable MCT marker")
+            elif code in (mk.MCC, mk.MCO, mk.PLM, mk.CRG, mk.PRF, mk.CPF):
+                pass  # informative / index markers
+            else:
+                self._err(f"unknown marker 0x{code:04X} in main header")
+            pos += 2 + seglen
+        self.hi.cp = cp
+        self.hi.image = self._build_image_template()
+        self._parsed = True
+        return self.hi
+
+    def _init_cp(self, siz: mk.SizInfo) -> CodingParams:
+        cp = CodingParams()
+        cp.rsiz = siz.rsiz
+        cp.tx0, cp.ty0 = siz.xtosiz, siz.ytosiz
+        cp.t_width, cp.t_height = siz.xtsiz, siz.ytsiz
+        cp.t_grid_w = -(-(siz.xsiz - siz.xtosiz) // siz.xtsiz)
+        cp.t_grid_h = -(-(siz.ysiz - siz.ytosiz) // siz.ytsiz)
+        tcp = TileCodingParams()
+        for _ in siz.comps:
+            tcp.tccps.append(TileComponentCodingParams())
+        cp.tcps = [tcp]
+        return cp
+
+    def _sync_tcps(self, cp: CodingParams, template: TileCodingParams):
+        cp.tcps = [template]
+
+    def _parse_tile_part(self, pos: int) -> int:
+        d = self.data
+        seglen = struct.unpack(">H", d[pos + 2:pos + 4])[0]
+        isot, psot, tpsot, tnsot = mk.read_sot(d[pos + 4:pos + 2 + seglen])
+        self.hi.marker_log.append((f"SOT(t={isot},tp={tpsot})", pos, seglen + 2))
+        tp_start = pos
+        pos += 2 + seglen
+        if psot == 0:
+            psot = len(d) - tp_start  # last tile-part extends to EOC
+        tp_end = min(tp_start + psot, len(d))
+        # scan tile-part header markers until SOD
+        tile_tcp = self.tile_tcps.get(isot)
+        if tile_tcp is None:
+            tile_tcp = copy.deepcopy(self.hi.cp.tcps[0])
+            self.tile_tcps[isot] = tile_tcp
+        while pos + 2 <= tp_end:
+            code = struct.unpack(">H", d[pos:pos + 2])[0]
+            if code == mk.SOD:
+                pos += 2
+                self.tile_parts.setdefault(isot, []).append(d[pos:tp_end])
+                return tp_end
+            seglen2 = struct.unpack(">H", d[pos + 2:pos + 4])[0]
+            payload = d[pos + 4:pos + 2 + seglen2]
+            name = mk.MARKER_NAMES.get(code, f"0x{code:04X}")
+            self.hi.marker_log.append((name, pos, seglen2 + 2))
+            if code == mk.COD:
+                mk.read_cod(payload, tile_tcp)
+            elif code == mk.COC:
+                mk.read_coc(payload, tile_tcp, len(self.hi.siz.comps))
+            elif code == mk.QCD:
+                mk.read_qcd(payload, tile_tcp)
+            elif code == mk.QCC:
+                mk.read_qcc(payload, tile_tcp, len(self.hi.siz.comps))
+            elif code == mk.POC:
+                tile_tcp.progression_changes = mk.read_poc(
+                    payload, len(self.hi.siz.comps))
+            elif code == mk.RGN:
+                compno, shift = mk.read_rgn(payload, len(self.hi.siz.comps))
+                tile_tcp.tccps[compno].roi_shift = shift
+            elif code == mk.PPT:
+                buf = self.tile_ppt.setdefault(isot, bytearray())
+                buf += payload[1:]
+            elif code in (mk.PLT, mk.COM):
+                pass
+            else:
+                self._err(f"unknown marker 0x{code:04X} in tile-part header")
+            pos += 2 + seglen2
+        self._err("tile-part without SOD")
+        return tp_end
+
+    def _build_image_template(self) -> GrkImage:
+        siz = self.hi.siz
+        img = GrkImage(x0=siz.xosiz, y0=siz.yosiz, x1=siz.xsiz, y1=siz.ysiz)
+        for (prec, sgnd, dx, dy) in siz.comps:
+            c = ImageComponent(dx=dx, dy=dy, prec=prec, sgnd=sgnd)
+            c.x0 = -(-siz.xosiz // dx)
+            c.y0 = -(-siz.yosiz // dy)
+            c.w = -(-siz.xsiz // dx) - c.x0
+            c.h = -(-siz.ysiz // dy) - c.y0
+            img.comps.append(c)
+        n = len(siz.comps)
+        img.color_space = (ColorSpace.SRGB if n >= 3 else ColorSpace.GRAY)
+        return img
+
+    # ------------------------------------------------------------- decoding
+
+    def decode(self, p: DecompressParams) -> GrkImage:
+        if not self._parsed:
+            self.parse()
+        hi = self.hi
+        cp = hi.cp
+        img = self._build_image_template()
+        reduce_ = p.reduce
+        max_reduce = min(t.numresolutions for t in cp.tcps[0].tccps) - 1
+        if reduce_ > max_reduce:
+            self._err(f"reduce={reduce_} exceeds available resolutions; "
+                      f"clamping to {max_reduce}")
+            reduce_ = max_reduce
+
+        # allocate reduced-size component planes
+        div = 1 << reduce_
+        for c in img.comps:
+            rx0 = -(-c.x0 // div)
+            ry0 = -(-c.y0 // div)
+            rx1 = -(-(c.x0 + c.w) // div)
+            ry1 = -(-(c.y0 + c.h) // div)
+            c.data = np.zeros((ry1 - ry0, rx1 - rx0), dtype=np.int32)
+            c.w, c.h = rx1 - rx0, ry1 - ry0
+
+        img_rect = Rect(hi.siz.xosiz, hi.siz.yosiz, hi.siz.xsiz, hi.siz.ysiz)
+        win = Rect(*p.window) if p.window else None
+
+        tiles = range(cp.numtiles)
+        if p.tile_index is not None:
+            tiles = [p.tile_index]
+
+        for tidx in tiles:
+            tq, tp_ = divmod(tidx, cp.t_grid_w)
+            trect = tile_rect(tp_, tq, cp.t_width, cp.t_height,
+                              cp.tx0, cp.ty0, img_rect)
+            if trect.is_empty():
+                continue
+            if win is not None and trect.intersect(win).is_empty():
+                continue
+            parts = self.tile_parts.get(tidx)
+            if not parts:
+                self._err(f"no data for tile {tidx}")
+                continue
+            tcp = self.tile_tcps.get(tidx) or cp.tcps[0]
+            tcp.ppt_data = bytes(self.tile_ppt.get(tidx, b"")) or None
+            tile = build_tile(tidx, trect, img, tcp)
+            td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
+                                  reduce=reduce_, max_layers=p.max_layers)
+            data = b"".join(parts)
+            try:
+                td.decode_packets(data, sop=hi.sop, eph=hi.eph)
+            except Exception as e:  # tolerant decode
+                if self.strict or p.strict:
+                    raise
+                log.warning("tile %d: packet parse error: %s", tidx, e)
+            td.run_t1()
+            planes = td.reconstruct()
+            # paste tile planes into the reduced component canvases
+            for compno, plane in enumerate(planes):
+                comp = img.comps[compno]
+                tccp = tcp.tccps[compno]
+                numres_used = max(1, tccp.numresolutions - reduce_)
+                res = tile.comps[compno].resolutions[numres_used - 1]
+                rr = res.rect
+                # reduced component origin
+                rx0 = -(-comp.x0 // div)
+                ry0 = -(-comp.y0 // div)
+                y_off = rr.y0 - ry0
+                x_off = rr.x0 - rx0
+                comp.data[y_off:y_off + rr.h, x_off:x_off + rr.w] = plane
+        if win is not None:
+            _crop_to_window(img, win, reduce_)
+        return img
+
+
+def _crop_to_window(img: GrkImage, win: Rect, reduce_: int) -> None:
+    div = 1 << reduce_
+    for c in img.comps:
+        # window in component grid, then reduced
+        wx0 = max(-(-win.x0 // c.dx), c.x0)
+        wy0 = max(-(-win.y0 // c.dy), c.y0)
+        wx1 = min(-(-win.x1 // c.dx), c.x0 + (c.w * div if reduce_ else c.w))
+        wy1 = min(-(-win.y1 // c.dy), c.y0 + (c.h * div if reduce_ else c.h))
+        rx0 = -(-wx0 // div)
+        ry0 = -(-wy0 // div)
+        rx1 = -(-wx1 // div)
+        ry1 = -(-wy1 // div)
+        cx0 = -(-c.x0 // div)
+        cy0 = -(-c.y0 // div)
+        c.data = c.data[ry0 - cy0:ry1 - cy0, rx0 - cx0:rx1 - cx0]
+        c.h, c.w = c.data.shape
+        c.x0, c.y0 = rx0, ry0

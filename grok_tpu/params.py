@@ -1,0 +1,248 @@
+"""Parameter structures.
+
+Parity targets (SURVEY.md §2.1, §5 "Config/flag system"):
+- `grk_cparameters` -> CompressParams
+- `grk_decompress_parameters` -> DecompressParams
+- CodingParams/TCP/TCCP tree (src/lib/core/codestream/CodingParams.* [P])
+  -> CodingParams/TileCodingParams/TileComponentCodingParams
+
+Defaults mirror the reference CLI defaults: 64x64 codeblocks, 6 resolutions,
+LRCP, one layer, reversible 5/3, no precincts (implicit 2^15), 2 guard bits.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+from .errors import ParamError
+
+
+class Progression(enum.IntEnum):
+    """SGcod progression order codes (SURVEY.md Appendix A.2)."""
+
+    LRCP = 0
+    RLCP = 1
+    RPCL = 2
+    PCRL = 3
+    CPRL = 4
+
+
+class QuantStyle(enum.IntEnum):
+    """Sqcd & 0x1F quantization styles (SURVEY.md Appendix A.2)."""
+
+    NONE = 0           # reversible: exponents only (8-bit entries)
+    SCALAR_DERIVED = 1   # one 16-bit (eps, mant) value for all subbands
+    SCALAR_EXPOUNDED = 2  # one 16-bit value per subband
+
+
+class CblkStyle(enum.IntFlag):
+    """SPcod code-block style bits (SURVEY.md Appendix A.2)."""
+
+    NONE = 0
+    LAZY = 1       # selective arithmetic bypass
+    RESET = 2      # reset context probabilities each pass
+    TERMALL = 4    # terminate MQ after every pass
+    VSC = 8        # vertically stripe-causal contexts
+    PTERM = 16     # predictable termination
+    SEGSYM = 32    # segmentation symbols at end of each cleanup pass
+
+
+class Profile(enum.IntEnum):
+    """Rsiz profile values (subset; Cinema/Broadcast/IMF, SURVEY.md §2.2)."""
+
+    NONE = 0x0000
+    PROFILE_0 = 0x0001
+    PROFILE_1 = 0x0002
+    CINEMA_2K = 0x0003
+    CINEMA_4K = 0x0004
+    CINEMA_S2K = 0x0005
+    CINEMA_S4K = 0x0006
+    CINEMA_LTS = 0x0007
+    BC_SINGLE = 0x0100
+    BC_MULTI = 0x0200
+    BC_MULTI_R = 0x0300
+    IMF_2K = 0x0400
+    IMF_4K = 0x0500
+    IMF_8K = 0x0600
+    IMF_2K_R = 0x0700
+    IMF_4K_R = 0x0800
+    IMF_8K_R = 0x0900
+    # Part 15 (HTJ2K) capability is signaled via CAP, with Rsiz bit 14 set
+    PART15 = 0x4000
+
+
+# POC progression-change entry: mirrors grk_progression (SURVEY.md B.7)
+@dataclass
+class ProgressionChange:
+    res_s: int          # RSpoc: resolution index start
+    comp_s: int         # CSpoc: component index start
+    lay_e: int          # LYEpoc: layer index end (exclusive)
+    res_e: int          # REpoc: resolution index end (exclusive)
+    comp_e: int         # CEpoc: component index end (exclusive)
+    prog: Progression   # Ppoc
+
+
+@dataclass
+class CompressParams:
+    """Mirror of grk_cparameters (the `-` flags of grk_compress)."""
+
+    # tiling: None => single tile covering the image
+    tile_size: tuple[int, int] | None = None     # -t
+    tile_offset: tuple[int, int] = (0, 0)        # -T
+    image_offset: tuple[int, int] = (0, 0)       # -d
+
+    numresolution: int = 6                        # -n
+    cblk_width: int = 64                          # -b
+    cblk_height: int = 64
+    # list of (PPx, PPy) per resolution, lowest-res-last like the CLI; None =>
+    # maximal precincts (2^15)
+    precincts: list[tuple[int, int]] | None = None  # -c
+    prog_order: Progression = Progression.LRCP    # -p
+    progression_changes: list[ProgressionChange] = field(default_factory=list)  # -P
+
+    numlayers: int = 1
+    # -r: compression ratios per layer (1 = lossless cap); mutually exclusive with -q
+    layer_rates: list[float] | None = None
+    # -q: PSNR targets per layer
+    layer_psnr: list[float] | None = None
+
+    irreversible: bool = False                    # -I (9/7 + ICT)
+    mct: int | None = None                        # -Y 0/1/2; None = auto
+    custom_mct: object | None = None              # -m: numpy matrix, Part-2 MCT
+    roi_comp: int = -1                            # -R c,U: component
+    roi_shift: int = 0                            # ROI max-shift value
+    cblk_style: CblkStyle = CblkStyle.NONE        # -M mode switches
+    num_guard_bits: int | None = None             # -G; default 2
+    sop: bool = False                             # -S: SOP markers
+    eph: bool = False                             # -E: EPH markers
+    tlm: bool = False                             # -A: write TLM
+    plt: bool = False                             # write PLT
+    comment: str | list[str] | None = "Created by grok_tpu"  # -C
+
+    # container
+    cod_format: str = "j2k"                       # "j2k" (raw) or "jp2"
+
+    # profiles
+    profile: Profile = Profile.NONE               # -w/-x/-U/-z
+    framerate: int = 24                           # cinema fps (rate caps)
+    max_cs_size: int = 0                          # -W total size cap (bytes)
+    max_comp_size: int = 0
+    # tile-part generation: None, or 'R'|'L'|'C' (split by res/layer/comp)
+    new_tile_part_progression: str | None = None  # -u
+
+    # HTJ2K (Part 15)
+    ht: bool = False                              # block coder = HT
+
+    # quantization override: explicit base step size (0 = derived default)
+    quant_step: float = 0.0
+    quant_style: QuantStyle | None = None
+
+    # number of threads for host stages (0 = all cores); parity with -H
+    num_threads: int = 0
+
+    # which backend: "auto" | "native" (C++) | "python" | "device"
+    backend: str = "auto"
+
+    def validate(self) -> None:
+        if self.layer_rates and self.layer_psnr:
+            raise ParamError("layer_rates (-r) and layer_psnr (-q) are mutually exclusive")
+        if not (1 <= self.numresolution <= 33):
+            raise ParamError("numresolution out of range [1,33]")
+        for dim, name in ((self.cblk_width, "cblk_width"), (self.cblk_height, "cblk_height")):
+            if dim < 4 or dim > 1024 or (dim & (dim - 1)):
+                raise ParamError(f"{name} must be a power of two in [4,1024]")
+        if self.cblk_width * self.cblk_height > 4096:
+            raise ParamError("code-block area must be <= 4096")
+        if self.precincts:
+            for (px, py) in self.precincts:
+                if px & (px - 1) or py & (py - 1):
+                    raise ParamError("precinct dims must be powers of two")
+
+
+@dataclass
+class DecompressParams:
+    """Mirror of grk_decompress_parameters (grk_decompress flags)."""
+
+    reduce: int = 0              # -r: discard this many highest resolutions
+    max_layers: int = 0          # -l: 0 = all
+    # decode window on the canvas: (x0, y0, x1, y1) or None for full image
+    window: tuple[int, int, int, int] | None = None  # -d
+    tile_index: int | None = None  # -t: decode a single tile
+    strict: bool = False         # fail hard on malformed streams
+    # post-processing parity flags
+    force_rgb: bool = False      # -f
+    upsample: bool = False       # -u
+    split_pnm: bool = False
+    precision: list[int] | None = None  # -p precision override per comp
+    apply_icc: bool = False
+    num_threads: int = 0
+    backend: str = "auto"
+
+
+# ----------------------------------------------------------------- internal
+
+@dataclass
+class StepSize:
+    expn: int = 0
+    mant: int = 0
+
+
+@dataclass
+class TileComponentCodingParams:
+    """TCCP: per tile-component coding parameters (COD/COC/QCD/QCC image)."""
+
+    numresolutions: int = 6
+    cblkw: int = 6               # log2 codeblock width
+    cblkh: int = 6
+    cblk_style: CblkStyle = CblkStyle.NONE
+    qmfbid: int = 1              # 1 = reversible 5/3, 0 = irreversible 9/7
+    # per-resolution precinct exponents (len == numresolutions)
+    prcw: list[int] = field(default_factory=list)
+    prch: list[int] = field(default_factory=list)
+    qnt_style: QuantStyle = QuantStyle.NONE
+    num_guard_bits: int = 2
+    stepsizes: list[StepSize] = field(default_factory=list)
+    roi_shift: int = 0
+    ht: bool = False             # this component uses the HT block coder
+
+
+@dataclass
+class TileCodingParams:
+    """TCP: per-tile coding parameters."""
+
+    prog_order: Progression = Progression.LRCP
+    numlayers: int = 1
+    mct: int = 0                  # 0 none, 1 RCT/ICT, 2 custom matrix
+    tccps: list[TileComponentCodingParams] = field(default_factory=list)
+    progression_changes: list[ProgressionChange] = field(default_factory=list)
+    # decoder state
+    ppt_data: bytes | None = None
+    num_tile_parts: int = 0
+    mct_matrix: object | None = None   # Part-2 decorrelation matrix (numpy)
+    rates: list[float] = field(default_factory=list)
+    distortions: list[float] = field(default_factory=list)
+
+
+@dataclass
+class CodingParams:
+    """CP: image-level coding parameters mirroring the codestream."""
+
+    tx0: int = 0
+    ty0: int = 0
+    t_width: int = 0
+    t_height: int = 0
+    t_grid_w: int = 1
+    t_grid_h: int = 1
+    rsiz: int = 0
+    tcps: list[TileCodingParams] = field(default_factory=list)
+    comments: list[str] = field(default_factory=list)
+    # decoder: main-header PPM data
+    ppm_data: bytes | None = None
+    # TLM tile index: list of (tile_index, length) in codestream order
+    tlm: list[tuple[int, int]] | None = None
+    ht: bool = False
+
+    @property
+    def numtiles(self) -> int:
+        return self.t_grid_w * self.t_grid_h

@@ -1,0 +1,97 @@
+"""Tier-1 backend dispatch: python reference / native C++ / device.
+
+Parity: T1Interface / T1Factory (SURVEY.md §2.1 "Tier-1 interface").  The
+reference dispatches per codeblock between MQ and HT coders; we additionally
+dispatch between implementations:
+
+- "python": the reference implementation in t1/coder.py (always available,
+  correctness oracle)
+- "native": C++ batch coder (native/t1.cc via ctypes), threads across
+  codeblocks — the production host path
+- future: Pallas context-formation kernels feeding the native MQ backend
+
+Batch API: lists of codeblock jobs so the native backend can parallelize
+freely (SURVEY.md §2.3 "codeblock-batch axis").
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..params import CblkStyle
+from . import coder as pycoder
+
+
+@dataclass
+class EncodeJob:
+    coeffs: np.ndarray
+    orient: int
+    style: CblkStyle
+    # results
+    data: bytes = b""
+    numbps: int = 0
+    passes: list = field(default_factory=list)
+
+
+@dataclass
+class DecodeJob:
+    data: bytes
+    seg_lengths: list[int]
+    num_passes: int
+    numbps: int
+    h: int
+    w: int
+    orient: int
+    style: CblkStyle
+    out: np.ndarray | None = None  # doubled-domain signed int32
+
+
+def _encode_python(jobs: list[EncodeJob]) -> None:
+    for j in jobs:
+        j.data, j.numbps, j.passes = pycoder.encode_cblk(
+            j.coeffs, j.orient, j.style)
+
+
+def _decode_python(jobs: list[DecodeJob]) -> None:
+    for j in jobs:
+        j.out = pycoder.decode_cblk(
+            j.data, j.seg_lengths, j.num_passes, j.numbps,
+            j.h, j.w, j.orient, j.style)
+
+
+_BACKENDS = {"python": (_encode_python, _decode_python)}
+
+
+def register_backend(name: str, encode_fn, decode_fn) -> None:
+    _BACKENDS[name] = (encode_fn, decode_fn)
+
+
+def _load_native() -> bool:
+    if "native" in _BACKENDS:
+        return True
+    try:
+        from . import native  # noqa: F401  (registers itself)
+    except Exception:
+        return False
+    return "native" in _BACKENDS
+
+
+def resolve(backend: str = "auto") -> str:
+    if backend in ("auto", "native") and _load_native():
+        return "native"
+    if backend == "device":
+        return "device" if "device" in _BACKENDS else "python"
+    return "python"
+
+
+def encode_batch(jobs: list[EncodeJob], backend: str = "auto") -> None:
+    name = resolve(backend)
+    _BACKENDS[name][0](jobs)
+
+
+def decode_batch(jobs: list[DecodeJob], backend: str = "auto") -> None:
+    name = resolve(backend)
+    _BACKENDS[name][1](jobs)

@@ -1,0 +1,437 @@
+"""Tier-2: packet iteration and packet header/body coding.
+
+Parity: T2Compress/T2Decompress, PacketIter, PacketManager (SURVEY.md §2.1
+"Tier-2", src/lib/core/t2/ [P]; ISO/IEC 15444-1 B.9-B.12):
+
+- all five progression orders (LRCP RLCP RPCL PCRL CPRL) with POC
+  progression changes (SURVEY.md B.7)
+- inclusion + zero-bitplane tag trees per precinct/band
+- pass-count coding, Lblock length signaling, codeword-segment splitting
+  (TERMALL/LAZY aware)
+- SOP resync markers and EPH header-end markers
+
+The packet body layout and header bit semantics are verified against oracle
+streams (tests/test_oracle_interop.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from ..params import CblkStyle, Progression, ProgressionChange, TileCodingParams
+from ..tile.geometry import Codeblock, Precinct, PrecinctBand, Resolution, Tile
+from ..t1.coder import segment_layout
+from .bitio import BitReader, BitWriter
+from .tagtree import TagTree
+
+SOP_MARKER = b"\xff\x91"
+EPH_MARKER = b"\xff\x92"
+
+
+# ---------------------------------------------------------------------------
+# Packet iteration
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PacketCoord:
+    compno: int
+    resno: int
+    layno: int
+    precno: int
+
+
+def _precinct_anchors(tile: Tile, comp_info) -> dict:
+    """For each (compno, resno): map canvas anchor position -> precno.
+
+    comp_info[c] = (dx, dy, numres).  The anchor of precinct (pi, pj) is its
+    unclipped canvas start, clamped to the tile edge for the first row/col
+    (ISO 15444-1 B.12.1.3 position-iteration conditions)."""
+    anchors: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    t = tile.rect
+    for c, tc in enumerate(tile.comps):
+        dx, dy, numres = comp_info[c]
+        nl = numres - 1
+        for r, res in enumerate(tc.resolutions):
+            amap: dict[tuple[int, int], int] = {}
+            s = nl - r
+            rr = res.rect
+            if res.pw and res.ph:
+                for pj in range(res.ph):
+                    for pi in range(res.pw):
+                        rx = ((rr.x0 >> res.ppx) + pi) << res.ppx
+                        ry = ((rr.y0 >> res.ppy) + pj) << res.ppy
+                        ax = dx * (rx << s)
+                        ay = dy * (ry << s)
+                        ax = max(ax, t.x0)
+                        ay = max(ay, t.y0)
+                        amap[(ax, ay)] = pj * res.pw + pi
+            anchors[(c, r)] = amap
+    return anchors
+
+
+def packet_order(
+    tile: Tile,
+    tcp: TileCodingParams,
+    comp_info,
+    max_res_override: int | None = None,
+) -> list[PacketCoord]:
+    """Enumerate every packet of a tile in codestream order, honoring the
+    COD progression and any POC progression changes."""
+    numcomps = len(tile.comps)
+    numlayers = tcp.numlayers
+    maxres = max(ci[2] for ci in comp_info)
+    if max_res_override is not None:
+        maxres = min(maxres, max_res_override)
+
+    anchors = _precinct_anchors(tile, comp_info)
+    xs = sorted({a[0] for amap in anchors.values() for a in amap})
+    ys = sorted({a[1] for amap in anchors.values() for a in amap})
+
+    def volume(prog: Progression, lay_s, lay_e, res_s, res_e, comp_s, comp_e):
+        """Yield coords of one progression volume in `prog` order."""
+        comp_e = min(comp_e, numcomps)
+        res_e_all = min(res_e, maxres)
+
+        def precincts(c, r):
+            if r >= comp_info[c][2]:
+                return 0
+            res = tile.comps[c].resolutions[r]
+            return res.pw * res.ph
+
+        if prog == Progression.LRCP:
+            for l in range(lay_s, lay_e):
+                for r in range(res_s, res_e_all):
+                    for c in range(comp_s, comp_e):
+                        for p in range(precincts(c, r)):
+                            yield PacketCoord(c, r, l, p)
+        elif prog == Progression.RLCP:
+            for r in range(res_s, res_e_all):
+                for l in range(lay_s, lay_e):
+                    for c in range(comp_s, comp_e):
+                        for p in range(precincts(c, r)):
+                            yield PacketCoord(c, r, l, p)
+        elif prog == Progression.RPCL:
+            for r in range(res_s, res_e_all):
+                for y in ys:
+                    for x in xs:
+                        for c in range(comp_s, comp_e):
+                            if r >= comp_info[c][2]:
+                                continue
+                            p = anchors[(c, r)].get((x, y))
+                            if p is None:
+                                continue
+                            for l in range(lay_s, lay_e):
+                                yield PacketCoord(c, r, l, p)
+        elif prog == Progression.PCRL:
+            for y in ys:
+                for x in xs:
+                    for c in range(comp_s, comp_e):
+                        for r in range(res_s, min(res_e, comp_info[c][2])):
+                            p = anchors[(c, r)].get((x, y))
+                            if p is None:
+                                continue
+                            for l in range(lay_s, lay_e):
+                                yield PacketCoord(c, r, l, p)
+        elif prog == Progression.CPRL:
+            for c in range(comp_s, comp_e):
+                for y in ys:
+                    for x in xs:
+                        for r in range(res_s, min(res_e, comp_info[c][2])):
+                            p = anchors[(c, r)].get((x, y))
+                            if p is None:
+                                continue
+                            for l in range(lay_s, lay_e):
+                                yield PacketCoord(c, r, l, p)
+        else:  # pragma: no cover
+            raise ValueError(prog)
+
+    out: list[PacketCoord] = []
+    if tcp.progression_changes:
+        seen: set[PacketCoord] = set()
+        for ch in tcp.progression_changes:
+            for pc in volume(ch.prog, 0, min(ch.lay_e, numlayers),
+                             ch.res_s, ch.res_e, ch.comp_s, ch.comp_e):
+                if pc not in seen:
+                    seen.add(pc)
+                    out.append(pc)
+        # remaining packets, if any, follow the COD progression
+        for pc in volume(tcp.prog_order, 0, numlayers, 0, maxres, 0, numcomps):
+            if pc not in seen:
+                seen.add(pc)
+                out.append(pc)
+    else:
+        out.extend(volume(tcp.prog_order, 0, numlayers, 0, maxres, 0, numcomps))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Precinct Tier-2 state
+# ---------------------------------------------------------------------------
+
+def _ensure_trees(pband: PrecinctBand, for_encoder: bool = False) -> None:
+    if pband.incl_tree is None:
+        pband.incl_tree = TagTree(pband.cblk_w, pband.cblk_h)
+        pband.imsb_tree = TagTree(pband.cblk_w, pband.cblk_h)
+        if for_encoder:
+            # leaf values must be set before the first (possibly empty)
+            # packet of this precinct is encoded
+            for i, cblk in enumerate(pband.cblks):
+                first = next(
+                    (ln for ln, np_ in enumerate(cblk.num_passes_by_layer)
+                     if np_ > 0), len(cblk.num_passes_by_layer))
+                pband.incl_tree.set_value(i, first)
+                pband.imsb_tree.set_value(i, cblk.zero_bitplanes)
+
+
+def _floorlog2(x: int) -> int:
+    return x.bit_length() - 1
+
+
+# pass-count code (SURVEY.md B.6)
+def _write_numpasses(bio: BitWriter, n: int) -> None:
+    if n == 1:
+        bio.write_bit(0)
+    elif n == 2:
+        bio.write_bits(0b10, 2)
+    elif n <= 5:
+        bio.write_bits(0b11, 2)
+        bio.write_bits(n - 3, 2)
+    elif n <= 36:
+        bio.write_bits(0b1111, 4)
+        bio.write_bits(n - 6, 5)
+    else:
+        bio.write_bits(0b111111111, 9)
+        bio.write_bits(n - 37, 7)
+
+
+def _read_numpasses(bio: BitReader) -> int:
+    if not bio.read_bit():
+        return 1
+    if not bio.read_bit():
+        return 2
+    v = bio.read_bits(2)
+    if v < 3:
+        return 3 + v
+    v = bio.read_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + bio.read_bits(7)
+
+
+def _contribution_runs(cblk: Codeblock, style: CblkStyle, numbps: int,
+                       first_pass: int, num_new: int):
+    """Split passes [first_pass, first_pass+num_new) into codeword-segment
+    runs: list of (start, npasses, is_terminal_chunk)."""
+    segs = segment_layout(style, numbps)
+    bounds = []
+    for plist, _ in segs:
+        bounds.append((plist[0], plist[-1]))
+    runs = []
+    p = first_pass
+    end = first_pass + num_new
+    while p < end:
+        for (s0, s1) in bounds:
+            if s0 <= p <= s1:
+                take = min(end - 1, s1) - p + 1
+                runs.append((p, take))
+                p += take
+                break
+        else:
+            # beyond known layout (shouldn't happen) — single run
+            runs.append((p, end - p))
+            break
+    return runs
+
+
+# ---------------------------------------------------------------------------
+# Packet encoding
+# ---------------------------------------------------------------------------
+
+def encode_packet(
+    res: Resolution,
+    precno: int,
+    layno: int,
+    style: CblkStyle,
+    sop: bool = False,
+    eph: bool = False,
+    sop_index: int = 0,
+) -> bytes:
+    """Encode one packet (header + body).  Codeblock layer assignments
+    (num_passes_by_layer) must already be set by rate control."""
+    prc = res.precincts[precno]
+    bio = BitWriter()
+    body = bytearray()
+
+    any_contrib = False
+    for pband in prc.pbands:
+        for cblk in pband.cblks:
+            if layno < len(cblk.num_passes_by_layer) and \
+                    cblk.num_passes_by_layer[layno] > 0:
+                any_contrib = True
+                break
+        if any_contrib:
+            break
+
+    out = bytearray()
+    if sop:
+        out += SOP_MARKER + b"\x00\x04" + bytes([(sop_index >> 8) & 0xFF,
+                                                 sop_index & 0xFF])
+    if not any_contrib:
+        bio.write_bit(0)
+        bio.flush()
+        out += bio.getvalue()
+        if eph:
+            out += EPH_MARKER
+        return bytes(out)
+
+    bio.write_bit(1)
+    for pband in prc.pbands:
+        if not pband.cblks:
+            continue
+        _ensure_trees(pband, for_encoder=True)
+        for i, cblk in enumerate(pband.cblks):
+            npasses_layer = (cblk.num_passes_by_layer[layno]
+                             if layno < len(cblk.num_passes_by_layer) else 0)
+            already = cblk.included_in_layer >= 0
+            if not already:
+                pband.incl_tree.encode(bio, i, layno + 1)
+            else:
+                bio.write_bit(1 if npasses_layer else 0)
+            if not npasses_layer:
+                continue
+            if not already:
+                # newly included: communicate zero bitplanes fully
+                pband.imsb_tree.encode(bio, i, cblk.zero_bitplanes + 1)
+                cblk.included_in_layer = layno
+                cblk.lblock = 3
+                cblk.total_passes = 0
+            _write_numpasses(bio, npasses_layer)
+            # codeword-segment runs in this contribution
+            runs = _contribution_runs(cblk, style, cblk.numbps,
+                                      cblk.total_passes, npasses_layer)
+            chunks = []
+            for (p0, np_) in runs:
+                start = cblk.pass_rates[p0 - 1] if p0 > 0 else 0
+                endb = cblk.pass_rates[p0 + np_ - 1]
+                chunks.append((endb - start, np_))
+            # Lblock update: one comma code fitting all runs
+            needed = 0
+            for (ln, np_) in chunks:
+                bits = max(1, ln.bit_length()) - _floorlog2(np_)
+                needed = max(needed, bits)
+            if needed > cblk.lblock:
+                for _ in range(needed - cblk.lblock):
+                    bio.write_bit(1)
+                cblk.lblock = needed
+            bio.write_bit(0)
+            for (ln, np_) in chunks:
+                bio.write_bits(ln, cblk.lblock + _floorlog2(np_))
+            # body bytes
+            start = (cblk.pass_rates[cblk.total_passes - 1]
+                     if cblk.total_passes > 0 else 0)
+            endb = cblk.pass_rates[cblk.total_passes + npasses_layer - 1]
+            body += cblk.data[start:endb]
+            cblk.total_passes += npasses_layer
+    bio.flush()
+    out += bio.getvalue()
+    if eph:
+        out += EPH_MARKER
+    out += body
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Packet decoding
+# ---------------------------------------------------------------------------
+
+def decode_packet(
+    data: bytes,
+    pos: int,
+    res: Resolution,
+    precno: int,
+    layno: int,
+    style: CblkStyle,
+    band_numbps: dict[int, int],
+    sop: bool = False,
+    eph: bool = False,
+) -> int:
+    """Decode one packet header at data[pos:], attach body byte ranges to
+    codeblocks, and return the new position.  `band_numbps` maps band
+    orientation -> M_b (max bitplanes) for this resolution."""
+    prc = res.precincts[precno]
+    if data[pos:pos + 2] == SOP_MARKER:
+        pos += 6
+    bio = BitReader(data, pos)
+    if not bio.read_bit():
+        bio.align()
+        pos = bio.pos
+        if eph and data[pos:pos + 2] == EPH_MARKER:
+            pos += 2
+        return pos
+
+    to_read: list[tuple[Codeblock, list[tuple[int, int]]]] = []
+    for pband in prc.pbands:
+        if not pband.cblks:
+            continue
+        _ensure_trees(pband)
+        mb = band_numbps[pband.band_orient]
+        for i, cblk in enumerate(pband.cblks):
+            already = cblk.included_in_layer >= 0
+            if not already:
+                included = pband.incl_tree.decode(bio, i, layno + 1)
+            else:
+                included = bool(bio.read_bit())
+            if not included:
+                continue
+            if not already:
+                k = 1
+                while not pband.imsb_tree.decode(bio, i, k):
+                    k += 1
+                cblk.zero_bitplanes = k - 1
+                cblk.numbps = mb - cblk.zero_bitplanes
+                cblk.included_in_layer = layno
+                cblk.lblock = 3
+                cblk.total_passes = 0
+            npasses_layer = _read_numpasses(bio)
+            runs = _contribution_runs(cblk, style, cblk.numbps,
+                                      cblk.total_passes, npasses_layer)
+            # comma code
+            while bio.read_bit():
+                cblk.lblock += 1
+            chunks = []
+            for (p0, np_) in runs:
+                ln = bio.read_bits(cblk.lblock + _floorlog2(np_))
+                chunks.append((np_, ln))
+            to_read.append((cblk, chunks))
+    bio.align()
+    pos = bio.pos
+    if eph and data[pos:pos + 2] == EPH_MARKER:
+        pos += 2
+    # body
+    for cblk, chunks in to_read:
+        for (np_, ln) in chunks:
+            cblk.seg_data.append(data[pos:pos + ln])
+            cblk.seg_passes.append(np_)
+            cblk.total_passes += np_
+            pos += ln
+    return pos
+
+
+def collect_seg_lengths(cblk: Codeblock, style: CblkStyle):
+    """Convert the decoder's received chunks into (data, seg_lengths, total
+    passes) for t1.decode_cblk: chunk boundaries inside one segment merge."""
+    segs = segment_layout(style, cblk.numbps)
+    seg_of_pass = {}
+    for si, (plist, _) in enumerate(segs):
+        for p in plist:
+            seg_of_pass[p] = si
+    data = b"".join(cblk.seg_data)
+    seg_lens: dict[int, int] = {}
+    p = 0
+    for chunk, np_ in zip(cblk.seg_data, cblk.seg_passes):
+        si = seg_of_pass.get(p, 0)
+        seg_lens[si] = seg_lens.get(si, 0) + len(chunk)
+        p += np_
+    ordered = [seg_lens[k] for k in sorted(seg_lens)]
+    return data, ordered, cblk.total_passes

@@ -1,0 +1,454 @@
+"""Tile compression / decompression orchestration.
+
+Parity: TileProcessor (SURVEY.md §2.1 "TileProcessor",
+src/lib/core/tile/TileProcessor.cpp [P]) — drives one tile end-to-end in
+both directions: DC shift, MCT, DWT, quantization, Tier-1 (batched through
+the backend dispatch), PCRD rate allocation and Tier-2 packet assembly on
+compress; the mirror image on decompress.
+
+The transform stages run through numpy reference code here; the device
+(XLA/Pallas) pipeline in grok_tpu.ops supplies drop-in replacements used by
+the high-level codec when a TPU is present.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+
+import numpy as np
+
+from ..errors import CodestreamError
+from ..params import (
+    CblkStyle,
+    CodingParams,
+    QuantStyle,
+    TileCodingParams,
+)
+from ..t1 import backend as t1_backend
+from ..t2 import packets as t2
+from ..transform import dwt as dwt_mod
+from ..transform import mct as mct_mod
+from ..transform import quant as quant_mod
+from .geometry import (
+    BAND_GAIN,
+    Rect,
+    Tile,
+    TileComponent,
+    build_resolutions,
+    tile_comp_rect,
+)
+from .ratecontrol import candidate_slopes, convex_hull, passes_for_threshold
+
+log = logging.getLogger("grok_tpu")
+
+
+def band_stepsize_index(resno: int, orient: int) -> int:
+    """Index into the QCD/QCC step-size list for band (resno, orient)."""
+    return 0 if resno == 0 else 3 * (resno - 1) + orient
+
+
+def band_eps_mant(tccp, resno: int, orient: int, numres: int):
+    """Resolve (expn, mant) for a band under the signaled quant style."""
+    if tccp.qnt_style == QuantStyle.SCALAR_DERIVED:
+        ss0 = tccp.stepsizes[0]
+        nl = numres - 1
+        # derived: eps_b = eps_0 - NL + n_b, n_b = decomposition count of band
+        nb = nl if resno == 0 else nl - resno + 1
+        return ss0.expn - nl + nb, ss0.mant
+    idx = band_stepsize_index(resno, orient)
+    if idx >= len(tccp.stepsizes):
+        idx = len(tccp.stepsizes) - 1
+    ss = tccp.stepsizes[idx]
+    return ss.expn, ss.mant
+
+
+def build_tile(tile_idx: int, trect: Rect, image, tcp: TileCodingParams) -> Tile:
+    tile = Tile(index=tile_idx, rect=trect)
+    for compno, comp in enumerate(image.comps):
+        tccp = tcp.tccps[compno]
+        tc_rect = tile_comp_rect(trect, comp.dx, comp.dy)
+        tc = TileComponent(compno=compno, rect=tc_rect)
+        tc.resolutions = build_resolutions(
+            tc_rect, tccp.numresolutions, tccp.prcw, tccp.prch,
+            tccp.cblkw, tccp.cblkh)
+        # quantization metadata per band: R_b = prec + gain_b for both the
+        # reversible and irreversible paths (verified against the oracle)
+        for res in tc.resolutions:
+            for band in res.bands:
+                eps, mant = band_eps_mant(tccp, res.resno, band.orient,
+                                          tccp.numresolutions)
+                band.numbps = max(0, tccp.num_guard_bits + eps - 1)
+                rb = comp.prec + BAND_GAIN[band.orient]
+                band.stepsize = (1.0 + mant / 2048.0) * (2.0 ** (rb - eps))
+        tile.comps.append(tc)
+    return tile
+
+
+# ---------------------------------------------------------------------------
+# Compression
+# ---------------------------------------------------------------------------
+
+class TileCompressor:
+    def __init__(self, tile: Tile, tcp: TileCodingParams, image, cp: CodingParams,
+                 backend: str = "auto", mct_norms_arr=None):
+        self.tile = tile
+        self.tcp = tcp
+        self.image = image
+        self.cp = cp
+        self.backend = backend
+        self.mct_norms = mct_norms_arr
+
+    # ---- stage 1: sample pipeline (DC shift + MCT + DWT + quant + T1) ----
+
+    def run_transforms(self) -> None:
+        tile, tcp, image = self.tile, self.tcp, self.image
+        reversible = tcp.tccps[0].qmfbid == 1
+        planes = []
+        for compno, tc in enumerate(tile.comps):
+            comp = image.comps[compno]
+            # extract tile-component samples from the component plane
+            r = tc.rect
+            y0 = r.y0 - comp.y0
+            x0 = r.x0 - comp.x0
+            data = comp.data[y0:y0 + r.h, x0:x0 + r.w]
+            data = mct_mod.dc_shift_forward(data, comp.prec, comp.sgnd)
+            planes.append(data)
+        if tcp.mct == 1 and len(planes) >= 3:
+            if reversible:
+                planes[0], planes[1], planes[2] = mct_mod.rct_forward(
+                    planes[0], planes[1], planes[2])
+            else:
+                planes[0], planes[1], planes[2] = mct_mod.ict_forward(
+                    planes[0], planes[1], planes[2])
+        elif tcp.mct == 2 and tcp.mct_matrix is not None:
+            n = tcp.mct_matrix.shape[0]
+            planes[:n] = mct_mod.matrix_forward(planes[:n], tcp.mct_matrix)
+
+        for compno, tc in enumerate(tile.comps):
+            tccp = tcp.tccps[compno]
+            data = planes[compno]
+            if tccp.qmfbid == 0:
+                data = data.astype(np.float32)
+            bands = dwt_mod.forward_dwt(
+                data, tc.rect, tccp.numresolutions, tccp.qmfbid == 1)
+            tc.data = bands
+
+    def run_t1(self) -> None:
+        tile, tcp = self.tile, self.tcp
+        jobs = []
+        job_meta = []
+        for compno, tc in enumerate(tile.comps):
+            tccp = tcp.tccps[compno]
+            reversible = tccp.qmfbid == 1
+            for res in tc.resolutions:
+                for bi, band in enumerate(res.bands):
+                    if band.rect.is_empty():
+                        continue
+                    coeffs = tc.data[(res.resno, band.orient)]
+                    if not reversible:
+                        coeffs = quant_mod.quantize(coeffs, band.stepsize)
+                    for prc in res.precincts:
+                        pband = prc.pbands[bi]
+                        for cblk in pband.cblks:
+                            cr = cblk.rect
+                            if cr.is_empty():
+                                continue
+                            sl = coeffs[cr.y0 - band.rect.y0:cr.y1 - band.rect.y0,
+                                        cr.x0 - band.rect.x0:cr.x1 - band.rect.x0]
+                            jobs.append(t1_backend.EncodeJob(
+                                np.ascontiguousarray(sl), band.orient,
+                                tccp.cblk_style))
+                            job_meta.append((compno, res.resno, band, cblk))
+        t1_backend.encode_batch(jobs, self.backend)
+        for job, (compno, resno, band, cblk) in zip(jobs, job_meta):
+            cblk.data = job.data
+            cblk.pass_rates = [p.rate for p in job.passes]
+            tccp = tcp.tccps[compno]
+            if job.numbps > band.numbps:
+                log.warning("codeblock numbps %d exceeds band M_b %d",
+                            job.numbps, band.numbps)
+                job.numbps = band.numbps
+            cblk.zero_bitplanes = band.numbps - job.numbps
+            cblk.numbps = job.numbps
+            # weighted distortion for PCRD
+            reversible = tccp.qmfbid == 1
+            if reversible:
+                norm = quant_mod.band_norm_53(tccp.numresolutions, resno,
+                                              band.orient)
+                delta = 1.0
+            else:
+                norm = quant_mod.band_norm(tccp.numresolutions, resno,
+                                           band.orient)
+                delta = band.stepsize
+            mctw = 1.0
+            if self.mct_norms is not None and compno < len(self.mct_norms):
+                mctw = float(self.mct_norms[compno])
+            weight = (delta * norm * mctw) ** 2
+            cblk.pass_dists = [p.dist * weight for p in job.passes]
+            cblk._passes = job.passes  # kept for layer maths
+
+    # ---- stage 2: rate control ----
+
+    def all_cblks(self):
+        for tc in self.tile.comps:
+            for res in tc.resolutions:
+                for bi, band in enumerate(res.bands):
+                    for prc in res.precincts:
+                        for cblk in prc.pbands[bi].cblks:
+                            yield cblk
+
+    def assign_layers(self, layer_targets: list[float | None]) -> None:
+        """layer_targets: cumulative byte budgets (None = all passes)."""
+        numlayers = len(layer_targets)
+        entries = []
+        for cblk in self.all_cblks():
+            cblk.num_passes_by_layer = [0] * numlayers
+            if not cblk.pass_rates:
+                continue
+            pinfos = [type("P", (), {"rate": r, "dist": d})()
+                      for r, d in zip(cblk.pass_rates, cblk.pass_dists)]
+            hull = convex_hull(pinfos, 1.0)
+            entries.append((cblk, hull))
+
+        prev = {id(c): 0 for c, _ in entries}
+        hulls = [h for _, h in entries]
+        slopes = candidate_slopes(hulls)
+        for layno, target in enumerate(layer_targets):
+            if target is None or not slopes:
+                counts = {id(c): (h[-1].passno + 1 if h else 0)
+                          for c, h in entries}
+            else:
+                counts = self._bisect_layer(entries, prev, slopes, layno,
+                                            target)
+            for c, h in entries:
+                c.num_passes_by_layer[layno] = max(
+                    0, counts[id(c)] - prev[id(c)])
+            prev = {k: max(prev[k], counts[k]) for k in prev}
+
+    def _bisect_layer(self, entries, prev, slopes, layno, target):
+        lo, hi = 0, len(slopes)
+        best = None
+        while lo < hi:
+            mid = (lo + hi) // 2
+            lam = slopes[mid]
+            counts = {}
+            for c, h in entries:
+                counts[id(c)] = max(prev[id(c)], passes_for_threshold(h, lam))
+            size = self._simulate_size(entries, prev, counts, layno)
+            if size <= target:
+                best = counts
+                lo = mid + 1
+            else:
+                hi = mid
+        if best is None:
+            return dict(prev)
+        return best
+
+    def _simulate_size(self, entries, prev, counts, layno) -> int:
+        """Tier-2 dry run: bytes of all packets up to and including layno
+        with the proposed assignment."""
+        for c, _ in entries:
+            c.num_passes_by_layer[layno] = max(0, counts[id(c)] - prev[id(c)])
+        saved = self._snapshot_t2()
+        try:
+            total = 0
+            for layer in range(layno + 1):
+                total += len(self.write_layer_packets(layer))
+        finally:
+            self._restore_t2(saved)
+        # headers: SOT+SOD fixed overhead per tile-part
+        return total + 14
+
+    def _snapshot_t2(self):
+        state = []
+        for tc in self.tile.comps:
+            for res in tc.resolutions:
+                for prc in res.precincts:
+                    for pband in prc.pbands:
+                        state.append((pband, pband.incl_tree, pband.imsb_tree))
+                        pband.incl_tree = None
+                        pband.imsb_tree = None
+                        for cblk in pband.cblks:
+                            state.append(
+                                (cblk, cblk.included_in_layer, cblk.lblock,
+                                 cblk.total_passes))
+                            cblk.included_in_layer = -1
+                            cblk.lblock = 3
+                            cblk.total_passes = 0
+        return state
+
+    def _restore_t2(self, state):
+        for item in state:
+            if len(item) == 3:
+                pband, it, zt = item
+                pband.incl_tree = it
+                pband.imsb_tree = zt
+                if it is not None:
+                    it.reset()
+                    zt.reset()
+                    # re-derive values on next encode
+                    pband.incl_tree = None
+                    pband.imsb_tree = None
+            else:
+                cblk, inc, lb, tp = item
+                cblk.included_in_layer = inc
+                cblk.lblock = lb
+                cblk.total_passes = tp
+
+    # ---- stage 3: Tier-2 packet emission ----
+
+    def reset_t2(self):
+        for tc in self.tile.comps:
+            for res in tc.resolutions:
+                for prc in res.precincts:
+                    for pband in prc.pbands:
+                        pband.incl_tree = None
+                        pband.imsb_tree = None
+                        for cblk in pband.cblks:
+                            cblk.included_in_layer = -1
+                            cblk.lblock = 3
+                            cblk.total_passes = 0
+
+    def write_layer_packets(self, layno: int) -> bytes:
+        """Packets of one layer in LRCP-local order (used for simulation)."""
+        out = bytearray()
+        for tc in self.tile.comps:
+            tccp = self.tcp.tccps[tc.compno]
+            for res in tc.resolutions:
+                for precno in range(res.pw * res.ph):
+                    out += t2.encode_packet(res, precno, layno,
+                                            tccp.cblk_style)
+        return bytes(out)
+
+    def write_packets(self, comp_info, sop=False, eph=False) -> bytes:
+        """All packets in the tile's signaled progression order."""
+        self.reset_t2()
+        order = t2.packet_order(self.tile, self.tcp, comp_info)
+        out = bytearray()
+        for n, pc in enumerate(order):
+            tc = self.tile.comps[pc.compno]
+            tccp = self.tcp.tccps[pc.compno]
+            res = tc.resolutions[pc.resno]
+            out += t2.encode_packet(res, pc.precno, pc.layno, tccp.cblk_style,
+                                    sop=sop, eph=eph, sop_index=n & 0xFFFF)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decompression
+# ---------------------------------------------------------------------------
+
+class TileDecompressor:
+    def __init__(self, tile: Tile, tcp: TileCodingParams, image,
+                 cp: CodingParams, backend: str = "auto", reduce: int = 0,
+                 max_layers: int = 0):
+        self.tile = tile
+        self.tcp = tcp
+        self.image = image
+        self.cp = cp
+        self.backend = backend
+        self.reduce = reduce
+        self.max_layers = max_layers
+
+    def decode_packets(self, data: bytes, sop=False, eph=False) -> None:
+        comp_info = [(c.dx, c.dy, self.tcp.tccps[i].numresolutions)
+                     for i, c in enumerate(self.image.comps)]
+        order = t2.packet_order(self.tile, self.tcp, comp_info)
+        pos = 0
+        for pc in order:
+            if self.max_layers and pc.layno >= self.max_layers:
+                # still must parse the packet to stay in sync unless stream
+                # was truncated at a layer boundary; parse and discard
+                pass
+            tc = self.tile.comps[pc.compno]
+            tccp = self.tcp.tccps[pc.compno]
+            res = tc.resolutions[pc.resno]
+            band_numbps = {b.orient: b.numbps for b in res.bands}
+            if pos >= len(data):
+                break  # tolerant: truncated tile data
+            pos = t2.decode_packet(data, pos, res, pc.precno, pc.layno,
+                                   tccp.cblk_style, band_numbps,
+                                   sop=sop, eph=eph)
+
+    def run_t1(self) -> None:
+        jobs = []
+        meta = []
+        for tc in self.tile.comps:
+            tccp = self.tcp.tccps[tc.compno]
+            numres_used = max(1, tccp.numresolutions - self.reduce)
+            for res in tc.resolutions[:numres_used]:
+                for bi, band in enumerate(res.bands):
+                    for prc in res.precincts:
+                        for cblk in prc.pbands[bi].cblks:
+                            if cblk.total_passes <= 0 or cblk.rect.is_empty():
+                                continue
+                            data, seg_lens, npasses = t2.collect_seg_lengths(
+                                cblk, tccp.cblk_style)
+                            jobs.append(t1_backend.DecodeJob(
+                                data, seg_lens, npasses, cblk.numbps,
+                                cblk.rect.h, cblk.rect.w, band.orient,
+                                tccp.cblk_style))
+                            meta.append((tc, res, band, cblk))
+        t1_backend.decode_batch(jobs, self.backend)
+        # assemble band coefficient arrays
+        self._band_arrays = {}
+        for tc in self.tile.comps:
+            tccp = self.tcp.tccps[tc.compno]
+            reversible = tccp.qmfbid == 1
+            numres_used = max(1, tccp.numresolutions - self.reduce)
+            for res in tc.resolutions[:numres_used]:
+                for band in res.bands:
+                    dt = np.int32 if reversible else np.float32
+                    self._band_arrays[(tc.compno, res.resno, band.orient)] = \
+                        np.zeros((band.rect.h, band.rect.w), dtype=dt)
+        for job, (tc, res, band, cblk) in zip(jobs, meta):
+            tccp = self.tcp.tccps[tc.compno]
+            reversible = tccp.qmfbid == 1
+            arr = self._band_arrays[(tc.compno, res.resno, band.orient)]
+            y0 = cblk.rect.y0 - band.rect.y0
+            x0 = cblk.rect.x0 - band.rect.x0
+            doubled = job.out
+            if reversible:
+                vals = np.sign(doubled) * (np.abs(doubled) >> 1)
+                arr[y0:y0 + cblk.rect.h, x0:x0 + cblk.rect.w] = vals
+            else:
+                arr[y0:y0 + cblk.rect.h, x0:x0 + cblk.rect.w] = \
+                    quant_mod.dequantize(doubled, band.stepsize)
+
+    def reconstruct(self) -> list[np.ndarray]:
+        """Inverse DWT + MCT + DC shift; returns per-component planes at the
+        reduced resolution."""
+        planes = []
+        tcp = self.tcp
+        for tc in self.tile.comps:
+            tccp = tcp.tccps[tc.compno]
+            reversible = tccp.qmfbid == 1
+            numres_used = max(1, tccp.numresolutions - self.reduce)
+            bands = {}
+            for res in tc.resolutions[:numres_used]:
+                for band in res.bands:
+                    bands[(res.resno, band.orient)] = \
+                        self._band_arrays[(tc.compno, res.resno, band.orient)]
+            out = dwt_mod.inverse_dwt(bands, tc.rect, tccp.numresolutions,
+                                      reversible, max_res=numres_used - 1)
+            planes.append(out)
+        if tcp.mct == 1 and len(planes) >= 3:
+            if tcp.tccps[0].qmfbid == 1:
+                planes[0], planes[1], planes[2] = mct_mod.rct_inverse(
+                    planes[0], planes[1], planes[2])
+            else:
+                planes[0], planes[1], planes[2] = mct_mod.ict_inverse(
+                    planes[0], planes[1], planes[2])
+        elif tcp.mct == 2 and tcp.mct_matrix is not None:
+            n = tcp.mct_matrix.shape[0]
+            planes[:n] = mct_mod.matrix_inverse(planes[:n], tcp.mct_matrix)
+        # DC unshift + rounding + clamp
+        out_planes = []
+        for compno, p in enumerate(planes):
+            comp = self.image.comps[compno]
+            if p.dtype != np.int32:
+                p = np.round(p).astype(np.int64)
+            out_planes.append(
+                mct_mod.dc_shift_inverse(p, comp.prec, comp.sgnd))
+        return out_planes

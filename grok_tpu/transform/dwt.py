@@ -1,0 +1,265 @@
+"""2-D discrete wavelet transform by lifting — numpy reference path.
+
+Parity: WaveletFwd / WaveletReverse (SURVEY.md §2.1 "Wavelet",
+src/lib/core/transform/ [P]; ISO/IEC 15444-1 Annex F):
+
+- reversible integer 5/3 and irreversible float 9/7 lifting
+- whole-sample symmetric boundary extension
+- canvas-parity-aware even/odd phase: low-pass samples sit at even *canvas*
+  positions, so tiles/regions with odd origins lift with swapped phase
+  (SURVEY.md B.1 "the classic off-by-one trap")
+- multi-level Mallat decomposition on the tile-component rect
+
+The device (Pallas/XLA) implementation lives in grok_tpu.ops.dwt; this
+module is the bit-exactness oracle (5/3) and numerics oracle (9/7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 9/7 lifting constants (ISO 15444-1 Table F.4)
+ALPHA = -1.586134342059924
+BETA = -0.052980118572961
+GAMMA = 0.882911075530934
+DELTA = 0.443506852043971
+K = 1.230174104914001
+
+
+def _extend_ws(x: np.ndarray, left: int, right: int) -> np.ndarray:
+    """Whole-sample symmetric extension along the last axis: mirror without
+    repeating the edge sample (… x2 x1 | x0 x1 x2 … x_{n-1} | x_{n-2} …)."""
+    n = x.shape[-1]
+    if n == 1:
+        reps = left + 1 + right
+        return np.repeat(x, reps, axis=-1) if False else np.concatenate(
+            [x] * reps, axis=-1)
+    idx = np.arange(-left, n + right)
+    # reflect into [0, n-1] (period 2n-2)
+    period = 2 * n - 2
+    idx = np.abs(idx) % period
+    idx = np.where(idx >= n, period - idx, idx)
+    return x[..., idx]
+
+
+def fwd_53_1d(x: np.ndarray, x0: int) -> tuple[np.ndarray, np.ndarray]:
+    """Forward reversible 5/3 along the last axis.
+
+    `x0` is the canvas position of the first sample; low-pass samples live at
+    even canvas positions.  Returns (low, high) int arrays."""
+    n = x.shape[-1]
+    x = x.astype(np.int32, copy=False)
+    if n == 0:
+        return x[..., :0], x[..., :0]
+    if n == 1:
+        if x0 & 1:
+            return x[..., :0], x * 2
+        return x, x[..., :0]
+    # extended signal covering canvas positions [x0-2, x0+n+2)
+    ext = _extend_ws(x, 2, 2).astype(np.int64)
+    pos0 = x0 - 2
+    # odd canvas positions (high): d[p] = x[p] - floor((x[p-1]+x[p+1])/2)
+    # first odd position >= x0-1
+    o0 = (pos0 + 1) if (pos0 & 1) == 0 else pos0
+    o_idx = np.arange(o0 - pos0, n + 4, 2)
+    o_idx = o_idx[(o_idx >= 1) & (o_idx < ext.shape[-1] - 1)]
+    d = ext[..., o_idx] - ((ext[..., o_idx - 1] + ext[..., o_idx + 1]) >> 1)
+    d_pos0 = pos0 + o_idx[0]
+    # even canvas positions (low) within [x0, x0+n):
+    # s[p] = x[p] + floor((d[p-1]+d[p+1]+2)/4)
+    e0 = x0 if (x0 & 1) == 0 else x0 + 1
+    e_idx = np.arange(e0 - pos0, n + 2, 2)
+    e_idx = e_idx[e_idx < ext.shape[-1]]
+    e_canvas = pos0 + e_idx
+    e_canvas = e_canvas[(e_canvas >= x0) & (e_canvas < x0 + n)]
+    e_idx = e_canvas - pos0
+    dl = (e_canvas - 1 - d_pos0) // 2  # index into d of left odd neighbor
+    dr = dl + 1
+    dl = np.clip(dl, 0, d.shape[-1] - 1)
+    dr = np.clip(dr, 0, d.shape[-1] - 1)
+    s = ext[..., e_idx] + ((d[..., dl] + d[..., dr] + 2) >> 2)
+    # select the highs within [x0, x0+n)
+    o_canvas = pos0 + o_idx
+    keep = (o_canvas >= x0) & (o_canvas < x0 + n)
+    d_in = d[..., keep]
+    return s.astype(np.int32), d_in.astype(np.int32)
+
+
+def inv_53_1d(low: np.ndarray, high: np.ndarray, x0: int, n: int) -> np.ndarray:
+    """Inverse reversible 5/3 along the last axis, producing the signal at
+    canvas positions [x0, x0+n)."""
+    if n == 0:
+        return low[..., :0].astype(np.int32)
+    if n == 1:
+        if x0 & 1:
+            return (high // 2).astype(np.int32)
+        return low.astype(np.int32)
+    # interleave into canvas positions [x0, x0+n)
+    shape = low.shape[:-1] + (n,)
+    y = np.zeros(shape, dtype=np.int64)
+    pos = np.arange(x0, x0 + n)
+    y[..., (pos & 1) == 0] = low
+    y[..., (pos & 1) == 1] = high
+    ext = _extend_ws(y, 2, 2)
+    pos0 = x0 - 2
+    # s'[even p] = y[p] - floor((y[p-1]+y[p+1]+2)/4)
+    e0 = pos0 if (pos0 & 1) == 0 else pos0 + 1
+    e_idx = np.arange(e0 - pos0, n + 4, 2)
+    e_idx = e_idx[(e_idx >= 1) & (e_idx < ext.shape[-1] - 1)]
+    s = ext[..., e_idx] - ((ext[..., e_idx - 1] + ext[..., e_idx + 1] + 2) >> 2)
+    s_pos0 = pos0 + e_idx[0]
+    # x[odd p] = y[p] + floor((s'[p-1]+s'[p+1])/2)
+    o0 = x0 if (x0 & 1) else x0 + 1
+    o_canvas = np.arange(o0, x0 + n, 2)
+    sl = (o_canvas - 1 - s_pos0) // 2
+    sr = sl + 1
+    sl = np.clip(sl, 0, s.shape[-1] - 1)
+    sr = np.clip(sr, 0, s.shape[-1] - 1)
+    o_idx = o_canvas - pos0
+    xo = ext[..., o_idx] + ((s[..., sl] + s[..., sr]) >> 1)
+    out = np.zeros(shape, dtype=np.int64)
+    e_canvas = np.arange(x0 if (x0 & 1) == 0 else x0 + 1, x0 + n, 2)
+    out[..., e_canvas - x0] = s[..., (e_canvas - s_pos0) // 2]
+    out[..., o_canvas - x0] = xo
+    return out.astype(np.int32)
+
+
+def _lift_97(ext: np.ndarray, pos0: int, inverse: bool) -> np.ndarray:
+    """Run the four 9/7 lifting steps (+K scaling) in place on an extended
+    float array whose first sample sits at canvas position pos0.  Returns the
+    lifted array (same shape).  Forward: predict/update with α β γ δ then
+    low *= 1/K, high *= K.  Inverse mirrors in reverse order."""
+    y = ext.astype(np.float32, copy=True)
+    m = y.shape[-1]
+    pos = pos0 + np.arange(m)
+    odd = (pos & 1) == 1
+    even = ~odd
+
+    def step(target_odd: bool, coeff: float):
+        tgt = odd if target_odd else even
+        idx = np.nonzero(tgt)[0]
+        idx = idx[(idx >= 1) & (idx < m - 1)]
+        y[..., idx] += coeff * (y[..., idx - 1] + y[..., idx + 1])
+
+    if not inverse:
+        step(True, ALPHA)
+        step(False, BETA)
+        step(True, GAMMA)
+        step(False, DELTA)
+        y[..., even] *= np.float32(1.0 / K)
+        y[..., odd] *= np.float32(K)
+    else:
+        y[..., even] *= np.float32(K)
+        y[..., odd] *= np.float32(1.0 / K)
+        step(False, -DELTA)
+        step(True, -GAMMA)
+        step(False, -BETA)
+        step(True, -ALPHA)
+    return y
+
+
+def fwd_97_1d(x: np.ndarray, x0: int) -> tuple[np.ndarray, np.ndarray]:
+    n = x.shape[-1]
+    x = x.astype(np.float32, copy=False)
+    if n == 0:
+        return x[..., :0], x[..., :0]
+    if n == 1:
+        if x0 & 1:
+            return x[..., :0], x * np.float32(K)
+        return x * np.float32(1.0 / K), x[..., :0]
+    ext = _extend_ws(x, 4, 4)
+    y = _lift_97(ext, x0 - 4, inverse=False)
+    core = y[..., 4:4 + n]
+    pos = x0 + np.arange(n)
+    return core[..., (pos & 1) == 0], core[..., (pos & 1) == 1]
+
+
+def inv_97_1d(low: np.ndarray, high: np.ndarray, x0: int, n: int) -> np.ndarray:
+    if n == 0:
+        return low[..., :0].astype(np.float32)
+    if n == 1:
+        if x0 & 1:
+            return high * np.float32(1.0 / K)
+        return low * np.float32(K)
+    shape = low.shape[:-1] + (n,)
+    y = np.zeros(shape, dtype=np.float32)
+    pos = np.arange(x0, x0 + n)
+    y[..., (pos & 1) == 0] = low
+    y[..., (pos & 1) == 1] = high
+    ext = _extend_ws(y, 4, 4)
+    out = _lift_97(ext, x0 - 4, inverse=True)
+    return out[..., 4:4 + n]
+
+
+# ---------------------------------------------------------------------------
+# 2-D multi-level transforms on a tile-component
+# ---------------------------------------------------------------------------
+
+def _split_2d(a: np.ndarray, rect, reversible: bool):
+    """One forward DWT level on array `a` covering canvas rect -> (ll, hl,
+    lh, hh) with their sub-rects.  Vertical pass first, then horizontal
+    (matches the reference decomposition order; verified via bit-exact
+    lossless interop with the oracle)."""
+    fwd = fwd_53_1d if reversible else fwd_97_1d
+    # vertical: transform columns (operate on transposed view)
+    lo_v, hi_v = fwd(np.ascontiguousarray(a.T), rect.y0)
+    lo_v = lo_v.T  # rows at even canvas y
+    hi_v = hi_v.T
+    # horizontal on both halves
+    ll, hl = fwd(lo_v, rect.x0)
+    lh, hh = fwd(hi_v, rect.x0)
+    return ll, hl, lh, hh
+
+
+def _merge_2d(ll, hl, lh, hh, rect, reversible: bool):
+    """One inverse DWT level producing the array covering canvas rect."""
+    inv = inv_53_1d if reversible else inv_97_1d
+    h, w = rect.y1 - rect.y0, rect.x1 - rect.x0
+    lo_v = inv(ll, hl, rect.x0, w)
+    hi_v = inv(lh, hh, rect.x0, w)
+    out = inv(np.ascontiguousarray(lo_v.T), np.ascontiguousarray(hi_v.T),
+              rect.y0, h)
+    return np.ascontiguousarray(out.T)
+
+
+def forward_dwt(data: np.ndarray, tc_rect, numres: int, reversible: bool):
+    """Full forward multi-level DWT.
+
+    Returns a dict mapping (resno, orient) -> coefficient array, where
+    orient uses tile.geometry codes (LL only at resno 0; HL/LH/HH at
+    resno >= 1)."""
+    from ..tile.geometry import Rect, res_rect
+
+    bands: dict[tuple[int, int], np.ndarray] = {}
+    cur = data
+    cur_rect = tc_rect
+    nl = numres - 1
+    for lev in range(nl):
+        resno = nl - lev  # bands produced belong to this resolution
+        # sub-rect of the LL input at this level in its own scale
+        ll, hl, lh, hh = _split_2d(cur, cur_rect, reversible)
+        bands[(resno, 1)] = hl
+        bands[(resno, 2)] = lh
+        bands[(resno, 3)] = hh
+        cur = ll
+        cur_rect = Rect(-(-cur_rect.x0 // 2), -(-cur_rect.y0 // 2),
+                        -(-cur_rect.x1 // 2), -(-cur_rect.y1 // 2))
+    bands[(0, 0)] = cur
+    return bands
+
+
+def inverse_dwt(bands: dict, tc_rect, numres: int, reversible: bool,
+                max_res: int | None = None) -> np.ndarray:
+    """Full inverse multi-level DWT from a band dict.  If max_res is given,
+    stop after reconstructing that resolution (resolution-reduced decode)."""
+    from ..tile.geometry import Rect, res_rect
+
+    nl = numres - 1
+    if max_res is None:
+        max_res = numres - 1
+    cur = bands[(0, 0)]
+    for resno in range(1, max_res + 1):
+        rect = res_rect(tc_rect, numres, resno)
+        cur = _merge_2d(cur, bands[(resno, 1)], bands[(resno, 2)],
+                        bands[(resno, 3)], rect, reversible)
+    return cur

@@ -1,0 +1,116 @@
+"""Multi-component transforms: RCT, ICT, custom matrices, DC level shift.
+
+Parity: mct (SURVEY.md §2.1 "MCT", src/lib/core/transform/mct.* [P];
+ISO/IEC 15444-1 Annex G): reversible RCT (integer, paired with 5/3) and
+irreversible ICT (RGB<->YCbCr float, paired with 9/7); Part-2 arbitrary
+decorrelation matrices (MCT/MCC/MCO markers); DC level shift.
+
+Device versions (fused with DWT) live in grok_tpu.ops; this is the numpy
+reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ICT forward / inverse matrices (ISO 15444-1 G.3, SURVEY.md B.2)
+ICT_FWD = np.array([
+    [0.299, 0.587, 0.114],
+    [-0.168736, -0.331264, 0.5],
+    [0.5, -0.418688, -0.081312],
+], dtype=np.float64)
+ICT_INV = np.array([
+    [1.0, 0.0, 1.402],
+    [1.0, -0.344136, -0.714136],
+    [1.0, 1.772, 0.0],
+], dtype=np.float64)
+
+
+def rct_forward(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    r = r.astype(np.int64)
+    g = g.astype(np.int64)
+    b = b.astype(np.int64)
+    y = (r + 2 * g + b) >> 2  # floor division (numpy >> floors)
+    cb = b - g
+    cr = r - g
+    return y.astype(np.int32), cb.astype(np.int32), cr.astype(np.int32)
+
+
+def rct_inverse(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    y = y.astype(np.int64)
+    cb = cb.astype(np.int64)
+    cr = cr.astype(np.int64)
+    g = y - ((cb + cr) >> 2)
+    r = cr + g
+    b = cb + g
+    return r.astype(np.int32), g.astype(np.int32), b.astype(np.int32)
+
+
+def ict_forward(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    r = r.astype(np.float32)
+    g = g.astype(np.float32)
+    b = b.astype(np.float32)
+    m = ICT_FWD.astype(np.float32)
+    y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b
+    cb = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b
+    cr = m[2, 0] * r + m[2, 1] * g + m[2, 2] * b
+    return y, cb, cr
+
+
+def ict_inverse(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    y = y.astype(np.float32)
+    cb = cb.astype(np.float32)
+    cr = cr.astype(np.float32)
+    m = ICT_INV.astype(np.float32)
+    r = y + m[0, 2] * cr
+    g = y + m[1, 1] * cb + m[1, 2] * cr
+    b = y + m[2, 1] * cb
+    return r, g, b
+
+
+def matrix_forward(planes: list[np.ndarray], m: np.ndarray) -> list[np.ndarray]:
+    """Part-2 custom decorrelation: out_i = sum_j m[i,j] * planes[j]."""
+    stacked = np.stack([p.astype(np.float32) for p in planes], axis=0)
+    out = np.tensordot(m.astype(np.float32), stacked, axes=(1, 0))
+    return [out[i] for i in range(out.shape[0])]
+
+
+def matrix_inverse(planes: list[np.ndarray], m: np.ndarray) -> list[np.ndarray]:
+    return matrix_forward(planes, np.linalg.inv(m.astype(np.float64)))
+
+
+def dc_shift_forward(x: np.ndarray, prec: int, sgnd: bool) -> np.ndarray:
+    if sgnd:
+        return x.astype(np.int32, copy=False)
+    return (x.astype(np.int64) - (1 << (prec - 1))).astype(np.int32)
+
+
+def dc_shift_inverse(x: np.ndarray, prec: int, sgnd: bool) -> np.ndarray:
+    if sgnd:
+        lo, hi = -(1 << (prec - 1)), (1 << (prec - 1)) - 1
+        return np.clip(x, lo, hi).astype(np.int32)
+    y = x.astype(np.int64) + (1 << (prec - 1))
+    return np.clip(y, 0, (1 << prec) - 1).astype(np.int32)
+
+
+# ------------------------------------------------------------------- norms
+
+def mct_norms(irreversible: bool) -> np.ndarray:
+    """L2 norms of the inverse-transform columns, used to weight per-
+    component distortion in PCRD (SURVEY.md B.8).  Computed numerically from
+    the inverse matrices rather than hard-coded tables."""
+    if irreversible:
+        inv = ICT_INV
+    else:
+        # linearized RCT inverse: G = Y - (Cb+Cr)/4; R = Cr + G; B = Cb + G
+        inv = np.array([
+            [1.0, -0.25, 0.75],
+            [1.0, -0.25, -0.25],
+            [1.0, 0.75, -0.25],
+        ])
+    return np.sqrt((inv ** 2).sum(axis=0))
+
+
+def custom_mct_norms(m: np.ndarray) -> np.ndarray:
+    inv = np.linalg.inv(m.astype(np.float64))
+    return np.sqrt((inv ** 2).sum(axis=0))

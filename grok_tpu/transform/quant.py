@@ -1,0 +1,143 @@
+"""Quantization: dead-zone scalar quantizer + step-size signaling.
+
+Parity: Quantizer / TCCP step-size setup (SURVEY.md §2.1 "Quantization",
+B.3):
+
+- reversible path: shift-only, exponent eps_b = R_b + gain_b, M_b = guard +
+  eps_b - 1
+- irreversible: Delta_b = 2^(R_b - eps_b) * (1 + mu_b / 2^11);
+  q = sign(c) * floor(|c| / Delta_b); decoder adds the half-bin midpoint
+  (handled inside the T1 doubled-domain reconstruction)
+- derived vs expounded signaling; guard bits
+- band synthesis L2 norms are computed *numerically* from our own inverse
+  DWT impulse responses (not hard-coded tables) — they weight both the
+  default step sizes and the PCRD distortion estimates.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+from ..params import QuantStyle, StepSize
+from ..tile.geometry import BAND_GAIN, HH, HL, LH, LL
+
+
+@functools.lru_cache(maxsize=None)
+def band_norm(numres: int, resno: int, orient: int) -> float:
+    """L2 norm of the synthesis basis function of band (resno, orient) in a
+    `numres`-resolution irreversible decomposition, computed by pushing a
+    unit impulse through our inverse 9/7 DWT."""
+    from ..tile.geometry import Rect, band_rect
+    from .dwt import inverse_dwt
+
+    n = 1 << (numres + 2)
+    rect = Rect(0, 0, n, n)
+    bands: dict[tuple[int, int], np.ndarray] = {}
+    for r in range(numres):
+        orients = [LL] if r == 0 else [HL, LH, HH]
+        for o in orients:
+            br = band_rect(rect, numres, r, o)
+            bands[(r, o)] = np.zeros((br.h, br.w), dtype=np.float32)
+    tgt = bands[(resno, orient)]
+    tgt[tgt.shape[0] // 2, tgt.shape[1] // 2] = 1.0
+    out = inverse_dwt(bands, rect, numres, reversible=False)
+    return float(np.sqrt((out.astype(np.float64) ** 2).sum()))
+
+
+@functools.lru_cache(maxsize=None)
+def band_norm_53(numres: int, resno: int, orient: int) -> float:
+    """Same for the reversible 5/3 path (linearized), used only for PCRD
+    distortion weighting of lossless layered streams."""
+    from ..tile.geometry import Rect, band_rect
+    from .dwt import inverse_dwt
+
+    n = 1 << (numres + 2)
+    rect = Rect(0, 0, n, n)
+    bands: dict[tuple[int, int], np.ndarray] = {}
+    for r in range(numres):
+        orients = [LL] if r == 0 else [HL, LH, HH]
+        for o in orients:
+            br = band_rect(rect, numres, r, o)
+            bands[(r, o)] = np.zeros((br.h, br.w), dtype=np.float32)
+    tgt = bands[(resno, orient)]
+    # scale the impulse so the int lifting is effectively linear
+    amp = 1 << 14
+    tgt[tgt.shape[0] // 2, tgt.shape[1] // 2] = amp
+    out = inverse_dwt({k: v.astype(np.int32) for k, v in bands.items()},
+                      rect, numres, reversible=True)
+    return float(np.sqrt((out.astype(np.float64) ** 2).sum())) / amp
+
+
+def encode_stepsize(stepsize: float, numbps: int) -> StepSize:
+    """Represent `stepsize` (in units of 2^-numbps of the nominal range...)
+    as (expn, mant): Delta = 2^(numbps - expn) * (1 + mant/2048)."""
+    if stepsize <= 0:
+        return StepSize(0, 0)
+    p = math.floor(math.log2(stepsize))
+    mant = int(round((stepsize / (2.0 ** p) - 1.0) * 2048.0))
+    if mant >= 2048:
+        mant = 0
+        p += 1
+    expn = numbps - p
+    if expn < 0:
+        expn = 0
+        mant = 2047
+    if expn > 31:
+        expn = 31
+    return StepSize(expn, mant & 0x7FF)
+
+
+def decode_stepsize(ss: StepSize, numbps: int) -> float:
+    return (1.0 + ss.mant / 2048.0) * (2.0 ** (numbps - ss.expn))
+
+
+def default_stepsizes(
+    prec: int,
+    numres: int,
+    reversible: bool,
+    guard_bits: int,
+    base_step: float = 0.0,
+) -> list[StepSize]:
+    """Per-band (expn, mant) list in signaling order: LL, then (HL, LH, HH)
+    per resolution 1..numres-1.
+
+    Both paths use R_b = prec + gain_b.  Reversible: expn = prec + gain
+    (verified against oracle QCD values, SURVEY.md Appendix A.1).
+    Irreversible: stepsize_b = 2^gain / norm_b scaled by base_step
+    (verified against oracle QCD (eps, mant) pairs: e.g. HL level-1 of an
+    8-bit image signals Delta = 2^1/3.989 with eps=10)."""
+    out: list[StepSize] = []
+    for resno in range(numres):
+        orients = [LL] if resno == 0 else [HL, LH, HH]
+        for o in orients:
+            gain = BAND_GAIN[o]
+            if reversible:
+                out.append(StepSize(prec + gain, 0))
+            else:
+                norm = band_norm(numres, resno, o)
+                step = (1 << gain) / norm
+                if base_step > 0:
+                    step *= base_step
+                out.append(encode_stepsize(step, prec + gain))
+    return out
+
+
+def band_max_bitplanes(ss: StepSize, guard_bits: int) -> int:
+    """M_b = guard + eps_b - 1 (SURVEY.md B.3)."""
+    return max(0, guard_bits + ss.expn - 1)
+
+
+def quantize(coeffs: np.ndarray, delta: float) -> np.ndarray:
+    """Dead-zone scalar quantization of float coefficients."""
+    q = np.floor(np.abs(coeffs) / np.float32(delta)).astype(np.int64)
+    return (np.sign(coeffs) * q).astype(np.int32)
+
+
+def dequantize(doubled: np.ndarray, delta: float) -> np.ndarray:
+    """Inverse quantization of T1 doubled-domain signed output: value =
+    (doubled / 2) * Delta, which realizes the (q + 0.5) midpoint for fully
+    decoded coefficients and truncation midpoints otherwise."""
+    return doubled.astype(np.float32) * np.float32(0.5 * delta)

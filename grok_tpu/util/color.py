@@ -1,0 +1,111 @@
+"""Color/metadata post-processing of decoded images.
+
+Parity: GrkImage_Conversion (SURVEY.md §2.1 "GrkImage",
+src/lib/core/util/GrkImage*.cpp [P]): sYCC->RGB (420/422/444 upsampling),
+palette (pclr/cmap) application, cdef channel reordering, component
+upsampling, precision shifts.  ICC application via littlecms is replaced by
+profile attachment (profiles are carried through; application is delegated
+to the consumer, as Pillow does by default).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..image import ColorSpace, GrkImage, ImageComponent
+
+log = logging.getLogger("grok_tpu")
+
+
+def apply_palette(img: GrkImage) -> None:
+    pal = img.meta.palette
+    if pal.lut is None or not pal.component_mapping:
+        return
+    src_comps = img.comps
+    out = []
+    for (cmp_, typ, col) in pal.component_mapping:
+        src = src_comps[cmp_]
+        if typ == 1:  # palette mapping
+            idx = np.clip(src.data, 0, pal.lut.shape[0] - 1)
+            c = ImageComponent(
+                dx=src.dx, dy=src.dy, prec=pal.channel_prec[col],
+                sgnd=pal.channel_sgnd[col])
+            c.data = pal.lut[idx, col].astype(np.int32)
+            c.w, c.h, c.x0, c.y0 = src.w, src.h, src.x0, src.y0
+            out.append(c)
+        else:  # direct use
+            out.append(src)
+    img.comps = out
+    img.meta.palette = None
+
+
+def apply_channel_definitions(img: GrkImage) -> None:
+    defs = img.meta.channel_definitions
+    if not defs:
+        return
+    order = sorted(defs, key=lambda d: (d[1] != 0, d[2]))  # colors first
+    new_comps = []
+    for (cn, typ, asoc) in order:
+        if cn < len(img.comps):
+            c = img.comps[cn]
+            c.type = typ
+            c.association = asoc
+            new_comps.append(c)
+    for i, c in enumerate(img.comps):
+        if c not in new_comps:
+            new_comps.append(c)
+    img.comps = new_comps
+    img.meta.channel_definitions = None
+
+
+def upsample_components(img: GrkImage) -> None:
+    """Replicate-upsample subsampled components to dx=dy=1."""
+    for c in img.comps:
+        if c.dx == 1 and c.dy == 1:
+            continue
+        c.data = np.repeat(np.repeat(c.data, c.dy, axis=0), c.dx, axis=1)
+        # crop to the full-resolution grid
+        h = img.y1 - img.y0
+        w = img.x1 - img.x0
+        c.data = c.data[:h, :w]
+        c.h, c.w = c.data.shape
+        c.dx = c.dy = 1
+
+
+def sycc_to_rgb(img: GrkImage) -> None:
+    """sYCC -> sRGB with 420/422/444 chroma upsampling."""
+    if img.numcomps < 3:
+        return
+    y, cb, cr = img.comps[0], img.comps[1], img.comps[2]
+    if (cb.dx != y.dx or cb.dy != y.dy):
+        upsample_components(img)
+        y, cb, cr = img.comps[0], img.comps[1], img.comps[2]
+    offset = 1 << (cb.prec - 1)
+    yf = y.data.astype(np.float32)
+    cbf = cb.data.astype(np.float32) - offset
+    crf = cr.data.astype(np.float32) - offset
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    mx = (1 << y.prec) - 1
+    for comp, vals in zip((y, cb, cr), (r, g, b)):
+        comp.data = np.clip(np.round(vals), 0, mx).astype(np.int32)
+        comp.prec = y.prec
+    img.color_space = ColorSpace.SRGB
+
+
+def shift_precision(img: GrkImage, precisions: list[int]) -> None:
+    """Scale components to the requested precisions (CLI -p parity)."""
+    for i, c in enumerate(img.comps):
+        want = precisions[i] if i < len(precisions) else precisions[-1]
+        if want == c.prec:
+            continue
+        if want > c.prec:
+            c.data = (c.data.astype(np.int64) << (want - c.prec)).astype(
+                np.int32)
+        else:
+            c.data = (c.data.astype(np.int64) >> (c.prec - want)).astype(
+                np.int32)
+        c.prec = want

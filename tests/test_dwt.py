@@ -1,0 +1,70 @@
+"""Wavelet lifting tests (SURVEY.md B.1): bit-exact 5/3 round-trips across
+sizes/parities (property test per SURVEY.md §4 implication (c)), 9/7
+numerics, geometry consistency."""
+
+import numpy as np
+import pytest
+
+from grok_tpu.tile.geometry import Rect, band_rect
+from grok_tpu.transform.dwt import (
+    forward_dwt,
+    fwd_53_1d,
+    fwd_97_1d,
+    inv_53_1d,
+    inv_97_1d,
+    inverse_dwt,
+)
+
+
+@pytest.mark.parametrize("x0", [0, 1, 5, 100, 101])
+def test_53_1d_roundtrip(x0, rng):
+    for n in list(range(1, 20)) + [64, 65, 127]:
+        x = rng.integers(-1000, 1000, size=(3, n)).astype(np.int32)
+        lo, hi = fwd_53_1d(x, x0)
+        pos = np.arange(x0, x0 + n)
+        assert lo.shape[-1] == int(((pos & 1) == 0).sum())
+        y = inv_53_1d(lo, hi, x0, n)
+        assert np.array_equal(y, x)
+
+
+@pytest.mark.parametrize("x0", [0, 1, 7])
+def test_97_1d_roundtrip(x0, rng):
+    for n in list(range(1, 20)) + [64, 65]:
+        x = rng.normal(0, 100, size=(3, n)).astype(np.float32)
+        lo, hi = fwd_97_1d(x, x0)
+        y = inv_97_1d(lo, hi, x0, n)
+        assert np.abs(y - x).max() < 1e-2
+
+
+@pytest.mark.parametrize(
+    "h,w,x0,y0", [(64, 64, 0, 0), (37, 53, 3, 11), (1, 17, 0, 1),
+                  (16, 1, 5, 0), (128, 96, 1, 1)])
+def test_2d_multilevel(h, w, x0, y0, rng):
+    rect = Rect(x0, y0, x0 + w, y0 + h)
+    x = rng.integers(-2000, 2000, size=(h, w)).astype(np.int32)
+    for numres in (1, 2, 3, 6):
+        bands = forward_dwt(x, rect, numres, True)
+        assert np.array_equal(inverse_dwt(bands, rect, numres, True), x)
+    xf = x.astype(np.float32)
+    bands = forward_dwt(xf, rect, 5, False)
+    assert np.abs(inverse_dwt(bands, rect, 5, False) - xf).max() < 0.5
+
+
+def test_band_shapes_match_geometry(rng):
+    rect = Rect(3, 11, 56, 48)
+    x = rng.integers(-100, 100, size=(37, 53)).astype(np.int32)
+    bands = forward_dwt(x, rect, 4, True)
+    for (r, o), arr in bands.items():
+        br = band_rect(rect, 4, r, o)
+        assert arr.shape == (br.h, br.w)
+
+
+def test_signed_extremes_16bit(rng):
+    """SURVEY.md §7 hard part #3: int32 bit-exactness on 16-bit extremes."""
+    rect = Rect(0, 0, 64, 64)
+    for _ in range(3):
+        x = rng.choice(
+            np.array([-32768, -32767, -1, 0, 1, 32766, 32767], np.int32),
+            size=(64, 64))
+        bands = forward_dwt(x, rect, 6, True)
+        assert np.array_equal(inverse_dwt(bands, rect, 6, True), x)

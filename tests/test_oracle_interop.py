@@ -1,0 +1,166 @@
+"""Interop against the OpenJPEG 2.5.x oracle bundled with Pillow.
+
+SURVEY.md §4 implication (b): with no ISO conformance corpus available,
+cross-decoding with OpenJPEG is the conformance gate — our streams must
+decode bit-exactly in OpenJPEG and vice versa (stronger than self
+round-trip).  Oracle driver options verified in SURVEY.md Appendix A.4.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+import grok_tpu
+from grok_tpu import CompressParams, DecompressParams, GrkImage
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+def oracle_encode(arr, **kw):
+    mode = {1: "L", 3: "RGB"}[1 if arr.ndim == 2 else arr.shape[2]]
+    buf = io.BytesIO()
+    kw.setdefault("no_jp2", True)
+    if arr.dtype == np.uint16:
+        mode = "I;16"
+    Image.fromarray(arr, mode).save(buf, "JPEG2000", **kw)
+    return buf.getvalue()
+
+
+def oracle_decode(data, layers=None, reduce=None):
+    img = Image.open(io.BytesIO(data))
+    if reduce is not None:
+        img.reduce = reduce
+    if layers is not None:
+        img.layers = layers
+    return np.asarray(img)
+
+
+def content(rng, h, w, ncomp=1, prec=8):
+    hi = (1 << prec) - 1
+    x = np.linspace(0, 8 * np.pi, w)
+    base = np.sin(x)[None, :] * np.linspace(-1, 1, h)[:, None]
+    out = []
+    for c in range(ncomp):
+        a = ((base * (0.35 + 0.1 * c) + 0.5) * hi
+             + rng.normal(0, hi * 0.03, (h, w)))
+        out.append(a.clip(0, hi))
+    arr = np.stack(out, axis=-1) if ncomp > 1 else out[0]
+    return arr.astype(np.uint16 if prec > 8 else np.uint8)
+
+
+# ------------------------------------------------------------ decode oracle
+
+def test_decode_oracle_lossless_gray(rng):
+    arr = content(rng, 96, 96)
+    data = oracle_encode(arr, irreversible=False, num_resolutions=3)
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr.astype(np.int32))
+
+
+def test_decode_oracle_lossless_rgb_rct(rng):
+    arr = content(rng, 64, 80, ncomp=3)
+    data = oracle_encode(arr, irreversible=False, num_resolutions=4, mct=1)
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.to_array(), arr.astype(np.int32))
+
+
+def test_decode_oracle_lossless_16bit(rng):
+    arr = content(rng, 64, 64, prec=16)
+    data = oracle_encode(arr, irreversible=False, num_resolutions=3)
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr.astype(np.int32))
+
+
+def test_decode_oracle_lossy_97(rng):
+    arr = content(rng, 96, 96)
+    data = oracle_encode(arr, irreversible=True, num_resolutions=3)
+    ours = grok_tpu.decompress(data).comps[0].data
+    theirs = oracle_decode(data)
+    # both decoders reconstruct the same stream: near-identical output
+    diff = np.abs(ours.astype(int) - theirs.astype(int))
+    assert diff.max() <= 1, diff.max()
+
+
+def test_decode_oracle_tiled(rng):
+    arr = content(rng, 100, 90)
+    data = oracle_encode(arr, irreversible=False, num_resolutions=3,
+                         tile_size=(48, 32))
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr.astype(np.int32))
+
+
+def test_decode_oracle_precincts_rpcl_multilayer(rng):
+    arr = content(rng, 128, 128)
+    data = oracle_encode(arr, irreversible=False, num_resolutions=4,
+                         progression="RPCL", precinct_size=(64, 64),
+                         codeblock_size=(32, 32),
+                         quality_mode="rates", quality_layers=[20, 5, 1])
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr.astype(np.int32))
+
+
+def test_decode_oracle_jp2(rng):
+    arr = content(rng, 64, 64, ncomp=3)
+    data = oracle_encode(arr, irreversible=False, no_jp2=False)
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.to_array(), arr.astype(np.int32))
+
+
+# ------------------------------------------------------------ oracle decodes
+
+def test_oracle_decodes_ours_lossless_gray(rng):
+    arr = content(rng, 96, 96)
+    img = GrkImage.from_array(arr)
+    ours = grok_tpu.compress(img, CompressParams(numresolution=3))
+    assert np.array_equal(oracle_decode(ours), arr)
+
+
+def test_oracle_decodes_ours_rgb_rct(rng):
+    arr = content(rng, 64, 80, ncomp=3)
+    img = GrkImage.from_array(arr)
+    ours = grok_tpu.compress(img, CompressParams(numresolution=4))
+    assert np.array_equal(oracle_decode(ours), arr)
+
+
+def test_oracle_decodes_ours_16bit(rng):
+    arr = content(rng, 48, 48, prec=16)
+    img = GrkImage.from_array(arr, prec=16)
+    ours = grok_tpu.compress(img, CompressParams(numresolution=3))
+    assert np.array_equal(oracle_decode(ours), arr.astype(np.int32))
+
+
+def test_oracle_decodes_ours_lossy(rng):
+    arr = content(rng, 96, 96)
+    img = GrkImage.from_array(arr)
+    ours = grok_tpu.compress(
+        img, CompressParams(numresolution=3, irreversible=True))
+    dec = oracle_decode(ours).astype(np.float64)
+    err = dec - arr
+    psnr = 10 * np.log10(255.0 ** 2 / max((err ** 2).mean(), 1e-9))
+    assert psnr > 40, psnr
+
+
+def test_oracle_decodes_ours_tiled(rng):
+    arr = content(rng, 100, 90)
+    img = GrkImage.from_array(arr)
+    ours = grok_tpu.compress(
+        img, CompressParams(numresolution=3, tile_size=(48, 32)))
+    assert np.array_equal(oracle_decode(ours), arr)
+
+
+def test_oracle_decodes_ours_jp2(rng):
+    arr = content(rng, 64, 64, ncomp=3)
+    img = GrkImage.from_array(arr)
+    ours = grok_tpu.compress(
+        img, CompressParams(numresolution=3, cod_format="jp2"))
+    assert np.array_equal(oracle_decode(ours), arr)
+
+
+def test_oracle_decodes_ours_multilayer(rng):
+    arr = content(rng, 96, 96)
+    img = GrkImage.from_array(arr)
+    ours = grok_tpu.compress(
+        img, CompressParams(numresolution=3, layer_rates=[10, 1]))
+    assert np.array_equal(oracle_decode(ours), arr)

@@ -1,0 +1,161 @@
+"""End-to-end codec self round-trips (BASELINE config ladder, SURVEY.md §6)."""
+
+import numpy as np
+import pytest
+
+import grok_tpu
+from grok_tpu import CompressParams, DecompressParams, GrkImage
+from grok_tpu.params import CblkStyle, Progression
+
+
+def _gray(rng, h, w, prec=8):
+    hi = (1 << prec) - 1
+    x = np.linspace(0, 6 * np.pi, w)
+    base = (np.sin(x)[None, :] * np.cos(x * 0.7)[: h if h <= w else w][
+        : h, None] if False else
+        np.sin(x)[None, :] * np.linspace(-1, 1, h)[:, None])
+    arr = ((base * 0.4 + 0.5) * hi + rng.normal(0, hi * 0.02, (h, w)))
+    return arr.clip(0, hi).astype(np.int32)
+
+
+def _roundtrip(arr, cparams, prec=8, sgnd=False, **dec_kw):
+    img = GrkImage.from_array(arr, prec=prec, sgnd=sgnd)
+    data = grok_tpu.compress(img, cparams)
+    out = grok_tpu.decompress(data, DecompressParams(**dec_kw))
+    return data, out
+
+
+def test_lossless_gray_64(rng):
+    arr = _gray(rng, 64, 64)
+    _, out = _roundtrip(arr, CompressParams(numresolution=3))
+    assert np.array_equal(out.comps[0].data, arr)
+
+
+def test_lossless_gray_odd_sizes(rng):
+    for (h, w) in [(65, 37), (1, 100), (100, 1), (33, 129)]:
+        arr = _gray(rng, h, w)
+        _, out = _roundtrip(arr, CompressParams(numresolution=4))
+        assert np.array_equal(out.comps[0].data, arr), (h, w)
+
+
+def test_lossless_rgb_rct(rng):
+    arr = rng.integers(0, 256, size=(48, 48, 3)).astype(np.int32)
+    _, out = _roundtrip(arr, CompressParams(numresolution=3))
+    assert np.array_equal(out.to_array(), arr)
+
+
+def test_lossless_16bit(rng):
+    arr = rng.integers(0, 65536, size=(40, 40)).astype(np.int32)
+    _, out = _roundtrip(arr, CompressParams(numresolution=3), prec=16)
+    assert np.array_equal(out.comps[0].data, arr)
+
+
+def test_lossless_signed(rng):
+    arr = rng.integers(-128, 128, size=(32, 32)).astype(np.int32)
+    _, out = _roundtrip(arr, CompressParams(numresolution=3), prec=8,
+                        sgnd=True)
+    assert np.array_equal(out.comps[0].data, arr)
+
+
+def test_lossy_97_psnr(rng):
+    arr = _gray(rng, 64, 64)
+    _, out = _roundtrip(arr, CompressParams(numresolution=3,
+                                            irreversible=True))
+    err = out.comps[0].data.astype(np.float64) - arr
+    psnr = 10 * np.log10(255.0 ** 2 / max((err ** 2).mean(), 1e-9))
+    assert psnr > 40, psnr
+
+
+def test_lossy_rgb_ict(rng):
+    arr = rng.integers(0, 256, size=(32, 32, 3)).astype(np.int32)
+    arr[:, :16] = 128  # smooth region
+    _, out = _roundtrip(arr, CompressParams(numresolution=3,
+                                            irreversible=True))
+    err = out.to_array().astype(np.float64) - arr
+    psnr = 10 * np.log10(255.0 ** 2 / max((err ** 2).mean(), 1e-9))
+    assert psnr > 30, psnr
+
+
+def test_multitile(rng):
+    arr = _gray(rng, 70, 90)
+    data, out = _roundtrip(
+        arr, CompressParams(numresolution=3, tile_size=(32, 32)))
+    assert np.array_equal(out.comps[0].data, arr)
+
+
+@pytest.mark.parametrize("prog", list(Progression))
+def test_progression_orders(prog, rng):
+    arr = _gray(rng, 48, 48)
+    data, out = _roundtrip(
+        arr, CompressParams(numresolution=3, prog_order=prog,
+                            precincts=[(32, 32)]))
+    assert np.array_equal(out.comps[0].data, arr), prog
+
+
+@pytest.mark.parametrize("style", [
+    CblkStyle.LAZY, CblkStyle.TERMALL, CblkStyle.VSC, CblkStyle.SEGSYM,
+    CblkStyle.LAZY | CblkStyle.TERMALL])
+def test_mode_switches(style, rng):
+    arr = _gray(rng, 48, 48)
+    _, out = _roundtrip(arr, CompressParams(numresolution=3,
+                                            cblk_style=style))
+    assert np.array_equal(out.comps[0].data, arr), style
+
+
+def test_reduced_resolution_decode(rng):
+    arr = _gray(rng, 64, 64)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(numresolution=4))
+    out = grok_tpu.decompress(data, DecompressParams(reduce=2))
+    assert out.comps[0].data.shape == (16, 16)
+
+
+def test_multilayer_rates(rng):
+    arr = _gray(rng, 64, 64)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(
+        img, CompressParams(numresolution=3, layer_rates=[8, 4, 1]))
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr)  # last layer lossless
+    # decoding fewer layers still works and degrades gracefully
+    out1 = grok_tpu.decompress(data, DecompressParams(max_layers=1))
+    assert out1.comps[0].data.shape == arr.shape
+
+
+def test_jp2_container(rng):
+    arr = rng.integers(0, 256, size=(32, 32, 3)).astype(np.int32)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(numresolution=3,
+                                                 cod_format="jp2"))
+    assert data[:4] == b"\x00\x00\x00\x0c"
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.to_array(), arr)
+
+
+def test_tile_offset_odd_origin(rng):
+    """Canvas-parity DWT phase (SURVEY.md B.1 off-by-one trap)."""
+    arr = _gray(rng, 47, 61)
+    img = GrkImage.from_array(arr, offset=(3, 5))
+    data = grok_tpu.compress(img, CompressParams(numresolution=3,
+                                                 tile_size=(32, 32),
+                                                 tile_offset=(1, 1)))
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr)
+
+
+def test_header_parse(rng):
+    arr = _gray(rng, 64, 64)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(numresolution=3))
+    hi = grok_tpu.read_header(data)
+    assert hi.siz.xsiz == 64 and hi.siz.ysiz == 64
+    assert hi.cp.tcps[0].tccps[0].numresolutions == 3
+    assert any("grok_tpu" in c for c in hi.comments)
+
+
+def test_truncated_stream_tolerant(rng):
+    arr = _gray(rng, 64, 64)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(numresolution=3))
+    out = grok_tpu.decompress(data[: int(len(data) * 0.6)])
+    assert out.comps[0].data.shape == arr.shape
