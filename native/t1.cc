@@ -1,0 +1,819 @@
+// Native EBCOT Tier-1 batch coder (MQ path).
+//
+// Parity: the reference's T1Part1 + mqc engine (SURVEY.md §2.1 "Tier-1
+// Part 1") — here as a C ABI batch API so Python can hand entire
+// codeblock batches to a thread pool (SURVEY.md §2.3: the reference uses a
+// Taskflow DAG over codeblocks; we use std::thread over a job queue).
+//
+// The algorithm is a direct translation of the oracle-validated Python
+// reference in grok_tpu/t1/coder.py + mq.py (ISO/IEC 15444-1 Annexes C/D);
+// differential-tested against it in tests/test_native_t1.py.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- MQ coder
+
+struct QeRow { uint16_t qe; uint8_t nmps, nlps, sw; };
+static const QeRow QE[47] = {
+  {0x5601,1,1,1},{0x3401,2,6,0},{0x1801,3,9,0},{0x0AC1,4,12,0},
+  {0x0521,5,29,0},{0x0221,38,33,0},{0x5601,7,6,1},{0x5401,8,14,0},
+  {0x4801,9,14,0},{0x3801,10,14,0},{0x3001,11,17,0},{0x2401,12,18,0},
+  {0x1C01,13,20,0},{0x1601,29,21,0},{0x5601,15,14,1},{0x5401,16,14,0},
+  {0x5101,17,15,0},{0x4801,18,16,0},{0x3801,19,17,0},{0x3401,20,18,0},
+  {0x3001,21,19,0},{0x2801,22,19,0},{0x2401,23,20,0},{0x2201,24,21,0},
+  {0x1C01,25,22,0},{0x1801,26,23,0},{0x1601,27,24,0},{0x1401,28,25,0},
+  {0x1201,29,26,0},{0x1101,30,27,0},{0x0AC1,31,28,0},{0x09C1,32,29,0},
+  {0x08A1,33,30,0},{0x0521,34,31,0},{0x0441,35,32,0},{0x02A1,36,33,0},
+  {0x0221,37,34,0},{0x0141,38,35,0},{0x0111,39,36,0},{0x0085,40,37,0},
+  {0x0049,41,38,0},{0x0025,42,39,0},{0x0015,43,40,0},{0x0009,44,41,0},
+  {0x0005,45,42,0},{0x0001,45,43,0},{0x5601,46,46,0},
+};
+
+enum { NCTX = 19, CTX_ZC = 0, CTX_SC = 9, CTX_MAG = 14, CTX_RL = 17,
+       CTX_UNI = 18 };
+
+struct Ctx { uint8_t state, mps; };
+
+static void init_ctxs(Ctx* c) {
+  std::memset(c, 0, sizeof(Ctx) * NCTX);
+  c[CTX_ZC].state = 4;
+  c[CTX_RL].state = 3;
+  c[CTX_UNI].state = 46;
+}
+
+struct MQEnc {
+  uint32_t a = 0x8000, c = 0, ct = 12;
+  std::vector<uint8_t> buf;   // buf[0] is the fake leading byte
+  Ctx ctx[NCTX];
+
+  MQEnc() { init_ctxs(ctx); restart(); }
+  void restart() { a = 0x8000; c = 0; ct = 12; buf.clear(); buf.push_back(0); }
+
+  void byteout() {
+    if (buf.back() == 0xFF) {
+      buf.push_back((c >> 20) & 0xFF); c &= 0xFFFFF; ct = 7;
+    } else if (c < 0x8000000) {
+      buf.push_back((c >> 19) & 0xFF); c &= 0x7FFFF; ct = 8;
+    } else {
+      buf.back()++;
+      if (buf.back() == 0xFF) {
+        c &= 0x7FFFFFF;
+        buf.push_back((c >> 20) & 0xFF); c &= 0xFFFFF; ct = 7;
+      } else {
+        buf.push_back((c >> 19) & 0xFF); c &= 0x7FFFF; ct = 8;
+      }
+    }
+  }
+  void renorm() {
+    do { a <<= 1; c <<= 1; if (--ct == 0) byteout(); } while (!(a & 0x8000));
+    a &= 0xFFFF;
+  }
+  void encode(int d, int cn) {
+    Ctx& x = ctx[cn];
+    const QeRow& q = QE[x.state];
+    if (d == x.mps) {
+      a -= q.qe;
+      if (!(a & 0x8000)) {
+        if (a < q.qe) a = q.qe; else c += q.qe;
+        x.state = q.nmps;
+        renorm();
+      } else c += q.qe;
+    } else {
+      a -= q.qe;
+      if (a < q.qe) c += q.qe; else a = q.qe;
+      if (q.sw) x.mps ^= 1;
+      x.state = q.nlps;
+      renorm();
+    }
+  }
+  int num_bytes() const { return (int)buf.size() - 1; }
+  // flush into out (appends); returns bytes appended
+  int flush(std::vector<uint8_t>& out) {
+    uint32_t tempc = c + a;
+    c |= 0xFFFF;
+    if (c >= tempc) c -= 0x8000;
+    c <<= ct; byteout();
+    c <<= ct; byteout();
+    size_t n = buf.size();
+    if (buf[n - 1] == 0xFF) n--;
+    out.insert(out.end(), buf.begin() + 1, buf.begin() + n);
+    return (int)(n - 1);
+  }
+};
+
+struct MQDec {
+  uint32_t a = 0, c = 0, ct = 0;
+  const uint8_t* data = nullptr;
+  int len = 0, bp = 0;
+  Ctx ctx[NCTX];
+
+  void init_ctx() { init_ctxs(ctx); }
+  uint8_t at(int i) const { return (i >= 0 && i < len) ? data[i] : 0xFF; }
+  void bytein() {
+    if (at(bp) == 0xFF) {
+      if (at(bp + 1) > 0x8F) { c += 0xFF00; ct = 8; }
+      else { bp++; c += (uint32_t)at(bp) << 9; ct = 7; }
+    } else { bp++; c += (uint32_t)at(bp) << 8; ct = 8; }
+  }
+  void init_seg(const uint8_t* d, int l) {
+    data = d; len = l; bp = 0;
+    c = (uint32_t)at(0) << 16;
+    bytein();
+    c <<= 7; ct -= 7; a = 0x8000;
+  }
+  void renorm() {
+    do {
+      if (ct == 0) bytein();
+      a <<= 1; c <<= 1; ct--;
+    } while (!(a & 0x8000));
+    a &= 0xFFFF;
+  }
+  int decode(int cn) {
+    Ctx& x = ctx[cn];
+    const QeRow& q = QE[x.state];
+    int d;
+    a -= q.qe;
+    if (((c >> 16) & 0xFFFF) < q.qe) {
+      if (a < q.qe) { d = x.mps; x.state = q.nmps; }
+      else { d = 1 - x.mps; if (q.sw) x.mps ^= 1; x.state = q.nlps; }
+      a = q.qe;
+      renorm();
+    } else {
+      c -= (uint32_t)q.qe << 16;
+      if (!(a & 0x8000)) {
+        if (a < q.qe) { d = 1 - x.mps; if (q.sw) x.mps ^= 1; x.state = q.nlps; }
+        else { d = x.mps; x.state = q.nmps; }
+        renorm();
+      } else d = x.mps;
+    }
+    return d;
+  }
+};
+
+// raw (bypass) coders
+struct RawEnc {
+  std::vector<uint8_t> buf;
+  uint32_t acc = 0, used = 0, cap = 8;
+  void encode(int d) {
+    acc = (acc << 1) | (d & 1);
+    if (++used == cap) {
+      buf.push_back((uint8_t)acc);
+      cap = (acc == 0xFF) ? 7 : 8;
+      acc = 0; used = 0;
+    }
+  }
+  int num_bytes() const { return (int)buf.size() + (used ? 1 : 0); }
+  int flush(std::vector<uint8_t>& out) {
+    if (used) {
+      acc <<= (cap - used);
+      buf.push_back((uint8_t)acc);
+      acc = 0; used = 0; cap = 8;
+    }
+    size_t n = buf.size();
+    if (n && buf[n - 1] == 0xFF) n--;
+    out.insert(out.end(), buf.begin(), buf.begin() + n);
+    int r = (int)n;
+    buf.clear();
+    return r;
+  }
+};
+
+struct RawDec {
+  const uint8_t* data = nullptr;
+  int len = 0, pos = 0;
+  uint32_t acc = 0, avail = 0;
+  bool prev_ff = false;
+  void init(const uint8_t* d, int l) {
+    data = d; len = l; pos = 0; acc = 0; avail = 0; prev_ff = false;
+  }
+  int decode() {
+    if (avail == 0) {
+      uint8_t b = (pos < len) ? data[pos] : 0xFF;
+      pos++;
+      acc = b;
+      avail = prev_ff ? 7 : 8;
+      prev_ff = (b == 0xFF);
+    }
+    avail--;
+    return (acc >> avail) & 1;
+  }
+};
+
+// ------------------------------------------------------------ EBCOT passes
+
+// style bits (match grok_tpu.params.CblkStyle)
+enum { STY_LAZY = 1, STY_RESET = 2, STY_TERMALL = 4, STY_VSC = 8,
+       STY_PTERM = 16, STY_SEGSYM = 32 };
+
+// ZC context tables (ISO 15444-1 Table D.1); HL transposes H and V
+static inline int zc_ctx(int h, int v, int d, int orient) {
+  if (orient == 3) {  // HH
+    int hv = h + v;
+    if (d >= 3) return 8;
+    if (d == 2) return hv >= 1 ? 7 : 6;
+    if (d == 1) { if (hv >= 2) return 5; return hv == 1 ? 4 : 3; }
+    if (hv >= 2) return 2;
+    return hv == 1 ? 1 : 0;
+  }
+  if (orient == 1) { int t = h; h = v; v = t; }  // HL: transpose
+  if (h == 2) return 8;
+  if (h == 1) { if (v >= 1) return 7; return d >= 1 ? 6 : 5; }
+  if (v == 2) return 4;
+  if (v == 1) return 3;
+  if (d >= 2) return 2;
+  return d == 1 ? 1 : 0;
+}
+
+// SC context Table D.2 (mirrors _SC_TABLE in grok_tpu/t1/coder.py):
+//   ( 1, 1)->(4,0) ( 1,0)->(3,0) ( 1,-1)->(2,0)
+//   ( 0, 1)->(1,0) ( 0,0)->(0,0) ( 0,-1)->(1,1)
+//   (-1, 1)->(2,1) (-1,0)->(3,1) (-1,-1)->(4,1)
+static inline void sc_ctx(int hc, int vc, int* cn, int* xorbit) {
+  int hi = 1 - hc;  // hc=1 -> 0, hc=0 -> 1, hc=-1 -> 2
+  int vi = 1 - vc;
+  static const int8_t OFF[3][3] = {{4, 3, 2}, {1, 0, 1}, {2, 3, 4}};
+  static const int8_t XR[3][3] = {{0, 0, 0}, {0, 0, 1}, {1, 1, 1}};
+  *cn = CTX_SC + OFF[hi][vi];
+  *xorbit = XR[hi][vi];
+}
+
+struct T1State {
+  int h, w, stride;
+  std::vector<uint8_t> sig, vis, ref, sgn;
+  std::vector<int64_t> mag, rec;
+
+  T1State(int hh, int ww) : h(hh), w(ww), stride(ww + 2) {
+    size_t n = (size_t)(h + 2) * stride;
+    sig.assign(n, 0); vis.assign(n, 0); ref.assign(n, 0); sgn.assign(n, 0);
+    mag.assign(n, 0); rec.assign(n, 0);
+  }
+  inline size_t idx(int y, int x) const { return (size_t)y * stride + x; }
+
+  inline void nbr(int y, int x, bool vsc3, int* hh, int* vv, int* dd) const {
+    size_t i = idx(y, x);
+    *hh = sig[i - 1] + sig[i + 1];
+    if (vsc3) {
+      *vv = sig[i - stride];
+      *dd = sig[i - stride - 1] + sig[i - stride + 1];
+    } else {
+      *vv = sig[i - stride] + sig[i + stride];
+      *dd = sig[i - stride - 1] + sig[i - stride + 1] +
+            sig[i + stride - 1] + sig[i + stride + 1];
+    }
+  }
+  inline int contrib(size_t i) const {
+    return sig[i] ? (sgn[i] ? -1 : 1) : 0;
+  }
+  inline void scctx(int y, int x, bool vsc3, int* cn, int* xorbit) const {
+    size_t i = idx(y, x);
+    int hc = contrib(i - 1) + contrib(i + 1);
+    int vc = vsc3 ? contrib(i - stride)
+                  : contrib(i - stride) + contrib(i + stride);
+    if (hc > 1) hc = 1; if (hc < -1) hc = -1;
+    if (vc > 1) vc = 1; if (vc < -1) vc = -1;
+    sc_ctx(hc, vc, cn, xorbit);
+  }
+};
+
+static inline bool is_raw_pass(int ptype, int bpno, int numbps, int style) {
+  return (style & STY_LAZY) && ptype <= 1 && bpno <= numbps - 5;
+}
+static inline bool is_term_pass(int ptype, int bpno, int numbps, int style,
+                                bool last) {
+  if (last) return true;
+  if (style & STY_TERMALL) return true;
+  if (style & STY_LAZY) {
+    if (ptype == 2 && bpno <= numbps - 4) return true;
+    if (ptype == 1 && bpno <= numbps - 5) return true;
+  }
+  return false;
+}
+static inline int64_t first_sig_rec(int bpno) {
+  int64_t one = 1LL << bpno;
+  return one | (one >> 1);
+}
+static inline int64_t refined_rec(int64_t old, int bpno, int bit) {
+  if (bpno > 0) {
+    int64_t half = 1LL << (bpno - 1);
+    return bit ? old + half : old - half;
+  }
+  return bit ? old : old - 1;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------- C ABI
+
+extern "C" {
+
+struct GrkT1EncJob {
+  int32_t h, w, orient, style;
+  const int32_t* coeffs;
+  uint8_t* out;
+  int32_t out_cap;
+  int32_t out_len;
+  int32_t numbps;
+  int32_t num_passes;
+  int32_t* pass_rates;   // capacity >= 3*31
+  double* pass_dists;
+  uint8_t* pass_terms;
+  int32_t status;        // 0 ok, 1 output overflow
+};
+
+struct GrkT1DecJob {
+  int32_t h, w, orient, style, numbps, num_passes;
+  const uint8_t* data;
+  int32_t data_len;
+  const int32_t* seg_lens;
+  int32_t num_segs;
+  int32_t* out;          // h*w doubled-domain signed values
+  int32_t status;
+};
+
+}  // extern "C"
+
+namespace {
+
+struct DistTrack {
+  T1State* st;
+  double total = 0;
+  inline void on_sig(size_t i, int bpno) {
+    int64_t nr = first_sig_rec(bpno);
+    int64_t m = st->mag[i];
+    int64_t old = st->rec[i];
+    total += (double)((m - old) * (m - old) - (m - nr) * (m - nr));
+    st->rec[i] = nr;
+  }
+  inline void on_ref(size_t i, int bpno, int bit) {
+    int64_t old = st->rec[i];
+    int64_t nr = refined_rec(old, bpno, bit);
+    int64_t m = st->mag[i];
+    total += (double)((m - old) * (m - old) - (m - nr) * (m - nr));
+    st->rec[i] = nr;
+  }
+};
+
+static void enc_sigpass(T1State& st, int bpno, int orient, bool vsc,
+                        MQEnc& mq, RawEnc* raw, DistTrack& dt) {
+  int64_t one = 1LL << bpno;
+  for (int sy = 0; sy < st.h; sy += 4) {
+    int rows = std::min(4, st.h - sy);
+    for (int x = 1; x <= st.w; x++) {
+      for (int k = 0; k < rows; k++) {
+        int y = sy + k + 1;
+        size_t i = st.idx(y, x);
+        if (st.sig[i]) continue;
+        bool v3 = vsc && k == 3;
+        int hh, vv, dd;
+        st.nbr(y, x, v3, &hh, &vv, &dd);
+        if (hh + vv + dd == 0) continue;
+        int bit = (st.mag[i] & one) ? 1 : 0;
+        if (raw) raw->encode(bit);
+        else mq.encode(bit, CTX_ZC + zc_ctx(hh, vv, dd, orient));
+        if (bit) {
+          if (raw) raw->encode(st.sgn[i]);
+          else {
+            int cn, xb;
+            st.scctx(y, x, v3, &cn, &xb);
+            mq.encode(st.sgn[i] ^ xb, cn);
+          }
+          st.sig[i] = 1;
+          dt.on_sig(i, bpno);
+        }
+        st.vis[i] = 1;
+      }
+    }
+  }
+}
+
+static void enc_refpass(T1State& st, int bpno, MQEnc& mq, RawEnc* raw,
+                        DistTrack& dt) {
+  int64_t one = 1LL << bpno;
+  for (int sy = 0; sy < st.h; sy += 4) {
+    int rows = std::min(4, st.h - sy);
+    for (int x = 1; x <= st.w; x++) {
+      for (int k = 0; k < rows; k++) {
+        int y = sy + k + 1;
+        size_t i = st.idx(y, x);
+        if (!st.sig[i] || st.vis[i]) continue;
+        int bit = (st.mag[i] & one) ? 1 : 0;
+        if (raw) raw->encode(bit);
+        else {
+          int cn;
+          if (!st.ref[i]) {
+            int hh, vv, dd;
+            st.nbr(y, x, false, &hh, &vv, &dd);
+            cn = CTX_MAG + (hh + vv + dd > 0 ? 1 : 0);
+          } else cn = CTX_MAG + 2;
+          mq.encode(bit, cn);
+        }
+        st.ref[i] = 1;
+        dt.on_ref(i, bpno, bit);
+      }
+    }
+  }
+}
+
+static void enc_clnpass(T1State& st, int bpno, int orient, bool vsc,
+                        MQEnc& mq, DistTrack& dt, bool segsym) {
+  int64_t one = 1LL << bpno;
+  for (int sy = 0; sy < st.h; sy += 4) {
+    int rows = std::min(4, st.h - sy);
+    for (int x = 1; x <= st.w; x++) {
+      int kstart = 0;
+      if (rows == 4) {
+        bool agg = true;
+        for (int k = 0; k < 4; k++) {
+          int y = sy + k + 1;
+          size_t i = st.idx(y, x);
+          if (st.sig[i] || st.vis[i]) { agg = false; break; }
+          bool v3 = vsc && k == 3;
+          int hh, vv, dd;
+          st.nbr(y, x, v3, &hh, &vv, &dd);
+          if (hh + vv + dd) { agg = false; break; }
+        }
+        if (agg) {
+          int first = 4;
+          for (int k = 0; k < 4; k++) {
+            if (st.mag[st.idx(sy + k + 1, x)] & one) { first = k; break; }
+          }
+          mq.encode(first == 4 ? 0 : 1, CTX_RL);
+          if (first == 4) continue;
+          mq.encode((first >> 1) & 1, CTX_UNI);
+          mq.encode(first & 1, CTX_UNI);
+          int y = sy + first + 1;
+          size_t i = st.idx(y, x);
+          bool v3 = vsc && first == 3;
+          int cn, xb;
+          st.scctx(y, x, v3, &cn, &xb);
+          mq.encode(st.sgn[i] ^ xb, cn);
+          st.sig[i] = 1;
+          dt.on_sig(i, bpno);
+          kstart = first + 1;
+        }
+      }
+      for (int k = kstart; k < rows; k++) {
+        int y = sy + k + 1;
+        size_t i = st.idx(y, x);
+        if (st.sig[i] || st.vis[i]) continue;
+        bool v3 = vsc && k == 3;
+        int hh, vv, dd;
+        st.nbr(y, x, v3, &hh, &vv, &dd);
+        int bit = (st.mag[i] & one) ? 1 : 0;
+        mq.encode(bit, CTX_ZC + zc_ctx(hh, vv, dd, orient));
+        if (bit) {
+          int cn, xb;
+          st.scctx(y, x, v3, &cn, &xb);
+          mq.encode(st.sgn[i] ^ xb, cn);
+          st.sig[i] = 1;
+          dt.on_sig(i, bpno);
+        }
+      }
+    }
+  }
+  if (segsym) {
+    mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
+    mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
+  }
+}
+
+static void encode_one(GrkT1EncJob* j) {
+  int h = j->h, w = j->w;
+  T1State st(h, w);
+  int64_t maxmag = 0;
+  for (int y = 0; y < h; y++) {
+    for (int x = 0; x < w; x++) {
+      int32_t v = j->coeffs[(size_t)y * w + x];
+      size_t i = st.idx(y + 1, x + 1);
+      int64_t m = v < 0 ? -(int64_t)v : v;
+      st.mag[i] = m;
+      st.sgn[i] = v < 0;
+      if (m > maxmag) maxmag = m;
+    }
+  }
+  int numbps = 0;
+  while (maxmag >> numbps) numbps++;
+  j->numbps = numbps;
+  j->num_passes = 0;
+  j->out_len = 0;
+  j->status = 0;
+  if (numbps == 0) return;
+
+  MQEnc mq;
+  RawEnc raw;
+  bool raw_active = false;
+  std::vector<uint8_t> out;
+  DistTrack dt{&st};
+  int style = j->style;
+  bool vsc = style & STY_VSC;
+  int total_passes = 3 * numbps - 2;
+  int passno = 0;
+
+  for (int bpno = numbps - 1; bpno >= 0; bpno--) {
+    int pt_first = (bpno == numbps - 1) ? 2 : 0;
+    for (int ptype = pt_first; ptype <= 2; ptype++) {
+      bool rawp = is_raw_pass(ptype, bpno, numbps, style);
+      if (rawp && !raw_active) { raw = RawEnc(); raw_active = true; }
+      if (ptype == 0) enc_sigpass(st, bpno, j->orient, vsc, mq,
+                                  rawp ? &raw : nullptr, dt);
+      else if (ptype == 1) enc_refpass(st, bpno, mq, rawp ? &raw : nullptr,
+                                       dt);
+      else {
+        enc_clnpass(st, bpno, j->orient, vsc, mq, dt, style & STY_SEGSYM);
+        std::fill(st.vis.begin(), st.vis.end(), 0);
+      }
+      bool last = passno == total_passes - 1;
+      bool term = is_term_pass(ptype, bpno, numbps, style, last);
+      int rate;
+      if (term) {
+        if (rawp) { raw.flush(out); raw_active = false; }
+        else {
+          mq.flush(out);
+          Ctx saved[NCTX];
+          std::memcpy(saved, mq.ctx, sizeof(saved));
+          mq.restart();
+          std::memcpy(mq.ctx, saved, sizeof(saved));
+        }
+        rate = (int)out.size();
+      } else {
+        int pending = rawp ? raw.num_bytes() + 1 : mq.num_bytes() + 4;
+        rate = (int)out.size() + pending;
+      }
+      if (style & STY_RESET) init_ctxs(mq.ctx);
+      j->pass_rates[passno] = rate;
+      j->pass_dists[passno] = dt.total;
+      j->pass_terms[passno] = term;
+      passno++;
+    }
+  }
+  j->num_passes = passno;
+  int total = (int)out.size();
+  for (int i = 0; i < passno; i++)
+    if (j->pass_rates[i] > total) j->pass_rates[i] = total;
+  for (int i = passno - 2; i >= 0; i--)
+    if (j->pass_rates[i] > j->pass_rates[i + 1])
+      j->pass_rates[i] = j->pass_rates[i + 1];
+  if (total > j->out_cap) { j->status = 1; return; }
+  std::memcpy(j->out, out.data(), total);
+  j->out_len = total;
+}
+
+// ------------------------------------------------------------- decoder
+
+static void dec_sigpass(T1State& st, int bpno_rec, int bpno, int orient,
+                        bool vsc, MQDec& mq, RawDec* raw) {
+  (void)bpno;
+  for (int sy = 0; sy < st.h; sy += 4) {
+    int rows = std::min(4, st.h - sy);
+    for (int x = 1; x <= st.w; x++) {
+      for (int k = 0; k < rows; k++) {
+        int y = sy + k + 1;
+        size_t i = st.idx(y, x);
+        if (st.sig[i]) continue;
+        bool v3 = vsc && k == 3;
+        int hh, vv, dd;
+        st.nbr(y, x, v3, &hh, &vv, &dd);
+        if (hh + vv + dd == 0) continue;
+        int bit = raw ? raw->decode()
+                      : mq.decode(CTX_ZC + zc_ctx(hh, vv, dd, orient));
+        if (bit) {
+          int sgn;
+          if (raw) sgn = raw->decode();
+          else {
+            int cn, xb;
+            st.scctx(y, x, v3, &cn, &xb);
+            sgn = mq.decode(cn) ^ xb;
+          }
+          st.sgn[i] = sgn;
+          st.sig[i] = 1;
+          st.rec[i] = first_sig_rec(bpno_rec);
+        }
+        st.vis[i] = 1;
+      }
+    }
+  }
+}
+
+static void dec_refpass(T1State& st, int bpno_rec, MQDec& mq, RawDec* raw) {
+  for (int sy = 0; sy < st.h; sy += 4) {
+    int rows = std::min(4, st.h - sy);
+    for (int x = 1; x <= st.w; x++) {
+      for (int k = 0; k < rows; k++) {
+        int y = sy + k + 1;
+        size_t i = st.idx(y, x);
+        if (!st.sig[i] || st.vis[i]) continue;
+        int bit;
+        if (raw) bit = raw->decode();
+        else {
+          int cn;
+          if (!st.ref[i]) {
+            int hh, vv, dd;
+            st.nbr(y, x, false, &hh, &vv, &dd);
+            cn = CTX_MAG + (hh + vv + dd > 0 ? 1 : 0);
+          } else cn = CTX_MAG + 2;
+          bit = mq.decode(cn);
+        }
+        st.ref[i] = 1;
+        st.rec[i] = refined_rec(st.rec[i], bpno_rec, bit);
+      }
+    }
+  }
+}
+
+static void dec_clnpass(T1State& st, int bpno_rec, int orient, bool vsc,
+                        MQDec& mq, bool segsym) {
+  for (int sy = 0; sy < st.h; sy += 4) {
+    int rows = std::min(4, st.h - sy);
+    for (int x = 1; x <= st.w; x++) {
+      int kstart = 0;
+      if (rows == 4) {
+        bool agg = true;
+        for (int k = 0; k < 4; k++) {
+          int y = sy + k + 1;
+          size_t i = st.idx(y, x);
+          if (st.sig[i] || st.vis[i]) { agg = false; break; }
+          bool v3 = vsc && k == 3;
+          int hh, vv, dd;
+          st.nbr(y, x, v3, &hh, &vv, &dd);
+          if (hh + vv + dd) { agg = false; break; }
+        }
+        if (agg) {
+          if (!mq.decode(CTX_RL)) continue;
+          int first = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
+          int y = sy + first + 1;
+          size_t i = st.idx(y, x);
+          bool v3 = vsc && first == 3;
+          int cn, xb;
+          st.scctx(y, x, v3, &cn, &xb);
+          st.sgn[i] = mq.decode(cn) ^ xb;
+          st.sig[i] = 1;
+          st.rec[i] = first_sig_rec(bpno_rec);
+          kstart = first + 1;
+        }
+      }
+      for (int k = kstart; k < rows; k++) {
+        int y = sy + k + 1;
+        size_t i = st.idx(y, x);
+        if (st.sig[i] || st.vis[i]) continue;
+        bool v3 = vsc && k == 3;
+        int hh, vv, dd;
+        st.nbr(y, x, v3, &hh, &vv, &dd);
+        int bit = mq.decode(CTX_ZC + zc_ctx(hh, vv, dd, orient));
+        if (bit) {
+          int cn, xb;
+          st.scctx(y, x, v3, &cn, &xb);
+          st.sgn[i] = mq.decode(cn) ^ xb;
+          st.sig[i] = 1;
+          st.rec[i] = first_sig_rec(bpno_rec);
+        }
+      }
+    }
+  }
+  if (segsym) {
+    mq.decode(CTX_UNI); mq.decode(CTX_UNI);
+    mq.decode(CTX_UNI); mq.decode(CTX_UNI);
+  }
+}
+
+static void decode_one(GrkT1DecJob* j) {
+  int h = j->h, w = j->w;
+  T1State st(h, w);
+  j->status = 0;
+  std::memset(j->out, 0, sizeof(int32_t) * (size_t)h * w);
+  if (j->numbps <= 0 || j->num_passes <= 0) return;
+  int numbps = j->numbps;
+  int style = j->style;
+  bool vsc = style & STY_VSC;
+
+  // segment layout (mirrors t1/coder.py segment_layout)
+  struct Seg { int first, last; bool raw; };
+  std::vector<Seg> segs;
+  {
+    int total = 3 * numbps - 2;
+    int passno = 0;
+    int cur_first = -1;
+    bool cur_raw = false;
+    for (int bpno = numbps - 1; bpno >= 0; bpno--) {
+      int pt_first = (bpno == numbps - 1) ? 2 : 0;
+      for (int ptype = pt_first; ptype <= 2; ptype++) {
+        bool rawp = is_raw_pass(ptype, bpno, numbps, style);
+        if (cur_first >= 0 && rawp != cur_raw) {
+          segs.push_back({cur_first, passno - 1, cur_raw});
+          cur_first = -1;
+        }
+        if (cur_first < 0) { cur_first = passno; cur_raw = rawp; }
+        bool last = passno == total - 1;
+        if (is_term_pass(ptype, bpno, numbps, style, last)) {
+          segs.push_back({cur_first, passno, cur_raw});
+          cur_first = -1;
+        }
+        passno++;
+      }
+    }
+    if (cur_first >= 0) segs.push_back({cur_first, passno - 1, cur_raw});
+  }
+  // segment data offsets
+  std::vector<std::pair<int, int>> seg_rng(segs.size(), {0, 0});
+  {
+    int off = 0;
+    for (int s = 0; s < (int)segs.size(); s++) {
+      int len = (s < j->num_segs) ? j->seg_lens[s] : 0;
+      if (off > j->data_len) off = j->data_len;
+      int end = off + len;
+      if (end > j->data_len) end = j->data_len;
+      seg_rng[s] = {off, end};
+      off += len;
+    }
+  }
+
+  MQDec mq;
+  mq.init_ctx();
+  RawDec raw;
+  int cur_seg = -1;
+  int passno = 0;
+  bool done = false;
+  for (int bpno = numbps - 1; bpno >= 0 && !done; bpno--) {
+    int pt_first = (bpno == numbps - 1) ? 2 : 0;
+    for (int ptype = pt_first; ptype <= 2; ptype++) {
+      if (passno >= j->num_passes) { done = true; break; }
+      // find segment containing this pass
+      int si = 0;
+      for (; si < (int)segs.size(); si++)
+        if (segs[si].first <= passno && passno <= segs[si].last) break;
+      bool rawp = si < (int)segs.size() && segs[si].raw;
+      if (si != cur_seg) {
+        int s0 = seg_rng[si].first, s1 = seg_rng[si].second;
+        if (rawp) raw.init(j->data + s0, s1 - s0);
+        else mq.init_seg(j->data + s0, s1 - s0);
+        cur_seg = si;
+      }
+      if (ptype == 0) dec_sigpass(st, bpno + 1, bpno, j->orient, vsc, mq,
+                                  rawp ? &raw : nullptr);
+      else if (ptype == 1) dec_refpass(st, bpno + 1, mq,
+                                       rawp ? &raw : nullptr);
+      else {
+        dec_clnpass(st, bpno + 1, j->orient, vsc, mq, style & STY_SEGSYM);
+        std::fill(st.vis.begin(), st.vis.end(), 0);
+      }
+      if (style & STY_RESET) init_ctxs(mq.ctx);
+      passno++;
+    }
+  }
+  for (int y = 0; y < h; y++) {
+    for (int x = 0; x < w; x++) {
+      size_t i = st.idx(y + 1, x + 1);
+      int32_t m = (int32_t)st.rec[i];
+      j->out[(size_t)y * w + x] = st.sgn[i] ? -m : m;
+    }
+  }
+}
+
+template <typename Job, void (*Fn)(Job*)>
+static void run_batch(Job* jobs, int n, int num_threads) {
+  if (num_threads <= 0)
+    num_threads = (int)std::thread::hardware_concurrency();
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads == 1 || n <= 1) {
+    for (int i = 0; i < n; i++) Fn(&jobs[i]);
+    return;
+  }
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      Fn(&jobs[i]);
+    }
+  };
+  int nt = std::min(num_threads, n);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; t++) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+int grk_t1_encode_batch(GrkT1EncJob* jobs, int n, int num_threads) {
+  run_batch<GrkT1EncJob, encode_one>(jobs, n, num_threads);
+  for (int i = 0; i < n; i++)
+    if (jobs[i].status) return 1;
+  return 0;
+}
+
+int grk_t1_decode_batch(GrkT1DecJob* jobs, int n, int num_threads) {
+  run_batch<GrkT1DecJob, decode_one>(jobs, n, num_threads);
+  return 0;
+}
+
+int grk_t1_abi_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,88 @@
+"""Differential tests: native C++ T1 must be bit-identical to the Python
+reference (SURVEY.md §7: 'keep the host T1 as fallback and differential-test
+device vs host per codeblock' — same policy for the native backend)."""
+
+import numpy as np
+import pytest
+
+from grok_tpu.params import CblkStyle
+from grok_tpu.t1 import backend as bk
+from grok_tpu.t1.coder import segment_layout
+
+native = pytest.importorskip("grok_tpu.t1.native")
+
+STYLES = [
+    CblkStyle.NONE, CblkStyle.TERMALL, CblkStyle.LAZY, CblkStyle.VSC,
+    CblkStyle.SEGSYM, CblkStyle.LAZY | CblkStyle.TERMALL, CblkStyle.RESET,
+]
+
+
+def test_native_encode_matches_python(rng):
+    for trial in range(16):
+        h = int(rng.integers(1, 64))
+        w = int(rng.integers(1, 64))
+        scale = int(rng.integers(1, 5000))
+        coeffs = rng.integers(-scale, scale + 1, size=(h, w)).astype(np.int32)
+        if trial % 2:
+            coeffs[rng.random((h, w)) < 0.6] = 0
+        style = STYLES[trial % len(STYLES)]
+        orient = trial % 4
+        jp = bk.EncodeJob(coeffs, orient, style)
+        jn = bk.EncodeJob(coeffs, orient, style)
+        bk._encode_python([jp])
+        native.encode_batch_native([jn])
+        assert jp.data == jn.data, (trial, style)
+        assert jp.numbps == jn.numbps
+        assert [p.rate for p in jp.passes] == [p.rate for p in jn.passes]
+        assert [p.term for p in jp.passes] == [p.term for p in jn.passes]
+
+
+def test_native_decode_matches_python(rng):
+    for trial in range(12):
+        h = int(rng.integers(1, 48))
+        w = int(rng.integers(1, 48))
+        coeffs = rng.integers(-1000, 1001, size=(h, w)).astype(np.int32)
+        style = STYLES[trial % len(STYLES)]
+        orient = trial % 4
+        j = bk.EncodeJob(coeffs, orient, style)
+        bk._encode_python([j])
+        if j.numbps == 0:
+            continue
+        segs = segment_layout(style, j.numbps)
+        seg_lengths = []
+        prev = 0
+        for plist, _ in segs:
+            seg_lengths.append(j.passes[plist[-1]].rate - prev)
+            prev = j.passes[plist[-1]].rate
+        dj = bk.DecodeJob(j.data, seg_lengths, len(j.passes), j.numbps,
+                          h, w, orient, style)
+        dn = bk.DecodeJob(j.data, seg_lengths, len(j.passes), j.numbps,
+                          h, w, orient, style)
+        bk._decode_python([dj])
+        native.decode_batch_native([dn])
+        assert np.array_equal(dj.out, dn.out), (trial, style)
+
+
+def test_native_truncated_decode_no_crash(rng):
+    coeffs = rng.integers(-500, 501, size=(32, 32)).astype(np.int32)
+    j = bk.EncodeJob(coeffs, 0, CblkStyle.NONE)
+    bk._encode_python([j])
+    for frac in (0.1, 0.5, 0.9):
+        ln = int(len(j.data) * frac)
+        dn = bk.DecodeJob(j.data[:ln], [ln], len(j.passes), j.numbps,
+                          32, 32, 0, CblkStyle.NONE)
+        native.decode_batch_native([dn])
+        assert dn.out.shape == (32, 32)
+
+
+def test_full_pipeline_native_backend(rng):
+    import grok_tpu
+    from grok_tpu import CompressParams, DecompressParams, GrkImage
+
+    arr = rng.integers(0, 256, size=(96, 96)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=8)
+    d_py = grok_tpu.compress(img, CompressParams(backend="python"))
+    d_nat = grok_tpu.compress(img, CompressParams(backend="native"))
+    assert d_py == d_nat  # codestreams bit-identical across backends
+    out = grok_tpu.decompress(d_nat, DecompressParams(backend="native"))
+    assert np.array_equal(out.comps[0].data, arr)
