@@ -1,0 +1,85 @@
+"""Benchmark harness: BASELINE.json config 1 on real hardware.
+
+Measures full-codec encode+decode throughput (512x512 8-bit grayscale,
+single tile, lossless 5/3 — BASELINE.json configs[0]) with the device
+(TPU) transform pipeline + native host T1, and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
+
+vs_baseline compares against the OpenJPEG single-thread CPU proxy measured
+in BASELINE.md (encode 1.7 + decode 4.8 MP/s -> combined
+1/(1/1.7 + 1/4.8) = 1.256 MP/s for an encode+decode round trip).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_COMBINED_MPS = 1.0 / (1.0 / 1.7 + 1.0 / 4.8)
+
+
+def make_image(h=512, w=512, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 20 * np.pi, w)
+    arr = ((np.sin(x)[None, :] * np.linspace(-1, 1, h)[:, None] * 0.4 + 0.5)
+           * 255 + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+    return arr
+
+
+def main():
+    import grok_tpu
+    from grok_tpu import CompressParams, DecompressParams, GrkImage
+
+    arr = make_image()
+    img = GrkImage.from_array(arr)
+    # Backend choice, measured on this machine (see PERF_NOTES.md): the
+    # axon TPU is reached through a relay whose device-to-host path moves
+    # ~0.25-0.6 MB/s, so any stage that returns coefficient planes to the
+    # host (which Tier-1 currently requires) loses to host compute.  The
+    # device pipeline stays opt-in until Tier-1 context formation runs
+    # on-device and only compressed bytes cross back.
+    backend = os.environ.get("GROK_TPU_BENCH_BACKEND", "native")
+
+    cp = CompressParams(numresolution=6, backend=backend)
+    dp = DecompressParams(backend=backend)
+
+    # warm-up (jit compile + native lib load)
+    data = grok_tpu.compress(img, cp)
+    out = grok_tpu.decompress(data, dp)
+    assert np.array_equal(out.comps[0].data, arr.astype(np.int32)), \
+        "bench round-trip not bit-exact"
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        data = grok_tpu.compress(img, cp)
+    t1 = time.perf_counter()
+    for _ in range(reps):
+        out = grok_tpu.decompress(data, dp)
+    t2 = time.perf_counter()
+
+    mp = arr.size / 1e6
+    enc = mp * reps / (t1 - t0)
+    dec = mp * reps / (t2 - t1)
+    combined = mp * reps * 2 / (t2 - t0)  # enc+dec round trips
+    result = {
+        "metric": "512x512 gray lossless 5/3 encode+decode round-trip "
+                  "throughput (config 1)",
+        "value": round(combined, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(combined / BASELINE_COMBINED_MPS, 3),
+        "encode_mps": round(enc, 3),
+        "decode_mps": round(dec, 3),
+        "backend": backend,
+        "bytes": len(data),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

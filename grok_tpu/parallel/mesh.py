@@ -1,0 +1,155 @@
+"""Multi-chip sharding of the codec pipeline.
+
+Parity: the TPU-native replacement for the reference's thread-level
+parallelism (SURVEY.md §2.3 "Parallelism & communication inventory"):
+
+- **dp axis (tile data-parallel):** tiles are independent coding units, so
+  a batch of tiles shards embarrassingly over the mesh with `shard_map`
+  (the analog of the reference's per-tile Taskflow concurrency).
+- **sp axis (spatial / sequence-parallel analog):** a single huge tile's
+  rows shard across chips; the vertical DWT lifting then needs a 2-row
+  halo exchange per level, implemented with `jax.lax.ppermute` over ICI
+  (SURVEY.md §2.3: "halo exchange for DWT via ppermute"; PAPERS.md
+  parallel-wavelet schemes).
+
+Collectives ride ICI; no reference NCCL/MPI analog exists or is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import dwt as ddwt
+from ..ops import pipeline as dpipe
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None,
+              sp: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if dp is None or sp is None:
+        # favor sp (within-tile) only when dp alone cannot use all chips
+        dp = n
+        sp = 1
+    arr = np.array(devs).reshape(dp, sp)
+    return Mesh(arr, axis_names=("dp", "sp"))
+
+
+# ---------------------------------------------------------------------------
+# dp: tile-batch sharding of the fused analysis/synthesis pipeline
+# ---------------------------------------------------------------------------
+
+def sharded_analysis(mesh: Mesh, planes, *, numres: int, reversible: bool,
+                     mct: int, prec: int, sgnd: bool, deltas=()):
+    """Run ops.pipeline.analysis with the tile-batch axis sharded over the
+    'dp' mesh axis.  planes: (C, B, H, W) with B % dp == 0.  Also returns a
+    psum'd coefficient-energy scalar (the cross-chip distortion statistic
+    used by global rate control)."""
+
+    def local(x):
+        bands = dpipe.analysis_impl(
+            x, numres=numres, reversible=reversible, mct=mct, prec=prec,
+            sgnd=sgnd, deltas=deltas)
+        energy = sum((b.astype(jnp.float32) ** 2).sum()
+                     for b in bands.values())
+        energy = jax.lax.psum(energy, axis_name="dp")
+        return bands, energy
+
+    keys = _band_keys(numres)
+    out_specs = ({k: P(None, "dp") for k in keys}, P())
+    fn = shard_map(local, mesh=mesh, in_specs=(P(None, "dp"),),
+                   out_specs=out_specs, check_rep=False)
+    return fn(planes)
+
+
+def sharded_synthesis(mesh: Mesh, bands: dict, *, numres: int,
+                      reversible: bool, mct: int, prec: int, sgnd: bool,
+                      shape, deltas=()):
+    def local(b):
+        return dpipe.synthesis_impl(
+            b, numres=numres, reversible=reversible, mct=mct, prec=prec,
+            sgnd=sgnd, shape=shape, deltas=deltas)
+
+    keys = _band_keys(numres)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=({k: P(None, "dp") for k in keys},),
+                   out_specs=P(None, "dp"), check_rep=False)
+    return fn(bands)
+
+
+def _band_keys(numres: int):
+    keys = [(0, 0)]
+    for r in range(1, numres):
+        keys += [(r, 1), (r, 2), (r, 3)]
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# sp: row-sharded vertical 5/3 lifting with ppermute halo exchange
+# ---------------------------------------------------------------------------
+
+def _halo_exchange(x_loc, k: int, axis_name: str):
+    """Fetch k boundary rows from each neighbor along `axis_name`.
+
+    Returns (top_halo, bottom_halo) of k rows each; global edges receive
+    whole-sample mirrored rows instead (symmetric extension)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    # send bottom k rows down -> arrive as top halo of the next shard
+    top_from_prev = jax.lax.ppermute(
+        x_loc[..., -k:, :], axis_name,
+        [(i, (i + 1) % n) for i in range(n)])
+    bot_from_next = jax.lax.ppermute(
+        x_loc[..., :k, :], axis_name,
+        [(i, (i - 1) % n) for i in range(n)])
+    # mirror at global boundaries: x[-j] = x[j]  /  x[H-1+j] = x[H-1-j]
+    mirror_top = x_loc[..., 1:k + 1, :][..., ::-1, :]
+    mirror_bot = x_loc[..., -k - 1:-1, :][..., ::-1, :]
+    top = jnp.where(idx == 0, mirror_top, top_from_prev)
+    bot = jnp.where(idx == n - 1, mirror_bot, bot_from_next)
+    return top, bot
+
+
+def _fwd_53_rows_local(x_loc, axis_name: str):
+    """Vertical forward 5/3 on a row shard (local rows even-aligned, local
+    row count even).  Produces the shard's low/high row subsequences."""
+    top, bot = _halo_exchange(x_loc, 2, axis_name)
+    x_ext = jnp.concatenate([top, x_loc, bot], axis=-2)  # rows [-2, H+2)
+    ev = x_ext[..., 0::2, :]   # rows -2, 0, 2, ..  (local evens offset 1)
+    od = x_ext[..., 1::2, :]   # rows -1, 1, 3, ..
+    # d[j] for odd rows -1 .. H+1: d_j = od[j] - (ev[j] + ev[j+1]) >> 1
+    # (od's last row, global H+1, has no right even neighbor and is unused)
+    d_all = od[..., :-1, :] - ((ev[..., :-1, :] + ev[..., 1:, :]) >> 1)
+    # d_all[j] sits at global odd row (start-1) + 2j; the shard's own odd
+    # rows are j = 1 .. H_loc/2 (d_all[0] is the top-halo d row)
+    hi = d_all[..., 1:, :]
+    # s[i] for local even rows: s = ev_loc + (d[i-1] + d[i] + 2) >> 2
+    ev_loc = x_loc[..., 0::2, :]
+    s = ev_loc + ((d_all[..., :-1, :] + d_all[..., 1:, :] + 2) >> 2)
+    return s, hi
+
+
+def sp_sharded_fwd_53_level(mesh: Mesh, x):
+    """One forward 5/3 DWT level of (..., H, W) with rows sharded over the
+    'sp' mesh axis: vertical lifting uses ppermute halo exchange, then the
+    horizontal pass runs shard-locally.  Returns (ll, hl, lh, hh) row-
+    sharded over 'sp'."""
+
+    def local(x_loc):
+        lo_v, hi_v = _fwd_53_rows_local(x_loc, "sp")
+        ll, hl = ddwt.fwd_53_axis(lo_v)
+        lh, hh = ddwt.fwd_53_axis(hi_v)
+        return ll, hl, lh, hh
+
+    nd = x.ndim
+    spec = P(*([None] * (nd - 2) + ["sp", None]))
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,),
+                   out_specs=(spec, spec, spec, spec), check_rep=False)
+    return fn(x)

@@ -80,10 +80,10 @@ def _load_native() -> bool:
 
 
 def resolve(backend: str = "auto") -> str:
-    if backend in ("auto", "native") and _load_native():
+    # "device" refers to the transform pipeline; T1 entropy coding runs on
+    # the native host backend in that mode (SURVEY.md §7 device/host split)
+    if backend in ("auto", "native", "device") and _load_native():
         return "native"
-    if backend == "device":
-        return "device" if "device" in _BACKENDS else "python"
     return "python"
 
 

@@ -101,7 +101,69 @@ class TileCompressor:
 
     # ---- stage 1: sample pipeline (DC shift + MCT + DWT + quant + T1) ----
 
+    def device_eligible(self) -> bool:
+        """The fused XLA pipeline handles grid-aligned, unsubsampled,
+        uniform tiles; everything else uses the host numpy path."""
+        tile, tcp, image = self.tile, self.tcp, self.image
+        t0 = tcp.tccps[0]
+        nl = t0.numresolutions - 1
+        align = 1 << nl
+        for compno, tc in enumerate(tile.comps):
+            comp = image.comps[compno]
+            tccp = tcp.tccps[compno]
+            if comp.dx != 1 or comp.dy != 1:
+                return False
+            if (tccp.numresolutions != t0.numresolutions
+                    or tccp.qmfbid != t0.qmfbid
+                    or comp.prec != image.comps[0].prec
+                    or comp.sgnd != image.comps[0].sgnd):
+                return False
+            if tc.rect.x0 % align or tc.rect.y0 % align:
+                return False
+            if tc.rect != tile.comps[0].rect:
+                return False
+        return tcp.mct in (0, 1)
+
+    def run_transforms_device(self) -> bool:
+        """Fused device analysis (SURVEY.md §7): DC shift + MCT + DWT +
+        quant in one jit.  Returns False if not eligible."""
+        if not self.device_eligible():
+            return False
+        import jax.numpy as jnp
+
+        from ..ops import pipeline as dpipe
+
+        tile, tcp, image = self.tile, self.tcp, self.image
+        t0 = tcp.tccps[0]
+        reversible = t0.qmfbid == 1
+        planes = []
+        for compno, tc in enumerate(tile.comps):
+            comp = image.comps[compno]
+            r = tc.rect
+            y0 = r.y0 - comp.y0
+            x0 = r.x0 - comp.x0
+            planes.append(comp.data[y0:y0 + r.h, x0:x0 + r.w])
+        x = jnp.asarray(np.stack(planes)[:, None])  # (C, B=1, H, W)
+        deltas = ()
+        if not reversible:
+            dl = []
+            for res in tile.comps[0].resolutions:
+                for band in res.bands:
+                    dl.append((res.resno, band.orient, float(band.stepsize)))
+            deltas = tuple(dl)
+        bands = dpipe.analysis(
+            x, numres=t0.numresolutions, reversible=reversible,
+            mct=tcp.mct, prec=image.comps[0].prec,
+            sgnd=image.comps[0].sgnd, deltas=deltas)
+        for compno, tc in enumerate(tile.comps):
+            tc.data = {k: np.asarray(v[compno, 0]) for k, v in bands.items()}
+        self._device_quantized = not reversible
+        return True
+
     def run_transforms(self) -> None:
+        if self.backend == "device" and self.run_transforms_device():
+            return
+        self._device_quantized = False
         tile, tcp, image = self.tile, self.tcp, self.image
         reversible = tcp.tccps[0].qmfbid == 1
         planes = []
@@ -146,7 +208,8 @@ class TileCompressor:
                     if band.rect.is_empty():
                         continue
                     coeffs = tc.data[(res.resno, band.orient)]
-                    if not reversible:
+                    if not reversible and not getattr(
+                            self, "_device_quantized", False):
                         coeffs = quant_mod.quantize(coeffs, band.stepsize)
                     for prc in res.precincts:
                         pband = prc.pbands[bi]
@@ -391,34 +454,82 @@ class TileDecompressor:
                                 tccp.cblk_style))
                             meta.append((tc, res, band, cblk))
         t1_backend.decode_batch(jobs, self.backend)
-        # assemble band coefficient arrays
+        # assemble doubled-domain band coefficient arrays (conversion to
+        # final sample values happens in reconstruct(), host or device)
         self._band_arrays = {}
         for tc in self.tile.comps:
             tccp = self.tcp.tccps[tc.compno]
-            reversible = tccp.qmfbid == 1
             numres_used = max(1, tccp.numresolutions - self.reduce)
             for res in tc.resolutions[:numres_used]:
                 for band in res.bands:
-                    dt = np.int32 if reversible else np.float32
                     self._band_arrays[(tc.compno, res.resno, band.orient)] = \
-                        np.zeros((band.rect.h, band.rect.w), dtype=dt)
+                        np.zeros((band.rect.h, band.rect.w), dtype=np.int32)
         for job, (tc, res, band, cblk) in zip(jobs, meta):
-            tccp = self.tcp.tccps[tc.compno]
-            reversible = tccp.qmfbid == 1
             arr = self._band_arrays[(tc.compno, res.resno, band.orient)]
             y0 = cblk.rect.y0 - band.rect.y0
             x0 = cblk.rect.x0 - band.rect.x0
-            doubled = job.out
-            if reversible:
-                vals = np.sign(doubled) * (np.abs(doubled) >> 1)
-                arr[y0:y0 + cblk.rect.h, x0:x0 + cblk.rect.w] = vals
-            else:
-                arr[y0:y0 + cblk.rect.h, x0:x0 + cblk.rect.w] = \
-                    quant_mod.dequantize(doubled, band.stepsize)
+            arr[y0:y0 + cblk.rect.h, x0:x0 + cblk.rect.w] = job.out
+
+    def _device_eligible(self) -> bool:
+        tile, tcp, image = self.tile, self.tcp, self.image
+        if self.reduce:
+            return False
+        t0 = tcp.tccps[0]
+        nl = t0.numresolutions - 1
+        align = 1 << nl
+        for compno, tc in enumerate(tile.comps):
+            comp = image.comps[compno]
+            tccp = tcp.tccps[compno]
+            if comp.dx != 1 or comp.dy != 1:
+                return False
+            if (tccp.numresolutions != t0.numresolutions
+                    or tccp.qmfbid != t0.qmfbid
+                    or comp.prec != image.comps[0].prec
+                    or comp.sgnd != image.comps[0].sgnd
+                    or tccp.roi_shift):
+                return False
+            if tc.rect.x0 % align or tc.rect.y0 % align:
+                return False
+            if tc.rect != tile.comps[0].rect:
+                return False
+        return tcp.mct in (0, 1)
+
+    def reconstruct_device(self) -> list[np.ndarray] | None:
+        """Fused device synthesis (dequant + IDWT + MCT + unshift)."""
+        if not self._device_eligible():
+            return None
+        import jax.numpy as jnp
+
+        from ..ops import pipeline as dpipe
+
+        tile, tcp, image = self.tile, self.tcp, self.image
+        t0 = tcp.tccps[0]
+        reversible = t0.qmfbid == 1
+        bands = {}
+        deltas = []
+        for res in tile.comps[0].resolutions:
+            for band in res.bands:
+                stacked = np.stack([
+                    self._band_arrays[(c, res.resno, band.orient)]
+                    for c in range(len(tile.comps))])[:, None]
+                bands[(res.resno, band.orient)] = jnp.asarray(stacked)
+                deltas.append((res.resno, band.orient, float(band.stepsize)))
+        r = tile.comps[0].rect
+        out = dpipe.synthesis(
+            bands, numres=t0.numresolutions, reversible=reversible,
+            mct=tcp.mct, prec=image.comps[0].prec,
+            sgnd=image.comps[0].sgnd, shape=(r.h, r.w),
+            deltas=tuple(deltas) if not reversible else ())
+        out = np.asarray(out)
+        return [out[c, 0] for c in range(len(tile.comps))]
 
     def reconstruct(self) -> list[np.ndarray]:
         """Inverse DWT + MCT + DC shift; returns per-component planes at the
         reduced resolution."""
+        if self.backend == "device":
+            dev = self.reconstruct_device()
+            if dev is not None:
+                return dev
         planes = []
         tcp = self.tcp
         for tc in self.tile.comps:
@@ -428,8 +539,15 @@ class TileDecompressor:
             bands = {}
             for res in tc.resolutions[:numres_used]:
                 for band in res.bands:
-                    bands[(res.resno, band.orient)] = \
-                        self._band_arrays[(tc.compno, res.resno, band.orient)]
+                    doubled = self._band_arrays[
+                        (tc.compno, res.resno, band.orient)]
+                    if reversible:
+                        vals = np.sign(doubled) * (np.abs(doubled) >> 1)
+                        vals = vals.astype(np.int32)
+                    else:
+                        vals = quant_mod.dequantize(
+                            doubled, band.stepsize)
+                    bands[(res.resno, band.orient)] = vals
             out = dwt_mod.inverse_dwt(bands, tc.rect, tccp.numresolutions,
                                       reversible, max_res=numres_used - 1)
             planes.append(out)

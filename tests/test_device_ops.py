@@ -1,0 +1,107 @@
+"""Device (XLA) transform kernels vs the host numpy oracle, plus the
+multi-chip sharding paths on the virtual CPU mesh (SURVEY.md §5
+"batching/sharding-independent output" invariant)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from grok_tpu.ops import dwt as ddwt  # noqa: E402
+from grok_tpu.ops import pipeline as dpipe  # noqa: E402
+from grok_tpu.tile.geometry import Rect  # noqa: E402
+from grok_tpu.transform import dwt as hdwt  # noqa: E402
+
+
+def test_device_53_matches_host(rng):
+    for (h, w) in [(64, 64), (37, 53), (2, 2), (5, 8)]:
+        x = rng.integers(-2000, 2000, size=(h, w)).astype(np.int32)
+        ref = hdwt.forward_dwt(x, Rect(0, 0, w, h), 3, True)
+        dev = ddwt.forward_dwt_batch(jnp.asarray(x), 3, True)
+        for k in ref:
+            assert np.array_equal(np.asarray(dev[k]), ref[k]), (h, w, k)
+        back = ddwt.inverse_dwt_batch(
+            {k: jnp.asarray(v) for k, v in ref.items()}, 3, True, (h, w))
+        assert np.array_equal(np.asarray(back), x)
+
+
+def test_device_97_matches_host(rng):
+    x = rng.integers(-2000, 2000, size=(48, 40)).astype(np.float32)
+    ref = hdwt.forward_dwt(x, Rect(0, 0, 40, 48), 4, False)
+    dev = ddwt.forward_dwt_batch(jnp.asarray(x), 4, False)
+    for k in ref:
+        assert np.abs(np.asarray(dev[k]) - ref[k]).max() < 1e-2, k
+    back = ddwt.inverse_dwt_batch(dev, 4, False, (48, 40))
+    assert np.abs(np.asarray(back) - x).max() < 0.5
+
+
+def test_analysis_synthesis_roundtrip(rng):
+    x = rng.integers(0, 256, size=(3, 2, 32, 32)).astype(np.int32)
+    bands = dpipe.analysis(jnp.asarray(x), numres=3, reversible=True,
+                           mct=1, prec=8, sgnd=False)
+    doubled = {k: jnp.sign(v) * (2 * jnp.abs(v) + 1)
+               for k, v in bands.items()}
+    back = dpipe.synthesis(doubled, numres=3, reversible=True, mct=1,
+                           prec=8, sgnd=False, shape=(32, 32))
+    assert np.array_equal(np.asarray(back), x)
+
+
+def test_codec_device_backend_matches_native(rng):
+    """Full codec with device transforms must produce an identical
+    codestream to the host path (sharding/batching-independent output)."""
+    import grok_tpu
+    from grok_tpu import CompressParams, DecompressParams, GrkImage
+
+    arr = rng.integers(0, 256, size=(64, 64, 3)).astype(np.int32)
+    img = GrkImage.from_array(arr)
+    d_host = grok_tpu.compress(img, CompressParams(numresolution=3,
+                                                   backend="native"))
+    d_dev = grok_tpu.compress(img, CompressParams(numresolution=3,
+                                                  backend="device"))
+    assert d_host == d_dev
+    out = grok_tpu.decompress(d_dev, DecompressParams(backend="device"))
+    assert np.array_equal(out.to_array(), arr)
+
+
+def test_sharded_pipeline(rng):
+    """dp-sharded analysis/synthesis + sp-sharded halo-exchange DWT on the
+    8-device virtual mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from grok_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(8, dp=2, sp=4)
+    x = rng.integers(0, 256, size=(3, 4, 32, 32)).astype(np.int32)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, "dp")))
+    bands, energy = jax.jit(
+        lambda a: pmesh.sharded_analysis(
+            mesh, a, numres=3, reversible=True, mct=1, prec=8, sgnd=False)
+    )(xs)
+    doubled = {k: jnp.sign(v) * (2 * jnp.abs(v) + 1)
+               for k, v in bands.items()}
+    back = jax.jit(
+        lambda b: pmesh.sharded_synthesis(
+            mesh, b, numres=3, reversible=True, mct=1, prec=8, sgnd=False,
+            shape=(32, 32))
+    )(doubled)
+    assert np.array_equal(np.asarray(back), x)
+    assert np.isfinite(float(energy))
+
+    big = rng.integers(-1000, 1000, size=(4 * 16, 64)).astype(np.int32)
+    bs = jax.device_put(jnp.asarray(big), NamedSharding(mesh, P("sp", None)))
+    ll, hl, lh, hh = jax.jit(
+        lambda a: pmesh.sp_sharded_fwd_53_level(mesh, a))(bs)
+    rll, rhl, rlh, rhh = ddwt.fwd_level(jnp.asarray(big), True)
+    for got, ref in ((ll, rll), (hl, rhl), (lh, rlh), (hh, rhh)):
+        assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)
