@@ -1,0 +1,217 @@
+"""grk_compress — JPEG 2000 encoder CLI.
+
+Parity: src/bin/jp2/GrkCompress.cpp (SURVEY.md §2.2): flag letters follow
+the reference where they exist (-i -o -r -q -n -b -c -t -p -P -s -M -I -F
+-m -R -S -E -u -w -x -U -z -y -a -O -d -T -C -G -H -e -v).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import statistics
+import sys
+
+import numpy as np
+
+from .. import codec
+from ..errors import GrkError, ParamError
+from ..io import formats
+from ..params import (
+    CblkStyle,
+    CompressParams,
+    Profile,
+    Progression,
+    ProgressionChange,
+)
+from . import common
+
+log = logging.getLogger("grok_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="grk_compress",
+        description="TPU-native JPEG 2000 encoder (grok_tpu)")
+    p.add_argument("-i", "--in-file", help="input image file")
+    p.add_argument("-o", "--out-file", help="output .j2k/.jp2 file")
+    p.add_argument("-y", "--batch-src", help="input directory (batch mode)")
+    p.add_argument("-a", "--out-dir", help="output directory (batch mode)")
+    p.add_argument("-O", "--out-fmt", default="jp2",
+                   help="batch output format (j2k|jp2)")
+    p.add_argument("-r", "--compression-ratios",
+                   help="layer compression ratios, e.g. 20,10,1")
+    p.add_argument("-q", "--quality", help="layer PSNR targets in dB")
+    p.add_argument("-n", "--resolutions", type=int, default=6)
+    p.add_argument("-b", "--code-block-dims", default="64,64",
+                   help="codeblock WxH, e.g. 64,64")
+    p.add_argument("-c", "--precinct-dims",
+                   help="precinct dims per res, e.g. [256,256],[128,128]")
+    p.add_argument("-t", "--tile-dims", help="tile WxH, e.g. 512,512")
+    p.add_argument("-T", "--tile-offset", default="0,0")
+    p.add_argument("-d", "--image-offset", default="0,0")
+    p.add_argument("-p", "--progression-order", default="LRCP",
+                   choices=[p_.name for p_ in Progression])
+    p.add_argument("-P", "--poc", help="progression changes, "
+                   "e.g. T1=0,0,1,5,3,CPRL/T1=0,0,1,5,3,LRCP")
+    p.add_argument("-s", "--subsampling-factor", help="dx,dy")
+    p.add_argument("-M", "--mode", type=int, default=0,
+                   help="codeblock style bitmask (1=lazy 2=reset 4=termall "
+                        "8=vsc 16=pterm 32=segsym)")
+    p.add_argument("-I", "--irreversible", action="store_true")
+    p.add_argument("-F", "--raw", help="raw input descriptor "
+                   "w,h,ncomp,bitdepth,[s|u]@dx1xdy1:...")
+    p.add_argument("-m", "--mct-file",
+                   help="custom MCT matrix file (numpy .npy or text)")
+    p.add_argument("-Y", "--mct-mode", type=int, choices=[0, 1, 2],
+                   help="0=none 1=RCT/ICT 2=custom matrix")
+    p.add_argument("-R", "--roi", help="ROI c=comp,U=shift")
+    p.add_argument("-S", "--sop", action="store_true", help="SOP markers")
+    p.add_argument("-E", "--eph", action="store_true", help="EPH markers")
+    p.add_argument("-u", "--tile-parts", choices=["R", "L", "C"],
+                   help="generate tile-parts by resolution/layer/component")
+    p.add_argument("-w", "--cinema2k", type=int, choices=[24, 48],
+                   help="Cinema 2K profile at fps")
+    p.add_argument("-x", "--cinema4k", action="store_true",
+                   help="Cinema 4K profile (24 fps)")
+    p.add_argument("-U", "--broadcast", type=int,
+                   help="Broadcast profile level")
+    p.add_argument("-z", "--imf", type=int, help="IMF profile level")
+    p.add_argument("-A", "--tlm", action="store_true", help="write TLM")
+    p.add_argument("-L", "--plt", action="store_true", help="write PLT")
+    p.add_argument("--ht", action="store_true",
+                   help="HTJ2K (Part 15) block coder")
+    p.add_argument("-C", "--comment", default=None)
+    p.add_argument("-G", "--guard-bits", type=int, default=None)
+    p.add_argument("-H", "--num-threads", type=int, default=0)
+    p.add_argument("-e", "--repetitions", type=int, default=1)
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-W", "--logfile", default=None)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "native", "python", "device"])
+    return p
+
+
+def params_from_args(args) -> CompressParams:
+    cp = CompressParams()
+    cp.numresolution = args.resolutions
+    bw, bh = common.parse_int_pair(args.code_block_dims)
+    cp.cblk_width, cp.cblk_height = bw, bh
+    if args.tile_dims:
+        cp.tile_size = common.parse_int_pair(args.tile_dims)
+    cp.tile_offset = common.parse_int_pair(args.tile_offset)
+    cp.image_offset = common.parse_int_pair(args.image_offset)
+    cp.prog_order = Progression[args.progression_order]
+    if args.compression_ratios:
+        cp.layer_rates = [float(x) for x in
+                          args.compression_ratios.split(",")]
+    if args.quality:
+        cp.layer_psnr = [float(x) for x in args.quality.split(",")]
+    cp.irreversible = args.irreversible
+    cp.cblk_style = CblkStyle(args.mode)
+    cp.sop = args.sop
+    cp.eph = args.eph
+    cp.tlm = args.tlm
+    cp.plt = args.plt
+    cp.ht = args.ht
+    cp.num_guard_bits = args.guard_bits
+    cp.num_threads = args.num_threads
+    cp.backend = args.backend
+    cp.new_tile_part_progression = args.tile_parts
+    if args.comment is not None:
+        cp.comment = args.comment
+    if args.precinct_dims:
+        dims = []
+        for part in args.precinct_dims.replace("[", "").split("]"):
+            part = part.strip(",")
+            if part:
+                dims.append(common.parse_int_pair(part))
+        cp.precincts = dims
+    if args.poc:
+        changes = []
+        for seg in args.poc.split("/"):
+            seg = seg.split("=", 1)[-1]
+            rs, cs, le, re_, ce, prog = seg.split(",")
+            changes.append(ProgressionChange(
+                int(rs), int(cs), int(le), int(re_), int(ce),
+                Progression[prog]))
+        cp.progression_changes = changes
+    if args.roi:
+        fields = dict(f.split("=") for f in args.roi.split(","))
+        cp.roi_comp = int(fields.get("c", 0))
+        cp.roi_shift = int(fields.get("U", 0))
+    if args.mct_file:
+        if args.mct_file.endswith(".npy"):
+            cp.custom_mct = np.load(args.mct_file)
+        else:
+            cp.custom_mct = np.loadtxt(args.mct_file, delimiter=",")
+    if args.mct_mode is not None:
+        cp.mct = args.mct_mode
+    if args.cinema2k:
+        cp.profile = Profile.CINEMA_2K
+        cp.framerate = args.cinema2k
+        cp.irreversible = True
+    elif args.cinema4k:
+        cp.profile = Profile.CINEMA_4K
+        cp.framerate = 24
+        cp.irreversible = True
+    elif args.broadcast is not None:
+        cp.profile = Profile(0x0100 + ((args.broadcast & 0xF) << 4)) \
+            if False else Profile.BC_SINGLE
+        cp.irreversible = True
+    elif args.imf is not None:
+        cp.profile = Profile.IMF_2K
+    return cp
+
+
+def compress_one(in_path: str, out_path: str, args) -> None:
+    cp = params_from_args(args)
+    cp.cod_format = "jp2" if out_path.lower().endswith(
+        (".jp2", ".jph")) else "j2k"
+    img = formats.load_image(in_path, raw_desc=args.raw)
+    if args.image_offset != "0,0":
+        ox, oy = common.parse_int_pair(args.image_offset)
+        img.x0 += ox
+        img.y0 += oy
+        img.x1 += ox
+        img.y1 += oy
+        for c in img.comps:
+            c.x0 = -(-img.x0 // c.dx)
+            c.y0 = -(-img.y0 // c.dy)
+
+    def do():
+        return codec.compress(img, cp)
+
+    data, times = common.run_repeated(do, args.repetitions)
+    with open(out_path, "wb") as f:
+        f.write(data)
+    mp = (img.x1 - img.x0) * (img.y1 - img.y0) / 1e6
+    best = min(times)
+    log.info("%s -> %s: %d bytes, %.2f MP/s (best of %d)",
+             in_path, out_path, len(data), mp / best, len(times))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    common.setup_logging(args.verbose, args.logfile)
+    try:
+        if args.batch_src:
+            if not args.out_dir:
+                raise ParamError("batch mode requires -a out_dir")
+            exts = formats.PIL_FORMATS | {".pgx", ".raw", ".rawl"}
+            for src, dst in common.batch_inputs(
+                    args.batch_src, args.out_dir, args.out_fmt, exts):
+                compress_one(src, dst, args)
+        else:
+            if not args.in_file or not args.out_file:
+                raise ParamError("need -i and -o (or -y/-a batch mode)")
+            compress_one(args.in_file, args.out_file, args)
+    except (GrkError, OSError) as e:
+        print(f"grk_compress: error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

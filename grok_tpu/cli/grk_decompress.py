@@ -1,0 +1,113 @@
+"""grk_decompress — JPEG 2000 decoder CLI.
+
+Parity: src/bin/jp2/GrkDecompress.cpp (SURVEY.md §2.2): -i -o -r -l -d -t
+-p -f (force RGB) -u (upsample) -s (split PNM) -c (TIFF compression) -y -a
+-O -H -e -v.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from .. import codec
+from ..errors import GrkError, ParamError
+from ..io import formats
+from ..params import DecompressParams
+from . import common
+
+log = logging.getLogger("grok_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="grk_decompress",
+        description="TPU-native JPEG 2000 decoder (grok_tpu)")
+    p.add_argument("-i", "--in-file")
+    p.add_argument("-o", "--out-file")
+    p.add_argument("-y", "--batch-src", help="input directory (batch mode)")
+    p.add_argument("-a", "--out-dir", help="output directory (batch mode)")
+    p.add_argument("-O", "--out-fmt", default="png")
+    p.add_argument("-r", "--reduce", type=int, default=0,
+                   help="discard this many highest resolution levels")
+    p.add_argument("-l", "--layers", type=int, default=0,
+                   help="decode at most this many quality layers")
+    p.add_argument("-d", "--decode-window", type=common.parse_window,
+                   default=None, help="decode region x0,y0,x1,y1")
+    p.add_argument("-t", "--tile", type=int, default=None,
+                   help="decode a single tile")
+    p.add_argument("-p", "--precision",
+                   help="force output precision per component, e.g. 8,8,8")
+    p.add_argument("-f", "--force-rgb", action="store_true")
+    p.add_argument("-u", "--upsample", action="store_true")
+    p.add_argument("-s", "--split-pnm", action="store_true")
+    p.add_argument("-c", "--compression", default=None,
+                   help="TIFF output compression (e.g. tiff_lzw)")
+    p.add_argument("--strict", action="store_true",
+                   help="fail on malformed streams instead of tolerating")
+    p.add_argument("-H", "--num-threads", type=int, default=0)
+    p.add_argument("-e", "--repetitions", type=int, default=1)
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-W", "--logfile", default=None)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "native", "python", "device"])
+    return p
+
+
+def params_from_args(args) -> DecompressParams:
+    dp = DecompressParams()
+    dp.reduce = args.reduce
+    dp.max_layers = args.layers
+    dp.window = args.decode_window
+    dp.tile_index = args.tile
+    dp.strict = args.strict
+    dp.force_rgb = args.force_rgb
+    dp.upsample = args.upsample
+    dp.split_pnm = args.split_pnm
+    dp.num_threads = args.num_threads
+    dp.backend = args.backend
+    if args.precision:
+        dp.precision = [int(x) for x in args.precision.split(",")]
+    return dp
+
+
+def decompress_one(in_path: str, out_path: str, args) -> None:
+    dp = params_from_args(args)
+    with open(in_path, "rb") as f:
+        data = f.read()
+
+    def do():
+        return codec.decompress(data, dp)
+
+    img, times = common.run_repeated(do, args.repetitions)
+    formats.save_image(img, out_path, split_pnm=args.split_pnm,
+                       tiff_compression=args.compression)
+    mp = sum(c.data.size for c in img.comps) / 1e6
+    log.info("%s -> %s: %.2f MP/s (best of %d)",
+             in_path, out_path, mp / min(times), len(times))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    common.setup_logging(args.verbose, args.logfile)
+    try:
+        if args.batch_src:
+            if not args.out_dir:
+                raise ParamError("batch mode requires -a out_dir")
+            exts = {".j2k", ".j2c", ".jp2", ".jpc", ".jph", ".jhc"}
+            for src, dst in common.batch_inputs(
+                    args.batch_src, args.out_dir, args.out_fmt, exts):
+                decompress_one(src, dst, args)
+        else:
+            if not args.in_file or not args.out_file:
+                raise ParamError("need -i and -o (or -y/-a batch mode)")
+            decompress_one(args.in_file, args.out_file, args)
+    except (GrkError, OSError) as e:
+        print(f"grk_decompress: error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,152 @@
+"""CLI + image-format tests (SURVEY.md §4 family 2 style: exercise the
+flag surface end-to-end through the real entry points)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from grok_tpu.cli import grk_compress, grk_decompress, grk_dump
+from grok_tpu.io import formats
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+@pytest.fixture
+def workdir(tmp_path, rng):
+    # structured content + mild noise (pure noise is incompressible and
+    # makes lossy PSNR thresholds meaningless)
+    yy, xx = np.mgrid[0:80, 0:120].astype(float)
+    base = 128 + 80 * np.sin(xx / 11) * np.cos(yy / 7)
+    arr = np.stack([base, xx * 2, yy * 3], axis=-1)
+    arr = (arr + rng.normal(0, 4, arr.shape)).clip(0, 255).astype(np.uint8)
+    src = tmp_path / "in.png"
+    Image.fromarray(arr).save(src)
+    return tmp_path, src, arr
+
+
+def test_compress_decompress_roundtrip(workdir):
+    tmp, src, arr = workdir
+    out = tmp / "out.jp2"
+    back = tmp / "back.png"
+    assert grk_compress.main(["-i", str(src), "-o", str(out), "-n", "4"]) == 0
+    assert grk_decompress.main(["-i", str(out), "-o", str(back)]) == 0
+    assert np.array_equal(np.asarray(Image.open(back)), arr)
+
+
+def test_compress_flags(workdir):
+    tmp, src, arr = workdir
+    out = tmp / "out.j2k"
+    rc = grk_compress.main([
+        "-i", str(src), "-o", str(out), "-n", "3", "-I",
+        "-r", "20,5", "-p", "RPCL", "-c", "[128,128]",
+        "-b", "32,32", "-S", "-E", "-M", "1"])
+    assert rc == 0
+    back = tmp / "back.png"
+    assert grk_decompress.main(["-i", str(out), "-o", str(back)]) == 0
+    dec = np.asarray(Image.open(back)).astype(float)
+    psnr = 10 * np.log10(255 ** 2 / ((dec - arr) ** 2).mean())
+    assert psnr > 25, psnr
+
+
+def test_decompress_reduce_and_window(workdir):
+    tmp, src, arr = workdir
+    out = tmp / "out.j2k"
+    assert grk_compress.main(["-i", str(src), "-o", str(out), "-n", "4"]) == 0
+    red = tmp / "red.png"
+    assert grk_decompress.main(
+        ["-i", str(out), "-o", str(red), "-r", "1"]) == 0
+    assert np.asarray(Image.open(red)).shape[:2] == (40, 60)
+    win = tmp / "win.png"
+    assert grk_decompress.main(
+        ["-i", str(out), "-o", str(win), "-d", "10,20,50,60"]) == 0
+    got = np.asarray(Image.open(win))
+    assert got.shape[:2] == (40, 40)
+    assert np.array_equal(got, arr[20:60, 10:50])
+
+
+def test_dump(workdir, capsys):
+    tmp, src, _ = workdir
+    out = tmp / "out.jp2"
+    assert grk_compress.main(["-i", str(src), "-o", str(out)]) == 0
+    assert grk_dump.main(["-i", str(out)]) == 0
+    text = capsys.readouterr().out
+    assert "progression=LRCP" in text
+    assert "comp[2]" in text
+    assert "SIZ" in text
+    dump_file = tmp / "dump.txt"
+    assert grk_dump.main(["-i", str(out), "-o", str(dump_file)]) == 0
+    assert dump_file.read_text() == text
+
+
+def test_batch_mode(workdir):
+    tmp, src, arr = workdir
+    outdir = tmp / "out"
+    outdir.mkdir()
+    rc = grk_compress.main(
+        ["-y", str(tmp), "-a", str(outdir), "-O", "jp2"])
+    assert rc == 0
+    assert (outdir / "in.jp2").exists()
+    backdir = tmp / "back"
+    backdir.mkdir()
+    rc = grk_decompress.main(
+        ["-y", str(outdir), "-a", str(backdir), "-O", "png"])
+    assert rc == 0
+    assert np.array_equal(np.asarray(Image.open(backdir / "in.png")), arr)
+
+
+def test_error_paths(tmp_path):
+    missing = str(tmp_path / "nope.png")
+    assert grk_compress.main(["-i", missing, "-o", str(tmp_path / "x.jp2")]) == 1
+    assert grk_compress.main([]) == 1
+    bad = tmp_path / "bad.j2k"
+    bad.write_bytes(b"garbage")
+    assert grk_decompress.main(
+        ["-i", str(bad), "-o", str(tmp_path / "y.png")]) == 1
+
+
+# ------------------------------------------------------------- formats
+
+def test_pgx_roundtrip(tmp_path, rng):
+    from grok_tpu.image import GrkImage
+
+    arr = rng.integers(-2048, 2048, size=(40, 50)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=12, sgnd=True)
+    p = str(tmp_path / "t.pgx")
+    formats.write_pgx(img, p)
+    back = formats.read_pgx(p)
+    assert back.comps[0].prec == 12
+    assert back.comps[0].sgnd
+    assert np.array_equal(back.comps[0].data, arr)
+
+
+def test_raw_roundtrip(tmp_path, rng):
+    from grok_tpu.image import GrkImage
+
+    arr = rng.integers(0, 65536, size=(30, 40, 3)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=16)
+    p = str(tmp_path / "t.raw")
+    formats.write_raw(img, p)
+    back = formats.read_raw(p, "40,30,3,16,u")
+    assert np.array_equal(back.to_array(), arr)
+
+
+def test_raw_descriptor_parse():
+    w, h, nc, prec, sgnd, subs = formats.parse_raw_descriptor(
+        "640,480,3,8,u@1x1:2x2:2x2")
+    assert (w, h, nc, prec, sgnd) == (640, 480, 3, 8, False)
+    assert subs == [(1, 1), (2, 2), (2, 2)]
+    with pytest.raises(Exception):
+        formats.parse_raw_descriptor("garbage")
+
+
+def test_16bit_png_tiff(tmp_path, rng):
+    from grok_tpu.image import GrkImage
+
+    arr = rng.integers(0, 65536, size=(32, 32)).astype(np.uint16)
+    p = str(tmp_path / "t.tiff")
+    Image.fromarray(arr).save(p)
+    img = formats.load_image(p)
+    assert img.comps[0].prec == 16
+    assert np.array_equal(img.comps[0].data, arr.astype(np.int32))
