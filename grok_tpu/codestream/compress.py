@@ -110,6 +110,10 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
                 comp.prec, tccp.numresolutions, reversible, guard,
                 p.quant_step)
             if p.roi_comp == compno or p.roi_comp == -2:
+                # max-shift ROI: QCD/QCC stay untouched; both encoder and
+                # decoder extend M_b by roi_shift internally (the decoder
+                # learns the shift from the RGN marker) — verified against
+                # the oracle decoder in tests/test_features.py.
                 tccp.roi_shift = p.roi_shift
             tcp.tccps.append(tccp)
         cp.tcps.append(tcp)
@@ -134,10 +138,12 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
     has_prc = p.precincts is not None
     out += mk.write_cod(tcp0, has_prc, sop=p.sop, eph=p.eph)
     out += mk.write_qcd(tcp0.tccps[0])
-    # per-component overrides (differing precision -> different stepsizes)
+    # per-component overrides (differing precision/ROI -> stepsizes/guard)
     for compno in range(1, image.numcomps):
-        if tcp0.tccps[compno].stepsizes != tcp0.tccps[0].stepsizes:
-            out += mk.write_qcc(compno, image.numcomps, tcp0.tccps[compno])
+        t_c, t_0 = tcp0.tccps[compno], tcp0.tccps[0]
+        if (t_c.stepsizes != t_0.stepsizes
+                or t_c.num_guard_bits != t_0.num_guard_bits):
+            out += mk.write_qcc(compno, image.numcomps, t_c)
     if tcp0.mct == 2:
         out += mk.write_mct_matrix(0, tcp0.mct_matrix)
     if tcp0.progression_changes:
@@ -152,11 +158,10 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
     for c in comments or []:
         out += mk.write_com(c)
 
-    tlm_pos = None
-    if p.tlm:
-        tlm_pos = len(out)
-        # placeholder rewritten at the end (seek-back TLM, SURVEY.md §3.1)
-        out += mk.write_tlm(0, [(t, 0) for t in range(cp.numtiles)])
+    # TLM is assembled after all tile-parts are encoded and inserted here
+    # (in-memory equivalent of the reference's seek-back TLM rewrite,
+    # SURVEY.md §3.1); tile-part bytes accumulate in `body_out`.
+    body_out = bytearray()
 
     img_rect = Rect(image.x0, image.y0, image.x1, image.y1)
     raw_bytes = sum(c.data.shape[0] * c.data.shape[1] * c.prec
@@ -181,28 +186,69 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
             tc.run_transforms()
             tc.run_t1()
             # layer budgets
-            tile_frac = (trect.area / max(1, (img_rect.area))) if \
-                cp.numtiles > 1 else 1.0
-            targets = _layer_targets(p, tcp.numlayers, raw_bytes * tile_frac)
-            tc.assign_layers(targets)
+            if p.layer_psnr:
+                tc.assign_layers_quality(p.layer_psnr)
+            else:
+                tile_frac = (trect.area / max(1, (img_rect.area))) if \
+                    cp.numtiles > 1 else 1.0
+                targets = _layer_targets(p, tcp.numlayers,
+                                         raw_bytes * tile_frac)
+                tc.assign_layers(targets)
             comp_info = [(c.dx, c.dy, tcp.tccps[i].numresolutions)
                          for i, c in enumerate(image.comps)]
-            body = tc.write_packets(comp_info, sop=p.sop, eph=p.eph)
-            plt_seg = b""
-            psot = 12 + len(plt_seg) + 2 + len(body)
-            tp = bytearray()
-            tp += mk.write_sot(tidx, psot, 0, 1)
-            tp += plt_seg
-            tp += mk.u16(mk.SOD)
-            tp += body
-            out += tp
-            tlm_entries.append((tidx, len(tp)))
+            body, pkt_lens, coords = tc.write_packets(
+                comp_info, sop=p.sop, eph=p.eph)
+            # tile-part segmentation (-u R|L|C, SURVEY.md §2.1 "tile-part
+            # segmentation"): split at changes of the chosen index in
+            # progression order
+            groups = _split_tile_parts(coords, p.new_tile_part_progression)
+            tnsot = len(groups)
+            off = 0
+            for tpno, (p0, p1) in enumerate(groups):
+                glen = sum(pkt_lens[p0:p1])
+                chunk = body[off:off + glen]
+                off += glen
+                plt_seg = b""
+                if p.plt:
+                    plt_seg = mk.write_plt(tpno & 0xFF, pkt_lens[p0:p1])
+                psot = 12 + len(plt_seg) + 2 + len(chunk)
+                tp = bytearray()
+                tp += mk.write_sot(tidx, psot, tpno, tnsot)
+                tp += plt_seg
+                tp += mk.u16(mk.SOD)
+                tp += chunk
+                body_out += tp
+                tlm_entries.append((tidx, len(tp)))
 
+    if p.tlm:
+        out += mk.write_tlm(0, tlm_entries)
+    out += body_out
     out += mk.u16(mk.EOC)
-    if tlm_pos is not None:
-        seg = mk.write_tlm(0, tlm_entries)
-        out[tlm_pos:tlm_pos + len(seg)] = seg
     return bytes(out)
+
+
+def _split_tile_parts(coords, mode: str | None):
+    """Packet-index ranges [(start, end), ...] for tile-part generation:
+    a new tile-part starts at each change of resolution ('R'), layer ('L')
+    or component ('C') in progression order."""
+    n = len(coords)
+    if not mode or n == 0:
+        return [(0, n)]
+    key = {"R": lambda c: c.resno, "L": lambda c: c.layno,
+           "C": lambda c: c.compno}[mode]
+    groups = []
+    start = 0
+    for i in range(1, n):
+        if key(coords[i]) != key(coords[i - 1]):
+            groups.append((start, i))
+            start = i
+    groups.append((start, n))
+    # TNsot is a byte: merge overflow groups
+    while len(groups) > 255:
+        a = groups.pop()
+        b = groups.pop()
+        groups.append((b[0], a[1]))
+    return groups
 
 
 def _layer_targets(p: CompressParams, numlayers: int, raw_bytes: float):

@@ -271,7 +271,8 @@ class CodestreamDecoder:
             tcp.ppt_data = bytes(self.tile_ppt.get(tidx, b"")) or None
             tile = build_tile(tidx, trect, img, tcp)
             td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
-                                  reduce=reduce_, max_layers=p.max_layers)
+                                  reduce=reduce_, max_layers=p.max_layers,
+                                  window=win)
             data = b"".join(parts)
             try:
                 td.decode_packets(data, sop=hi.sop, eph=hi.eph)

@@ -355,20 +355,39 @@ def decode_packet(
     band_numbps: dict[int, int],
     sop: bool = False,
     eph: bool = False,
-) -> int:
-    """Decode one packet header at data[pos:], attach body byte ranges to
-    codeblocks, and return the new position.  `band_numbps` maps band
-    orientation -> M_b (max bitplanes) for this resolution."""
+    hdr_data: bytes | None = None,
+    hdr_pos: int = 0,
+    discard: bool = False,
+) -> tuple[int, int]:
+    """Decode one packet header, attach body byte ranges to codeblocks, and
+    return (new body position, new header position).  When `hdr_data` is
+    given, headers come from the PPM/PPT packed-header stream (SURVEY.md
+    §2.1 "Codestream decompress": PPM/PPT packed headers) and only bodies
+    live at data[pos:].  `band_numbps` maps band orientation -> M_b."""
     prc = res.precincts[precno]
     if data[pos:pos + 2] == SOP_MARKER:
         pos += 6
-    bio = BitReader(data, pos)
-    if not bio.read_bit():
+    in_ppt = hdr_data is not None
+    if in_ppt:
+        bio = BitReader(hdr_data, hdr_pos)
+    else:
+        bio = BitReader(data, pos)
+
+    def finish_header():
+        nonlocal pos, hdr_pos
         bio.align()
-        pos = bio.pos
-        if eph and data[pos:pos + 2] == EPH_MARKER:
-            pos += 2
-        return pos
+        if in_ppt:
+            hdr_pos = bio.pos
+            if eph and hdr_data[hdr_pos:hdr_pos + 2] == EPH_MARKER:
+                hdr_pos += 2
+        else:
+            pos = bio.pos
+            if eph and data[pos:pos + 2] == EPH_MARKER:
+                pos += 2
+
+    if not bio.read_bit():
+        finish_header()
+        return pos, hdr_pos
 
     to_read: list[tuple[Codeblock, list[tuple[int, int]]]] = []
     for pband in prc.pbands:
@@ -404,18 +423,19 @@ def decode_packet(
                 ln = bio.read_bits(cblk.lblock + _floorlog2(np_))
                 chunks.append((np_, ln))
             to_read.append((cblk, chunks))
-    bio.align()
-    pos = bio.pos
-    if eph and data[pos:pos + 2] == EPH_MARKER:
-        pos += 2
-    # body
+    finish_header()
+    # body.  With discard (-l max_layers), parsing still advances all
+    # codeblock state so later headers stay in sync, but a decode cap is
+    # recorded so Tier-1 stops at the layer boundary.
     for cblk, chunks in to_read:
+        if discard and not hasattr(cblk, "decode_pass_cap"):
+            cblk.decode_pass_cap = cblk.total_passes
         for (np_, ln) in chunks:
             cblk.seg_data.append(data[pos:pos + ln])
             cblk.seg_passes.append(np_)
             cblk.total_passes += np_
             pos += ln
-    return pos
+    return pos, hdr_pos
 
 
 def collect_seg_lengths(cblk: Codeblock, style: CblkStyle):
@@ -434,4 +454,6 @@ def collect_seg_lengths(cblk: Codeblock, style: CblkStyle):
         seg_lens[si] = seg_lens.get(si, 0) + len(chunk)
         p += np_
     ordered = [seg_lens[k] for k in sorted(seg_lens)]
-    return data, ordered, cblk.total_passes
+    npasses = min(cblk.total_passes,
+                  getattr(cblk, "decode_pass_cap", cblk.total_passes))
+    return data, ordered, npasses

@@ -32,6 +32,7 @@ from ..transform import mct as mct_mod
 from ..transform import quant as quant_mod
 from .geometry import (
     BAND_GAIN,
+    BAND_OFFSET,
     Rect,
     Tile,
     TileComponent,
@@ -73,12 +74,15 @@ def build_tile(tile_idx: int, trect: Rect, image, tcp: TileCodingParams) -> Tile
             tc_rect, tccp.numresolutions, tccp.prcw, tccp.prch,
             tccp.cblkw, tccp.cblkh)
         # quantization metadata per band: R_b = prec + gain_b for both the
-        # reversible and irreversible paths (verified against the oracle)
+        # reversible and irreversible paths (verified against the oracle).
+        # A max-shift ROI extends M_b by roi_shift on both sides without
+        # touching the signaled step sizes.
         for res in tc.resolutions:
             for band in res.bands:
                 eps, mant = band_eps_mant(tccp, res.resno, band.orient,
                                           tccp.numresolutions)
-                band.numbps = max(0, tccp.num_guard_bits + eps - 1)
+                band.numbps = max(0, tccp.num_guard_bits + eps - 1
+                                  + tccp.roi_shift)
                 rb = comp.prec + BAND_GAIN[band.orient]
                 band.stepsize = (1.0 + mant / 2048.0) * (2.0 ** (rb - eps))
         tile.comps.append(tc)
@@ -211,6 +215,10 @@ class TileCompressor:
                     if not reversible and not getattr(
                             self, "_device_quantized", False):
                         coeffs = quant_mod.quantize(coeffs, band.stepsize)
+                    if tccp.roi_shift:
+                        # max-shift ROI: upshift the quantizer indices
+                        coeffs = (coeffs.astype(np.int64)
+                                  << tccp.roi_shift).astype(np.int32)
                     for prc in res.precincts:
                         pband = prc.pbands[bi]
                         for cblk in pband.cblks:
@@ -250,6 +258,9 @@ class TileCompressor:
             weight = (delta * norm * mctw) ** 2
             cblk.pass_dists = [p.dist * weight for p in job.passes]
             cblk._passes = job.passes  # kept for layer maths
+            # initial (nothing-decoded) weighted squared error, for -q mode
+            cblk._e0 = weight * float(
+                (np.abs(job.coeffs).astype(np.float64) ** 2).sum())
 
     # ---- stage 2: rate control ----
 
@@ -284,6 +295,61 @@ class TileCompressor:
             else:
                 counts = self._bisect_layer(entries, prev, slopes, layno,
                                             target)
+            for c, h in entries:
+                c.num_passes_by_layer[layno] = max(
+                    0, counts[id(c)] - prev[id(c)])
+            prev = {k: max(prev[k], counts[k]) for k in prev}
+
+    def assign_layers_quality(self, psnr_targets: list[float]) -> None:
+        """-q mode (SURVEY.md B.8): per-layer distortion thresholds.  For
+        PSNR target p, keep including hull passes (global slope order)
+        until the residual weighted squared error drops below
+        peak^2 / 10^(p/10) * num_samples."""
+        numlayers = len(psnr_targets)
+        entries = []
+        e0_total = 0.0
+        for cblk in self.all_cblks():
+            cblk.num_passes_by_layer = [0] * numlayers
+            e0_total += getattr(cblk, "_e0", 0.0)
+            if not cblk.pass_rates:
+                continue
+            pinfos = [type("P", (), {"rate": r, "dist": d})()
+                      for r, d in zip(cblk.pass_rates, cblk.pass_dists)]
+            entries.append((cblk, convex_hull(pinfos, 1.0)))
+
+        total_samples = sum(tc.rect.area for tc in self.tile.comps)
+        peak = (1 << self.image.comps[0].prec) - 1
+        slopes = candidate_slopes([h for _, h in entries])
+        prev = {id(c): 0 for c, _ in entries}
+        for layno, target_db in enumerate(psnr_targets):
+            if target_db <= 0 or not slopes:
+                counts = {id(c): (h[-1].passno + 1 if h else 0)
+                          for c, h in entries}
+            else:
+                e_target = (peak ** 2 / (10.0 ** (target_db / 10.0))
+                            * total_samples)
+                counts = dict(prev)
+                # walk slopes from steepest until the error target is met
+                lo, hi = 0, len(slopes)
+                best = None
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    lam = slopes[mid]
+                    cand = {}
+                    dtot = 0.0
+                    for c, h in entries:
+                        n = max(prev[id(c)], passes_for_threshold(h, lam))
+                        cand[id(c)] = n
+                        if n:
+                            dtot += c.pass_dists[n - 1]
+                    if e0_total - dtot <= e_target:
+                        best = cand
+                        hi = mid
+                    else:
+                        lo = mid + 1
+                counts = best if best is not None else {
+                    id(c): (h[-1].passno + 1 if h else 0)
+                    for c, h in entries}
             for c, h in entries:
                 c.num_passes_by_layer[layno] = max(
                     0, counts[id(c)] - prev[id(c)])
@@ -384,18 +450,24 @@ class TileCompressor:
                                             tccp.cblk_style)
         return bytes(out)
 
-    def write_packets(self, comp_info, sop=False, eph=False) -> bytes:
-        """All packets in the tile's signaled progression order."""
+    def write_packets(self, comp_info, sop=False, eph=False):
+        """All packets in the tile's signaled progression order.
+
+        Returns (body bytes, per-packet lengths, packet coords) — lengths
+        feed PLT emission, coords feed tile-part splitting (-u)."""
         self.reset_t2()
         order = t2.packet_order(self.tile, self.tcp, comp_info)
         out = bytearray()
+        lengths: list[int] = []
         for n, pc in enumerate(order):
             tc = self.tile.comps[pc.compno]
             tccp = self.tcp.tccps[pc.compno]
             res = tc.resolutions[pc.resno]
-            out += t2.encode_packet(res, pc.precno, pc.layno, tccp.cblk_style,
-                                    sop=sop, eph=eph, sop_index=n & 0xFFFF)
-        return bytes(out)
+            pkt = t2.encode_packet(res, pc.precno, pc.layno, tccp.cblk_style,
+                                   sop=sop, eph=eph, sop_index=n & 0xFFFF)
+            out += pkt
+            lengths.append(len(pkt))
+        return bytes(out), lengths, order
 
 
 # ---------------------------------------------------------------------------
@@ -405,7 +477,7 @@ class TileCompressor:
 class TileDecompressor:
     def __init__(self, tile: Tile, tcp: TileCodingParams, image,
                  cp: CodingParams, backend: str = "auto", reduce: int = 0,
-                 max_layers: int = 0):
+                 max_layers: int = 0, window: Rect | None = None):
         self.tile = tile
         self.tcp = tcp
         self.image = image
@@ -413,26 +485,55 @@ class TileDecompressor:
         self.backend = backend
         self.reduce = reduce
         self.max_layers = max_layers
+        self.window = window  # canvas-coords decode region or None
 
     def decode_packets(self, data: bytes, sop=False, eph=False) -> None:
         comp_info = [(c.dx, c.dy, self.tcp.tccps[i].numresolutions)
                      for i, c in enumerate(self.image.comps)]
         order = t2.packet_order(self.tile, self.tcp, comp_info)
         pos = 0
+        hdr_pos = 0
+        ppt = self.tcp.ppt_data
         for pc in order:
-            if self.max_layers and pc.layno >= self.max_layers:
-                # still must parse the packet to stay in sync unless stream
-                # was truncated at a layer boundary; parse and discard
-                pass
             tc = self.tile.comps[pc.compno]
             tccp = self.tcp.tccps[pc.compno]
             res = tc.resolutions[pc.resno]
             band_numbps = {b.orient: b.numbps for b in res.bands}
             if pos >= len(data):
                 break  # tolerant: truncated tile data
-            pos = t2.decode_packet(data, pos, res, pc.precno, pc.layno,
-                                   tccp.cblk_style, band_numbps,
-                                   sop=sop, eph=eph)
+            discard = bool(self.max_layers) and pc.layno >= self.max_layers
+            pos, hdr_pos = t2.decode_packet(
+                data, pos, res, pc.precno, pc.layno,
+                tccp.cblk_style, band_numbps, sop=sop, eph=eph,
+                hdr_data=ppt, hdr_pos=hdr_pos, discard=discard)
+
+    def _window_band_rect(self, compno: int, resno: int, orient: int,
+                          margin: int = 4) -> Rect | None:
+        """Decode-window rect in band coordinates, widened by the lifting
+        halo margin (SURVEY.md §3.3 region decode: per-resolution window
+        intersection)."""
+        if self.window is None:
+            return None
+        comp = self.image.comps[compno]
+        tccp = self.tcp.tccps[compno]
+        nl = tccp.numresolutions - 1
+        w = self.window
+        cx0, cy0 = w.x0 // comp.dx, w.y0 // comp.dy
+        cx1 = -(-w.x1 // comp.dx)
+        cy1 = -(-w.y1 // comp.dy)
+        if resno == 0:
+            nb, xob, yob = nl, 0, 0
+        else:
+            nb = nl - resno + 1
+            xob, yob = BAND_OFFSET[orient]
+        if nb == 0:
+            return Rect(cx0 - margin, cy0 - margin,
+                        cx1 + margin, cy1 + margin)
+        h = 1 << (nb - 1)
+        return Rect(((cx0 - h * xob) >> nb) - margin,
+                    ((cy0 - h * yob) >> nb) - margin,
+                    -(-(cx1 - h * xob) >> nb) + margin,
+                    -(-(cy1 - h * yob) >> nb) + margin)
 
     def run_t1(self) -> None:
         jobs = []
@@ -442,10 +543,15 @@ class TileDecompressor:
             numres_used = max(1, tccp.numresolutions - self.reduce)
             for res in tc.resolutions[:numres_used]:
                 for bi, band in enumerate(res.bands):
+                    wrect = self._window_band_rect(
+                        tc.compno, res.resno, band.orient)
                     for prc in res.precincts:
                         for cblk in prc.pbands[bi].cblks:
                             if cblk.total_passes <= 0 or cblk.rect.is_empty():
                                 continue
+                            if wrect is not None and \
+                                    cblk.rect.intersect(wrect).is_empty():
+                                continue  # outside decode window: skip T1
                             data, seg_lens, npasses = t2.collect_seg_lengths(
                                 cblk, tccp.cblk_style)
                             jobs.append(t1_backend.DecodeJob(
@@ -468,7 +574,16 @@ class TileDecompressor:
             arr = self._band_arrays[(tc.compno, res.resno, band.orient)]
             y0 = cblk.rect.y0 - band.rect.y0
             x0 = cblk.rect.x0 - band.rect.x0
-            arr[y0:y0 + cblk.rect.h, x0:x0 + cblk.rect.w] = job.out
+            out = job.out
+            shift = self.tcp.tccps[tc.compno].roi_shift
+            if shift:
+                # max-shift ROI: values at/above 2^shift are ROI samples;
+                # downshift them (operating in the doubled domain)
+                mag = np.abs(out)
+                is_roi = mag >= (1 << (shift + 1))
+                mag = np.where(is_roi, mag >> shift, mag)
+                out = np.where(out < 0, -mag, mag).astype(np.int32)
+            arr[y0:y0 + cblk.rect.h, x0:x0 + cblk.rect.w] = out
 
     def _device_eligible(self) -> bool:
         tile, tcp, image = self.tile, self.tcp, self.image

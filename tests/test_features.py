@@ -1,0 +1,157 @@
+"""Feature tests: ROI, quality mode, PLT, tile-parts, window decode,
+layer-limited decode (SURVEY.md §2 inventory rows)."""
+
+import io
+
+import numpy as np
+import pytest
+
+import grok_tpu
+from grok_tpu import CompressParams, DecompressParams, GrkImage
+from grok_tpu.params import Progression
+
+
+def _content(rng, h, w, ncomp=1):
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    base = 128 + 90 * np.sin(xx / 13) * np.cos(yy / 9)
+    planes = [base] + [xx * 255 / w, yy * 255 / h][:ncomp - 1]
+    arr = np.stack(planes, axis=-1) if ncomp > 1 else base
+    arr = (arr + rng.normal(0, 3, arr.shape)).clip(0, 255)
+    return arr.astype(np.int32)
+
+
+def test_roi_lossless_roundtrip(rng):
+    arr = _content(rng, 64, 64, 3)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, roi_comp=0, roi_shift=4))
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.to_array(), arr)
+    hi = grok_tpu.read_header(data)
+    assert hi.cp.tcps[0].tccps[0].roi_shift == 4
+
+
+def test_roi_oracle_decodes(rng):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    arr = _content(rng, 64, 64).astype(np.uint8)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, roi_comp=0, roi_shift=3))
+    dec = np.asarray(Image.open(io.BytesIO(data)))
+    assert np.array_equal(dec, arr)
+
+
+def test_quality_mode(rng):
+    arr = _content(rng, 96, 96)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=4, irreversible=True, layer_psnr=[35, 45]))
+    full = grok_tpu.decompress(data)
+    err = full.comps[0].data.astype(float) - arr
+    psnr_full = 10 * np.log10(255 ** 2 / (err ** 2).mean())
+    assert psnr_full > 42, psnr_full
+    one = grok_tpu.decompress(data, DecompressParams(max_layers=1))
+    err1 = one.comps[0].data.astype(float) - arr
+    psnr_1 = 10 * np.log10(255 ** 2 / (err1 ** 2).mean())
+    # layer 1 should roughly hit its 35 dB target and be worse than full
+    assert 30 < psnr_1 < psnr_full + 1e-9, (psnr_1, psnr_full)
+
+
+def test_plt_emission_and_decode(rng):
+    arr = _content(rng, 64, 64)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(numresolution=3, plt=True))
+    assert b"\xffX" in data or b"\xff\x58" in data
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr)
+
+
+def test_plt_oracle_decodes(rng):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    arr = _content(rng, 64, 64).astype(np.uint8)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(numresolution=3, plt=True))
+    assert np.array_equal(np.asarray(Image.open(io.BytesIO(data))), arr)
+
+
+def test_tlm_emission(rng):
+    arr = _content(rng, 80, 80)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, tile_size=(32, 32), tlm=True))
+    hi = grok_tpu.read_header(data)
+    assert hi.cp.tlm is not None
+    assert len(hi.cp.tlm) == 9  # 3x3 tiles
+    # TLM lengths must be exact tile-part lengths
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr)
+
+
+@pytest.mark.parametrize("mode", ["R", "L", "C"])
+def test_tile_parts(mode, rng):
+    arr = _content(rng, 64, 64, 3)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, layer_rates=[10, 1],
+        new_tile_part_progression=mode))
+    # multiple SOT markers for one tile
+    count = data.count(b"\xff\x90")
+    assert count > 1, count
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.to_array(), arr)
+
+
+def test_tile_parts_oracle(rng):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    arr = _content(rng, 64, 64).astype(np.uint8)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, new_tile_part_progression="R"))
+    assert np.array_equal(np.asarray(Image.open(io.BytesIO(data))), arr)
+
+
+def test_window_decode_matches_crop(rng):
+    arr = _content(rng, 128, 128)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=4, cblk_width=16, cblk_height=16))
+    full = grok_tpu.decompress(data)
+    win = grok_tpu.decompress(data, DecompressParams(
+        window=(40, 30, 90, 100)))
+    assert win.comps[0].data.shape == (70, 50)
+    assert np.array_equal(win.comps[0].data,
+                          full.comps[0].data[30:100, 40:90])
+
+
+def test_window_decode_multitile(rng):
+    arr = _content(rng, 100, 100)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, tile_size=(48, 48)))
+    win = grok_tpu.decompress(data, DecompressParams(window=(50, 50, 90, 90)))
+    full = grok_tpu.decompress(data)
+    assert np.array_equal(win.comps[0].data,
+                          full.comps[0].data[50:90, 50:90])
+
+
+def test_max_layers_cap(rng):
+    arr = _content(rng, 64, 64)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, layer_rates=[20, 5, 1]))
+    full = grok_tpu.decompress(data)
+    assert np.array_equal(full.comps[0].data, arr)
+    prev_err = None
+    for nl in (1, 2, 3):
+        out = grok_tpu.decompress(data, DecompressParams(max_layers=nl))
+        err = float(((out.comps[0].data.astype(float) - arr) ** 2).mean())
+        if prev_err is not None:
+            assert err <= prev_err + 1e-9
+        prev_err = err
+    assert prev_err == 0.0  # all three layers = lossless
