@@ -36,6 +36,9 @@ log = logging.getLogger("grok_tpu")
 
 
 def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
+    from . import profiles
+
+    profiles.apply_profile(p, image)
     p.validate()
     cp = CodingParams()
     cp.rsiz = int(p.profile)
