@@ -121,7 +121,8 @@ def _write_cod_sp(tccp: TileComponentCodingParams, has_precincts: bool) -> bytes
     p += u8(tccp.numresolutions - 1)
     p += u8(tccp.cblkw - 2)
     p += u8(tccp.cblkh - 2)
-    p += u8(int(tccp.cblk_style))
+    # SPcod style bit 6 signals the HT block coder (ITU-T T.814)
+    p += u8(int(tccp.cblk_style) | (0x40 if tccp.ht else 0))
     p += u8(0 if tccp.qmfbid == 0 else 1)
     if has_precincts:
         for r in range(tccp.numresolutions):

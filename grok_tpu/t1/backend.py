@@ -30,6 +30,7 @@ class EncodeJob:
     coeffs: np.ndarray
     orient: int
     style: CblkStyle
+    ht: bool = False          # Part 15 HT block coder instead of MQ
     # results
     data: bytes = b""
     numbps: int = 0
@@ -46,6 +47,7 @@ class DecodeJob:
     w: int
     orient: int
     style: CblkStyle
+    ht: bool = False
     out: np.ndarray | None = None  # doubled-domain signed int32
 
 
@@ -87,11 +89,42 @@ def resolve(backend: str = "auto") -> str:
     return "python"
 
 
+def _encode_ht(jobs: list[EncodeJob]) -> None:
+    from ..t1.coder import PassInfo
+    from . import ht
+
+    for j in jobs:
+        j.data, j.numbps = ht.encode_cblk_ht(j.coeffs)
+        if j.numbps == 0:
+            j.passes = []
+        else:
+            # HTONLY: one cleanup pass carrying everything
+            e0 = float((np.abs(j.coeffs).astype(np.float64) ** 2).sum())
+            j.passes = [PassInfo(2, j.numbps - 1, True, len(j.data), e0)]
+
+
+def _decode_ht(jobs: list[DecodeJob]) -> None:
+    from . import ht
+
+    for j in jobs:
+        j.out = ht.decode_cblk_ht(j.data, j.h, j.w)
+
+
 def encode_batch(jobs: list[EncodeJob], backend: str = "auto") -> None:
-    name = resolve(backend)
-    _BACKENDS[name][0](jobs)
+    ht_jobs = [j for j in jobs if j.ht]
+    mq_jobs = [j for j in jobs if not j.ht]
+    if ht_jobs:
+        _encode_ht(ht_jobs)
+    if mq_jobs:
+        name = resolve(backend)
+        _BACKENDS[name][0](mq_jobs)
 
 
 def decode_batch(jobs: list[DecodeJob], backend: str = "auto") -> None:
-    name = resolve(backend)
-    _BACKENDS[name][1](jobs)
+    ht_jobs = [j for j in jobs if j.ht]
+    mq_jobs = [j for j in jobs if not j.ht]
+    if ht_jobs:
+        _decode_ht(ht_jobs)
+    if mq_jobs:
+        name = resolve(backend)
+        _BACKENDS[name][1](mq_jobs)

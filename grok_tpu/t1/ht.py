@@ -1,0 +1,280 @@
+"""HTJ2K (Part 15) fast block coder — Python reference.
+
+Parity: the reference's HT Tier-1 (SURVEY.md §2.1 "Tier-1 HT (Part 15)",
+src/lib/core/t1/ht/ [P]): the FBCOT cleanup pass built from three
+interleaved bitstreams in one codeword segment:
+
+  [ MagSgn (grows forward) | MEL (forward) ... VLC (backward) ]
+
+with the suffix length Scup carried in the final 12 bits of the segment,
+the standard 13-state MEL adaptive run-length coder, 2x2 quad scanning,
+quad exponent bounds (U_q) with predictive u coding, and raw
+magnitude-sign packing for significant samples.
+
+**Conformance status (SURVEY.md B.9):** no HT oracle exists in this
+environment and the normative CxtVLC code tables cannot be reproduced from
+local sources, so the quad significance-pattern coding below uses a
+self-consistent code (4-bit raw rho + Elias-style u prefix) instead of the
+spec's context-dependent VLC tables.  The segment layout, MEL coder and
+MagSgn packing follow the spec structure, so swapping in the normative
+tables is a local change.  Interop is gated on self round-trip tests
+(tests/test_ht.py) as SURVEY.md §4 prescribes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 13-state MEL exponent table (ITU-T T.814)
+MEL_E = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5]
+
+
+class _BitWriterMSB:
+    """MSB-first bit packing with 0xFF stuffing (7 bits after a 0xFF)."""
+
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.used = 0
+        self.cap = 8
+
+    def put(self, bit: int):
+        self.acc = (self.acc << 1) | (bit & 1)
+        self.used += 1
+        if self.used == self.cap:
+            self.bytes.append(self.acc)
+            self.cap = 7 if self.acc == 0xFF else 8
+            self.acc = 0
+            self.used = 0
+
+    def put_bits(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.put((v >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self.used:
+            self.acc <<= self.cap - self.used
+            self.bytes.append(self.acc)
+            self.acc = 0
+            self.used = 0
+            self.cap = 8
+        if self.bytes and self.bytes[-1] == 0xFF:
+            self.bytes.append(0)
+        return bytes(self.bytes)
+
+
+class _BitReaderMSB:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.avail = 0
+        self.prev_ff = False
+
+    def get(self) -> int:
+        if self.avail == 0:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = b
+            self.avail = 7 if self.prev_ff else 8
+            self.prev_ff = b == 0xFF
+        self.avail -= 1
+        return (self.acc >> self.avail) & 1
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+
+class MELEncoder:
+    def __init__(self):
+        self.k = 0
+        self.run = 0
+        self.bw = _BitWriterMSB()
+
+    def encode(self, event: int):
+        t = 1 << MEL_E[self.k]
+        if event == 0:
+            self.run += 1
+            if self.run == t:
+                self.bw.put(1)
+                self.run = 0
+                self.k = min(12, self.k + 1)
+        else:
+            self.bw.put(0)
+            self.bw.put_bits(self.run, MEL_E[self.k])
+            self.run = 0
+            self.k = max(0, self.k - 1)
+
+    def flush(self) -> bytes:
+        if self.run:
+            # close the pending run as a full one; the decoder consumes
+            # exactly the events it needs, trailing zeros are harmless
+            self.bw.put(1)
+        return self.bw.flush()
+
+
+class MELDecoder:
+    def __init__(self, data: bytes):
+        self.k = 0
+        self.br = _BitReaderMSB(data)
+        self.pending_zeros = 0
+        self.pending_one = False
+
+    def decode(self) -> int:
+        if self.pending_zeros > 0:
+            self.pending_zeros -= 1
+            return 0
+        if self.pending_one:
+            self.pending_one = False
+            return 1
+        t = 1 << MEL_E[self.k]
+        if self.br.get():
+            # a full run of t zeros
+            self.k = min(12, self.k + 1)
+            self.pending_zeros = t - 1
+            return 0
+        run = self.br.get_bits(MEL_E[self.k])
+        self.k = max(0, self.k - 1)
+        if run > 0:
+            # `run` zeros followed by the terminating one
+            self.pending_zeros = run - 1
+            self.pending_one = True
+            return 0
+        return 1
+
+
+# u-value prefix code: 0->'0', 1->'10', 2->'110', >=3 -> '111'+5 bits (u-3)
+def _put_u(bw: _BitWriterMSB, u: int):
+    if u == 0:
+        bw.put(0)
+    elif u == 1:
+        bw.put_bits(0b10, 2)
+    elif u == 2:
+        bw.put_bits(0b110, 3)
+    else:
+        bw.put_bits(0b111, 3)
+        bw.put_bits(u - 3, 5)
+
+
+def _get_u(br: _BitReaderMSB) -> int:
+    if not br.get():
+        return 0
+    if not br.get():
+        return 1
+    if not br.get():
+        return 2
+    return 3 + br.get_bits(5)
+
+
+def encode_cblk_ht(coeffs: np.ndarray):
+    """HT cleanup-pass encode of one codeblock (HTONLY set: all magnitude
+    information in a single pass).
+
+    Returns (segment bytes, numbps)."""
+    h, w = coeffs.shape
+    mags = np.abs(coeffs.astype(np.int64))
+    signs = (coeffs < 0).astype(np.uint8)
+    maxmag = int(mags.max()) if mags.size else 0
+    numbps = int(maxmag).bit_length()
+    if numbps == 0:
+        return b"", 0
+
+    qh = (h + 1) // 2
+    qw = (w + 1) // 2
+    magsgn = _BitWriterMSB()
+    mel = MELEncoder()
+    vlc = _BitWriterMSB()
+
+    for qy in range(qh):
+        u_pred = 1  # predictor resets per quad row
+        for qx in range(qw):
+            ys = range(2 * qy, min(2 * qy + 2, h))
+            xs = range(2 * qx, min(2 * qx + 2, w))
+            samples = [(y, x) for x in xs for y in ys]
+            rho = 0
+            umax = 0
+            for i, (y, x) in enumerate(samples):
+                m = int(mags[y, x])
+                if m:
+                    rho |= 1 << i
+                    umax = max(umax, m.bit_length())
+            mel.encode(1 if rho else 0)
+            if not rho:
+                continue
+            # self-consistent quad coding: raw rho nibble + zigzagged
+            # left-neighbor-predicted u (normative CxtVLC tables pending —
+            # see module docstring)
+            vlc.put_bits(rho, len(samples))
+            diff = umax - u_pred
+            zz = (diff << 1) if diff >= 0 else ((-diff << 1) - 1)
+            _put_u(vlc, zz)
+            u_pred = umax
+            for i, (y, x) in enumerate(samples):
+                if rho & (1 << i):
+                    m = int(mags[y, x])
+                    magsgn.put_bits(m - 1, umax)
+                    magsgn.put(int(signs[y, x]))
+
+    ms_bytes = magsgn.flush()
+    mel_bytes = mel.flush()
+    vlc_bytes = vlc.flush()[::-1]  # VLC grows backward from the segment end
+    suffix = mel_bytes + vlc_bytes
+    scup = len(suffix) + 2
+    if scup > 4079:
+        raise ValueError("HT suffix overflow")
+    seg = bytearray(ms_bytes + suffix)
+    # Scup in the trailing 12 bits: last byte = scup >> 4,
+    # low nibble of second-to-last byte = scup & 0xF
+    seg += bytes([(0x0F & scup), (scup >> 4) & 0xFF])
+    return bytes(seg), numbps
+
+
+def decode_cblk_ht(data: bytes, h: int, w: int):
+    """Decode an HT cleanup segment.  Returns doubled-domain signed int32
+    (matching the Part-1 T1 decoder convention: sign * (2m + 1) for
+    significant samples)."""
+    out = np.zeros((h, w), dtype=np.int32)
+    if len(data) < 2:
+        return out
+    scup = ((data[-1] & 0xFF) << 4) | (data[-2] & 0x0F)
+    if scup < 2 or scup > len(data):
+        return out  # tolerant: malformed segment
+    suffix = data[len(data) - scup:len(data) - 2]
+    ms = _BitReaderMSB(data[: len(data) - scup])
+    mel = MELDecoder(bytes(suffix))
+    # VLC read backward from the suffix end: reverse once
+    vlc = None  # constructed lazily after MEL length is unknown
+
+    # Because MEL and VLC share the suffix without an explicit boundary,
+    # the decoder interleaves: MEL reads forward, VLC backward.  With byte
+    # granularity unknown, we reconstruct the VLC reader over the reversed
+    # suffix and rely on the encoder having sized the region exactly.
+    vlc = _BitReaderMSB(bytes(suffix[::-1]))
+
+    qh = (h + 1) // 2
+    qw = (w + 1) // 2
+    for qy in range(qh):
+        u_pred = 1
+        for qx in range(qw):
+            ys = range(2 * qy, min(2 * qy + 2, h))
+            xs = range(2 * qx, min(2 * qx + 2, w))
+            samples = [(y, x) for x in xs for y in ys]
+            if not mel.decode():
+                continue
+            rho = vlc.get_bits(len(samples))
+            zz = _get_u(vlc)
+            diff = (zz >> 1) if (zz & 1) == 0 else -((zz + 1) >> 1)
+            umax = u_pred + diff
+            u_pred = umax
+            if umax < 1 or umax > 32:
+                return out  # tolerant: corrupt segment
+            for i, (y, x) in enumerate(samples):
+                if rho & (1 << i):
+                    m = ms.get_bits(umax) + 1
+                    sgn = ms.get()
+                    val = 2 * m + 1
+                    out[y, x] = -val if sgn else val
+    return out

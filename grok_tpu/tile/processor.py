@@ -229,7 +229,7 @@ class TileCompressor:
                                         cr.x0 - band.rect.x0:cr.x1 - band.rect.x0]
                             jobs.append(t1_backend.EncodeJob(
                                 np.ascontiguousarray(sl), band.orient,
-                                tccp.cblk_style))
+                                tccp.cblk_style, ht=tccp.ht))
                             job_meta.append((compno, res.resno, band, cblk))
         t1_backend.encode_batch(jobs, self.backend)
         for job, (compno, resno, band, cblk) in zip(jobs, job_meta):
@@ -557,7 +557,7 @@ class TileDecompressor:
                             jobs.append(t1_backend.DecodeJob(
                                 data, seg_lens, npasses, cblk.numbps,
                                 cblk.rect.h, cblk.rect.w, band.orient,
-                                tccp.cblk_style))
+                                tccp.cblk_style, ht=tccp.ht))
                             meta.append((tc, res, band, cblk))
         t1_backend.decode_batch(jobs, self.backend)
         # assemble doubled-domain band coefficient arrays (conversion to

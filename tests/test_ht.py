@@ -1,0 +1,116 @@
+"""HTJ2K (Part 15) block coder tests.
+
+SURVEY.md B.9/B.10 item 7: no HT oracle exists in this environment, so
+correctness is gated on self round-trip plus structural checks (CAP
+marker, COD HT bit, Scup segment layout).  See grok_tpu/t1/ht.py for the
+conformance status of the VLC tables.
+"""
+
+import numpy as np
+import pytest
+
+import grok_tpu
+from grok_tpu import CompressParams, DecompressParams, GrkImage
+from grok_tpu.t1.ht import (
+    MELDecoder,
+    MELEncoder,
+    decode_cblk_ht,
+    encode_cblk_ht,
+)
+
+
+def test_mel_roundtrip(rng):
+    for trial in range(30):
+        p = 0.1 + 0.8 * (trial % 5) / 4
+        events = (rng.random(int(rng.integers(1, 300))) < p).astype(int)
+        enc = MELEncoder()
+        for e in events:
+            enc.encode(int(e))
+        data = enc.flush()
+        dec = MELDecoder(data)
+        assert [dec.decode() for _ in events] == list(events)
+
+
+def test_ht_block_roundtrip(rng):
+    for trial in range(30):
+        h = int(rng.integers(1, 65))
+        w = int(rng.integers(1, 65))
+        scale = int(rng.integers(1, 30000))
+        coeffs = rng.integers(-scale, scale + 1, size=(h, w)).astype(np.int32)
+        if trial % 3 == 0:
+            coeffs[rng.random((h, w)) < 0.8] = 0
+        data, numbps = encode_cblk_ht(coeffs)
+        if numbps == 0:
+            assert np.all(coeffs == 0)
+            continue
+        doubled = decode_cblk_ht(data, h, w)
+        dec = np.sign(doubled) * (np.abs(doubled) >> 1)
+        assert np.array_equal(dec, coeffs), (trial, h, w)
+
+
+def test_ht_scup_layout(rng):
+    coeffs = rng.integers(-100, 101, size=(32, 32)).astype(np.int32)
+    data, _ = encode_cblk_ht(coeffs)
+    scup = ((data[-1] & 0xFF) << 4) | (data[-2] & 0x0F)
+    assert 2 <= scup <= len(data)
+
+
+def test_ht_truncated_tolerant(rng):
+    coeffs = rng.integers(-500, 501, size=(32, 32)).astype(np.int32)
+    data, numbps = encode_cblk_ht(coeffs)
+    for frac in (0.0, 0.3, 0.9):
+        out = decode_cblk_ht(data[: int(len(data) * frac)], 32, 32)
+        assert out.shape == (32, 32)  # no crash
+
+
+def _content(rng, h, w, ncomp=1):
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    base = 128 + 90 * np.sin(xx / 13) * np.cos(yy / 9)
+    planes = [base, xx * 255 / w, yy * 255 / h][:ncomp]
+    arr = np.stack(planes, axis=-1) if ncomp > 1 else base
+    return (arr + rng.normal(0, 3, arr.shape)).clip(0, 255).astype(np.int32)
+
+
+def test_ht_codec_lossless(rng):
+    arr = _content(rng, 96, 96, 3)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(numresolution=4, ht=True))
+    hi = grok_tpu.read_header(data)
+    assert hi.cp.tcps[0].tccps[0].ht
+    assert hi.cap is not None and (hi.cap["pcap"] & (1 << 17))
+    assert hi.siz.rsiz & 0x4000  # Part-15 capability bit
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.to_array(), arr)
+
+
+def test_ht_codec_lossy(rng):
+    arr = _content(rng, 96, 96)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=4, ht=True, irreversible=True))
+    out = grok_tpu.decompress(data)
+    err = out.comps[0].data.astype(float) - arr
+    psnr = 10 * np.log10(255 ** 2 / (err ** 2).mean())
+    assert psnr > 40, psnr
+
+
+def test_ht_16bit_tiled(rng):
+    arr = rng.integers(0, 65536, size=(80, 80)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=16)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, ht=True, tile_size=(32, 32)))
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr)
+
+
+def test_ht_region_decode(rng):
+    """BASELINE config 5 shape: HT + tiled + region decode."""
+    arr = _content(rng, 128, 128)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, ht=True, tile_size=(64, 64),
+        cblk_width=32, cblk_height=32))
+    full = grok_tpu.decompress(data)
+    win = grok_tpu.decompress(data, DecompressParams(window=(30, 40, 100, 90)))
+    assert np.array_equal(win.comps[0].data,
+                          full.comps[0].data[40:90, 30:100])
