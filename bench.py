@@ -67,6 +67,21 @@ def main():
     enc = mp * reps / (t1 - t0)
     dec = mp * reps / (t2 - t1)
     combined = mp * reps * 2 / (t2 - t0)  # enc+dec round trips
+
+    # secondary: the HTJ2K fast block coder (BASELINE config 5 family)
+    cph = CompressParams(numresolution=6, backend=backend, ht=True)
+    datah = grok_tpu.compress(img, cph)
+    outh = grok_tpu.decompress(datah, dp)
+    assert np.array_equal(outh.comps[0].data, arr.astype(np.int32))
+    t3 = time.perf_counter()
+    for _ in range(reps):
+        datah = grok_tpu.compress(img, cph)
+    t4 = time.perf_counter()
+    for _ in range(reps):
+        grok_tpu.decompress(datah, dp)
+    t5 = time.perf_counter()
+    ht_combined = mp * reps * 2 / (t5 - t3)
+
     result = {
         "metric": "512x512 gray lossless 5/3 encode+decode round-trip "
                   "throughput (config 1)",
@@ -75,6 +90,9 @@ def main():
         "vs_baseline": round(combined / BASELINE_COMBINED_MPS, 3),
         "encode_mps": round(enc, 3),
         "decode_mps": round(dec, 3),
+        "ht_combined_mps": round(ht_combined, 3),
+        "ht_encode_mps": round(mp * reps / (t4 - t3), 3),
+        "ht_decode_mps": round(mp * reps / (t5 - t4), 3),
         "backend": backend,
         "bytes": len(data),
     }

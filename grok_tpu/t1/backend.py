@@ -65,10 +65,16 @@ def _decode_python(jobs: list[DecodeJob]) -> None:
 
 
 _BACKENDS = {"python": (_encode_python, _decode_python)}
+_HT_NATIVE = None  # (encode_fn, decode_fn) once native lib registers
 
 
 def register_backend(name: str, encode_fn, decode_fn) -> None:
     _BACKENDS[name] = (encode_fn, decode_fn)
+
+
+def register_ht_backend(encode_fn, decode_fn) -> None:
+    global _HT_NATIVE
+    _HT_NATIVE = (encode_fn, decode_fn)
 
 
 def _load_native() -> bool:
@@ -114,7 +120,12 @@ def encode_batch(jobs: list[EncodeJob], backend: str = "auto") -> None:
     ht_jobs = [j for j in jobs if j.ht]
     mq_jobs = [j for j in jobs if not j.ht]
     if ht_jobs:
-        _encode_ht(ht_jobs)
+        name = resolve(backend)
+        if name == "native" and _HT_NATIVE is not None and \
+                backend != "python":
+            _HT_NATIVE[0](ht_jobs)
+        else:
+            _encode_ht(ht_jobs)
     if mq_jobs:
         name = resolve(backend)
         _BACKENDS[name][0](mq_jobs)
@@ -124,7 +135,12 @@ def decode_batch(jobs: list[DecodeJob], backend: str = "auto") -> None:
     ht_jobs = [j for j in jobs if j.ht]
     mq_jobs = [j for j in jobs if not j.ht]
     if ht_jobs:
-        _decode_ht(ht_jobs)
+        name = resolve(backend)
+        if name == "native" and _HT_NATIVE is not None and \
+                backend != "python":
+            _HT_NATIVE[1](ht_jobs)
+        else:
+            _decode_ht(ht_jobs)
     if mq_jobs:
         name = resolve(backend)
         _BACKENDS[name][1](mq_jobs)

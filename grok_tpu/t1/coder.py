@@ -407,9 +407,15 @@ def _enc_clnpass(st, mag, bpno, orient, vsc, cd, on_sig, segsym):
 # Decoder
 # ---------------------------------------------------------------------------
 
+import functools
+
+
+@functools.lru_cache(maxsize=512)
 def segment_layout(style: CblkStyle, numbps: int):
-    """Yield (pass indices per segment, is_raw) — the codeword-segment
-    structure implied by the mode switches (SURVEY.md B.6 "Segments")."""
+    """(pass indices per segment, is_raw) tuples — the codeword-segment
+    structure implied by the mode switches (SURVEY.md B.6 "Segments").
+    Cached: called per codeblock contribution in Tier-2 hot loops."""
+    style = CblkStyle(int(style))
     num_passes = 3 * numbps - 2
     segs = []
     cur = []

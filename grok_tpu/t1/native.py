@@ -139,4 +139,87 @@ def decode_batch_native(jobs: list[bk.DecodeJob], num_threads: int = 0) -> None:
         j.out = out.reshape(j.h, j.w)
 
 
+class _HTEncJob(ct.Structure):
+    _fields_ = [
+        ("h", ct.c_int32), ("w", ct.c_int32),
+        ("coeffs", ct.POINTER(ct.c_int32)),
+        ("out", ct.POINTER(ct.c_uint8)),
+        ("out_cap", ct.c_int32), ("out_len", ct.c_int32),
+        ("numbps", ct.c_int32), ("status", ct.c_int32),
+    ]
+
+
+class _HTDecJob(ct.Structure):
+    _fields_ = [
+        ("h", ct.c_int32), ("w", ct.c_int32),
+        ("data", ct.POINTER(ct.c_uint8)), ("data_len", ct.c_int32),
+        ("out", ct.POINTER(ct.c_int32)), ("status", ct.c_int32),
+    ]
+
+
+_lib.grk_ht_encode_batch.argtypes = [ct.POINTER(_HTEncJob), ct.c_int, ct.c_int]
+_lib.grk_ht_encode_batch.restype = ct.c_int
+_lib.grk_ht_decode_batch.argtypes = [ct.POINTER(_HTDecJob), ct.c_int, ct.c_int]
+_lib.grk_ht_decode_batch.restype = ct.c_int
+
+
+def ht_encode_batch_native(jobs: list[bk.EncodeJob],
+                           num_threads: int = 0) -> None:
+    from ..t1.coder import PassInfo
+
+    n = len(jobs)
+    if n == 0:
+        return
+    cjobs = (_HTEncJob * n)()
+    keep = []
+    for i, j in enumerate(jobs):
+        coeffs = np.ascontiguousarray(j.coeffs, dtype=np.int32)
+        h, w = coeffs.shape
+        cap = max(4096, h * w * 5 + 2048)
+        out = np.empty(cap, dtype=np.uint8)
+        keep.append((coeffs, out))
+        c = cjobs[i]
+        c.h, c.w = h, w
+        c.coeffs = _i32ptr(coeffs)
+        c.out = out.ctypes.data_as(ct.POINTER(ct.c_uint8))
+        c.out_cap = cap
+    rc = _lib.grk_ht_encode_batch(cjobs, n, num_threads)
+    if rc != 0:
+        raise RuntimeError("native HT encode overflow")
+    for i, j in enumerate(jobs):
+        c = cjobs[i]
+        _, out = keep[i]
+        j.data = bytes(out[: c.out_len])
+        j.numbps = int(c.numbps)
+        if j.numbps == 0:
+            j.passes = []
+        else:
+            e0 = float((np.abs(keep[i][0]).astype(np.float64) ** 2).sum())
+            j.passes = [PassInfo(2, j.numbps - 1, True, len(j.data), e0)]
+
+
+def ht_decode_batch_native(jobs: list[bk.DecodeJob],
+                           num_threads: int = 0) -> None:
+    n = len(jobs)
+    if n == 0:
+        return
+    cjobs = (_HTDecJob * n)()
+    keep = []
+    for i, j in enumerate(jobs):
+        data = np.frombuffer(j.data, dtype=np.uint8) if j.data else \
+            np.zeros(1, dtype=np.uint8)
+        data = np.ascontiguousarray(data)
+        out = np.zeros(j.h * j.w, dtype=np.int32)
+        keep.append((data, out))
+        c = cjobs[i]
+        c.h, c.w = j.h, j.w
+        c.data = data.ctypes.data_as(ct.POINTER(ct.c_uint8))
+        c.data_len = len(j.data)
+        c.out = _i32ptr(out)
+    _lib.grk_ht_decode_batch(cjobs, n, num_threads)
+    for i, j in enumerate(jobs):
+        j.out = keep[i][1].reshape(j.h, j.w)
+
+
 bk.register_backend("native", encode_batch_native, decode_batch_native)
+bk.register_ht_backend(ht_encode_batch_native, ht_decode_batch_native)

@@ -6,5 +6,5 @@ set -e
 cd "$(dirname "$0")"
 mkdir -p ../grok_tpu/_native
 g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread \
-    -o ../grok_tpu/_native/libgrk_t1.so t1.cc
+    -o ../grok_tpu/_native/libgrk_t1.so t1.cc ht.cc
 echo "built grok_tpu/_native/libgrk_t1.so"

@@ -243,41 +243,88 @@ static inline void sc_ctx(int hc, int vc, int* cn, int* xorbit) {
   *xorbit = XR[hi][vi];
 }
 
+// Flags-word state: one uint32 per sample tracks neighborhood
+// significance, neighbor signs, and own sig/visited/refined/sign bits, so
+// each pass does a single load + LUT instead of 9 neighbor loads
+// (SURVEY.md §2.1 "flags array (one u32 per column position...)" — same
+// idea, one word per sample).
+enum : uint32_t {
+  F_NW = 1u << 0, F_N = 1u << 1, F_NE = 1u << 2, F_W = 1u << 3,
+  F_E = 1u << 4, F_SW = 1u << 5, F_S = 1u << 6, F_SE = 1u << 7,
+  F_WNEG = 1u << 8, F_ENEG = 1u << 9, F_NNEG = 1u << 10, F_SNEG = 1u << 11,
+  F_SIG = 1u << 12, F_VIS = 1u << 13, F_REF = 1u << 14, F_NEG = 1u << 15,
+};
+// VSC: stripe-causal masking of the row below
+static const uint32_t VSC_MASK = ~(F_SW | F_S | F_SE | F_SNEG);
+
+// context LUTs built once from the scalar rules above
+struct Luts {
+  uint8_t zc[4][256];
+  uint8_t sc_cn[256];
+  uint8_t sc_xor[256];
+  Luts() {
+    for (int orient = 0; orient < 4; orient++) {
+      for (int f = 0; f < 256; f++) {
+        int h = ((f >> 3) & 1) + ((f >> 4) & 1);
+        int v = ((f >> 1) & 1) + ((f >> 6) & 1);
+        int d = (f & 1) + ((f >> 2) & 1) + ((f >> 5) & 1) + ((f >> 7) & 1);
+        zc[orient][f] = (uint8_t)zc_ctx(h, v, d, orient);
+      }
+    }
+    for (int idx = 0; idx < 256; idx++) {
+      // idx bits: 0 Wsig 1 Wneg 2 Esig 3 Eneg 4 Nsig 5 Nneg 6 Ssig 7 Sneg
+      auto contrib = [&](int sigb, int negb) {
+        if (!((idx >> sigb) & 1)) return 0;
+        return ((idx >> negb) & 1) ? -1 : 1;
+      };
+      int hc = contrib(0, 1) + contrib(2, 3);
+      int vc = contrib(4, 5) + contrib(6, 7);
+      if (hc > 1) hc = 1; if (hc < -1) hc = -1;
+      if (vc > 1) vc = 1; if (vc < -1) vc = -1;
+      int cn, xb;
+      sc_ctx(hc, vc, &cn, &xb);
+      sc_cn[idx] = (uint8_t)cn;
+      sc_xor[idx] = (uint8_t)xb;
+    }
+  }
+};
+static const Luts LUT;
+
+static inline int sc_index(uint32_t f) {
+  return (int)(((f >> 3) & 1) | (((f >> 8) & 1) << 1) |
+               (((f >> 4) & 1) << 2) | (((f >> 9) & 1) << 3) |
+               (((f >> 1) & 1) << 4) | (((f >> 10) & 1) << 5) |
+               (((f >> 6) & 1) << 6) | (((f >> 11) & 1) << 7));
+}
+
 struct T1State {
   int h, w, stride;
-  std::vector<uint8_t> sig, vis, ref, sgn;
-  std::vector<int64_t> mag, rec;
+  std::vector<uint32_t> flags;
+  std::vector<uint32_t> mag;
+  std::vector<int32_t> rec;
 
   T1State(int hh, int ww) : h(hh), w(ww), stride(ww + 2) {
     size_t n = (size_t)(h + 2) * stride;
-    sig.assign(n, 0); vis.assign(n, 0); ref.assign(n, 0); sgn.assign(n, 0);
-    mag.assign(n, 0); rec.assign(n, 0);
+    flags.assign(n, 0);
+    mag.assign(n, 0);
+    rec.assign(n, 0);
   }
   inline size_t idx(int y, int x) const { return (size_t)y * stride + x; }
 
-  inline void nbr(int y, int x, bool vsc3, int* hh, int* vv, int* dd) const {
-    size_t i = idx(y, x);
-    *hh = sig[i - 1] + sig[i + 1];
-    if (vsc3) {
-      *vv = sig[i - stride];
-      *dd = sig[i - stride - 1] + sig[i - stride + 1];
-    } else {
-      *vv = sig[i - stride] + sig[i + stride];
-      *dd = sig[i - stride - 1] + sig[i - stride + 1] +
-            sig[i + stride - 1] + sig[i + stride + 1];
-    }
+  inline void set_sig(size_t i, uint32_t neg) {
+    uint32_t* F = flags.data();
+    F[i] |= F_SIG;
+    F[i - stride - 1] |= F_SE;
+    F[i - stride] |= F_S | (neg ? F_SNEG : 0);
+    F[i - stride + 1] |= F_SW;
+    F[i - 1] |= F_E | (neg ? F_ENEG : 0);
+    F[i + 1] |= F_W | (neg ? F_WNEG : 0);
+    F[i + stride - 1] |= F_NE;
+    F[i + stride] |= F_N | (neg ? F_NNEG : 0);
+    F[i + stride + 1] |= F_NW;
   }
-  inline int contrib(size_t i) const {
-    return sig[i] ? (sgn[i] ? -1 : 1) : 0;
-  }
-  inline void scctx(int y, int x, bool vsc3, int* cn, int* xorbit) const {
-    size_t i = idx(y, x);
-    int hc = contrib(i - 1) + contrib(i + 1);
-    int vc = vsc3 ? contrib(i - stride)
-                  : contrib(i - stride) + contrib(i + stride);
-    if (hc > 1) hc = 1; if (hc < -1) hc = -1;
-    if (vc > 1) vc = 1; if (vc < -1) vc = -1;
-    sc_ctx(hc, vc, cn, xorbit);
+  void clear_visited() {
+    for (auto& f : flags) f &= ~F_VIS;
   }
 };
 
@@ -348,45 +395,44 @@ struct DistTrack {
     int64_t m = st->mag[i];
     int64_t old = st->rec[i];
     total += (double)((m - old) * (m - old) - (m - nr) * (m - nr));
-    st->rec[i] = nr;
+    st->rec[i] = (int32_t)nr;
   }
   inline void on_ref(size_t i, int bpno, int bit) {
     int64_t old = st->rec[i];
     int64_t nr = refined_rec(old, bpno, bit);
     int64_t m = st->mag[i];
     total += (double)((m - old) * (m - old) - (m - nr) * (m - nr));
-    st->rec[i] = nr;
+    st->rec[i] = (int32_t)nr;
   }
 };
 
 static void enc_sigpass(T1State& st, int bpno, int orient, bool vsc,
                         MQEnc& mq, RawEnc* raw, DistTrack& dt) {
-  int64_t one = 1LL << bpno;
+  const uint32_t one = 1u << bpno;
+  const uint8_t* zc = LUT.zc[orient];
+  uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
     for (int x = 1; x <= st.w; x++) {
-      for (int k = 0; k < rows; k++) {
-        int y = sy + k + 1;
-        size_t i = st.idx(y, x);
-        if (st.sig[i]) continue;
-        bool v3 = vsc && k == 3;
-        int hh, vv, dd;
-        st.nbr(y, x, v3, &hh, &vv, &dd);
-        if (hh + vv + dd == 0) continue;
+      size_t i = st.idx(sy + 1, x);
+      for (int k = 0; k < rows; k++, i += st.stride) {
+        uint32_t F = FL[i];
+        if (vsc && k == 3) F &= VSC_MASK;
+        if ((F & F_SIG) || !(F & 0xFF)) continue;
         int bit = (st.mag[i] & one) ? 1 : 0;
         if (raw) raw->encode(bit);
-        else mq.encode(bit, CTX_ZC + zc_ctx(hh, vv, dd, orient));
+        else mq.encode(bit, CTX_ZC + zc[F & 0xFF]);
         if (bit) {
-          if (raw) raw->encode(st.sgn[i]);
+          uint32_t neg = (F & F_NEG) ? 1 : 0;
+          if (raw) raw->encode((int)neg);
           else {
-            int cn, xb;
-            st.scctx(y, x, v3, &cn, &xb);
-            mq.encode(st.sgn[i] ^ xb, cn);
+            int si = sc_index(F);
+            mq.encode((int)(neg ^ LUT.sc_xor[si]), LUT.sc_cn[si]);
           }
-          st.sig[i] = 1;
+          st.set_sig(i, neg);
           dt.on_sig(i, bpno);
         }
-        st.vis[i] = 1;
+        FL[i] |= F_VIS;
       }
     }
   }
@@ -394,26 +440,26 @@ static void enc_sigpass(T1State& st, int bpno, int orient, bool vsc,
 
 static void enc_refpass(T1State& st, int bpno, MQEnc& mq, RawEnc* raw,
                         DistTrack& dt) {
-  int64_t one = 1LL << bpno;
+  const uint32_t one = 1u << bpno;
+  uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
     for (int x = 1; x <= st.w; x++) {
-      for (int k = 0; k < rows; k++) {
-        int y = sy + k + 1;
-        size_t i = st.idx(y, x);
-        if (!st.sig[i] || st.vis[i]) continue;
+      size_t i = st.idx(sy + 1, x);
+      for (int k = 0; k < rows; k++, i += st.stride) {
+        uint32_t F = FL[i];
+        if (!(F & F_SIG) || (F & F_VIS)) continue;
         int bit = (st.mag[i] & one) ? 1 : 0;
         if (raw) raw->encode(bit);
         else {
           int cn;
-          if (!st.ref[i]) {
-            int hh, vv, dd;
-            st.nbr(y, x, false, &hh, &vv, &dd);
-            cn = CTX_MAG + (hh + vv + dd > 0 ? 1 : 0);
-          } else cn = CTX_MAG + 2;
+          if (!(F & F_REF))
+            cn = CTX_MAG + ((F & 0xFF) ? 1 : 0);
+          else
+            cn = CTX_MAG + 2;
           mq.encode(bit, cn);
         }
-        st.ref[i] = 1;
+        FL[i] |= F_REF;
         dt.on_ref(i, bpno, bit);
       }
     }
@@ -422,56 +468,56 @@ static void enc_refpass(T1State& st, int bpno, MQEnc& mq, RawEnc* raw,
 
 static void enc_clnpass(T1State& st, int bpno, int orient, bool vsc,
                         MQEnc& mq, DistTrack& dt, bool segsym) {
-  int64_t one = 1LL << bpno;
+  const uint32_t one = 1u << bpno;
+  const uint8_t* zc = LUT.zc[orient];
+  uint32_t* FL = st.flags.data();
+  const size_t S = st.stride;
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
     for (int x = 1; x <= st.w; x++) {
       int kstart = 0;
+      size_t base = st.idx(sy + 1, x);
       if (rows == 4) {
         bool agg = true;
-        for (int k = 0; k < 4; k++) {
-          int y = sy + k + 1;
-          size_t i = st.idx(y, x);
-          if (st.sig[i] || st.vis[i]) { agg = false; break; }
-          bool v3 = vsc && k == 3;
-          int hh, vv, dd;
-          st.nbr(y, x, v3, &hh, &vv, &dd);
-          if (hh + vv + dd) { agg = false; break; }
+        size_t i = base;
+        for (int k = 0; k < 4; k++, i += S) {
+          uint32_t F = FL[i];
+          if (vsc && k == 3) F &= VSC_MASK;
+          if (F & (F_SIG | F_VIS | 0xFF)) { agg = false; break; }
         }
         if (agg) {
           int first = 4;
-          for (int k = 0; k < 4; k++) {
-            if (st.mag[st.idx(sy + k + 1, x)] & one) { first = k; break; }
+          i = base;
+          for (int k = 0; k < 4; k++, i += S) {
+            if (st.mag[i] & one) { first = k; break; }
           }
           mq.encode(first == 4 ? 0 : 1, CTX_RL);
           if (first == 4) continue;
           mq.encode((first >> 1) & 1, CTX_UNI);
           mq.encode(first & 1, CTX_UNI);
-          int y = sy + first + 1;
-          size_t i = st.idx(y, x);
-          bool v3 = vsc && first == 3;
-          int cn, xb;
-          st.scctx(y, x, v3, &cn, &xb);
-          mq.encode(st.sgn[i] ^ xb, cn);
-          st.sig[i] = 1;
+          i = base + (size_t)first * S;
+          uint32_t F = FL[i];
+          if (vsc && first == 3) F &= VSC_MASK;
+          uint32_t neg = (F & F_NEG) ? 1 : 0;
+          int si = sc_index(F);
+          mq.encode((int)(neg ^ LUT.sc_xor[si]), LUT.sc_cn[si]);
+          st.set_sig(i, neg);
           dt.on_sig(i, bpno);
           kstart = first + 1;
         }
       }
-      for (int k = kstart; k < rows; k++) {
-        int y = sy + k + 1;
-        size_t i = st.idx(y, x);
-        if (st.sig[i] || st.vis[i]) continue;
-        bool v3 = vsc && k == 3;
-        int hh, vv, dd;
-        st.nbr(y, x, v3, &hh, &vv, &dd);
+      size_t i = base + (size_t)kstart * S;
+      for (int k = kstart; k < rows; k++, i += S) {
+        uint32_t F = FL[i];
+        if (vsc && k == 3) F &= VSC_MASK;
+        if (F & (F_SIG | F_VIS)) continue;
         int bit = (st.mag[i] & one) ? 1 : 0;
-        mq.encode(bit, CTX_ZC + zc_ctx(hh, vv, dd, orient));
+        mq.encode(bit, CTX_ZC + zc[F & 0xFF]);
         if (bit) {
-          int cn, xb;
-          st.scctx(y, x, v3, &cn, &xb);
-          mq.encode(st.sgn[i] ^ xb, cn);
-          st.sig[i] = 1;
+          uint32_t neg = (F & F_NEG) ? 1 : 0;
+          int si = sc_index(F);
+          mq.encode((int)(neg ^ LUT.sc_xor[si]), LUT.sc_cn[si]);
+          st.set_sig(i, neg);
           dt.on_sig(i, bpno);
         }
       }
@@ -486,14 +532,14 @@ static void enc_clnpass(T1State& st, int bpno, int orient, bool vsc,
 static void encode_one(GrkT1EncJob* j) {
   int h = j->h, w = j->w;
   T1State st(h, w);
-  int64_t maxmag = 0;
+  uint32_t maxmag = 0;
   for (int y = 0; y < h; y++) {
     for (int x = 0; x < w; x++) {
       int32_t v = j->coeffs[(size_t)y * w + x];
       size_t i = st.idx(y + 1, x + 1);
-      int64_t m = v < 0 ? -(int64_t)v : v;
+      uint32_t m = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
       st.mag[i] = m;
-      st.sgn[i] = v < 0;
+      if (v < 0) st.flags[i] |= F_NEG;
       if (m > maxmag) maxmag = m;
     }
   }
@@ -526,7 +572,7 @@ static void encode_one(GrkT1EncJob* j) {
                                        dt);
       else {
         enc_clnpass(st, bpno, j->orient, vsc, mq, dt, style & STY_SEGSYM);
-        std::fill(st.vis.begin(), st.vis.end(), 0);
+        st.clear_visited();
       }
       bool last = passno == total_passes - 1;
       bool term = is_term_pass(ptype, bpno, numbps, style, last);
@@ -566,61 +612,56 @@ static void encode_one(GrkT1EncJob* j) {
 
 // ------------------------------------------------------------- decoder
 
-static void dec_sigpass(T1State& st, int bpno_rec, int bpno, int orient,
+static void dec_sigpass(T1State& st, int bpno_rec, int orient,
                         bool vsc, MQDec& mq, RawDec* raw) {
-  (void)bpno;
+  const uint8_t* zc = LUT.zc[orient];
+  uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
     for (int x = 1; x <= st.w; x++) {
-      for (int k = 0; k < rows; k++) {
-        int y = sy + k + 1;
-        size_t i = st.idx(y, x);
-        if (st.sig[i]) continue;
-        bool v3 = vsc && k == 3;
-        int hh, vv, dd;
-        st.nbr(y, x, v3, &hh, &vv, &dd);
-        if (hh + vv + dd == 0) continue;
+      size_t i = st.idx(sy + 1, x);
+      for (int k = 0; k < rows; k++, i += st.stride) {
+        uint32_t F = FL[i];
+        if (vsc && k == 3) F &= VSC_MASK;
+        if ((F & F_SIG) || !(F & 0xFF)) continue;
         int bit = raw ? raw->decode()
-                      : mq.decode(CTX_ZC + zc_ctx(hh, vv, dd, orient));
+                      : mq.decode(CTX_ZC + zc[F & 0xFF]);
         if (bit) {
-          int sgn;
-          if (raw) sgn = raw->decode();
+          uint32_t neg;
+          if (raw) neg = (uint32_t)raw->decode();
           else {
-            int cn, xb;
-            st.scctx(y, x, v3, &cn, &xb);
-            sgn = mq.decode(cn) ^ xb;
+            int si = sc_index(F);
+            neg = (uint32_t)(mq.decode(LUT.sc_cn[si]) ^ LUT.sc_xor[si]);
           }
-          st.sgn[i] = sgn;
-          st.sig[i] = 1;
-          st.rec[i] = first_sig_rec(bpno_rec);
+          if (neg) FL[i] |= F_NEG;
+          st.set_sig(i, neg);
+          st.rec[i] = (int32_t)first_sig_rec(bpno_rec);
         }
-        st.vis[i] = 1;
+        FL[i] |= F_VIS;
       }
     }
   }
 }
 
 static void dec_refpass(T1State& st, int bpno_rec, MQDec& mq, RawDec* raw) {
+  uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
     for (int x = 1; x <= st.w; x++) {
-      for (int k = 0; k < rows; k++) {
-        int y = sy + k + 1;
-        size_t i = st.idx(y, x);
-        if (!st.sig[i] || st.vis[i]) continue;
+      size_t i = st.idx(sy + 1, x);
+      for (int k = 0; k < rows; k++, i += st.stride) {
+        uint32_t F = FL[i];
+        if (!(F & F_SIG) || (F & F_VIS)) continue;
         int bit;
         if (raw) bit = raw->decode();
         else {
           int cn;
-          if (!st.ref[i]) {
-            int hh, vv, dd;
-            st.nbr(y, x, false, &hh, &vv, &dd);
-            cn = CTX_MAG + (hh + vv + dd > 0 ? 1 : 0);
-          } else cn = CTX_MAG + 2;
+          if (!(F & F_REF)) cn = CTX_MAG + ((F & 0xFF) ? 1 : 0);
+          else cn = CTX_MAG + 2;
           bit = mq.decode(cn);
         }
-        st.ref[i] = 1;
-        st.rec[i] = refined_rec(st.rec[i], bpno_rec, bit);
+        FL[i] |= F_REF;
+        st.rec[i] = (int32_t)refined_rec(st.rec[i], bpno_rec, bit);
       }
     }
   }
@@ -628,49 +669,48 @@ static void dec_refpass(T1State& st, int bpno_rec, MQDec& mq, RawDec* raw) {
 
 static void dec_clnpass(T1State& st, int bpno_rec, int orient, bool vsc,
                         MQDec& mq, bool segsym) {
+  const uint8_t* zc = LUT.zc[orient];
+  uint32_t* FL = st.flags.data();
+  const size_t S = st.stride;
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
     for (int x = 1; x <= st.w; x++) {
       int kstart = 0;
+      size_t base = st.idx(sy + 1, x);
       if (rows == 4) {
         bool agg = true;
-        for (int k = 0; k < 4; k++) {
-          int y = sy + k + 1;
-          size_t i = st.idx(y, x);
-          if (st.sig[i] || st.vis[i]) { agg = false; break; }
-          bool v3 = vsc && k == 3;
-          int hh, vv, dd;
-          st.nbr(y, x, v3, &hh, &vv, &dd);
-          if (hh + vv + dd) { agg = false; break; }
+        size_t i = base;
+        for (int k = 0; k < 4; k++, i += S) {
+          uint32_t F = FL[i];
+          if (vsc && k == 3) F &= VSC_MASK;
+          if (F & (F_SIG | F_VIS | 0xFF)) { agg = false; break; }
         }
         if (agg) {
           if (!mq.decode(CTX_RL)) continue;
           int first = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
-          int y = sy + first + 1;
-          size_t i = st.idx(y, x);
-          bool v3 = vsc && first == 3;
-          int cn, xb;
-          st.scctx(y, x, v3, &cn, &xb);
-          st.sgn[i] = mq.decode(cn) ^ xb;
-          st.sig[i] = 1;
-          st.rec[i] = first_sig_rec(bpno_rec);
+          size_t i = base + (size_t)first * S;
+          uint32_t F = FL[i];
+          if (vsc && first == 3) F &= VSC_MASK;
+          int si = sc_index(F);
+          uint32_t neg = (uint32_t)(mq.decode(LUT.sc_cn[si]) ^ LUT.sc_xor[si]);
+          if (neg) FL[i] |= F_NEG;
+          st.set_sig(i, neg);
+          st.rec[i] = (int32_t)first_sig_rec(bpno_rec);
           kstart = first + 1;
         }
       }
-      for (int k = kstart; k < rows; k++) {
-        int y = sy + k + 1;
-        size_t i = st.idx(y, x);
-        if (st.sig[i] || st.vis[i]) continue;
-        bool v3 = vsc && k == 3;
-        int hh, vv, dd;
-        st.nbr(y, x, v3, &hh, &vv, &dd);
-        int bit = mq.decode(CTX_ZC + zc_ctx(hh, vv, dd, orient));
+      size_t i = base + (size_t)kstart * S;
+      for (int k = kstart; k < rows; k++, i += S) {
+        uint32_t F = FL[i];
+        if (vsc && k == 3) F &= VSC_MASK;
+        if (F & (F_SIG | F_VIS)) continue;
+        int bit = mq.decode(CTX_ZC + zc[F & 0xFF]);
         if (bit) {
-          int cn, xb;
-          st.scctx(y, x, v3, &cn, &xb);
-          st.sgn[i] = mq.decode(cn) ^ xb;
-          st.sig[i] = 1;
-          st.rec[i] = first_sig_rec(bpno_rec);
+          int si = sc_index(F);
+          uint32_t neg = (uint32_t)(mq.decode(LUT.sc_cn[si]) ^ LUT.sc_xor[si]);
+          if (neg) FL[i] |= F_NEG;
+          st.set_sig(i, neg);
+          st.rec[i] = (int32_t)first_sig_rec(bpno_rec);
         }
       }
     }
@@ -691,7 +731,6 @@ static void decode_one(GrkT1DecJob* j) {
   int style = j->style;
   bool vsc = style & STY_VSC;
 
-  // segment layout (mirrors t1/coder.py segment_layout)
   struct Seg { int first, last; bool raw; };
   std::vector<Seg> segs;
   {
@@ -718,7 +757,6 @@ static void decode_one(GrkT1DecJob* j) {
     }
     if (cur_first >= 0) segs.push_back({cur_first, passno - 1, cur_raw});
   }
-  // segment data offsets
   std::vector<std::pair<int, int>> seg_rng(segs.size(), {0, 0});
   {
     int off = 0;
@@ -742,7 +780,6 @@ static void decode_one(GrkT1DecJob* j) {
     int pt_first = (bpno == numbps - 1) ? 2 : 0;
     for (int ptype = pt_first; ptype <= 2; ptype++) {
       if (passno >= j->num_passes) { done = true; break; }
-      // find segment containing this pass
       int si = 0;
       for (; si < (int)segs.size(); si++)
         if (segs[si].first <= passno && passno <= segs[si].last) break;
@@ -753,13 +790,13 @@ static void decode_one(GrkT1DecJob* j) {
         else mq.init_seg(j->data + s0, s1 - s0);
         cur_seg = si;
       }
-      if (ptype == 0) dec_sigpass(st, bpno + 1, bpno, j->orient, vsc, mq,
+      if (ptype == 0) dec_sigpass(st, bpno + 1, j->orient, vsc, mq,
                                   rawp ? &raw : nullptr);
       else if (ptype == 1) dec_refpass(st, bpno + 1, mq,
                                        rawp ? &raw : nullptr);
       else {
         dec_clnpass(st, bpno + 1, j->orient, vsc, mq, style & STY_SEGSYM);
-        std::fill(st.vis.begin(), st.vis.end(), 0);
+        st.clear_visited();
       }
       if (style & STY_RESET) init_ctxs(mq.ctx);
       passno++;
@@ -768,8 +805,8 @@ static void decode_one(GrkT1DecJob* j) {
   for (int y = 0; y < h; y++) {
     for (int x = 0; x < w; x++) {
       size_t i = st.idx(y + 1, x + 1);
-      int32_t m = (int32_t)st.rec[i];
-      j->out[(size_t)y * w + x] = st.sgn[i] ? -m : m;
+      int32_t m = st.rec[i];
+      j->out[(size_t)y * w + x] = (st.flags[i] & F_NEG) ? -m : m;
     }
   }
 }
