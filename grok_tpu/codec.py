@@ -51,8 +51,11 @@ def read_header(data: bytes, strict: bool = False) -> HeaderInfo:
     return hi
 
 
-def decompress(data: bytes, params: DecompressParams | None = None) -> GrkImage:
-    """Decode a raw codestream or JP2 file to a GrkImage."""
+def decompress(data: bytes, params: DecompressParams | None = None,
+               cache=None) -> GrkImage:
+    """Decode a raw codestream or JP2 file to a GrkImage.  Pass a
+    util.caches.TileCache to serve repeated multi-window/tile requests
+    from cache (TileCache parity)."""
     params = params or DecompressParams()
     meta = None
     colorspace = None
@@ -62,13 +65,48 @@ def decompress(data: bytes, params: DecompressParams | None = None) -> GrkImage:
         cs = data
     dec = CodestreamDecoder(cs, strict=params.strict)
     dec.parse()
-    img = dec.decode(params)
+    img = dec.decode(params, cache=cache)
     if meta is not None:
         img.meta = meta
     if colorspace is not None:
         img.color_space = colorspace
     _postprocess(img, params)
     return img
+
+
+def decompress_strips(data: bytes, params: DecompressParams | None = None):
+    """Strip-streaming decode generator (StripCache parity, SURVEY.md §2.1):
+    yields (y0, {compno: strip ndarray}) one tile-row at a time, keeping
+    memory bounded by a single tile row — the gigapixel decode path."""
+    params = params or DecompressParams()
+    cs = jp2_mod.unwrap_jp2(data)[0] if jp2_mod.is_jp2(data) else data
+    dec = CodestreamDecoder(cs, strict=params.strict)
+    dec.parse()
+    yield from dec.decode_strips(params)
+
+
+# ---------------------------------------------------------------- logging
+
+def set_msg_handlers(info=None, warn=None, error=None) -> None:
+    """grk_set_msg_handlers parity (SURVEY.md §2.1 "Logging"): route codec
+    messages to user callbacks."""
+    logger = logging.getLogger("grok_tpu")
+
+    class _Handler(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if record.levelno >= logging.ERROR and error:
+                error(msg)
+            elif record.levelno >= logging.WARNING and warn:
+                warn(msg)
+            elif info:
+                info(msg)
+
+    for h in list(logger.handlers):
+        if isinstance(h, _Handler) or h.__class__.__name__ == "_Handler":
+            logger.removeHandler(h)
+    logger.addHandler(_Handler())
+    logger.setLevel(logging.INFO)
 
 
 def _postprocess(img: GrkImage, params: DecompressParams) -> None:

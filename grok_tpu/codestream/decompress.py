@@ -225,7 +225,7 @@ class CodestreamDecoder:
 
     # ------------------------------------------------------------- decoding
 
-    def decode(self, p: DecompressParams) -> GrkImage:
+    def decode(self, p: DecompressParams, cache=None) -> GrkImage:
         if not self._parsed:
             self.parse()
         hi = self.hi
@@ -256,40 +256,14 @@ class CodestreamDecoder:
             tiles = [p.tile_index]
 
         for tidx in tiles:
-            tq, tp_ = divmod(tidx, cp.t_grid_w)
-            trect = tile_rect(tp_, tq, cp.t_width, cp.t_height,
-                              cp.tx0, cp.ty0, img_rect)
-            if trect.is_empty():
+            result = self.decode_tile_planes(tidx, p, img, reduce_,
+                                             win=win, cache=cache)
+            if result is None:
                 continue
-            if win is not None and trect.intersect(win).is_empty():
-                continue
-            parts = self.tile_parts.get(tidx)
-            if not parts:
-                self._err(f"no data for tile {tidx}")
-                continue
-            tcp = self.tile_tcps.get(tidx) or cp.tcps[0]
-            tcp.ppt_data = bytes(self.tile_ppt.get(tidx, b"")) or None
-            tile = build_tile(tidx, trect, img, tcp)
-            td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
-                                  reduce=reduce_, max_layers=p.max_layers,
-                                  window=win)
-            data = b"".join(parts)
-            try:
-                td.decode_packets(data, sop=hi.sop, eph=hi.eph)
-            except Exception as e:  # tolerant decode
-                if self.strict or p.strict:
-                    raise
-                log.warning("tile %d: packet parse error: %s", tidx, e)
-            td.run_t1()
-            planes = td.reconstruct()
+            planes, rects = result
             # paste tile planes into the reduced component canvases
-            for compno, plane in enumerate(planes):
+            for compno, (plane, rr) in enumerate(zip(planes, rects)):
                 comp = img.comps[compno]
-                tccp = tcp.tccps[compno]
-                numres_used = max(1, tccp.numresolutions - reduce_)
-                res = tile.comps[compno].resolutions[numres_used - 1]
-                rr = res.rect
-                # reduced component origin
                 rx0 = -(-comp.x0 // div)
                 ry0 = -(-comp.y0 // div)
                 y_off = rr.y0 - ry0
@@ -298,6 +272,97 @@ class CodestreamDecoder:
         if win is not None:
             _crop_to_window(img, win, reduce_)
         return img
+
+    def decode_tile_planes(self, tidx: int, p: DecompressParams,
+                           img: GrkImage, reduce_: int,
+                           win: Rect | None = None, cache=None):
+        """Decode one tile to per-component planes (+ their reduced-grid
+        rects).  Returns None for empty / out-of-window / missing tiles.
+        An optional TileCache (SURVEY.md §2.1 "Tile & strip caches") serves
+        repeat requests."""
+        cp = self.hi.cp
+        hi = self.hi
+        img_rect = Rect(hi.siz.xosiz, hi.siz.yosiz, hi.siz.xsiz, hi.siz.ysiz)
+        tq, tp_ = divmod(tidx, cp.t_grid_w)
+        trect = tile_rect(tp_, tq, cp.t_width, cp.t_height,
+                          cp.tx0, cp.ty0, img_rect)
+        if trect.is_empty():
+            return None
+        if win is not None and trect.intersect(win).is_empty():
+            return None
+        ckey = None
+        if cache is not None and win is None:
+            ckey = cache.key(tidx, reduce_, p.max_layers)
+            hit = cache.get(ckey)
+            if hit is not None:
+                return hit
+        parts = self.tile_parts.get(tidx)
+        if not parts:
+            self._err(f"no data for tile {tidx}")
+            return None
+        tcp = self.tile_tcps.get(tidx) or cp.tcps[0]
+        tcp.ppt_data = bytes(self.tile_ppt.get(tidx, b"")) or None
+        tile = build_tile(tidx, trect, img, tcp)
+        td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
+                              reduce=reduce_, max_layers=p.max_layers,
+                              window=win)
+        data = b"".join(parts)
+        try:
+            td.decode_packets(data, sop=hi.sop, eph=hi.eph)
+        except Exception as e:  # tolerant decode
+            if self.strict or p.strict:
+                raise
+            log.warning("tile %d: packet parse error: %s", tidx, e)
+        td.run_t1()
+        planes = td.reconstruct()
+        rects = []
+        for compno in range(len(planes)):
+            tccp = tcp.tccps[compno]
+            numres_used = max(1, tccp.numresolutions - reduce_)
+            rects.append(tile.comps[compno].resolutions[numres_used - 1].rect)
+        result = (planes, rects)
+        if ckey is not None:
+            cache.put(ckey, result)
+        return result
+
+    def decode_strips(self, p: DecompressParams):
+        """Strip-streaming decode (StripCache parity, SURVEY.md §2.1):
+        yields (y0, {compno: plane_rows}) one tile-row at a time so whole-
+        image memory never exceeds one row of tiles."""
+        if not self._parsed:
+            self.parse()
+        cp = self.hi.cp
+        img = self._build_image_template()
+        reduce_ = min(p.reduce,
+                      min(t.numresolutions for t in cp.tcps[0].tccps) - 1)
+        div = 1 << reduce_
+        for tq in range(cp.t_grid_h):
+            row_planes: dict[int, list] = {}
+            y0_out = None
+            for tp_ in range(cp.t_grid_w):
+                tidx = tq * cp.t_grid_w + tp_
+                result = self.decode_tile_planes(tidx, p, img, reduce_)
+                if result is None:
+                    continue
+                planes, rects = result
+                for compno, (plane, rr) in enumerate(zip(planes, rects)):
+                    row_planes.setdefault(compno, []).append((rr, plane))
+                    if y0_out is None:
+                        y0_out = rects[0].y0
+            if not row_planes:
+                continue
+            assembled = {}
+            for compno, pieces in row_planes.items():
+                ry0 = min(r.y0 for r, _ in pieces)
+                ry1 = max(r.y1 for r, _ in pieces)
+                rx0 = min(r.x0 for r, _ in pieces)
+                rx1 = max(r.x1 for r, _ in pieces)
+                strip = np.zeros((ry1 - ry0, rx1 - rx0), dtype=np.int32)
+                for r, plane in pieces:
+                    strip[r.y0 - ry0:r.y1 - ry0,
+                          r.x0 - rx0:r.x1 - rx0] = plane
+                assembled[compno] = strip
+            yield y0_out, assembled
 
 
 def _crop_to_window(img: GrkImage, win: Rect, reduce_: int) -> None:

@@ -1,0 +1,82 @@
+"""Runtime-layer tests: tile cache, strip streaming, message handlers,
+single-tile decode API (SURVEY.md §2.1 caches; §5 observability)."""
+
+import numpy as np
+import pytest
+
+import grok_tpu
+from grok_tpu import CompressParams, DecompressParams, GrkImage
+from grok_tpu.codec import decompress_strips, set_msg_handlers
+from grok_tpu.util.caches import TileCache, TileCacheStrategy
+
+
+def _content(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    arr = 128 + 90 * np.sin(xx / 13) * np.cos(yy / 9)
+    return (arr + rng.normal(0, 3, arr.shape)).clip(0, 255).astype(np.int32)
+
+
+@pytest.fixture
+def tiled_stream(rng):
+    arr = _content(rng, 96, 128)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, tile_size=(32, 32)))
+    return data, arr
+
+
+def test_tile_cache_hits(tiled_stream):
+    data, arr = tiled_stream
+    cache = TileCache()
+    out1 = grok_tpu.decompress(data, cache=cache)
+    assert cache.misses == 12 and cache.hits == 0
+    out2 = grok_tpu.decompress(data, cache=cache)
+    assert cache.hits == 12
+    assert np.array_equal(out1.comps[0].data, arr)
+    assert np.array_equal(out2.comps[0].data, arr)
+
+
+def test_tile_cache_none_strategy(tiled_stream):
+    data, arr = tiled_stream
+    cache = TileCache(strategy=TileCacheStrategy.NONE)
+    grok_tpu.decompress(data, cache=cache)
+    grok_tpu.decompress(data, cache=cache)
+    assert cache.hits == 0
+
+
+def test_strip_streaming(tiled_stream):
+    data, arr = tiled_stream
+    strips = list(decompress_strips(data))
+    assert len(strips) == 3  # 96 / 32 tile rows
+    full = np.concatenate([s[1][0] for s in strips], axis=0)
+    assert np.array_equal(full, arr)
+
+
+def test_strip_streaming_reduce(tiled_stream):
+    data, arr = tiled_stream
+    strips = list(decompress_strips(data, DecompressParams(reduce=1)))
+    full = np.concatenate([s[1][0] for s in strips], axis=0)
+    assert full.shape == (48, 64)
+
+
+def test_single_tile_decode(tiled_stream):
+    data, arr = tiled_stream
+    out = grok_tpu.decompress(data, DecompressParams(tile_index=5))
+    # tile 5 = grid (1,1): rows 32:64, cols 32:64 (grid is 4 wide)
+    full = grok_tpu.decompress(data)
+    t = out.comps[0].data[32:64, 32:64]
+    assert np.array_equal(t, full.comps[0].data[32:64, 32:64])
+
+
+def test_msg_handlers(tiled_stream):
+    data, _ = tiled_stream
+    msgs = {"warn": [], "error": [], "info": []}
+    set_msg_handlers(info=msgs["info"].append, warn=msgs["warn"].append,
+                     error=msgs["error"].append)
+    try:
+        grok_tpu.decompress(data[: len(data) // 2])  # truncated -> warnings
+        assert msgs["warn"], "expected warnings for truncated stream"
+    finally:
+        import logging
+
+        logging.getLogger("grok_tpu").handlers.clear()
