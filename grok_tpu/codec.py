@@ -121,6 +121,11 @@ def _postprocess(img: GrkImage, params: DecompressParams) -> None:
         color.apply_channel_definitions(img)
     if img.color_space == ColorSpace.SYCC and img.numcomps >= 3:
         color.sycc_to_rgb(img)
+    elif img.color_space == ColorSpace.EYCC and img.numcomps >= 3:
+        color.eycc_to_rgb(img)
+    elif img.color_space == ColorSpace.CMYK and img.numcomps >= 4 and \
+            params.force_rgb:
+        color.cmyk_to_rgb(img)
     if params.upsample:
         color.upsample_components(img)
     if params.force_rgb and img.numcomps == 1:

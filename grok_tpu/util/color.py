@@ -96,6 +96,47 @@ def sycc_to_rgb(img: GrkImage) -> None:
     img.color_space = ColorSpace.SRGB
 
 
+def eycc_to_rgb(img: GrkImage) -> None:
+    """e-sYCC -> sRGB (JP2 EnumCS 24): same rotation as sYCC but with
+    extended-gamut chroma scaling (ITU-T T.801 amendment constants)."""
+    if img.numcomps < 3:
+        return
+    y, cb, cr = img.comps[0], img.comps[1], img.comps[2]
+    if cb.dx != y.dx or cb.dy != y.dy:
+        upsample_components(img)
+        y, cb, cr = img.comps[0], img.comps[1], img.comps[2]
+    offset = 1 << (cb.prec - 1)
+    yf = y.data.astype(np.float32)
+    cbf = cb.data.astype(np.float32) - offset
+    crf = cr.data.astype(np.float32) - offset
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    mx = (1 << y.prec) - 1
+    for comp, vals in zip((y, cb, cr), (r, g, b)):
+        comp.data = np.clip(np.round(vals), 0, mx).astype(np.int32)
+        comp.prec = y.prec
+    img.color_space = ColorSpace.SRGB
+
+
+def cmyk_to_rgb(img: GrkImage) -> None:
+    """Naive CMYK -> RGB (JP2 EnumCS 12): R = (1-C)(1-K) etc., integer."""
+    if img.numcomps < 4:
+        return
+    c, m, yc, k = (comp.data.astype(np.float32) for comp in img.comps[:4])
+    mx = (1 << img.comps[0].prec) - 1
+    r = (mx - c) * (mx - k) / mx
+    g = (mx - m) * (mx - k) / mx
+    b = (mx - yc) * (mx - k) / mx
+    out = []
+    for vals in (r, g, b):
+        comp = img.comps[0].copy()
+        comp.data = np.clip(np.round(vals), 0, mx).astype(np.int32)
+        out.append(comp)
+    img.comps = out
+    img.color_space = ColorSpace.SRGB
+
+
 def shift_precision(img: GrkImage, precisions: list[int]) -> None:
     """Scale components to the requested precisions (CLI -p parity)."""
     for i, c in enumerate(img.comps):
