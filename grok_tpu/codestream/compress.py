@@ -256,9 +256,11 @@ def _split_tile_parts(coords, mode: str | None):
 
 def _layer_targets(p: CompressParams, numlayers: int, raw_bytes: float):
     if p.layer_rates:
+        # reference semantics: ratios <= 1 mean "no truncation" (lossless
+        # cap) rather than a literal byte budget
         targets = []
         for r in p.layer_rates:
-            if r <= 0:
+            if r <= 1.0:
                 targets.append(None)
             else:
                 targets.append(raw_bytes / r)

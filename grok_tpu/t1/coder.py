@@ -267,7 +267,7 @@ def encode_cblk(
             if passtype == 0:
                 _enc_sigpass(st, mag, bpno, orient, vsc, cd, is_raw, on_sig)
             elif passtype == 1:
-                _enc_refpass(st, mag, bpno, cd, is_raw, on_ref)
+                _enc_refpass(st, mag, bpno, vsc, cd, is_raw, on_ref)
             else:
                 _enc_clnpass(st, mag, bpno, orient, vsc, cd, on_sig,
                              bool(style & CblkStyle.SEGSYM))
@@ -323,7 +323,7 @@ def _enc_sigpass(st, mag, bpno, orient, vsc, cd, is_raw, on_sig):
                 st.visited[y, x] = 1
 
 
-def _enc_refpass(st, mag, bpno, cd, is_raw, on_ref):
+def _enc_refpass(st, mag, bpno, vsc, cd, is_raw, on_ref):
     one = 1 << bpno
     h, w = st.h, st.w
     for sy in range(0, h, 4):
@@ -338,7 +338,9 @@ def _enc_refpass(st, mag, bpno, cd, is_raw, on_ref):
                     cd.raw.encode(bit)
                 else:
                     if not st.refined[y, x]:
-                        hh, vv, dd = st.neighbor_counts(y, x, False)
+                        # stripe-causal masking applies to MR contexts too
+                        hh, vv, dd = st.neighbor_counts(
+                            y, x, vsc and k == 3)
                         ctx = CTX_MAG + (1 if hh + vv + dd > 0 else 0)
                     else:
                         ctx = CTX_MAG + 2
@@ -511,7 +513,8 @@ def decode_cblk(
                 _dec_sigpass(st, rec, bpno + 1, orient, vsc,
                              raw if is_raw else None, mq)
             elif passtype == 1:
-                _dec_refpass(st, rec, bpno + 1, raw if is_raw else None, mq)
+                _dec_refpass(st, rec, bpno + 1, vsc,
+                             raw if is_raw else None, mq)
             else:
                 _dec_clnpass(st, rec, bpno + 1, orient, vsc, mq,
                              bool(style & CblkStyle.SEGSYM))
@@ -557,7 +560,7 @@ def _dec_sigpass(st, rec, bpno, orient, vsc, raw, mq):
                 st.visited[y, x] = 1
 
 
-def _dec_refpass(st, rec, bpno, raw, mq):
+def _dec_refpass(st, rec, bpno, vsc, raw, mq):
     h, w = st.h, st.w
     for sy in range(0, h, 4):
         rows = min(4, h - sy)
@@ -570,7 +573,8 @@ def _dec_refpass(st, rec, bpno, raw, mq):
                     bit = raw.decode()
                 else:
                     if not st.refined[y, x]:
-                        hh, vv, dd = st.neighbor_counts(y, x, False)
+                        hh, vv, dd = st.neighbor_counts(
+                            y, x, vsc and k == 3)
                         ctx = CTX_MAG + (1 if hh + vv + dd > 0 else 0)
                     else:
                         ctx = CTX_MAG + 2

@@ -438,8 +438,8 @@ static void enc_sigpass(T1State& st, int bpno, int orient, bool vsc,
   }
 }
 
-static void enc_refpass(T1State& st, int bpno, MQEnc& mq, RawEnc* raw,
-                        DistTrack& dt) {
+static void enc_refpass(T1State& st, int bpno, bool vsc, MQEnc& mq,
+                        RawEnc* raw, DistTrack& dt) {
   const uint32_t one = 1u << bpno;
   uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
@@ -448,6 +448,7 @@ static void enc_refpass(T1State& st, int bpno, MQEnc& mq, RawEnc* raw,
       size_t i = st.idx(sy + 1, x);
       for (int k = 0; k < rows; k++, i += st.stride) {
         uint32_t F = FL[i];
+        if (vsc && k == 3) F &= VSC_MASK;  // stripe-causal MR contexts too
         if (!(F & F_SIG) || (F & F_VIS)) continue;
         int bit = (st.mag[i] & one) ? 1 : 0;
         if (raw) raw->encode(bit);
@@ -568,8 +569,8 @@ static void encode_one(GrkT1EncJob* j) {
       if (rawp && !raw_active) { raw = RawEnc(); raw_active = true; }
       if (ptype == 0) enc_sigpass(st, bpno, j->orient, vsc, mq,
                                   rawp ? &raw : nullptr, dt);
-      else if (ptype == 1) enc_refpass(st, bpno, mq, rawp ? &raw : nullptr,
-                                       dt);
+      else if (ptype == 1) enc_refpass(st, bpno, vsc, mq,
+                                       rawp ? &raw : nullptr, dt);
       else {
         enc_clnpass(st, bpno, j->orient, vsc, mq, dt, style & STY_SEGSYM);
         st.clear_visited();
@@ -643,7 +644,8 @@ static void dec_sigpass(T1State& st, int bpno_rec, int orient,
   }
 }
 
-static void dec_refpass(T1State& st, int bpno_rec, MQDec& mq, RawDec* raw) {
+static void dec_refpass(T1State& st, int bpno_rec, bool vsc, MQDec& mq,
+                        RawDec* raw) {
   uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
@@ -651,6 +653,7 @@ static void dec_refpass(T1State& st, int bpno_rec, MQDec& mq, RawDec* raw) {
       size_t i = st.idx(sy + 1, x);
       for (int k = 0; k < rows; k++, i += st.stride) {
         uint32_t F = FL[i];
+        if (vsc && k == 3) F &= VSC_MASK;
         if (!(F & F_SIG) || (F & F_VIS)) continue;
         int bit;
         if (raw) bit = raw->decode();
@@ -792,7 +795,7 @@ static void decode_one(GrkT1DecJob* j) {
       }
       if (ptype == 0) dec_sigpass(st, bpno + 1, j->orient, vsc, mq,
                                   rawp ? &raw : nullptr);
-      else if (ptype == 1) dec_refpass(st, bpno + 1, mq,
+      else if (ptype == 1) dec_refpass(st, bpno + 1, vsc, mq,
                                        rawp ? &raw : nullptr);
       else {
         dec_clnpass(st, bpno + 1, j->orient, vsc, mq, style & STY_SEGSYM);

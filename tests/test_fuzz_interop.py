@@ -1,0 +1,75 @@
+"""Seeded randomized parameter-space interop fuzz (SURVEY.md §4: the
+reference's non-regression family sweeps the option space; this does the
+same with random combinations, cross-checked against the oracle).
+
+A larger sweep of this generator caught the VSC magnitude-refinement
+masking bug and the rate<=1 semantics mismatch."""
+
+import io
+
+import numpy as np
+import pytest
+
+import grok_tpu
+from grok_tpu import CompressParams, GrkImage
+from grok_tpu.params import CblkStyle, Progression
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_random_params_interop(trial):
+    rng = np.random.default_rng(1000 + trial)
+    h = int(rng.integers(8, 120))
+    w = int(rng.integers(8, 120))
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    ncomp = int(rng.choice([1, 3]))
+    prec = int(rng.choice([8, 8, 12, 16]))
+    mx = (1 << prec) - 1
+    base = (mx / 2 + mx / 3 * np.sin(xx / 9) * np.cos(yy / 11)
+            + rng.normal(0, mx * 0.02, (h, w))).clip(0, mx)
+    if ncomp > 1:
+        arr = np.stack([base, xx * mx / w, yy * mx / h], -1).astype(np.int32)
+    else:
+        arr = base.astype(np.int32)
+    kw = {"numresolution": int(rng.integers(1, 7)),
+          "prog_order": Progression(int(rng.integers(0, 5)))}
+    if rng.random() < 0.4:
+        kw["tile_size"] = (int(rng.choice([16, 32, 37, 64])),
+                           int(rng.choice([16, 32, 41, 64])))
+    if rng.random() < 0.3:
+        kw["precincts"] = [(int(rng.choice([32, 64, 128])),) * 2]
+    if rng.random() < 0.3:
+        kw["cblk_width"] = int(rng.choice([16, 32, 64]))
+        kw["cblk_height"] = int(rng.choice([16, 32, 64]))
+    if rng.random() < 0.3:
+        kw["cblk_style"] = CblkStyle(int(rng.choice([1, 4, 8, 32, 5])))
+    if rng.random() < 0.3:
+        kw["layer_rates"] = [8, 1]
+    if rng.random() < 0.25:
+        kw["sop"] = True
+        kw["eph"] = True
+    if rng.random() < 0.2:
+        kw["new_tile_part_progression"] = str(rng.choice(["R", "L", "C"]))
+
+    img = GrkImage.from_array(arr, prec=prec)
+    data = grok_tpu.compress(img, CompressParams(**kw))
+    ours = grok_tpu.decompress(data)
+    got = ours.to_array() if ncomp > 1 else ours.comps[0].data
+    assert np.array_equal(got, arr), f"self roundtrip: {kw}"
+    if (prec == 8 and ncomp in (1, 3)) or (prec == 16 and ncomp == 1):
+        dec = np.asarray(Image.open(io.BytesIO(data))).astype(np.int64)
+        if (ncomp > 1 and dec.ndim == 3) or (ncomp == 1 and dec.ndim == 2):
+            assert np.array_equal(dec, arr), f"oracle decode: {kw}"
+
+
+def test_vsc_oracle_interop(rng):
+    """Regression: VSC streams must decode bit-exactly in the oracle
+    (the MR pass is stripe-causal too)."""
+    arr = (rng.normal(128, 40, (80, 80))).clip(0, 255).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=8)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, cblk_style=CblkStyle.VSC))
+    dec = np.asarray(Image.open(io.BytesIO(data)))
+    assert np.array_equal(dec, arr)
