@@ -170,6 +170,14 @@ def compress_one(in_path: str, out_path: str, args) -> None:
     cp.cod_format = "jp2" if out_path.lower().endswith(
         (".jp2", ".jph")) else "j2k"
     img = formats.load_image(in_path, raw_desc=args.raw)
+    if args.subsampling_factor:
+        # -s dx,dy: subsample every component on input (reference parity)
+        dx, dy = common.parse_int_pair(args.subsampling_factor)
+        for c in img.comps:
+            c.data = c.data[::dy, ::dx]
+            c.dx *= dx
+            c.dy *= dy
+            c.h, c.w = c.data.shape
     if args.image_offset != "0,0":
         ox, oy = common.parse_int_pair(args.image_offset)
         img.x0 += ox

@@ -52,6 +52,18 @@ def _v53_inv_kernel(lo_ref, hi_ref, out_ref):
     out_ref[:] = jnp.stack([ev, od], axis=1).reshape(2 * no, w)
 
 
+def _pick_tw(h: int, w: int) -> int:
+    """Width tile sized so the kernel's VMEM working set (input block +
+    both subbands + lifting temporaries, ~6 copies) stays within the
+    ~16 MB scoped limit."""
+    budget_elems = (1 << 20) // 4  # ~1 MB of int32 per live copy
+    tw = max(128, min(512, (budget_elems // max(h, 1)) // 128 * 128))
+    tw = min(tw, w)
+    if w % tw:
+        tw = w if w <= 512 else tw  # ragged narrow arrays: single tile
+    return tw
+
+
 def _grid_spec(h, w, tw, out_shapes):
     grid = (-(-w // tw),)
     in_spec = pl.BlockSpec((h, tw), lambda i: (0, i),
@@ -76,9 +88,7 @@ def fwd_53_vertical(x: jnp.ndarray, interpret: bool = False):
         lo_t, hi_t = ddwt.fwd_53_axis(jnp.swapaxes(x, 0, 1))
         return jnp.swapaxes(lo_t, 0, 1), jnp.swapaxes(hi_t, 0, 1)
     ne, no = (h + 1) // 2, h // 2
-    tw = min(w, 512)
-    if w % tw:
-        tw = w  # ragged width: single tile
+    tw = _pick_tw(h, w)
     grid, in_spec, out_specs = _grid_spec(h, w, tw, (ne, no))
     return pl.pallas_call(
         _v53_fwd_kernel,
@@ -104,9 +114,7 @@ def inv_53_vertical(lo: jnp.ndarray, hi: jnp.ndarray, h: int,
                                  jnp.swapaxes(hi, 0, 1), h)
         return jnp.swapaxes(out_t, 0, 1)
     w = lo.shape[1]
-    tw = min(w, 512)
-    if w % tw:
-        tw = w
+    tw = _pick_tw(h, w)
     grid = (-(-w // tw),)
     ne, no = lo.shape[0], hi.shape[0]
     in_specs = [
