@@ -176,7 +176,10 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
     elif tcp0.mct == 2:
         mct_norms_arr = mct_mod.custom_mct_norms(tcp0.mct_matrix)
 
-    tlm_entries = []
+    # phase 1: build every tile's compressor; with the device backend, all
+    # uniform tiles go through ONE batched analysis dispatch (the tile-batch
+    # axis the multi-chip mesh shards over)
+    compressors = []
     for q in range(cp.t_grid_h):
         for pt in range(cp.t_grid_w):
             tidx = q * cp.t_grid_w + pt
@@ -184,8 +187,19 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
             trect = tile_rect(pt, q, cp.t_width, cp.t_height,
                               cp.tx0, cp.ty0, img_rect)
             tile = build_tile(tidx, trect, image, tcp)
-            tc = TileCompressor(tile, tcp, image, cp, backend=p.backend,
-                                mct_norms_arr=mct_norms_arr)
+            compressors.append((tidx, tcp, trect, TileCompressor(
+                tile, tcp, image, cp, backend=p.backend,
+                mct_norms_arr=mct_norms_arr)))
+    if p.backend == "device" and len(compressors) > 1:
+        from ..tile.processor import run_transforms_device_batched
+
+        full = [t for (_, _, tr, t) in compressors
+                if tr.w == cp.t_width and tr.h == cp.t_height]
+        if len(full) > 1:
+            run_transforms_device_batched(full)
+
+    tlm_entries = []
+    for (tidx, tcp, trect, tc) in compressors:
             tc.run_transforms()
             tc.run_t1()
             # layer budgets

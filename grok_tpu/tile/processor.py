@@ -165,6 +165,8 @@ class TileCompressor:
         return True
 
     def run_transforms(self) -> None:
+        if getattr(self, "_transforms_done", False):
+            return  # already produced by a batched device call
         if self.backend == "device" and self.run_transforms_device():
             return
         self._device_quantized = False
@@ -468,6 +470,58 @@ class TileCompressor:
             out += pkt
             lengths.append(len(pkt))
         return bytes(out), lengths, order
+
+
+def run_transforms_device_batched(tcs: list["TileCompressor"]) -> bool:
+    """Run the fused device analysis ONCE over a whole batch of uniform
+    tiles — the tile-batch axis the multi-chip mesh shards over (SURVEY.md
+    §2.3 "data-parallel tile sharding").  Returns False (no-op) unless every
+    tile is device-eligible with identical geometry."""
+    if len(tcs) < 2:
+        return False
+    first = tcs[0]
+    if not all(t.device_eligible() for t in tcs):
+        return False
+    shape = first.tile.comps[0].rect
+    if not all(t.tile.comps[0].rect.w == shape.w
+               and t.tile.comps[0].rect.h == shape.h for t in tcs):
+        return False
+    t0 = first.tcp.tccps[0]
+    reversible = t0.qmfbid == 1
+
+    import jax.numpy as jnp
+
+    from ..ops import pipeline as dpipe
+
+    planes = []
+    for compno in range(len(first.tile.comps)):
+        comp_planes = []
+        for t in tcs:
+            comp = t.image.comps[compno]
+            r = t.tile.comps[compno].rect
+            comp_planes.append(
+                comp.data[r.y0 - comp.y0:r.y1 - comp.y0,
+                          r.x0 - comp.x0:r.x1 - comp.x0])
+        planes.append(np.stack(comp_planes))
+    x = jnp.asarray(np.stack(planes))  # (C, B, H, W)
+    deltas = ()
+    if not reversible:
+        dl = []
+        for res in first.tile.comps[0].resolutions:
+            for band in res.bands:
+                dl.append((res.resno, band.orient, float(band.stepsize)))
+        deltas = tuple(dl)
+    bands = dpipe.analysis(
+        x, numres=t0.numresolutions, reversible=reversible,
+        mct=first.tcp.mct, prec=first.image.comps[0].prec,
+        sgnd=first.image.comps[0].sgnd, deltas=deltas)
+    host_bands = {k: np.asarray(v) for k, v in bands.items()}
+    for bi, t in enumerate(tcs):
+        for compno, tc in enumerate(t.tile.comps):
+            tc.data = {k: v[compno, bi] for k, v in host_bands.items()}
+        t._device_quantized = not reversible
+        t._transforms_done = True
+    return True
 
 
 # ---------------------------------------------------------------------------
