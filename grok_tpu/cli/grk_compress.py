@@ -80,6 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-z", "--imf", type=int, help="IMF profile level")
     p.add_argument("-A", "--tlm", action="store_true", help="write TLM")
     p.add_argument("-L", "--plt", action="store_true", help="write PLT")
+    p.add_argument("--ppt", action="store_true",
+                   help="pack packet headers into PPT marker segments")
     p.add_argument("--ht", action="store_true",
                    help="HTJ2K (Part 15) block coder")
     p.add_argument("-C", "--comment", default=None)
@@ -114,6 +116,7 @@ def params_from_args(args) -> CompressParams:
     cp.eph = args.eph
     cp.tlm = args.tlm
     cp.plt = args.plt
+    cp.ppt = args.ppt
     cp.ht = args.ht
     cp.num_guard_bits = args.guard_bits
     cp.num_threads = args.num_threads

@@ -213,12 +213,13 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                 tc.assign_layers(targets)
             comp_info = [(c.dx, c.dy, tcp.tccps[i].numresolutions)
                          for i, c in enumerate(image.comps)]
-            body, pkt_lens, coords = tc.write_packets(
-                comp_info, sop=p.sop, eph=p.eph)
+            body, pkt_lens, coords, ppt_hdrs = tc.write_packets(
+                comp_info, sop=p.sop, eph=p.eph, ppt=p.ppt)
             # tile-part segmentation (-u R|L|C, SURVEY.md §2.1 "tile-part
             # segmentation"): split at changes of the chosen index in
             # progression order
-            groups = _split_tile_parts(coords, p.new_tile_part_progression)
+            groups = _split_tile_parts(
+                coords, None if p.ppt else p.new_tile_part_progression)
             tnsot = len(groups)
             off = 0
             for tpno, (p0, p1) in enumerate(groups):
@@ -228,6 +229,15 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                 plt_seg = b""
                 if p.plt:
                     plt_seg = mk.write_plt(tpno & 0xFF, pkt_lens[p0:p1])
+                if p.ppt and tpno == 0:
+                    # packed packet headers: PPT segments of <= 65528 bytes
+                    z = 0
+                    off2 = 0
+                    while off2 < len(ppt_hdrs) or z == 0:
+                        seg = ppt_hdrs[off2:off2 + 65528]
+                        plt_seg += mk.write_ppt(z & 0xFF, seg)
+                        off2 += 65528
+                        z += 1
                 psot = 12 + len(plt_seg) + 2 + len(chunk)
                 tp = bytearray()
                 tp += mk.write_sot(tidx, psot, tpno, tnsot)

@@ -118,6 +118,7 @@ class CompressParams:
     eph: bool = False                             # -E: EPH markers
     tlm: bool = False                             # -A: write TLM
     plt: bool = False                             # write PLT
+    ppt: bool = False                             # packed packet headers (PPT)
     comment: str | list[str] | None = "Created by grok_tpu"  # -C
 
     # container

@@ -256,9 +256,13 @@ def encode_packet(
     sop: bool = False,
     eph: bool = False,
     sop_index: int = 0,
-) -> bytes:
+    split_header: bool = False,
+) -> bytes | tuple[bytes, bytes]:
     """Encode one packet (header + body).  Codeblock layer assignments
-    (num_passes_by_layer) must already be set by rate control."""
+    (num_passes_by_layer) must already be set by rate control.
+
+    With split_header=True the (header, body) pair is returned separately
+    for PPT/PPM packed-header emission (SOP is not applicable then)."""
     prc = res.precincts[precno]
     bio = BitWriter()
     body = bytearray()
@@ -274,16 +278,16 @@ def encode_packet(
             break
 
     out = bytearray()
-    if sop:
+    if sop and not split_header:
         out += SOP_MARKER + b"\x00\x04" + bytes([(sop_index >> 8) & 0xFF,
                                                  sop_index & 0xFF])
     if not any_contrib:
         bio.write_bit(0)
         bio.flush()
-        out += bio.getvalue()
-        if eph:
-            out += EPH_MARKER
-        return bytes(out)
+        hdr = bio.getvalue() + (EPH_MARKER if eph else b"")
+        if split_header:
+            return hdr, b""
+        return bytes(out) + hdr
 
     bio.write_bit(1)
     for pband in prc.pbands:
@@ -334,9 +338,10 @@ def encode_packet(
             body += cblk.data[start:endb]
             cblk.total_passes += npasses_layer
     bio.flush()
-    out += bio.getvalue()
-    if eph:
-        out += EPH_MARKER
+    hdr = bio.getvalue() + (EPH_MARKER if eph else b"")
+    if split_header:
+        return hdr, bytes(body)
+    out += hdr
     out += body
     return bytes(out)
 

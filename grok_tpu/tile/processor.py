@@ -452,24 +452,36 @@ class TileCompressor:
                                             tccp.cblk_style)
         return bytes(out)
 
-    def write_packets(self, comp_info, sop=False, eph=False):
+    def write_packets(self, comp_info, sop=False, eph=False, ppt=False):
         """All packets in the tile's signaled progression order.
 
-        Returns (body bytes, per-packet lengths, packet coords) — lengths
-        feed PLT emission, coords feed tile-part splitting (-u)."""
+        Returns (body bytes, per-packet lengths, packet coords, ppt_hdr) —
+        lengths feed PLT emission, coords feed tile-part splitting (-u);
+        with ppt=True the packet headers come back separately for a PPT
+        marker segment and the body holds only packet bodies."""
         self.reset_t2()
         order = t2.packet_order(self.tile, self.tcp, comp_info)
         out = bytearray()
+        hdrs = bytearray()
         lengths: list[int] = []
         for n, pc in enumerate(order):
             tc = self.tile.comps[pc.compno]
             tccp = self.tcp.tccps[pc.compno]
             res = tc.resolutions[pc.resno]
-            pkt = t2.encode_packet(res, pc.precno, pc.layno, tccp.cblk_style,
-                                   sop=sop, eph=eph, sop_index=n & 0xFFFF)
-            out += pkt
-            lengths.append(len(pkt))
-        return bytes(out), lengths, order
+            if ppt:
+                hdr, body = t2.encode_packet(
+                    res, pc.precno, pc.layno, tccp.cblk_style,
+                    eph=eph, split_header=True)
+                hdrs += hdr
+                out += body
+                lengths.append(len(body))
+            else:
+                pkt = t2.encode_packet(
+                    res, pc.precno, pc.layno, tccp.cblk_style,
+                    sop=sop, eph=eph, sop_index=n & 0xFFFF)
+                out += pkt
+                lengths.append(len(pkt))
+        return bytes(out), lengths, order, bytes(hdrs)
 
 
 def run_transforms_device_batched(tcs: list["TileCompressor"]) -> bool:
