@@ -372,6 +372,10 @@ def decode_packet(
     prc = res.precincts[precno]
     if data[pos:pos + 2] == SOP_MARKER:
         pos += 6
+    elif sop:
+        # SOP signaled but missing where a packet should start: the stream
+        # is corrupt here — let the caller resync on the next SOP marker
+        raise ValueError(f"expected SOP marker at offset {pos}")
     in_ppt = hdr_data is not None
     if in_ppt:
         bio = BitReader(hdr_data, hdr_pos)

@@ -560,7 +560,7 @@ class TileDecompressor:
         pos = 0
         hdr_pos = 0
         ppt = self.tcp.ppt_data
-        for pc in order:
+        for n, pc in enumerate(order):
             tc = self.tile.comps[pc.compno]
             tccp = self.tcp.tccps[pc.compno]
             res = tc.resolutions[pc.resno]
@@ -568,10 +568,23 @@ class TileDecompressor:
             if pos >= len(data):
                 break  # tolerant: truncated tile data
             discard = bool(self.max_layers) and pc.layno >= self.max_layers
-            pos, hdr_pos = t2.decode_packet(
-                data, pos, res, pc.precno, pc.layno,
-                tccp.cblk_style, band_numbps, sop=sop, eph=eph,
-                hdr_data=ppt, hdr_pos=hdr_pos, discard=discard)
+            try:
+                pos, hdr_pos = t2.decode_packet(
+                    data, pos, res, pc.precno, pc.layno,
+                    tccp.cblk_style, band_numbps, sop=sop, eph=eph,
+                    hdr_data=ppt, hdr_pos=hdr_pos, discard=discard)
+            except Exception as e:
+                if not sop:
+                    raise
+                # SOP error resilience (SURVEY.md §5 "error-resilience
+                # coding options"): resync on the next packet's SOP marker
+                nxt = data.find(t2.SOP_MARKER, pos + 1)
+                log.warning(
+                    "packet %d parse error (%s); resyncing at SOP %s",
+                    n, e, nxt)
+                if nxt < 0:
+                    break
+                pos = nxt
 
     def _window_band_rect(self, compno: int, resno: int, orient: int,
                           margin: int = 4) -> Rect | None:

@@ -155,3 +155,20 @@ def test_max_layers_cap(rng):
             assert err <= prev_err + 1e-9
         prev_err = err
     assert prev_err == 0.0  # all three layers = lossless
+
+
+def test_sop_resync_on_corruption(rng):
+    """SOP error resilience: a corrupted packet must not take down the
+    rest of the tile (SURVEY.md §5 error-resilience options)."""
+    arr = _content(rng, 96, 96)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, sop=True, eph=True, precincts=[(32, 32)]))
+    ba = bytearray(data)
+    mid = len(ba) // 2
+    ba[mid:mid + 4] = b"\x00\x00\x00\x00"
+    out = grok_tpu.decompress(bytes(ba))  # must not raise
+    err_frac = (out.comps[0].data != arr).mean()
+    assert err_frac < 0.8  # partial recovery, not total loss
+    clean = grok_tpu.decompress(data)
+    assert np.array_equal(clean.comps[0].data, arr)
