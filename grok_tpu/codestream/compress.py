@@ -48,6 +48,15 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
     if p.tile_size:
         cp.t_width, cp.t_height = p.tile_size
         cp.tx0, cp.ty0 = p.tile_offset
+        # ISO 15444-1: XTOsiz <= XOsiz and XTOsiz + XTsiz > XOsiz so the
+        # tile grid covers the image starting at the first tile
+        if cp.tx0 > image.x0 or cp.ty0 > image.y0:
+            raise ParamError(
+                f"tile offset ({cp.tx0},{cp.ty0}) must not exceed the "
+                f"image offset ({image.x0},{image.y0})")
+        if cp.tx0 + cp.t_width <= image.x0 or \
+                cp.ty0 + cp.t_height <= image.y0:
+            raise ParamError("first tile does not intersect the image")
     else:
         cp.tx0, cp.ty0 = 0, 0
         cp.t_width = image.x1 - cp.tx0

@@ -148,6 +148,9 @@ class CompressParams:
     def validate(self) -> None:
         if self.layer_rates and self.layer_psnr:
             raise ParamError("layer_rates (-r) and layer_psnr (-q) are mutually exclusive")
+        if self.ppt and self.sop:
+            raise ParamError(
+                "SOP markers cannot be used with packed headers (PPT)")
         if not (1 <= self.numresolution <= 33):
             raise ParamError("numresolution out of range [1,33]")
         for dim, name in ((self.cblk_width, "cblk_width"), (self.cblk_height, "cblk_height")):

@@ -370,13 +370,13 @@ def decode_packet(
     §2.1 "Codestream decompress": PPM/PPT packed headers) and only bodies
     live at data[pos:].  `band_numbps` maps band orientation -> M_b."""
     prc = res.precincts[precno]
+    in_ppt = hdr_data is not None
     if data[pos:pos + 2] == SOP_MARKER:
         pos += 6
-    elif sop:
+    elif sop and not in_ppt:
         # SOP signaled but missing where a packet should start: the stream
         # is corrupt here — let the caller resync on the next SOP marker
         raise ValueError(f"expected SOP marker at offset {pos}")
-    in_ppt = hdr_data is not None
     if in_ppt:
         bio = BitReader(hdr_data, hdr_pos)
     else:
