@@ -55,6 +55,13 @@ def dump(data: bytes, out) -> None:
               f"layers<{c.lay_e} {c.prog.name}\n")
     for cstr in hi.comments:
         w(f"[comment] {cstr}\n")
+    from ..codestream.profiles import validate_decoded_profile
+
+    issues = validate_decoded_profile(siz.rsiz, hi)
+    if issues:
+        w("[profile violations]\n")
+        for issue in issues:
+            w(f"  {issue}\n")
     w("[markers]\n")
     for (name, pos, length) in hi.marker_log:
         w(f"  {pos:08d} {name} len={length}\n")

@@ -30,7 +30,7 @@ def compress(image: GrkImage, params: CompressParams | None = None) -> bytes:
     params = params or CompressParams()
     cs = compress_codestream(image, params)
     if params.cod_format == "jp2":
-        return jp2_mod.wrap_jp2(cs, image)
+        return jp2_mod.wrap_jp2(cs, image, ht=params.ht)
     return cs
 
 
@@ -126,6 +126,8 @@ def _postprocess(img: GrkImage, params: DecompressParams) -> None:
     elif img.color_space == ColorSpace.CMYK and img.numcomps >= 4 and \
             params.force_rgb:
         color.cmyk_to_rgb(img)
+    elif img.color_space == ColorSpace.CIELAB and img.numcomps >= 3:
+        color.cielab_to_srgb(img)
     if params.upsample:
         color.upsample_components(img)
     if params.force_rgb and img.numcomps == 1:

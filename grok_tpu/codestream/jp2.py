@@ -27,11 +27,15 @@ def _box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload) + 8) + btype + payload
 
 
-def wrap_jp2(codestream: bytes, image: GrkImage) -> bytes:
-    """Wrap a raw codestream in a JP2 container."""
+def wrap_jp2(codestream: bytes, image: GrkImage, ht: bool = False) -> bytes:
+    """Wrap a raw codestream in a JP2 container (brand 'jph ' for HTJ2K
+    codestreams per ITU-T T.814)."""
     out = bytearray()
     out += JP2_SIGNATURE
-    out += _box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    if ht:
+        out += _box(b"ftyp", b"jph " + struct.pack(">I", 0) + b"jp2 jph ")
+    else:
+        out += _box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
 
     # jp2h superbox
     jp2h = bytearray()

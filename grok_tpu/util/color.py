@@ -119,6 +119,48 @@ def eycc_to_rgb(img: GrkImage) -> None:
     img.color_space = ColorSpace.SRGB
 
 
+def cielab_to_srgb(img: GrkImage) -> None:
+    """CIELab -> sRGB (JP2 EnumCS 14) via Lab -> XYZ(D50) -> linear sRGB,
+    replacing the reference's littlecms path with direct math (SURVEY.md
+    §2.1 GrkImage 'CIELab->sRGB via lcms2').  Assumes the default Lab
+    encoding ranges (L in [0,100], a/b in [-85,85]/[-75,125] per the JP2
+    default Lab parameters, approximated by the common [-128,127])."""
+    if img.numcomps < 3:
+        return
+    L, a, b = (c.data.astype(np.float64) for c in img.comps[:3])
+    prec = img.comps[0].prec
+    mx = (1 << prec) - 1
+    Lf = L / mx * 100.0
+    af = a / mx * 255.0 - 128.0
+    bf = b / mx * 255.0 - 128.0
+    fy = (Lf + 16.0) / 116.0
+    fx = fy + af / 500.0
+    fz = fy - bf / 200.0
+
+    def finv(t):
+        t3 = t ** 3
+        return np.where(t3 > 0.008856, t3, (t - 16.0 / 116.0) / 7.787)
+
+    # D50 white point
+    X = finv(fx) * 0.9642
+    Y = finv(fy) * 1.0
+    Z = finv(fz) * 0.8249
+    # XYZ (D50) -> linear sRGB (Bradford-adapted matrix)
+    r = 3.1338561 * X - 1.6168667 * Y - 0.4906146 * Z
+    g = -0.9787684 * X + 1.9161415 * Y + 0.0334540 * Z
+    bl = 0.0719453 * X - 0.2289914 * Y + 1.4052427 * Z
+
+    def gamma(u):
+        u = np.clip(u, 0.0, 1.0)
+        return np.where(u <= 0.0031308, 12.92 * u,
+                        1.055 * u ** (1 / 2.4) - 0.055)
+
+    for comp, vals in zip(img.comps[:3], (r, g, bl)):
+        comp.data = np.clip(np.round(gamma(vals) * mx), 0, mx).astype(
+            np.int32)
+    img.color_space = ColorSpace.SRGB
+
+
 def cmyk_to_rgb(img: GrkImage) -> None:
     """Naive CMYK -> RGB (JP2 EnumCS 12): R = (1-C)(1-K) etc., integer."""
     if img.numcomps < 4:
