@@ -47,14 +47,16 @@ def apply_channel_definitions(img: GrkImage) -> None:
         return
     order = sorted(defs, key=lambda d: (d[1] != 0, d[2]))  # colors first
     new_comps = []
+    seen = set()
     for (cn, typ, asoc) in order:
         if cn < len(img.comps):
             c = img.comps[cn]
             c.type = typ
             c.association = asoc
             new_comps.append(c)
-    for i, c in enumerate(img.comps):
-        if c not in new_comps:
+            seen.add(id(c))
+    for c in img.comps:
+        if id(c) not in seen:
             new_comps.append(c)
     img.comps = new_comps
     img.meta.channel_definitions = None

