@@ -42,6 +42,48 @@ def _extend_ws(x: np.ndarray, left: int, right: int) -> np.ndarray:
     return x[..., idx]
 
 
+def _ev_right(ev, ne, no):
+    """ev[i+1] for i in 0..no-1; x[n] mirrors to x[n-2] = ev[-1] (n even)."""
+    if ne > no:
+        return ev[..., 1:]
+    return np.concatenate([ev[..., 1:], ev[..., -1:]], axis=-1)
+
+
+def _d_pair(d, ne, no):
+    """(d[i-1], d[i]) for i in 0..ne-1 with whole-sample mirrors."""
+    d_l = np.concatenate([d[..., :1], d], axis=-1)[..., :ne]
+    if no >= ne:
+        d_r = d[..., :ne]
+    else:
+        d_r = np.concatenate([d, d[..., -1:]], axis=-1)
+    return d_l, d_r
+
+
+def _fwd_53_even(x):
+    """Fast even-parity forward 5/3 (mirrors ops.dwt.fwd_53_axis)."""
+    n = x.shape[-1]
+    ne, no = (n + 1) // 2, n // 2
+    ev = x[..., 0::2].astype(np.int64)
+    od = x[..., 1::2].astype(np.int64)
+    d = od - ((ev[..., :no] + _ev_right(ev, ne, no)) >> 1)
+    d_l, d_r = _d_pair(d, ne, no)
+    s = ev + ((d_l + d_r + 2) >> 2)
+    return s.astype(np.int32), d.astype(np.int32)
+
+
+def _inv_53_even(lo, hi, n):
+    ne, no = (n + 1) // 2, n // 2
+    s = lo.astype(np.int64)
+    d = hi.astype(np.int64)
+    d_l, d_r = _d_pair(d, ne, no)
+    ev = s - ((d_l + d_r + 2) >> 2)
+    od = d + ((ev[..., :no] + _ev_right(ev, ne, no)) >> 1)
+    out = np.empty(lo.shape[:-1] + (n,), dtype=np.int32)
+    out[..., 0::2] = ev
+    out[..., 1::2] = od
+    return out
+
+
 def fwd_53_1d(x: np.ndarray, x0: int) -> tuple[np.ndarray, np.ndarray]:
     """Forward reversible 5/3 along the last axis.
 
@@ -55,6 +97,8 @@ def fwd_53_1d(x: np.ndarray, x0: int) -> tuple[np.ndarray, np.ndarray]:
         if x0 & 1:
             return x[..., :0], x * 2
         return x, x[..., :0]
+    if (x0 & 1) == 0:
+        return _fwd_53_even(x)
     # extended signal covering canvas positions [x0-2, x0+n+2)
     ext = _extend_ws(x, 2, 2).astype(np.int64)
     pos0 = x0 - 2
@@ -94,6 +138,8 @@ def inv_53_1d(low: np.ndarray, high: np.ndarray, x0: int, n: int) -> np.ndarray:
         if x0 & 1:
             return (high // 2).astype(np.int32)
         return low.astype(np.int32)
+    if (x0 & 1) == 0:
+        return _inv_53_even(low, high, n)
     # interleave into canvas positions [x0, x0+n)
     shape = low.shape[:-1] + (n,)
     y = np.zeros(shape, dtype=np.int64)

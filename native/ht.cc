@@ -17,55 +17,67 @@ namespace {
 static const int MEL_E[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
 
 struct BitWriterMSB {
+  // 64-bit accumulator bit packer; bytes drain through the 0xFF-stuffing
+  // rule (7-bit capacity after an 0xFF byte)
   std::vector<uint8_t> bytes;
-  uint32_t acc = 0, used = 0, cap = 8;
-  inline void put(int bit) {
-    acc = (acc << 1) | (bit & 1);
-    if (++used == cap) {
-      bytes.push_back((uint8_t)acc);
-      cap = (acc == 0xFF) ? 7 : 8;
-      acc = 0;
-      used = 0;
+  uint64_t acc = 0;
+  uint32_t used = 0, cap = 8;
+  inline void drain() {
+    while (used >= cap) {
+      uint8_t b = (uint8_t)((acc >> (used - cap)) & ((1u << cap) - 1));
+      bytes.push_back(b);
+      used -= cap;
+      cap = (b == 0xFF) ? 7 : 8;
     }
+  }
+  inline void put(int bit) {
+    acc = (acc << 1) | (uint32_t)(bit & 1);
+    used++;
+    drain();
   }
   inline void put_bits(uint32_t v, int n) {
-    for (int i = n - 1; i >= 0; i--) put((v >> i) & 1);
+    acc = (acc << n) | (v & ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
+    used += n;
+    drain();
   }
   void flush() {
-    if (used) {
-      acc <<= (cap - used);
-      bytes.push_back((uint8_t)acc);
-      acc = 0;
-      used = 0;
-      cap = 8;
-    }
+    while (used) put(0);  // zero-pad to the next (stuffing-aware) boundary
     if (!bytes.empty() && bytes.back() == 0xFF) bytes.push_back(0);
+    acc = 0; used = 0; cap = 8;
   }
 };
 
 struct BitReaderMSB {
+  // 64-bit reservoir reader honoring the 0xFF-stuffing rule
   const uint8_t* data = nullptr;
   int len = 0, pos = 0;
-  uint32_t acc = 0, avail = 0;
+  uint64_t acc = 0;
+  uint32_t avail = 0;
   bool prev_ff = false;
   void init(const uint8_t* d, int l) {
     data = d; len = l; pos = 0; acc = 0; avail = 0; prev_ff = false;
   }
-  inline int get() {
-    if (avail == 0) {
+  inline void refill(uint32_t need) {
+    while (avail < need) {
       uint8_t b = pos < len ? data[pos] : 0;
       pos++;
-      acc = b;
-      avail = prev_ff ? 7 : 8;
+      uint32_t c = prev_ff ? 7 : 8;
+      acc = (acc << c) | (uint64_t)(b & ((1u << c) - 1));
+      avail += c;
       prev_ff = (b == 0xFF);
     }
+  }
+  inline int get() {
+    refill(1);
     avail--;
-    return (acc >> avail) & 1;
+    return (int)((acc >> avail) & 1);
   }
   inline uint32_t get_bits(int n) {
-    uint32_t v = 0;
-    for (int i = 0; i < n; i++) v = (v << 1) | get();
-    return v;
+    if (n == 0) return 0;
+    refill((uint32_t)n);
+    avail -= (uint32_t)n;
+    return (uint32_t)((acc >> avail) & ((n >= 32) ? 0xFFFFFFFFu
+                                                  : ((1u << n) - 1)));
   }
 };
 
@@ -190,13 +202,14 @@ static void ht_encode_one(GrkHTEncJob* j) {
         for (int dy = 0; dy < ny; dy++)
           vals[ns++] = cf[(size_t)(y0 + dy) * w + (x0 + dx)];
       uint32_t rho = 0, umax = 0;
+      uint32_t mags[4];
       for (int i = 0; i < ns; i++) {
         uint32_t m = vals[i] < 0 ? (uint32_t)(-(int64_t)vals[i])
                                  : (uint32_t)vals[i];
+        mags[i] = m;
         if (m) {
           rho |= 1u << i;
-          uint32_t e = 0;
-          while (m >> e) e++;
+          uint32_t e = 32u - (uint32_t)__builtin_clz(m);
           if (e > umax) umax = e;
         }
       }
@@ -210,10 +223,8 @@ static void ht_encode_one(GrkHTEncJob* j) {
       u_pred = umax;
       for (int i = 0; i < ns; i++) {
         if (rho & (1u << i)) {
-          uint32_t m = vals[i] < 0 ? (uint32_t)(-(int64_t)vals[i])
-                                   : (uint32_t)vals[i];
-          magsgn.put_bits(m - 1, umax);
-          magsgn.put(vals[i] < 0 ? 1 : 0);
+          magsgn.put_bits(((mags[i] - 1) << 1) | (vals[i] < 0 ? 1u : 0u),
+                          (int)umax + 1);
         }
       }
     }
