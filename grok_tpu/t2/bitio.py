@@ -14,38 +14,40 @@ from __future__ import annotations
 class BitWriter:
     def __init__(self) -> None:
         self._bytes = bytearray()
-        self._acc = 0     # bits accumulated MSB-first
+        self._acc = 0     # bits accumulated MSB-first (unbounded int)
         self._used = 0    # bits in _acc
         self._cap = 8     # capacity of current byte (7 right after a 0xFF)
+
+    def _drain(self) -> None:
+        while self._used >= self._cap:
+            shift = self._used - self._cap
+            byte = (self._acc >> shift) & ((1 << self._cap) - 1)
+            self._acc &= (1 << shift) - 1
+            self._used = shift
+            self._bytes.append(byte)
+            self._cap = 7 if byte == 0xFF else 8
 
     def write_bit(self, b: int) -> None:
         self._acc = (self._acc << 1) | (b & 1)
         self._used += 1
-        if self._used == self._cap:
-            self._emit()
+        if self._used >= self._cap:
+            self._drain()
 
     def write_bits(self, v: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.write_bit((v >> i) & 1)
-
-    def _emit(self) -> None:
-        byte = self._acc  # cap==7 bytes have MSB 0 by construction
-        self._bytes.append(byte)
-        self._cap = 7 if byte == 0xFF else 8
-        self._acc = 0
-        self._used = 0
+        self._acc = (self._acc << n) | (v & ((1 << n) - 1))
+        self._used += n
+        if self._used >= self._cap:
+            self._drain()
 
     def flush(self) -> None:
-        if self._used:
-            self._acc <<= self._cap - self._used
-            self._used = self._cap
-            self._emit()
-            if self._cap == 7:  # the padded byte was 0xFF: emit guard byte
-                self._emit()
-        elif self._cap == 7:
-            # last emitted byte was 0xFF with nothing pending: guard byte
-            self._emit()
+        while self._used:
+            self.write_bit(0)  # zero-pad through the stuffing-aware drain
+        if self._cap == 7:
+            # last emitted byte was 0xFF: emit the guard byte
+            self._bytes.append(0)
         self._cap = 8
+        self._acc = 0
+        self._used = 0
 
     def getvalue(self) -> bytes:
         return bytes(self._bytes)

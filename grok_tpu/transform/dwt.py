@@ -204,6 +204,37 @@ def _lift_97(ext: np.ndarray, pos0: int, inverse: bool) -> np.ndarray:
     return y
 
 
+def _fwd_97_even(x):
+    """Fast even-parity forward 9/7 (mirrors ops.dwt.fwd_97_axis)."""
+    n = x.shape[-1]
+    ne, no = (n + 1) // 2, n // 2
+    ev = x[..., 0::2].astype(np.float32)
+    od = x[..., 1::2].astype(np.float32)
+    od = od + np.float32(ALPHA) * (ev[..., :no] + _ev_right(ev, ne, no))
+    d_l, d_r = _d_pair(od, ne, no)
+    ev = ev + np.float32(BETA) * (d_l + d_r)
+    od = od + np.float32(GAMMA) * (ev[..., :no] + _ev_right(ev, ne, no))
+    d_l, d_r = _d_pair(od, ne, no)
+    ev = ev + np.float32(DELTA) * (d_l + d_r)
+    return ev * np.float32(1.0 / K), od * np.float32(K)
+
+
+def _inv_97_even(lo, hi, n):
+    ne, no = (n + 1) // 2, n // 2
+    ev = lo.astype(np.float32) * np.float32(K)
+    od = hi.astype(np.float32) * np.float32(1.0 / K)
+    d_l, d_r = _d_pair(od, ne, no)
+    ev = ev - np.float32(DELTA) * (d_l + d_r)
+    od = od - np.float32(GAMMA) * (ev[..., :no] + _ev_right(ev, ne, no))
+    d_l, d_r = _d_pair(od, ne, no)
+    ev = ev - np.float32(BETA) * (d_l + d_r)
+    od = od - np.float32(ALPHA) * (ev[..., :no] + _ev_right(ev, ne, no))
+    out = np.empty(lo.shape[:-1] + (n,), dtype=np.float32)
+    out[..., 0::2] = ev
+    out[..., 1::2] = od
+    return out
+
+
 def fwd_97_1d(x: np.ndarray, x0: int) -> tuple[np.ndarray, np.ndarray]:
     n = x.shape[-1]
     x = x.astype(np.float32, copy=False)
@@ -213,6 +244,8 @@ def fwd_97_1d(x: np.ndarray, x0: int) -> tuple[np.ndarray, np.ndarray]:
         if x0 & 1:
             return x[..., :0], x * np.float32(K)
         return x * np.float32(1.0 / K), x[..., :0]
+    if (x0 & 1) == 0:
+        return _fwd_97_even(x)
     ext = _extend_ws(x, 4, 4)
     y = _lift_97(ext, x0 - 4, inverse=False)
     core = y[..., 4:4 + n]
@@ -227,6 +260,8 @@ def inv_97_1d(low: np.ndarray, high: np.ndarray, x0: int, n: int) -> np.ndarray:
         if x0 & 1:
             return high * np.float32(1.0 / K)
         return low * np.float32(K)
+    if (x0 & 1) == 0:
+        return _inv_97_even(low, high, n)
     shape = low.shape[:-1] + (n,)
     y = np.zeros(shape, dtype=np.float32)
     pos = np.arange(x0, x0 + n)

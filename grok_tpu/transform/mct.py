@@ -88,7 +88,12 @@ def dc_shift_forward(x: np.ndarray, prec: int, sgnd: bool) -> np.ndarray:
 def dc_shift_inverse(x: np.ndarray, prec: int, sgnd: bool) -> np.ndarray:
     if sgnd:
         lo, hi = -(1 << (prec - 1)), (1 << (prec - 1)) - 1
-        return np.clip(x, lo, hi).astype(np.int32)
+        return np.clip(x, lo, hi).astype(np.int32, copy=False)
+    if prec <= 24 and x.dtype == np.int32:
+        # int32 headroom is ample below 24-bit precision: no int64 round-trip
+        y = x + np.int32(1 << (prec - 1))
+        np.clip(y, 0, (1 << prec) - 1, out=y)
+        return y
     y = x.astype(np.int64) + (1 << (prec - 1))
     return np.clip(y, 0, (1 << prec) - 1).astype(np.int32)
 
