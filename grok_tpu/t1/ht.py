@@ -169,6 +169,110 @@ def _get_u(br: _BitReaderMSB) -> int:
     return 3 + br.get_bits(5)
 
 
+def encode_cblk_ht_refined(coeffs: np.ndarray):
+    """HT encode with the optional SigProp/MagRef refinement passes
+    (ITU-T T.814 pass structure: cleanup at bit-plane p, then raw
+    significance-propagation and magnitude-refinement passes at p-1).
+
+    The cleanup codes magnitudes >> 1; SigProp codes the LSB (+sign) of
+    samples turning significant next to significant neighbors; MagRef
+    codes the LSB of already-significant samples.  As in the spec, samples
+    whose magnitude is 1 with no significant neighborhood are not reachable
+    by the refinement passes — full reconstruction is near-lossless, which
+    is why the codec's lossless path uses the cleanup-only (HTONLY) form.
+
+    Returns (cleanup_seg, refine_seg, numbps)."""
+    h, w = coeffs.shape
+    mags = np.abs(coeffs.astype(np.int64))
+    numbps = int(mags.max()).bit_length() if mags.size else 0
+    if numbps <= 1:
+        data, nb = encode_cblk_ht(coeffs)
+        return data, b"", nb
+    hi = (np.sign(coeffs) * (mags >> 1)).astype(np.int32)
+    cleanup, _ = encode_cblk_ht(hi)
+    # refinement passes on plane 0 (raw bits)
+    raw = _BitWriterMSB()
+    sig = np.zeros((h + 2, w + 2), dtype=bool)
+    sig[1:h + 1, 1:w + 1] = (mags >> 1) > 0
+    lsb = (mags & 1).astype(np.uint8)
+    sgn = (coeffs < 0).astype(np.uint8)
+    # SigProp: stripe scan, dynamic significance updates
+    for sy in range(0, h, 4):
+        rows = min(4, h - sy)
+        for x in range(1, w + 1):
+            for k in range(rows):
+                y = sy + k + 1
+                if sig[y, x]:
+                    continue
+                nbr = (sig[y - 1, x - 1] | sig[y - 1, x] | sig[y - 1, x + 1]
+                       | sig[y, x - 1] | sig[y, x + 1]
+                       | sig[y + 1, x - 1] | sig[y + 1, x] | sig[y + 1, x + 1])
+                if not nbr:
+                    continue
+                bit = int(lsb[y - 1, x - 1])
+                raw.put(bit)
+                if bit:
+                    raw.put(int(sgn[y - 1, x - 1]))
+                    sig[y, x] = True
+                lsb[y - 1, x - 1] |= 0x80  # visited marker
+    # MagRef: refine samples significant after cleanup
+    base_sig = (mags >> 1) > 0
+    for sy in range(0, h, 4):
+        rows = min(4, h - sy)
+        for x in range(w):
+            for k in range(rows):
+                y = sy + k
+                if base_sig[y, x]:
+                    raw.put(int(lsb[y, x] & 1))
+    return cleanup, raw.flush(), numbps
+
+
+def decode_cblk_ht_refined(cleanup: bytes, refine: bytes, h: int, w: int):
+    """Decode cleanup + SigProp/MagRef segments.  Returns doubled-domain
+    signed values like decode_cblk_ht."""
+    base = decode_cblk_ht(cleanup, h, w)  # doubled: sign*(2*m1+1)
+    m1 = (np.abs(base) >> 1).astype(np.int64)
+    sgn = (base < 0)
+    if not refine:
+        # magnitudes = 2*m1 (+ midpoint half): keep doubled convention
+        m = 2 * m1
+        doubled = np.where(m > 0, 2 * m + 1, 0)
+        return np.where(sgn, -doubled, doubled).astype(np.int32)
+    raw = _BitReaderMSB(refine)
+    sig = np.zeros((h + 2, w + 2), dtype=bool)
+    sig[1:h + 1, 1:w + 1] = m1 > 0
+    lsb = np.zeros((h, w), dtype=np.uint8)
+    newsgn = np.zeros((h, w), dtype=bool)
+    for sy in range(0, h, 4):
+        rows = min(4, h - sy)
+        for x in range(1, w + 1):
+            for k in range(rows):
+                y = sy + k + 1
+                if sig[y, x]:
+                    continue
+                nbr = (sig[y - 1, x - 1] | sig[y - 1, x] | sig[y - 1, x + 1]
+                       | sig[y, x - 1] | sig[y, x + 1]
+                       | sig[y + 1, x - 1] | sig[y + 1, x] | sig[y + 1, x + 1])
+                if not nbr:
+                    continue
+                if raw.get():
+                    newsgn[y - 1, x - 1] = bool(raw.get())
+                    lsb[y - 1, x - 1] = 1
+                    sig[y, x] = True
+    base_sig = m1 > 0
+    for sy in range(0, h, 4):
+        rows = min(4, h - sy)
+        for x in range(w):
+            for k in range(rows):
+                y = sy + k
+                if base_sig[y, x]:
+                    lsb[y, x] = raw.get()
+    m = 2 * m1 + lsb
+    doubled = np.where(m > 0, 2 * m + 1, 0)
+    out_sgn = np.where(base_sig, sgn, newsgn)
+    return np.where(out_sgn, -doubled, doubled).astype(np.int32)
+
+
 def encode_cblk_ht(coeffs: np.ndarray):
     """HT cleanup-pass encode of one codeblock (HTONLY set: all magnitude
     information in a single pass).

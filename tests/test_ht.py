@@ -114,3 +114,30 @@ def test_ht_region_decode(rng):
     win = grok_tpu.decompress(data, DecompressParams(window=(30, 40, 100, 90)))
     assert np.array_equal(win.comps[0].data,
                           full.comps[0].data[40:90, 30:100])
+
+
+def test_ht_refinement_passes(rng):
+    """HT SigProp/MagRef refinement passes (T.814 pass structure): full
+    decode recovers everything except unreachable isolated magnitude-1
+    samples; cleanup-only decode is a valid coarser truncation."""
+    from grok_tpu.t1.ht import (
+        decode_cblk_ht_refined,
+        encode_cblk_ht_refined,
+    )
+
+    for trial in range(8):
+        h = int(rng.integers(4, 64))
+        w = int(rng.integers(4, 64))
+        c = rng.integers(-300, 301, size=(h, w)).astype(np.int32)
+        if trial % 2:
+            c[rng.random((h, w)) < 0.6] = 0
+        cu, rf, nb = encode_cblk_ht_refined(c)
+        d = decode_cblk_ht_refined(cu, rf, h, w)
+        dec = np.sign(d) * (np.abs(d) >> 1)
+        for (y, x) in np.argwhere(dec != c):
+            assert abs(c[y, x]) == 1 and dec[y, x] == 0, (y, x)
+        d0 = decode_cblk_ht_refined(cu, b"", h, w)
+        dec0 = np.sign(d0) * (np.abs(d0) >> 1)
+        err_full = float(((dec - c) ** 2).mean())
+        err_trunc = float(((dec0 - c) ** 2).mean())
+        assert err_full <= err_trunc + 1e-9
