@@ -90,58 +90,71 @@ class CodestreamDecoder:
             payload = d[pos + 4:pos + 2 + seglen]
             name = mk.MARKER_NAMES.get(code, f"0x{code:04X}")
             hi.marker_log.append((name, pos, seglen + 2))
-            if code == mk.SIZ:
-                hi.siz = mk.read_siz(payload)
-                cp = self._init_cp(hi.siz)
-                hi.cp = cp
-                tcp_template = cp.tcps[0]
-            elif code == mk.CAP:
-                hi.cap = mk.read_cap(payload)
-            elif code == mk.COD:
-                sop, eph = mk.read_cod(payload, tcp_template)
-                hi.sop, hi.eph = sop, eph
-                self._sync_tcps(cp, tcp_template)
-            elif code == mk.COC:
-                mk.read_coc(payload, tcp_template, len(hi.siz.comps))
-                self._sync_tcps(cp, tcp_template)
-            elif code == mk.QCD:
-                mk.read_qcd(payload, tcp_template)
-                self._sync_tcps(cp, tcp_template)
-            elif code == mk.QCC:
-                mk.read_qcc(payload, tcp_template, len(hi.siz.comps))
-                self._sync_tcps(cp, tcp_template)
-            elif code == mk.POC:
-                pocs = mk.read_poc(payload, len(hi.siz.comps))
-                hi.main_poc = pocs
-                for t in cp.tcps:
-                    t.progression_changes = list(pocs)
-            elif code == mk.RGN:
-                compno, shift = mk.read_rgn(payload, len(hi.siz.comps))
-                hi.roi_shifts[compno] = shift
-                for t in cp.tcps:
-                    t.tccps[compno].roi_shift = shift
-            elif code == mk.COM:
-                hi.comments.append(mk.read_com(payload))
-            elif code == mk.TLM:
-                cp.tlm = [(t, ln) for t, ln in mk.read_tlm(payload)]
-            elif code == mk.PPM:
-                cp.ppm_data = (cp.ppm_data or b"") + payload[1:]
-            elif code == mk.MCT:
-                try:
-                    m = mk.read_mct_matrix(payload)
-                    for t in cp.tcps:
-                        t.mct_matrix = m
-                except Exception:
-                    self._err("unparseable MCT marker")
-            elif code in (mk.MCC, mk.MCO, mk.PLM, mk.CRG, mk.PRF, mk.CPF):
-                pass  # informative / index markers
-            else:
-                self._err(f"unknown marker 0x{code:04X} in main header")
+            try:
+                self._dispatch_main_marker(code, payload, cp,
+                                           tcp_template, hi)
+                if code == mk.SIZ and hi.cp is not None:
+                    cp = hi.cp
+                    tcp_template = cp.tcps[0]
+            except (struct.error, IndexError, ValueError, KeyError) as e:
+                self._err(f"malformed {name} marker: {e}")
             pos += 2 + seglen
         self.hi.cp = cp
+        if cp is None or hi.siz is None:
+            raise CodestreamError("codestream has no valid SIZ marker")
         self.hi.image = self._build_image_template()
         self._parsed = True
         return self.hi
+
+    def _dispatch_main_marker(self, code, payload, cp, tcp_template, hi):
+        if code == mk.SIZ:
+            hi.siz = mk.read_siz(payload)
+            hi.cp = self._init_cp(hi.siz)
+            return
+        if cp is None:
+            self._err("marker before SIZ ignored")
+            return
+        if code == mk.CAP:
+            hi.cap = mk.read_cap(payload)
+        elif code == mk.COD:
+            sop, eph = mk.read_cod(payload, tcp_template)
+            hi.sop, hi.eph = sop, eph
+            self._sync_tcps(cp, tcp_template)
+        elif code == mk.COC:
+            mk.read_coc(payload, tcp_template, len(hi.siz.comps))
+            self._sync_tcps(cp, tcp_template)
+        elif code == mk.QCD:
+            mk.read_qcd(payload, tcp_template)
+            self._sync_tcps(cp, tcp_template)
+        elif code == mk.QCC:
+            mk.read_qcc(payload, tcp_template, len(hi.siz.comps))
+            self._sync_tcps(cp, tcp_template)
+        elif code == mk.POC:
+            pocs = mk.read_poc(payload, len(hi.siz.comps))
+            hi.main_poc = pocs
+            for t in cp.tcps:
+                t.progression_changes = list(pocs)
+        elif code == mk.RGN:
+            compno, shift = mk.read_rgn(payload, len(hi.siz.comps))
+            if compno >= len(hi.siz.comps):
+                raise ValueError(f"RGN component {compno} out of range")
+            hi.roi_shifts[compno] = shift
+            for t in cp.tcps:
+                t.tccps[compno].roi_shift = shift
+        elif code == mk.COM:
+            hi.comments.append(mk.read_com(payload))
+        elif code == mk.TLM:
+            cp.tlm = [(t, ln) for t, ln in mk.read_tlm(payload)]
+        elif code == mk.PPM:
+            cp.ppm_data = (cp.ppm_data or b"") + payload[1:]
+        elif code == mk.MCT:
+            m = mk.read_mct_matrix(payload)
+            for t in cp.tcps:
+                t.mct_matrix = m
+        elif code in (mk.MCC, mk.MCO, mk.PLM, mk.CRG, mk.PRF, mk.CPF):
+            pass  # informative / index markers
+        else:
+            self._err(f"unknown marker 0x{code:04X} in main header")
 
     def _init_cp(self, siz: mk.SizInfo) -> CodingParams:
         cp = CodingParams()
@@ -161,6 +174,9 @@ class CodestreamDecoder:
 
     def _parse_tile_part(self, pos: int) -> int:
         d = self.data
+        if pos + 12 > len(d):
+            self._err("truncated SOT marker")
+            return len(d)
         seglen = struct.unpack(">H", d[pos + 2:pos + 4])[0]
         isot, psot, tpsot, tnsot = mk.read_sot(d[pos + 4:pos + 2 + seglen])
         self.hi.marker_log.append((f"SOT(t={isot},tp={tpsot})", pos, seglen + 2))
@@ -170,6 +186,9 @@ class CodestreamDecoder:
             psot = len(d) - tp_start  # last tile-part extends to EOC
         tp_end = min(tp_start + psot, len(d))
         # scan tile-part header markers until SOD
+        if self.hi.cp is None:
+            self._err("tile-part before a valid SIZ; skipped")
+            return tp_end
         tile_tcp = self.tile_tcps.get(isot)
         if tile_tcp is None:
             tile_tcp = copy.deepcopy(self.hi.cp.tcps[0])
@@ -180,31 +199,39 @@ class CodestreamDecoder:
                 pos += 2
                 self.tile_parts.setdefault(isot, []).append(d[pos:tp_end])
                 return tp_end
+            if pos + 4 > tp_end:
+                self._err("truncated tile-part header")
+                return tp_end
             seglen2 = struct.unpack(">H", d[pos + 2:pos + 4])[0]
             payload = d[pos + 4:pos + 2 + seglen2]
             name = mk.MARKER_NAMES.get(code, f"0x{code:04X}")
             self.hi.marker_log.append((name, pos, seglen2 + 2))
-            if code == mk.COD:
-                mk.read_cod(payload, tile_tcp)
-            elif code == mk.COC:
-                mk.read_coc(payload, tile_tcp, len(self.hi.siz.comps))
-            elif code == mk.QCD:
-                mk.read_qcd(payload, tile_tcp)
-            elif code == mk.QCC:
-                mk.read_qcc(payload, tile_tcp, len(self.hi.siz.comps))
-            elif code == mk.POC:
-                tile_tcp.progression_changes = mk.read_poc(
-                    payload, len(self.hi.siz.comps))
-            elif code == mk.RGN:
-                compno, shift = mk.read_rgn(payload, len(self.hi.siz.comps))
-                tile_tcp.tccps[compno].roi_shift = shift
-            elif code == mk.PPT:
-                buf = self.tile_ppt.setdefault(isot, bytearray())
-                buf += payload[1:]
-            elif code in (mk.PLT, mk.COM):
-                pass
-            else:
-                self._err(f"unknown marker 0x{code:04X} in tile-part header")
+            try:
+                if code == mk.COD:
+                    mk.read_cod(payload, tile_tcp)
+                elif code == mk.COC:
+                    mk.read_coc(payload, tile_tcp, len(self.hi.siz.comps))
+                elif code == mk.QCD:
+                    mk.read_qcd(payload, tile_tcp)
+                elif code == mk.QCC:
+                    mk.read_qcc(payload, tile_tcp, len(self.hi.siz.comps))
+                elif code == mk.POC:
+                    tile_tcp.progression_changes = mk.read_poc(
+                        payload, len(self.hi.siz.comps))
+                elif code == mk.RGN:
+                    compno, shift = mk.read_rgn(
+                        payload, len(self.hi.siz.comps))
+                    tile_tcp.tccps[compno].roi_shift = shift
+                elif code == mk.PPT:
+                    buf = self.tile_ppt.setdefault(isot, bytearray())
+                    buf += payload[1:]
+                elif code in (mk.PLT, mk.COM):
+                    pass
+                else:
+                    self._err(
+                        f"unknown marker 0x{code:04X} in tile-part header")
+            except (struct.error, IndexError, ValueError, KeyError) as e:
+                self._err(f"malformed {name} in tile-part header: {e}")
             pos += 2 + seglen2
         self._err("tile-part without SOD")
         return tp_end

@@ -132,9 +132,16 @@ def _write_cod_sp(tccp: TileComponentCodingParams, has_precincts: bool) -> bytes
 
 def _read_cod_sp(p: bytes, off: int, tccp: TileComponentCodingParams,
                  has_precincts: bool) -> int:
-    tccp.numresolutions = p[off] + 1
-    tccp.cblkw = (p[off + 1] & 0x0F) + 2
-    tccp.cblkh = (p[off + 2] & 0x0F) + 2
+    numres = p[off] + 1
+    if numres > 33:
+        raise ValueError(f"numresolutions {numres} exceeds the spec limit")
+    cblkw = (p[off + 1] & 0x0F) + 2
+    cblkh = (p[off + 2] & 0x0F) + 2
+    if cblkw + cblkh > 12:
+        raise ValueError("code-block area exceeds 4096 samples")
+    tccp.numresolutions = numres
+    tccp.cblkw = cblkw
+    tccp.cblkh = cblkh
     tccp.cblk_style = CblkStyle(p[off + 3] & 0x7F)
     tccp.ht = bool(p[off + 3] & 0x40)
     tccp.qmfbid = 1 if p[off + 4] == 1 else 0

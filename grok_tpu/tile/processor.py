@@ -57,6 +57,10 @@ def band_eps_mant(tccp, resno: int, orient: int, numres: int):
         # derived: eps_b = eps_0 - NL + n_b, n_b = decomposition count of band
         nb = nl if resno == 0 else nl - resno + 1
         return ss0.expn - nl + nb, ss0.mant
+    if not tccp.stepsizes:
+        # corrupt/absent quantization info: fall back to a sane reversible
+        # default so tolerant decode can proceed
+        return 10, 0
     idx = band_stepsize_index(resno, orient)
     if idx >= len(tccp.stepsizes):
         idx = len(tccp.stepsizes) - 1
@@ -68,6 +72,12 @@ def build_tile(tile_idx: int, trect: Rect, image, tcp: TileCodingParams) -> Tile
     tile = Tile(index=tile_idx, rect=trect)
     for compno, comp in enumerate(image.comps):
         tccp = tcp.tccps[compno]
+        # tolerate partially-applied (corrupt) COD/COC: precinct lists must
+        # cover every resolution
+        while len(tccp.prcw) < tccp.numresolutions:
+            tccp.prcw.append(15)
+        while len(tccp.prch) < tccp.numresolutions:
+            tccp.prch.append(15)
         tc_rect = tile_comp_rect(trect, comp.dx, comp.dy)
         tc = TileComponent(compno=compno, rect=tc_rect)
         tc.resolutions = build_resolutions(

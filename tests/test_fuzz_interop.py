@@ -78,3 +78,37 @@ def test_vsc_oracle_interop(rng):
         numresolution=3, cblk_style=CblkStyle.VSC))
     dec = np.asarray(Image.open(io.BytesIO(data)))
     assert np.array_equal(dec, arr)
+
+
+@pytest.mark.parametrize("mode", ["flip", "truncate", "delete", "duplicate"])
+def test_corruption_never_crashes(mode, rng):
+    """Tolerant decode must survive arbitrary corruption with at worst a
+    GrkError (fuzzing+sanitizer family parity, SURVEY.md §4 family 4)."""
+    from grok_tpu.errors import GrkError
+
+    yy, xx = np.mgrid[0:96, 0:96].astype(float)
+    arr = (128 + 90 * np.sin(xx / 13) * np.cos(yy / 9)).clip(
+        0, 255).astype(np.int32)
+    base = grok_tpu.compress(
+        GrkImage.from_array(arr),
+        CompressParams(numresolution=3, tile_size=(48, 48),
+                       layer_rates=[10, 1.0]))
+    for trial in range(25):
+        r = np.random.default_rng(hash(mode) % 1000 + trial)
+        ba = bytearray(base)
+        if mode == "flip":
+            for _ in range(int(r.integers(1, 8))):
+                ba[int(r.integers(0, len(ba)))] = int(r.integers(0, 256))
+        elif mode == "truncate":
+            ba = ba[: int(r.integers(4, len(ba)))]
+        elif mode == "delete":
+            s = int(r.integers(0, len(ba) - 10))
+            del ba[s:s + int(r.integers(1, 50))]
+        else:
+            s = int(r.integers(0, len(ba) - 10))
+            e = s + int(r.integers(1, 50))
+            ba[s:s] = ba[s:e]
+        try:
+            grok_tpu.decompress(bytes(ba))
+        except GrkError:
+            pass  # clean codec error is acceptable
