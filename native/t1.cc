@@ -71,8 +71,17 @@ struct MQEnc {
     }
   }
   void renorm() {
-    do { a <<= 1; c <<= 1; if (--ct == 0) byteout(); } while (!(a & 0x8000));
-    a &= 0xFFFF;
+    // bulk renormalization: shift by the full deficit at once, emitting
+    // bytes whenever the counter crosses zero
+    do {
+      int n = __builtin_clz((unsigned)a) - 16;  // leading zeros within 16 bits
+      if (n > (int)ct) n = (int)ct;
+      if (n == 0) n = 1;
+      a = (a << n) & 0xFFFF;
+      c <<= n;
+      ct -= (uint32_t)n;
+      if (ct == 0) byteout();
+    } while (!(a & 0x8000));
   }
   void encode(int d, int cn) {
     Ctx& x = ctx[cn];
@@ -130,9 +139,13 @@ struct MQDec {
   void renorm() {
     do {
       if (ct == 0) bytein();
-      a <<= 1; c <<= 1; ct--;
+      int n = __builtin_clz((unsigned)(a & 0xFFFF)) - 16;
+      if (n > (int)ct) n = (int)ct;
+      if (n == 0) n = 1;
+      a = (a << n) & 0xFFFF;
+      c <<= n;
+      ct -= (uint32_t)n;
     } while (!(a & 0x8000));
-    a &= 0xFFFF;
   }
   int decode(int cn) {
     Ctx& x = ctx[cn];
