@@ -157,6 +157,9 @@ class CodestreamDecoder:
             self._err(f"unknown marker 0x{code:04X} in main header")
 
     def _init_cp(self, siz: mk.SizInfo) -> CodingParams:
+        if not siz.comps or siz.xtsiz <= 0 or siz.ytsiz <= 0 \
+                or siz.xsiz <= siz.xosiz or siz.ysiz <= siz.yosiz:
+            raise ValueError("invalid SIZ geometry")
         cp = CodingParams()
         cp.rsiz = siz.rsiz
         cp.tx0, cp.ty0 = siz.xtosiz, siz.ytosiz

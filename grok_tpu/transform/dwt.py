@@ -60,21 +60,23 @@ def _d_pair(d, ne, no):
 
 
 def _fwd_53_even(x):
-    """Fast even-parity forward 5/3 (mirrors ops.dwt.fwd_53_axis)."""
+    """Fast even-parity forward 5/3 (mirrors ops.dwt.fwd_53_axis).
+    int32 arithmetic: 5/3 coefficients of <= 24-bit samples stay far from
+    the int32 range (sums bounded by ~4x the coefficient magnitude)."""
     n = x.shape[-1]
     ne, no = (n + 1) // 2, n // 2
-    ev = x[..., 0::2].astype(np.int64)
-    od = x[..., 1::2].astype(np.int64)
+    ev = np.ascontiguousarray(x[..., 0::2], dtype=np.int32)
+    od = np.ascontiguousarray(x[..., 1::2], dtype=np.int32)
     d = od - ((ev[..., :no] + _ev_right(ev, ne, no)) >> 1)
     d_l, d_r = _d_pair(d, ne, no)
     s = ev + ((d_l + d_r + 2) >> 2)
-    return s.astype(np.int32), d.astype(np.int32)
+    return s, d
 
 
 def _inv_53_even(lo, hi, n):
     ne, no = (n + 1) // 2, n // 2
-    s = lo.astype(np.int64)
-    d = hi.astype(np.int64)
+    s = np.ascontiguousarray(lo, dtype=np.int32)
+    d = np.ascontiguousarray(hi, dtype=np.int32)
     d_l, d_r = _d_pair(d, ne, no)
     ev = s - ((d_l + d_r + 2) >> 2)
     od = d + ((ev[..., :no] + _ev_right(ev, ne, no)) >> 1)
