@@ -285,9 +285,18 @@ class CodestreamDecoder:
         if p.tile_index is not None:
             tiles = [p.tile_index]
 
+        batched = {}
+        if p.backend == "device" and cp.numtiles > 1 and \
+                p.tile_index is None and win is None:
+            batched = self._decode_tiles_device_batched(
+                list(tiles), p, img, reduce_)
+
         for tidx in tiles:
-            result = self.decode_tile_planes(tidx, p, img, reduce_,
-                                             win=win, cache=cache)
+            if tidx in batched:
+                result = batched[tidx]
+            else:
+                result = self.decode_tile_planes(tidx, p, img, reduce_,
+                                                 win=win, cache=cache)
             if result is None:
                 continue
             planes, rects = result
@@ -302,6 +311,56 @@ class CodestreamDecoder:
         if win is not None:
             _crop_to_window(img, win, reduce_)
         return img
+
+    def _decode_tiles_device_batched(self, tiles, p, img, reduce_):
+        """Batched device synthesis over all uniform full-size tiles
+        (mirror of the encoder's batched analysis).  Returns
+        {tidx: (planes, rects)} for the tiles it handled."""
+        from ..tile.processor import reconstruct_device_batched
+
+        cp = self.hi.cp
+        hi = self.hi
+        img_rect = Rect(hi.siz.xosiz, hi.siz.yosiz, hi.siz.xsiz, hi.siz.ysiz)
+        prepared = []
+        for tidx in tiles:
+            tq, tp_ = divmod(tidx, cp.t_grid_w)
+            trect = tile_rect(tp_, tq, cp.t_width, cp.t_height,
+                              cp.tx0, cp.ty0, img_rect)
+            if trect.is_empty() or trect.w != cp.t_width \
+                    or trect.h != cp.t_height:
+                continue
+            parts = self.tile_parts.get(tidx)
+            if not parts:
+                continue
+            tcp = self.tile_tcps.get(tidx) or cp.tcps[0]
+            tcp.ppt_data = bytes(self.tile_ppt.get(tidx, b"")) or None
+            tile = build_tile(tidx, trect, img, tcp)
+            td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
+                                  reduce=reduce_, max_layers=p.max_layers)
+            try:
+                td.decode_packets(b"".join(parts), sop=hi.sop, eph=hi.eph)
+            except Exception as e:
+                if self.strict or p.strict:
+                    raise
+                log.warning("tile %d: packet parse error: %s", tidx, e)
+            td.run_t1()
+            prepared.append((tidx, tcp, tile, td))
+        if len(prepared) < 2:
+            return {}
+        result = reconstruct_device_batched([td for (_, _, _, td) in prepared])
+        if result is None:
+            return {}
+        out = {}
+        for (tidx, tcp, tile, td) in prepared:
+            planes = result[id(td)]
+            rects = []
+            for compno in range(len(planes)):
+                tccp = tcp.tccps[compno]
+                numres_used = max(1, tccp.numresolutions - reduce_)
+                rects.append(
+                    tile.comps[compno].resolutions[numres_used - 1].rect)
+            out[tidx] = (planes, rects)
+        return out
 
     def decode_tile_planes(self, tidx: int, p: DecompressParams,
                            img: GrkImage, reduce_: int,

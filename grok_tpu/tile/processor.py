@@ -546,6 +546,46 @@ def run_transforms_device_batched(tcs: list["TileCompressor"]) -> bool:
     return True
 
 
+def reconstruct_device_batched(tds: list["TileDecompressor"]):
+    """Fused device synthesis over a batch of uniform tiles (mirror of
+    run_transforms_device_batched).  Returns {id(td): planes} or None if
+    the batch is not eligible."""
+    if len(tds) < 2:
+        return None
+    first = tds[0]
+    if not all(t._device_eligible() for t in tds):
+        return None
+    shape = first.tile.comps[0].rect
+    if not all(t.tile.comps[0].rect.w == shape.w
+               and t.tile.comps[0].rect.h == shape.h for t in tds):
+        return None
+    import jax.numpy as jnp
+
+    from ..ops import pipeline as dpipe
+
+    t0 = first.tcp.tccps[0]
+    reversible = t0.qmfbid == 1
+    ncomp = len(first.tile.comps)
+    bands = {}
+    deltas = []
+    for res in first.tile.comps[0].resolutions:
+        for band in res.bands:
+            stacked = np.stack([
+                np.stack([t._band_arrays[(c, res.resno, band.orient)]
+                          for t in tds])
+                for c in range(ncomp)])
+            bands[(res.resno, band.orient)] = jnp.asarray(stacked)
+            deltas.append((res.resno, band.orient, float(band.stepsize)))
+    out = dpipe.synthesis(
+        bands, numres=t0.numresolutions, reversible=reversible,
+        mct=first.tcp.mct, prec=first.image.comps[0].prec,
+        sgnd=first.image.comps[0].sgnd, shape=(shape.h, shape.w),
+        deltas=tuple(deltas) if not reversible else ())
+    out = np.asarray(out)
+    return {id(t): [out[c, bi] for c in range(ncomp)]
+            for bi, t in enumerate(tds)}
+
+
 # ---------------------------------------------------------------------------
 # Decompression
 # ---------------------------------------------------------------------------
