@@ -170,10 +170,11 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
     for c in comments or []:
         out += mk.write_com(c)
 
-    # TLM is assembled after all tile-parts are encoded and inserted here
-    # (in-memory equivalent of the reference's seek-back TLM rewrite,
+    # TLM/PPM are assembled after all tile-parts are encoded and inserted
+    # here (in-memory equivalent of the reference's seek-back rewrite,
     # SURVEY.md §3.1); tile-part bytes accumulate in `body_out`.
     body_out = bytearray()
+    ppm_chunks: list[bytes] = []
 
     img_rect = Rect(image.x0, image.y0, image.x1, image.y1)
     raw_bytes = sum(c.data.shape[0] * c.data.shape[1] * c.prec
@@ -223,7 +224,9 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
             comp_info = [(c.dx, c.dy, tcp.tccps[i].numresolutions)
                          for i, c in enumerate(image.comps)]
             body, pkt_lens, coords, ppt_hdrs = tc.write_packets(
-                comp_info, sop=p.sop, eph=p.eph, ppt=p.ppt)
+                comp_info, sop=p.sop, eph=p.eph, ppt=p.ppt or p.ppm)
+            if p.ppm:
+                ppm_chunks.append(ppt_hdrs)
             # tile-part segmentation (-u R|L|C, SURVEY.md §2.1 "tile-part
             # segmentation"): split at changes of the chosen index in
             # progression order
@@ -238,7 +241,7 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                 plt_seg = b""
                 if p.plt:
                     plt_seg = mk.write_plt(tpno & 0xFF, pkt_lens[p0:p1])
-                if p.ppt and tpno == 0:
+                if p.ppt and not p.ppm and tpno == 0:
                     # packed packet headers: PPT segments of <= 65528 bytes
                     z = 0
                     off2 = 0
@@ -258,6 +261,18 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
 
     if p.tlm:
         out += mk.write_tlm(0, tlm_entries)
+    if p.ppm:
+        # one Nppm-framed chunk per tile-part, split into <= 65528-byte
+        # PPM marker segments
+        stream = bytearray()
+        for chunk in ppm_chunks:
+            stream += mk.u32(len(chunk)) + chunk
+        z = 0
+        off = 0
+        while off < len(stream) or z == 0:
+            out += mk.write_ppm(z & 0xFF, bytes(stream[off:off + 65528]))
+            off += 65528
+            z += 1
     out += body_out
     out += mk.u16(mk.EOC)
     return bytes(out)

@@ -57,6 +57,7 @@ class CodestreamDecoder:
         self.tile_parts: dict[int, list[bytes]] = {}
         self.tile_tcps: dict[int, TileCodingParams] = {}
         self.tile_ppt: dict[int, bytearray] = {}
+        self.tp_sequence: list[int] = []  # tile index per tile-part, in order
         self._parsed = False
 
     # ------------------------------------------------------------- parsing
@@ -201,6 +202,7 @@ class CodestreamDecoder:
             if code == mk.SOD:
                 pos += 2
                 self.tile_parts.setdefault(isot, []).append(d[pos:tp_end])
+                self.tp_sequence.append(isot)
                 return tp_end
             if pos + 4 > tp_end:
                 self._err("truncated tile-part header")
@@ -281,6 +283,7 @@ class CodestreamDecoder:
         img_rect = Rect(hi.siz.xosiz, hi.siz.yosiz, hi.siz.xsiz, hi.siz.ysiz)
         win = Rect(*p.window) if p.window else None
 
+        self._distribute_ppm()
         tiles = range(cp.numtiles)
         if p.tile_index is not None:
             tiles = [p.tile_index]
@@ -311,6 +314,25 @@ class CodestreamDecoder:
         if win is not None:
             _crop_to_window(img, win, reduce_)
         return img
+
+    def _distribute_ppm(self):
+        """PPM packed headers (SURVEY.md §2.1): the main-header stream holds
+        one Nppm-framed chunk per tile-part, in tile-part arrival order;
+        route each chunk to its tile's packed-header buffer."""
+        cp = self.hi.cp
+        if not cp.ppm_data:
+            return
+        data = cp.ppm_data
+        off = 0
+        for tidx in self.tp_sequence:
+            if off + 4 > len(data):
+                break
+            n = struct.unpack(">I", data[off:off + 4])[0]
+            off += 4
+            chunk = data[off:off + n]
+            off += n
+            self.tile_ppt.setdefault(tidx, bytearray()).extend(chunk)
+        cp.ppm_data = None  # consumed
 
     def _decode_tiles_device_batched(self, tiles, p, img, reduce_):
         """Batched device synthesis over all uniform full-size tiles

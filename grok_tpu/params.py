@@ -119,6 +119,7 @@ class CompressParams:
     tlm: bool = False                             # -A: write TLM
     plt: bool = False                             # write PLT
     ppt: bool = False                             # packed packet headers (PPT)
+    ppm: bool = False                             # packed headers in main (PPM)
     comment: str | list[str] | None = "Created by grok_tpu"  # -C
 
     # container
@@ -151,6 +152,10 @@ class CompressParams:
         if self.ppt and self.sop:
             raise ParamError(
                 "SOP markers cannot be used with packed headers (PPT)")
+        if self.ppm and (self.sop or self.ppt
+                         or self.new_tile_part_progression):
+            raise ParamError(
+                "PPM excludes SOP, PPT and tile-part generation")
         if not (1 <= self.numresolution <= 33):
             raise ParamError("numresolution out of range [1,33]")
         for dim, name in ((self.cblk_width, "cblk_width"), (self.cblk_height, "cblk_height")):

@@ -172,3 +172,21 @@ def test_sop_resync_on_corruption(rng):
     assert err_frac < 0.8  # partial recovery, not total loss
     clean = grok_tpu.decompress(data)
     assert np.array_equal(clean.comps[0].data, arr)
+
+
+def test_ppm_roundtrip_and_oracle(rng):
+    """PPM: all packet headers packed into the main header, one Nppm-framed
+    chunk per tile-part (emission + decode routing)."""
+    import io
+
+    from PIL import Image
+
+    arr = _content(rng, 80, 96)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, tile_size=(32, 32), ppm=True,
+        layer_rates=[10, 1.0]))
+    assert b"\xff\x60" in data
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr)
+    assert np.array_equal(np.asarray(Image.open(io.BytesIO(data))), arr)
