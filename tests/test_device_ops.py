@@ -105,3 +105,29 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def test_ht_quad_metadata_matches_host(rng):
+    """Device HT context formation (quad rho/umax/nbits) must match the
+    host coder's quad loop (SURVEY.md §7 device/host split roadmap)."""
+    from grok_tpu.ops.ht_meta import quad_metadata
+
+    c = rng.integers(-3000, 3001, (2, 32, 32)).astype(np.int32)
+    c[rng.random(c.shape) < 0.5] = 0
+    rho, umax, nbits = map(np.asarray, quad_metadata(jnp.asarray(c)))
+    for b in range(2):
+        for qy in range(16):
+            for qx in range(16):
+                vals = [c[b, 2 * qy + dy, 2 * qx + dx]
+                        for dx in range(2) for dy in range(2)]
+                r = 0
+                u = 0
+                for i, v in enumerate(vals):
+                    m = abs(int(v))
+                    if m:
+                        r |= 1 << i
+                        u = max(u, m.bit_length())
+                assert rho[b, qy, qx] == r
+                if r:
+                    assert umax[b, qy, qx] == u
+                    assert nbits[b, qy, qx] == bin(r).count("1") * (u + 1)
