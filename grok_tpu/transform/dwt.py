@@ -86,6 +86,44 @@ def _inv_53_even(lo, hi, n):
     return out
 
 
+def _fwd_53_even_v(x):
+    """Vertical (axis -2) even-parity forward 5/3 without transposing."""
+    n = x.shape[-2]
+    ne, no = (n + 1) // 2, n // 2
+    ev = x[..., 0::2, :].astype(np.int32)
+    od = x[..., 1::2, :].astype(np.int32)
+    if ne > no:
+        ev_r = ev[..., 1:, :]
+    else:
+        ev_r = np.concatenate([ev[..., 1:, :], ev[..., -1:, :]], axis=-2)
+    d = od - ((ev[..., :no, :] + ev_r) >> 1)
+    d_l = np.concatenate([d[..., :1, :], d], axis=-2)[..., :ne, :]
+    d_r = d[..., :ne, :] if no >= ne else \
+        np.concatenate([d, d[..., -1:, :]], axis=-2)
+    s = ev + ((d_l + d_r + 2) >> 2)
+    return s, d
+
+
+def _inv_53_even_v(lo, hi, n):
+    """Vertical (axis -2) even-parity inverse 5/3 without transposing."""
+    ne, no = (n + 1) // 2, n // 2
+    s = lo.astype(np.int32, copy=False)
+    d = hi.astype(np.int32, copy=False)
+    d_l = np.concatenate([d[..., :1, :], d], axis=-2)[..., :ne, :]
+    d_r = d[..., :ne, :] if no >= ne else \
+        np.concatenate([d, d[..., -1:, :]], axis=-2)
+    ev = s - ((d_l + d_r + 2) >> 2)
+    if ne > no:
+        ev_r = ev[..., 1:, :]
+    else:
+        ev_r = np.concatenate([ev[..., 1:, :], ev[..., -1:, :]], axis=-2)
+    od = d + ((ev[..., :no, :] + ev_r) >> 1)
+    out = np.empty(lo.shape[:-2] + (n,) + lo.shape[-1:], dtype=np.int32)
+    out[..., 0::2, :] = ev
+    out[..., 1::2, :] = od
+    return out
+
+
 def fwd_53_1d(x: np.ndarray, x0: int) -> tuple[np.ndarray, np.ndarray]:
     """Forward reversible 5/3 along the last axis.
 
@@ -284,10 +322,13 @@ def _split_2d(a: np.ndarray, rect, reversible: bool):
     (matches the reference decomposition order; verified via bit-exact
     lossless interop with the oracle)."""
     fwd = fwd_53_1d if reversible else fwd_97_1d
-    # vertical: transform columns (operate on transposed view)
-    lo_v, hi_v = fwd(np.ascontiguousarray(a.T), rect.y0)
-    lo_v = lo_v.T  # rows at even canvas y
-    hi_v = hi_v.T
+    # vertical pass: transpose-free fast path for even-parity 5/3
+    if reversible and (rect.y0 & 1) == 0 and a.shape[-2] > 1:
+        lo_v, hi_v = _fwd_53_even_v(a)
+    else:
+        lo_v, hi_v = fwd(np.ascontiguousarray(a.T), rect.y0)
+        lo_v = lo_v.T  # rows at even canvas y
+        hi_v = hi_v.T
     # horizontal on both halves
     ll, hl = fwd(lo_v, rect.x0)
     lh, hh = fwd(hi_v, rect.x0)
@@ -300,6 +341,8 @@ def _merge_2d(ll, hl, lh, hh, rect, reversible: bool):
     h, w = rect.y1 - rect.y0, rect.x1 - rect.x0
     lo_v = inv(ll, hl, rect.x0, w)
     hi_v = inv(lh, hh, rect.x0, w)
+    if reversible and (rect.y0 & 1) == 0 and h > 1:
+        return _inv_53_even_v(lo_v, hi_v, h)
     out = inv(np.ascontiguousarray(lo_v.T), np.ascontiguousarray(hi_v.T),
               rect.y0, h)
     return np.ascontiguousarray(out.T)
