@@ -82,6 +82,40 @@ def main():
     t5 = time.perf_counter()
     ht_combined = mp * reps * 2 / (t5 - t3)
 
+    # config 2: RGB lossy 9/7 rate-targeted (proxy 1.3 / 5.5 MP/s)
+    rng2 = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:768, 0:768].astype(float)
+    rgb = np.stack([128 + 90 * np.sin(xx / 23) * np.cos(yy / 17),
+                    128 + 80 * np.sin(xx / 15),
+                    128 + 80 * np.cos(yy / 19)], -1)
+    rgb = (rgb + rng2.normal(0, 3, rgb.shape)).clip(0, 255).astype(np.int32)
+    img2 = GrkImage.from_array(rgb)
+    cp2 = CompressParams(numresolution=5, irreversible=True,
+                         layer_rates=[20], backend=backend)
+    d2 = grok_tpu.compress(img2, cp2)
+    t6 = time.perf_counter()
+    for _ in range(2):
+        d2 = grok_tpu.compress(img2, cp2)
+    t7 = time.perf_counter()
+    for _ in range(2):
+        grok_tpu.decompress(d2, dp)
+    t8 = time.perf_counter()
+    mp2 = rgb.size / 3 / 1e6 * 2
+
+    # config 3: tiled 16-bit lossless (proxy 2.2 / 2.6 MP/s on noise)
+    g16 = rng2.integers(0, 65536, size=(512, 512)).astype(np.int32)
+    img3 = GrkImage.from_array(g16, prec=16)
+    cp3 = CompressParams(numresolution=5, tile_size=(256, 256),
+                         backend=backend)
+    d3 = grok_tpu.compress(img3, cp3)
+    t9 = time.perf_counter()
+    d3 = grok_tpu.compress(img3, cp3)
+    t10 = time.perf_counter()
+    out3 = grok_tpu.decompress(d3, dp)
+    t11 = time.perf_counter()
+    assert np.array_equal(out3.comps[0].data, g16)
+    mp3 = g16.size / 1e6
+
     result = {
         "metric": "512x512 gray lossless 5/3 encode+decode round-trip "
                   "throughput (config 1)",
@@ -93,6 +127,10 @@ def main():
         "ht_combined_mps": round(ht_combined, 3),
         "ht_encode_mps": round(mp * reps / (t4 - t3), 3),
         "ht_decode_mps": round(mp * reps / (t5 - t4), 3),
+        "lossy_encode_mps": round(mp2 / (t7 - t6), 3),
+        "lossy_decode_mps": round(mp2 / (t8 - t7), 3),
+        "tiled16_encode_mps": round(mp3 / (t10 - t9), 3),
+        "tiled16_decode_mps": round(mp3 / (t11 - t10), 3),
         "backend": backend,
         "bytes": len(data),
     }
