@@ -180,6 +180,8 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
     raw_bytes = sum(c.data.shape[0] * c.data.shape[1] * c.prec
                     for c in image.comps) / 8.0
 
+    cp._has_rate_targets = bool(p.layer_rates or p.layer_psnr
+                                or p.max_cs_size)
     mct_norms_arr = None
     if tcp0.mct == 1:
         mct_norms_arr = mct_mod.mct_norms(p.irreversible)

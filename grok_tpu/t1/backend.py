@@ -31,6 +31,7 @@ class EncodeJob:
     orient: int
     style: CblkStyle
     ht: bool = False          # Part 15 HT block coder instead of MQ
+    need_dist: bool = True    # PCRD distortion tracking required
     # results
     data: bytes = b""
     numbps: int = 0

@@ -23,6 +23,7 @@ class _EncJob(ct.Structure):
     _fields_ = [
         ("h", ct.c_int32), ("w", ct.c_int32),
         ("orient", ct.c_int32), ("style", ct.c_int32),
+        ("need_dist", ct.c_int32),
         ("coeffs", ct.POINTER(ct.c_int32)),
         ("out", ct.POINTER(ct.c_uint8)),
         ("out_cap", ct.c_int32), ("out_len", ct.c_int32),
@@ -80,6 +81,7 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
         c.h, c.w = h, w
         c.orient = int(j.orient)
         c.style = int(j.style)
+        c.need_dist = 1 if j.need_dist else 0
         c.coeffs = _i32ptr(coeffs)
         c.out = out.ctypes.data_as(ct.POINTER(ct.c_uint8))
         c.out_cap = cap

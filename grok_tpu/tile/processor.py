@@ -214,6 +214,9 @@ class TileCompressor:
 
     def run_t1(self) -> None:
         tile, tcp = self.tile, self.tcp
+        # distortion statistics only matter when rate control truncates
+        need_dist = tcp.numlayers > 1 or bool(getattr(
+            self.cp, "_has_rate_targets", False))
         jobs = []
         job_meta = []
         for compno, tc in enumerate(tile.comps):
@@ -241,7 +244,8 @@ class TileCompressor:
                                         cr.x0 - band.rect.x0:cr.x1 - band.rect.x0]
                             jobs.append(t1_backend.EncodeJob(
                                 np.ascontiguousarray(sl), band.orient,
-                                tccp.cblk_style, ht=tccp.ht))
+                                tccp.cblk_style, ht=tccp.ht,
+                                need_dist=need_dist))
                             job_meta.append((compno, res.resno, band, cblk))
         t1_backend.encode_batch(jobs, self.backend)
         for job, (compno, resno, band, cblk) in zip(jobs, job_meta):
@@ -302,8 +306,9 @@ class TileCompressor:
         slopes = candidate_slopes(hulls)
         for layno, target in enumerate(layer_targets):
             if target is None or not slopes:
-                counts = {id(c): (h[-1].passno + 1 if h else 0)
-                          for c, h in entries}
+                # include-everything layer: all passes, independent of the
+                # distortion hull (which is empty when tracking is skipped)
+                counts = {id(c): len(c.pass_rates) for c, h in entries}
             else:
                 counts = self._bisect_layer(entries, prev, slopes, layno,
                                             target)

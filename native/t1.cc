@@ -52,7 +52,7 @@ struct MQEnc {
   std::vector<uint8_t> buf;   // buf[0] is the fake leading byte
   Ctx ctx[NCTX];
 
-  MQEnc() { init_ctxs(ctx); restart(); }
+  MQEnc() { buf.reserve(8192); init_ctxs(ctx); restart(); }
   void restart() { a = 0x8000; c = 0; ct = 12; buf.clear(); buf.push_back(0); }
 
   void byteout() {
@@ -374,6 +374,7 @@ extern "C" {
 
 struct GrkT1EncJob {
   int32_t h, w, orient, style;
+  int32_t need_dist;  // 0: skip distortion tracking (single-layer encodes)
   const int32_t* coeffs;
   uint8_t* out;
   int32_t out_cap;
@@ -403,7 +404,9 @@ namespace {
 struct DistTrack {
   T1State* st;
   double total = 0;
+  bool enabled = true;
   inline void on_sig(size_t i, int bpno) {
+    if (!enabled) return;
     int64_t nr = first_sig_rec(bpno);
     int64_t m = st->mag[i];
     int64_t old = st->rec[i];
@@ -411,6 +414,7 @@ struct DistTrack {
     st->rec[i] = (int32_t)nr;
   }
   inline void on_ref(size_t i, int bpno, int bit) {
+    if (!enabled) return;
     int64_t old = st->rec[i];
     int64_t nr = refined_rec(old, bpno, bit);
     int64_t m = st->mag[i];
@@ -570,6 +574,7 @@ static void encode_one(GrkT1EncJob* j) {
   bool raw_active = false;
   std::vector<uint8_t> out;
   DistTrack dt{&st};
+  dt.enabled = j->need_dist != 0;
   int style = j->style;
   bool vsc = style & STY_VSC;
   int total_passes = 3 * numbps - 2;
