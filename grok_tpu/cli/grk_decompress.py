@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--split-pnm", action="store_true")
     p.add_argument("-c", "--compression", default=None,
                    help="TIFF output compression (e.g. tiff_lzw)")
+    p.add_argument("-I", "--apply-icc", action="store_true",
+                   help="apply embedded ICC profile (convert to sRGB)")
     p.add_argument("--strict", action="store_true",
                    help="fail on malformed streams instead of tolerating")
     p.add_argument("-H", "--num-threads", type=int, default=0)
@@ -65,6 +67,7 @@ def params_from_args(args) -> DecompressParams:
     dp.force_rgb = args.force_rgb
     dp.upsample = args.upsample
     dp.split_pnm = args.split_pnm
+    dp.apply_icc = args.apply_icc
     dp.num_threads = args.num_threads
     dp.backend = args.backend
     if args.precision:

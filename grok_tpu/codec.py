@@ -133,5 +133,7 @@ def _postprocess(img: GrkImage, params: DecompressParams) -> None:
     if params.force_rgb and img.numcomps == 1:
         img.comps = [img.comps[0], img.comps[0].copy(), img.comps[0].copy()]
         img.color_space = ColorSpace.SRGB
+    if params.apply_icc and img.meta.icc_profile:
+        color.apply_icc_profile(img)
     if params.precision:
         color.shift_precision(img, params.precision)

@@ -181,6 +181,52 @@ def cmyk_to_rgb(img: GrkImage) -> None:
     img.color_space = ColorSpace.SRGB
 
 
+def apply_icc_profile(img: GrkImage) -> None:
+    """Apply an embedded ICC profile, converting to sRGB (the reference
+    delegates to littlecms; we reach the same lcms2 through Pillow's
+    ImageCms).  8-bit RGB/gray only; other layouts keep the profile
+    attached for the consumer."""
+    if not img.meta.icc_profile:
+        return
+    try:
+        import io as _io
+
+        from PIL import Image, ImageCms
+    except ImportError:  # pragma: no cover
+        log.warning("Pillow ImageCms unavailable; ICC profile not applied")
+        return
+    comps = img.comps
+    if any(c.prec != 8 or c.sgnd for c in comps[:3]) or \
+            len({c.data.shape for c in comps}) != 1:
+        log.warning("ICC application supported for 8-bit unsubsampled "
+                    "images only; profile left attached")
+        return
+    if len(comps) >= 3:
+        arr = np.stack([c.data for c in comps[:3]], axis=-1)
+        mode = "RGB"
+    else:
+        arr = comps[0].data
+        mode = "L"
+    pil = Image.fromarray(arr.astype(np.uint8), mode)
+    try:
+        src = ImageCms.ImageCmsProfile(_io.BytesIO(img.meta.icc_profile))
+        dst = ImageCms.createProfile("sRGB")
+        out = ImageCms.profileToProfile(pil, src, dst,
+                                        outputMode="RGB")
+    except Exception as e:
+        log.warning("ICC application failed: %s", e)
+        return
+    res = np.asarray(out).astype(np.int32)
+    new_comps = []
+    for i in range(3):
+        c = comps[i] if i < len(comps) else comps[0].copy()
+        c.data = res[..., i]
+        new_comps.append(c)
+    img.comps = new_comps + list(comps[3:])
+    img.color_space = ColorSpace.SRGB
+    img.meta.icc_profile = None
+
+
 def shift_precision(img: GrkImage, precisions: list[int]) -> None:
     """Scale components to the requested precisions (CLI -p parity)."""
     for i, c in enumerate(img.comps):

@@ -117,3 +117,21 @@ def test_sycc_decode(rng):
     assert out.comps[0].data.shape == (h, w)
     assert np.abs(out.comps[0].data - y).max() <= 1
     assert np.abs(out.comps[1].data - y).max() <= 1
+
+
+def test_icc_application(rng):
+    """-I/apply_icc converts through the embedded profile via littlecms
+    (Pillow ImageCms), matching the reference's lcms2 path."""
+    from PIL import ImageCms
+
+    arr = rng.integers(0, 256, (32, 32, 3)).astype(np.int32)
+    img = GrkImage.from_array(arr)
+    img.meta.icc_profile = ImageCms.ImageCmsProfile(
+        ImageCms.createProfile("sRGB")).tobytes()
+    data = grok_tpu.compress(img, CompressParams(numresolution=2,
+                                                 cod_format="jp2"))
+    out = grok_tpu.decompress(data, DecompressParams(apply_icc=True))
+    assert np.abs(out.to_array() - arr).max() <= 1  # sRGB->sRGB identity
+    assert out.meta.icc_profile is None
+    out2 = grok_tpu.decompress(data)
+    assert out2.meta.icc_profile is not None
