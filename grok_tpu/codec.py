@@ -85,6 +85,30 @@ def decompress_strips(data: bytes, params: DecompressParams | None = None):
     yield from dec.decode_strips(params)
 
 
+def decompress_file(path: str, params: DecompressParams | None = None,
+                    cache=None) -> GrkImage:
+    """Decode straight from a file through a memory map (MemStream parity,
+    SURVEY.md §2.1 "Streams & memory"): tile data is touched lazily, so
+    region/tile decodes of large files only fault in the pages they use."""
+    import mmap
+
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        # no explicit close: the map is released by refcount once the
+        # decoder's slices over it are collected (closing earlier would
+        # invalidate exported views)
+        return decompress(memoryview(mm), params, cache=cache)
+
+
+def compress_file(image: GrkImage, path: str,
+                  params: CompressParams | None = None) -> int:
+    """Encode to a file; returns the byte count."""
+    data = compress(image, params)
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
 # ---------------------------------------------------------------- logging
 
 def set_msg_handlers(info=None, warn=None, error=None) -> None:

@@ -294,7 +294,7 @@ def write_com(text: str) -> bytes:
 
 def read_com(p: bytes) -> str:
     rcom = struct.unpack(">H", p[:2])[0]
-    body = p[2:]
+    body = bytes(p[2:])
     if rcom == 1:
         try:
             return body.decode("latin-1")

@@ -633,7 +633,7 @@ class TileDecompressor:
                     raise
                 # SOP error resilience (SURVEY.md §5 "error-resilience
                 # coding options"): resync on the next packet's SOP marker
-                nxt = data.find(t2.SOP_MARKER, pos + 1)
+                nxt = bytes(data).find(t2.SOP_MARKER, pos + 1)
                 log.warning(
                     "packet %d parse error (%s); resyncing at SOP %s",
                     n, e, nxt)

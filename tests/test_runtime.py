@@ -80,3 +80,19 @@ def test_msg_handlers(tiled_stream):
         import logging
 
         logging.getLogger("grok_tpu").handlers.clear()
+
+
+def test_mmap_file_api(tmp_path, rng):
+    """MemStream parity: decode straight from a memory-mapped file."""
+    from grok_tpu.codec import compress_file, decompress_file
+
+    arr = _content(rng, 96, 96)
+    img = GrkImage.from_array(arr)
+    p = str(tmp_path / "t.jp2")
+    n = compress_file(img, p, CompressParams(
+        numresolution=3, cod_format="jp2", tile_size=(48, 48)))
+    assert n > 0
+    out = decompress_file(p)
+    assert np.array_equal(out.comps[0].data, arr)
+    t = decompress_file(p, DecompressParams(tile_index=2))
+    assert t.comps[0].data.shape == arr.shape
