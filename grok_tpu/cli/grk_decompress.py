@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fail on malformed streams instead of tolerating")
     p.add_argument("-H", "--num-threads", type=int, default=0)
     p.add_argument("-e", "--repetitions", type=int, default=1)
+    p.add_argument("-j", "--duration", type=float, default=None,
+                   help="repeat for at least this many seconds (benchmark)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("-W", "--logfile", default=None)
     p.add_argument("--backend", default="auto",
@@ -83,7 +85,7 @@ def decompress_one(in_path: str, out_path: str, args) -> None:
     def do():
         return codec.decompress(data, dp)
 
-    img, times = common.run_repeated(do, args.repetitions)
+    img, times = common.run_repeated(do, args.repetitions, args.duration)
     formats.save_image(img, out_path, split_pnm=args.split_pnm,
                        tiff_compression=args.compression)
     mp = sum(c.data.size for c in img.comps) / 1e6

@@ -175,6 +175,7 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
     # SURVEY.md §3.1); tile-part bytes accumulate in `body_out`.
     body_out = bytearray()
     ppm_chunks: list[bytes] = []
+    plm_entries: list[list[int]] = []
 
     img_rect = Rect(image.x0, image.y0, image.x1, image.y1)
     raw_bytes = sum(c.data.shape[0] * c.data.shape[1] * c.prec
@@ -243,6 +244,8 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                 plt_seg = b""
                 if p.plt:
                     plt_seg = mk.write_plt(tpno & 0xFF, pkt_lens[p0:p1])
+                if p.plm:
+                    plm_entries.append(list(pkt_lens[p0:p1]))
                 if p.ppt and not p.ppm and tpno == 0:
                     # packed packet headers: PPT segments of <= 65528 bytes
                     z = 0
@@ -263,6 +266,8 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
 
     if p.tlm:
         out += mk.write_tlm(0, tlm_entries)
+    if p.plm and plm_entries:
+        out += mk.write_plm(0, plm_entries)
     if p.ppm:
         # one Nppm-framed chunk per tile-part, split into <= 65528-byte
         # PPM marker segments

@@ -456,6 +456,21 @@ def read_plt(p: bytes) -> list[int]:
     return out
 
 
+def write_plm(zplm: int, tile_part_lengths: list[list[int]]) -> bytes:
+    """PLM: packet lengths in the main header; per tile-part a 1-byte
+    Nplm (byte count of its varints) then the varint lengths."""
+    p = bytearray([zplm])
+    for lengths in tile_part_lengths:
+        body = bytearray()
+        for ln in lengths:
+            body += _varint(ln)
+        # Nplm is one byte; split oversized tile-parts across entries
+        for off in range(0, len(body), 255):
+            chunk = body[off:off + 255]
+            p += u8(len(chunk)) + chunk
+    return marker_segment(PLM, bytes(p))
+
+
 def write_ppt(zppt: int, data: bytes) -> bytes:
     return marker_segment(PPT, u8(zppt) + data)
 

@@ -118,6 +118,7 @@ class CompressParams:
     eph: bool = False                             # -E: EPH markers
     tlm: bool = False                             # -A: write TLM
     plt: bool = False                             # write PLT
+    plm: bool = False                             # write PLM (main header)
     ppt: bool = False                             # packed packet headers (PPT)
     ppm: bool = False                             # packed headers in main (PPM)
     comment: str | list[str] | None = "Created by grok_tpu"  # -C
