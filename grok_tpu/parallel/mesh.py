@@ -136,6 +136,58 @@ def _fwd_53_rows_local(x_loc, axis_name: str):
     return s, hi
 
 
+def _fwd_97_rows_local(x_loc, axis_name: str):
+    """Vertical forward 9/7 on a row shard: 4-row halos cover the four
+    lifting steps' dependency cone (each step consumes one neighbor)."""
+    from ..transform.dwt import ALPHA, BETA, DELTA, GAMMA, K
+
+    top, bot = _halo_exchange(x_loc, 4, axis_name)
+    y = jnp.concatenate([top, x_loc, bot], axis=-2).astype(jnp.float32)
+    # rows of y: global [start-4, start+H+4); start even -> y row j has
+    # global parity j & 1 flipped? start-4 is even, so even rows of y are
+    # even global rows.
+    ev = y[..., 0::2, :]
+    od = y[..., 1::2, :]
+
+    def lift_odd(ev_s, od_s, c):
+        # od[j] += c * (ev[j] + ev[j+1]); the last odd halo row has no
+        # right even neighbor and is dropped (unused by later steps)
+        return od_s[..., :-1, :] + jnp.float32(c) * (
+            ev_s[..., :-1, :] + ev_s[..., 1:, :])
+
+    def lift_even(ev_s, od_s, c):
+        # ev[j] += c * (od[j-1] + od[j])
+        return (ev_s[..., 1:-1, :]
+                + jnp.float32(c) * (od_s[..., :-1, :] + od_s[..., 1:, :]))
+
+    od1 = lift_odd(ev, od, ALPHA)            # odd rows  [-3 .. H+3)
+    ev1 = lift_even(ev, od1, BETA)           # even rows [-2 .. H+2)
+    od2 = od1[..., 1:-1, :] + jnp.float32(GAMMA) * (
+        ev1[..., :-1, :] + ev1[..., 1:, :])  # odd rows  [-1 .. H+1)
+    ev2 = ev1[..., 1:-1, :] + jnp.float32(DELTA) * (
+        od2[..., :-1, :] + od2[..., 1:, :])  # even rows [0 .. H)
+    lo = ev2 * jnp.float32(1.0 / K)
+    hi = od2[..., 1:, :] * jnp.float32(K)  # local odd rows
+    return lo, hi
+
+
+def sp_sharded_fwd_97_level(mesh: Mesh, x):
+    """One forward 9/7 level with rows sharded over 'sp' (halo-exchange
+    vertical lifting, local horizontal pass)."""
+
+    def local(x_loc):
+        lo_v, hi_v = _fwd_97_rows_local(x_loc, "sp")
+        ll, hl = ddwt.fwd_97_axis(lo_v)
+        lh, hh = ddwt.fwd_97_axis(hi_v)
+        return ll, hl, lh, hh
+
+    nd = x.ndim
+    spec = P(*([None] * (nd - 2) + ["sp", None]))
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,),
+                   out_specs=(spec, spec, spec, spec), check_rep=False)
+    return fn(x)
+
+
 def sp_sharded_fwd_53_level(mesh: Mesh, x):
     """One forward 5/3 DWT level of (..., H, W) with rows sharded over the
     'sp' mesh axis: vertical lifting uses ppermute halo exchange, then the

@@ -98,6 +98,15 @@ def test_sharded_pipeline(rng):
     for got, ref in ((ll, rll), (hl, rhl), (lh, rlh), (hh, rhh)):
         assert np.array_equal(np.asarray(got), np.asarray(ref))
 
+    bigf = big.astype(np.float32)
+    bf = jax.device_put(jnp.asarray(bigf), NamedSharding(mesh, P("sp", None)))
+    ll, hl, lh, hh = jax.jit(
+        lambda a: pmesh.sp_sharded_fwd_97_level(mesh, a))(bf)
+    rll, rhl, rlh, rhh = ddwt.fwd_level(jnp.asarray(bigf), False)
+    for got, ref in ((ll, rll), (hl, rhl), (lh, rlh), (hh, rhh)):
+        # float32 op-ordering noise only (halo path reorders additions)
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 5e-3
+
 
 def test_graft_entry_compiles():
     import __graft_entry__ as ge
