@@ -88,7 +88,16 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
         tcp.mct = mct
         tcp.progression_changes = list(p.progression_changes)
         if mct == 2:
-            tcp.mct_matrix = np.asarray(p.custom_mct, dtype=np.float64)
+            m = np.asarray(p.custom_mct, dtype=np.float64)
+            if m.ndim != 2 or m.shape[0] != m.shape[1] \
+                    or m.shape[0] > len(image.comps):
+                raise ParamError(
+                    f"custom MCT matrix must be square with dimension <= "
+                    f"number of components, got shape {m.shape}")
+            if abs(np.linalg.det(m)) < 1e-12:
+                raise ParamError("custom MCT matrix is singular "
+                                 "(not invertible)")
+            tcp.mct_matrix = m
         for compno, comp in enumerate(image.comps):
             tccp = TileComponentCodingParams()
             tccp.numresolutions = p.numresolution
@@ -157,7 +166,19 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                 or t_c.num_guard_bits != t_0.num_guard_bits):
             out += mk.write_qcc(compno, image.numcomps, t_c)
     if tcp0.mct == 2:
-        out += mk.write_mct_matrix(0, tcp0.mct_matrix)
+        # Part-2 MCT/MCC/MCO triplet: decorrelation array #1 carries the
+        # DECODING matrix, offset array #2 the DC offsets re-added after it
+        nmat = tcp0.mct_matrix.shape[0]
+        dec = np.linalg.inv(tcp0.mct_matrix.astype(np.float64))
+        offs = [0 if image.comps[i].sgnd else 1 << (image.comps[i].prec - 1)
+                for i in range(nmat)]
+        out += mk.write_mct_record(
+            1, mk.MCT_ARRAY_DECORRELATION, mk.MCT_ELEM_FLOAT32, dec.ravel())
+        out += mk.write_mct_record(
+            2, mk.MCT_ARRAY_OFFSET, mk.MCT_ELEM_INT32, offs)
+        out += mk.write_mcc(1, nmat, deco_index=1, offset_index=2,
+                            irreversible=True)
+        out += mk.write_mco([1])
     if tcp0.progression_changes:
         out += mk.write_poc(tcp0.progression_changes, image.numcomps)
     for compno in range(image.numcomps):

@@ -149,18 +149,56 @@ class CodestreamDecoder:
         elif code == mk.PPM:
             cp.ppm_data = (cp.ppm_data or b"") + payload[1:]
         elif code == mk.MCT:
-            m = mk.read_mct_matrix(payload)
+            idx, at, et, arr = mk.read_mct(payload)
             for t in cp.tcps:
-                t.mct_matrix = m
-        elif code in (mk.MCC, mk.MCO, mk.PLM, mk.CRG, mk.PRF, mk.CPF):
+                t.mct_records[idx] = (at, et, arr)
+            self._resolve_mct(cp)
+        elif code == mk.MCC:
+            rec = mk.read_mcc(payload)
+            for t in cp.tcps:
+                t.mcc_records[rec[0]] = rec
+            self._resolve_mct(cp)
+        elif code == mk.MCO:
+            order = mk.read_mco(payload)
+            for t in cp.tcps:
+                t.mco_order = order
+            self._resolve_mct(cp)
+        elif code in (mk.PLM, mk.CRG, mk.PRF, mk.CPF):
             pass  # informative / index markers
         else:
             self._err(f"unknown marker 0x{code:04X} in main header")
+
+    def _resolve_mct(self, cp: CodingParams):
+        """Combine parsed MCT/MCC/MCO into the tile's decoding matrix and
+        DC offsets once all three pieces are present (Part-2 custom MCT)."""
+        import numpy as np
+
+        for t in cp.tcps:
+            if not t.mco_order or not t.mcc_records:
+                continue
+            mcc = t.mcc_records.get(t.mco_order[0])
+            if mcc is None:
+                continue
+            _, inputs, _, deco_idx, off_idx, _ = mcc
+            deco = t.mct_records.get(deco_idx)
+            if deco is None or deco[0] != mk.MCT_ARRAY_DECORRELATION:
+                continue
+            n = len(inputs) or int(round(len(deco[2]) ** 0.5))
+            t.mct_dec_matrix = deco[2][:n * n].reshape(n, n)
+            off = t.mct_records.get(off_idx)
+            if off is not None and off[0] == mk.MCT_ARRAY_OFFSET:
+                t.mct_offsets = np.round(off[2][:n]).astype(np.int64)
 
     def _init_cp(self, siz: mk.SizInfo) -> CodingParams:
         if not siz.comps or siz.xtsiz <= 0 or siz.ytsiz <= 0 \
                 or siz.xsiz <= siz.xosiz or siz.ysiz <= siz.yosiz:
             raise ValueError("invalid SIZ geometry")
+        for (prec, _, dx, dy) in siz.comps:
+            # Part 1 allows Ssiz precision 1..38; spec subsampling 1..255
+            if not 1 <= prec <= 38 or not 1 <= dx <= 255 \
+                    or not 1 <= dy <= 255:
+                raise ValueError(
+                    f"invalid SIZ component (prec={prec} dx={dx} dy={dy})")
         cp = CodingParams()
         cp.rsiz = siz.rsiz
         cp.tx0, cp.ty0 = siz.xtosiz, siz.ytosiz

@@ -486,26 +486,108 @@ def write_crg(offsets: list[tuple[int, int]]) -> bytes:
     return marker_segment(CRG, bytes(p))
 
 
-# ---------------------------------------------------------------- MCT (Part 2)
+# ------------------------------------------------- MCT / MCC / MCO (Part 2)
+# Full marker triplet for arbitrary decorrelation transforms
+# (SURVEY.md §2.1 "Marker readers/writers": MCT/MCC/MCO).  Wire convention
+# (the layout Part-2 encoders emit): the MCT decorrelation array holds the
+# DECODING matrix (inverse of the forward transform) and the MCT offset
+# array holds the per-component DC offsets added after inverse transform.
+# No external oracle exists in this environment — the bundled OpenJPEG
+# build rejects COD SGcod MCT=2 outright (custom-MCT decode disabled
+# upstream), so like HTJ2K this is gated on self round-trip tests.
 
-def write_mct_matrix(index: int, matrix) -> bytes:
-    """Part-2 MCT marker carrying a float32 decorrelation matrix.
-    Imct: index | (array type 0=dependency? we use matrix=0... ) — simplified
-    single-segment float32 matrix, matching the subset the reference CLI
-    `-m` exposes (SURVEY.md §2.2)."""
+MCT_ARRAY_DEPENDENCY = 0
+MCT_ARRAY_DECORRELATION = 1
+MCT_ARRAY_OFFSET = 2
+MCT_ELEM_INT16 = 0
+MCT_ELEM_INT32 = 1
+MCT_ELEM_FLOAT32 = 2
+MCT_ELEM_FLOAT64 = 3
+_MCT_ELEM_DTYPES = {0: ">i2", 1: ">i4", 2: ">f4", 3: ">f8"}
+
+
+def write_mct_record(index: int, array_type: int, elem_type: int,
+                     data) -> bytes:
+    """One MCT marker segment: Zmct=0 | Imct(index, array & element type
+    bit-fields) | Ymct=0 | packed array."""
     import numpy as np
 
-    m = np.asarray(matrix, dtype=">f4")
-    imct = (index & 0xFF) | (1 << 8)  # Ymct=0, array type=decorrelation
-    p = u16(0) + u16(imct) + u16(0) + m.tobytes()
-    return marker_segment(MCT, p)
+    arr = np.asarray(data).astype(_MCT_ELEM_DTYPES[elem_type])
+    imct = (index & 0xFF) | ((array_type & 3) << 8) | ((elem_type & 3) << 10)
+    return marker_segment(MCT, u16(0) + u16(imct) + u16(0) + arr.tobytes())
 
 
-def read_mct_matrix(p: bytes):
+def read_mct(p: bytes):
+    """Parse an MCT segment -> (index, array_type, elem_type, float64 flat
+    array)."""
     import numpy as np
 
-    data = p[6:]
-    n = len(data) // 4
-    flat = np.frombuffer(data, dtype=">f4", count=n).astype(np.float64)
-    dim = int(round(n ** 0.5))
-    return flat[:dim * dim].reshape(dim, dim)
+    imct = int.from_bytes(p[2:4], "big")
+    index = imct & 0xFF
+    array_type = (imct >> 8) & 3
+    elem_type = (imct >> 10) & 3
+    arr = np.frombuffer(p[6:], dtype=_MCT_ELEM_DTYPES[elem_type])
+    return index, array_type, elem_type, arr.astype(np.float64)
+
+
+def write_mcc(index: int, nb_comps: int, deco_index: int = 0,
+              offset_index: int = 0, irreversible: bool = True) -> bytes:
+    """MCC: one array-based decorrelation collection over components
+    0..nb_comps-1, referencing the MCT decorrelation/offset arrays by
+    index.  Tmcci packs (reversible flag << 16 | offset_idx << 8 |
+    deco_idx), big-endian in 3 bytes."""
+    p = bytearray()
+    p += u16(0)                       # Zmcc (single segment)
+    p += u8(index)                    # Imcc
+    p += u16(0)                       # Ymcc
+    p += u16(1)                       # Qmcc: one collection
+    p += u8(1)                        # Xmcci: array-based decorrelation
+    mask = 0x8000 if nb_comps > 255 else 0
+    p += u16(nb_comps | mask)         # Nmcci (inputs)
+    for i in range(nb_comps):
+        p += u16(i) if mask else u8(i)
+    p += u16(nb_comps | mask)         # Mmcci (outputs)
+    for i in range(nb_comps):
+        p += u16(i) if mask else u8(i)
+    t = ((deco_index & 0xFF) | ((offset_index & 0xFF) << 8)
+         | ((0 if irreversible else 1) << 16))
+    p += bytes([(t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF])
+    return marker_segment(MCC, bytes(p))
+
+
+def read_mcc(p: bytes):
+    """Parse MCC -> (index, inputs, outputs, deco_index, offset_index,
+    irreversible) for the first collection."""
+    pos = 2                            # skip Zmcc
+    index = p[pos]; pos += 1
+    pos += 2                           # Ymcc
+    qmcc = int.from_bytes(p[pos:pos + 2], "big"); pos += 2
+    if qmcc < 1:
+        return index, [], [], 0, 0, True
+    pos += 1                           # Xmcci
+    n = int.from_bytes(p[pos:pos + 2], "big"); pos += 2
+    wide, n = bool(n & 0x8000), n & 0x7FFF
+    step = 2 if wide else 1
+    inputs = [int.from_bytes(p[pos + i * step:pos + (i + 1) * step], "big")
+              for i in range(n)]
+    pos += n * step
+    m = int.from_bytes(p[pos:pos + 2], "big"); pos += 2
+    wide, m = bool(m & 0x8000), m & 0x7FFF
+    step = 2 if wide else 1
+    outputs = [int.from_bytes(p[pos + i * step:pos + (i + 1) * step], "big")
+               for i in range(m)]
+    pos += m * step
+    t = int.from_bytes(p[pos:pos + 3], "big")
+    return (index, inputs, outputs, t & 0xFF, (t >> 8) & 0xFF,
+            not bool((t >> 16) & 1))
+
+
+def write_mco(indices: list[int]) -> bytes:
+    """MCO: ordered list of MCC collection indices applied at decode."""
+    return marker_segment(MCO, u8(len(indices))
+                          + b"".join(u8(i) for i in indices))
+
+
+def read_mco(p: bytes) -> list[int]:
+    n = p[0]
+    return list(p[1:1 + n])

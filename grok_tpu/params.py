@@ -229,7 +229,14 @@ class TileCodingParams:
     # decoder state
     ppt_data: bytes | None = None
     num_tile_parts: int = 0
-    mct_matrix: object | None = None   # Part-2 decorrelation matrix (numpy)
+    mct_matrix: object | None = None   # forward decorrelation matrix (numpy)
+    # Part-2 MCT/MCC/MCO decoder state: raw arrays by index, collections,
+    # apply order, and the resolved decoding matrix + DC offsets
+    mct_records: dict = field(default_factory=dict)
+    mcc_records: dict = field(default_factory=dict)
+    mco_order: list = field(default_factory=list)
+    mct_dec_matrix: object | None = None
+    mct_offsets: object | None = None
     rates: list[float] = field(default_factory=list)
     distortions: list[float] = field(default_factory=list)
 

@@ -807,6 +807,20 @@ class TileDecompressor:
             else:
                 planes[0], planes[1], planes[2] = mct_mod.ict_inverse(
                     planes[0], planes[1], planes[2])
+        elif tcp.mct == 2 and tcp.mct_dec_matrix is not None:
+            # Part-2 wire convention: MCT carries the DECODING matrix and
+            # the offset array carries the post-transform DC offsets (they
+            # replace the standard DC level shift for those components)
+            dec = tcp.mct_dec_matrix
+            n = dec.shape[0]
+            planes[:n] = mct_mod.matrix_forward(planes[:n], dec)
+            if tcp.mct_offsets is not None:
+                for i in range(n):
+                    comp = self.image.comps[i]
+                    std = 0 if comp.sgnd else 1 << (comp.prec - 1)
+                    delta = int(tcp.mct_offsets[i]) - std
+                    if delta:
+                        planes[i] = planes[i] + delta
         elif tcp.mct == 2 and tcp.mct_matrix is not None:
             n = tcp.mct_matrix.shape[0]
             planes[:n] = mct_mod.matrix_inverse(planes[:n], tcp.mct_matrix)

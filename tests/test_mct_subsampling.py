@@ -22,8 +22,11 @@ def test_custom_mct_roundtrip(rng):
         numresolution=3, irreversible=True, custom_mct=m))
     hi = grok_tpu.read_header(data)
     assert hi.cp.tcps[0].mct == 2
-    assert hi.cp.tcps[0].mct_matrix is not None
-    assert np.allclose(hi.cp.tcps[0].mct_matrix, m, atol=1e-6)
+    # the MCT/MCC/MCO triplet carries the decoding (inverse) matrix
+    dec = hi.cp.tcps[0].mct_dec_matrix
+    assert dec is not None
+    assert np.allclose(np.linalg.inv(dec), m, atol=1e-5)
+    assert np.array_equal(hi.cp.tcps[0].mct_offsets, [128, 128, 128])
     out = grok_tpu.decompress(data)
     err = out.to_array().astype(float) - arr
     psnr = 10 * np.log10(255 ** 2 / max((err ** 2).mean(), 1e-9))
@@ -74,3 +77,38 @@ def test_subsampled_upsample_flag(rng):
     for c in out.comps:
         assert c.data.shape == (48, 64)
         assert c.dx == c.dy == 1
+
+
+def test_mct_marker_triplet_fields():
+    """Byte-level checks on the MCT/MCC/MCO segments themselves."""
+    from grok_tpu.codestream import markers as mk
+
+    m = np.array([[2.0, 0.0], [1.0, 1.0]])
+    seg = mk.write_mct_record(
+        1, mk.MCT_ARRAY_DECORRELATION, mk.MCT_ELEM_FLOAT32, m.ravel())
+    assert seg[:2] == b"\xff\x74"
+    idx, at, et, arr = mk.read_mct(seg[4:])
+    assert (idx, at, et) == (1, mk.MCT_ARRAY_DECORRELATION,
+                             mk.MCT_ELEM_FLOAT32)
+    assert np.allclose(arr.reshape(2, 2), m)
+
+    seg = mk.write_mct_record(2, mk.MCT_ARRAY_OFFSET, mk.MCT_ELEM_INT32,
+                              [128, -5, 1 << 20])
+    idx, at, et, arr = mk.read_mct(seg[4:])
+    assert at == mk.MCT_ARRAY_OFFSET and list(arr) == [128, -5, 1 << 20]
+
+    seg = mk.write_mcc(1, 3, deco_index=1, offset_index=2)
+    assert seg[:2] == b"\xff\x75"
+    index, inputs, outputs, di, oi, irrev = mk.read_mcc(seg[4:])
+    assert index == 1 and inputs == [0, 1, 2] and outputs == [0, 1, 2]
+    assert (di, oi, irrev) == (1, 2, True)
+
+    # wide component indices (>255 components)
+    seg = mk.write_mcc(7, 300, deco_index=3, offset_index=0)
+    index, inputs, outputs, di, oi, irrev = mk.read_mcc(seg[4:])
+    assert index == 7 and len(inputs) == 300 and inputs[299] == 299
+    assert di == 3
+
+    seg = mk.write_mco([1, 4])
+    assert seg[:2] == b"\xff\x77"
+    assert mk.read_mco(seg[4:]) == [1, 4]
