@@ -4,6 +4,12 @@ Parity: this is the production host entropy path (SURVEY.md §7
 "Architecture stance": serial-bitstream stages in native code).  The
 library is built by native/build.sh into grok_tpu/_native/libgrk_t1.so;
 importing this module registers the "native" backend.
+
+Pointer fields are declared as c_uint64 (same size/alignment as a
+pointer on LP64) and filled with raw addresses from
+`__array_interface__` — per-job `ctypes.cast` calls were ~12% of
+decode wall time.  Per-job scratch arrays are pooled into one
+allocation per batch for the same reason.
 """
 
 from __future__ import annotations
@@ -19,18 +25,22 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), os.pardir, "_native",
                          "libgrk_t1.so")
 
 
+def _addr(a: np.ndarray) -> int:
+    return a.__array_interface__["data"][0]
+
+
 class _EncJob(ct.Structure):
     _fields_ = [
         ("h", ct.c_int32), ("w", ct.c_int32),
         ("orient", ct.c_int32), ("style", ct.c_int32),
         ("need_dist", ct.c_int32),
-        ("coeffs", ct.POINTER(ct.c_int32)),
-        ("out", ct.POINTER(ct.c_uint8)),
+        ("coeffs", ct.c_uint64),
+        ("out", ct.c_uint64),
         ("out_cap", ct.c_int32), ("out_len", ct.c_int32),
         ("numbps", ct.c_int32), ("num_passes", ct.c_int32),
-        ("pass_rates", ct.POINTER(ct.c_int32)),
-        ("pass_dists", ct.POINTER(ct.c_double)),
-        ("pass_terms", ct.POINTER(ct.c_uint8)),
+        ("pass_rates", ct.c_uint64),
+        ("pass_dists", ct.c_uint64),
+        ("pass_terms", ct.c_uint64),
         ("status", ct.c_int32),
     ]
 
@@ -40,9 +50,9 @@ class _DecJob(ct.Structure):
         ("h", ct.c_int32), ("w", ct.c_int32),
         ("orient", ct.c_int32), ("style", ct.c_int32),
         ("numbps", ct.c_int32), ("num_passes", ct.c_int32),
-        ("data", ct.POINTER(ct.c_uint8)), ("data_len", ct.c_int32),
-        ("seg_lens", ct.POINTER(ct.c_int32)), ("num_segs", ct.c_int32),
-        ("out", ct.POINTER(ct.c_int32)),
+        ("data", ct.c_uint64), ("data_len", ct.c_int32),
+        ("seg_lens", ct.c_uint64), ("num_segs", ct.c_int32),
+        ("out", ct.c_uint64),
         ("status", ct.c_int32),
     ]
 
@@ -56,47 +66,55 @@ _lib.grk_t1_decode_batch.restype = ct.c_int
 MAX_PASSES = 3 * 32
 
 
-def _i32ptr(a: np.ndarray):
-    return a.ctypes.data_as(ct.POINTER(ct.c_int32))
-
-
 def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
     n = len(jobs)
     if n == 0:
         return
     cjobs = (_EncJob * n)()
-    keep = []
     from ..t1.coder import PassInfo
 
+    coeff_arrs = [np.ascontiguousarray(j.coeffs, dtype=np.int32)
+                  for j in jobs]
+    caps = [max(4096, a.shape[0] * a.shape[1] * 4 + 1024)
+            for a in coeff_arrs]
+    out_pool = np.empty(sum(caps), dtype=np.uint8)
+    rates_pool = np.zeros(n * MAX_PASSES, dtype=np.int32)
+    dists_pool = np.zeros(n * MAX_PASSES, dtype=np.float64)
+    terms_pool = np.zeros(n * MAX_PASSES, dtype=np.uint8)
+    out_base = _addr(out_pool)
+    rates_base = _addr(rates_pool)
+    dists_base = _addr(dists_pool)
+    terms_base = _addr(terms_pool)
+
+    out_off = 0
     for i, j in enumerate(jobs):
-        coeffs = np.ascontiguousarray(j.coeffs, dtype=np.int32)
+        coeffs = coeff_arrs[i]
         h, w = coeffs.shape
-        cap = max(4096, h * w * 4 + 1024)
-        out = np.empty(cap, dtype=np.uint8)
-        rates = np.zeros(MAX_PASSES, dtype=np.int32)
-        dists = np.zeros(MAX_PASSES, dtype=np.float64)
-        terms = np.zeros(MAX_PASSES, dtype=np.uint8)
-        keep.append((coeffs, out, rates, dists, terms))
         c = cjobs[i]
         c.h, c.w = h, w
         c.orient = int(j.orient)
         c.style = int(j.style)
         c.need_dist = 1 if j.need_dist else 0
-        c.coeffs = _i32ptr(coeffs)
-        c.out = out.ctypes.data_as(ct.POINTER(ct.c_uint8))
-        c.out_cap = cap
-        c.pass_rates = _i32ptr(rates)
-        c.pass_dists = dists.ctypes.data_as(ct.POINTER(ct.c_double))
-        c.pass_terms = terms.ctypes.data_as(ct.POINTER(ct.c_uint8))
+        c.coeffs = _addr(coeffs)
+        c.out = out_base + out_off
+        c.out_cap = caps[i]
+        c.pass_rates = rates_base + i * MAX_PASSES * 4
+        c.pass_dists = dists_base + i * MAX_PASSES * 8
+        c.pass_terms = terms_base + i * MAX_PASSES
+        out_off += caps[i]
     rc = _lib.grk_t1_encode_batch(cjobs, n, num_threads)
     if rc != 0:
         raise RuntimeError("native T1 encode overflow")
+    out_off = 0
     for i, j in enumerate(jobs):
         c = cjobs[i]
-        _, out, rates, dists, terms = keep[i]
-        j.data = bytes(out[: c.out_len])
+        j.data = out_pool[out_off: out_off + c.out_len].tobytes()
+        out_off += caps[i]
         j.numbps = int(c.numbps)
         np_ = int(c.num_passes)
+        rates = rates_pool[i * MAX_PASSES:]
+        dists = dists_pool[i * MAX_PASSES:]
+        terms = terms_pool[i * MAX_PASSES:]
         passes = []
         passno = 0
         numbps = j.numbps
@@ -116,36 +134,44 @@ def decode_batch_native(jobs: list[bk.DecodeJob], num_threads: int = 0) -> None:
     if n == 0:
         return
     cjobs = (_DecJob * n)()
-    keep = []
+    data_pool = np.frombuffer(
+        b"".join(j.data if j.data else b"\x00" for j in jobs)
+        or b"\x00", dtype=np.uint8)
+    seg_lists = [j.seg_lengths or [0] for j in jobs]
+    segs_pool = np.asarray([x for s in seg_lists for x in s], dtype=np.int32)
+    out_pool = np.zeros(sum(j.h * j.w for j in jobs), dtype=np.int32)
+    data_base = _addr(data_pool)
+    segs_base = _addr(segs_pool)
+    out_base = _addr(out_pool)
+
+    data_off = seg_off = out_off = 0
     for i, j in enumerate(jobs):
-        data = np.frombuffer(j.data, dtype=np.uint8) if j.data else \
-            np.zeros(1, dtype=np.uint8)
-        data = np.ascontiguousarray(data)
-        segs = np.asarray(j.seg_lengths or [0], dtype=np.int32)
-        out = np.zeros(j.h * j.w, dtype=np.int32)
-        keep.append((data, segs, out))
         c = cjobs[i]
         c.h, c.w = j.h, j.w
         c.orient = int(j.orient)
         c.style = int(j.style)
         c.numbps = int(j.numbps)
         c.num_passes = int(j.num_passes)
-        c.data = data.ctypes.data_as(ct.POINTER(ct.c_uint8))
+        c.data = data_base + data_off
         c.data_len = len(j.data)
-        c.seg_lens = _i32ptr(segs)
-        c.num_segs = len(segs)
-        c.out = _i32ptr(out)
+        data_off += len(j.data) if j.data else 1
+        c.seg_lens = segs_base + seg_off * 4
+        c.num_segs = len(seg_lists[i])
+        seg_off += len(seg_lists[i])
+        c.out = out_base + out_off * 4
+        out_off += j.h * j.w
     _lib.grk_t1_decode_batch(cjobs, n, num_threads)
-    for i, j in enumerate(jobs):
-        _, _, out = keep[i]
-        j.out = out.reshape(j.h, j.w)
+    out_off = 0
+    for j in jobs:
+        j.out = out_pool[out_off: out_off + j.h * j.w].reshape(j.h, j.w)
+        out_off += j.h * j.w
 
 
 class _HTEncJob(ct.Structure):
     _fields_ = [
         ("h", ct.c_int32), ("w", ct.c_int32),
-        ("coeffs", ct.POINTER(ct.c_int32)),
-        ("out", ct.POINTER(ct.c_uint8)),
+        ("coeffs", ct.c_uint64),
+        ("out", ct.c_uint64),
         ("out_cap", ct.c_int32), ("out_len", ct.c_int32),
         ("numbps", ct.c_int32), ("status", ct.c_int32),
     ]
@@ -154,8 +180,8 @@ class _HTEncJob(ct.Structure):
 class _HTDecJob(ct.Structure):
     _fields_ = [
         ("h", ct.c_int32), ("w", ct.c_int32),
-        ("data", ct.POINTER(ct.c_uint8)), ("data_len", ct.c_int32),
-        ("out", ct.POINTER(ct.c_int32)), ("status", ct.c_int32),
+        ("data", ct.c_uint64), ("data_len", ct.c_int32),
+        ("out", ct.c_uint64), ("status", ct.c_int32),
     ]
 
 
@@ -173,30 +199,35 @@ def ht_encode_batch_native(jobs: list[bk.EncodeJob],
     if n == 0:
         return
     cjobs = (_HTEncJob * n)()
-    keep = []
+    coeff_arrs = [np.ascontiguousarray(j.coeffs, dtype=np.int32)
+                  for j in jobs]
+    caps = [max(4096, a.shape[0] * a.shape[1] * 5 + 2048)
+            for a in coeff_arrs]
+    out_pool = np.empty(sum(caps), dtype=np.uint8)
+    out_base = _addr(out_pool)
+    out_off = 0
     for i, j in enumerate(jobs):
-        coeffs = np.ascontiguousarray(j.coeffs, dtype=np.int32)
+        coeffs = coeff_arrs[i]
         h, w = coeffs.shape
-        cap = max(4096, h * w * 5 + 2048)
-        out = np.empty(cap, dtype=np.uint8)
-        keep.append((coeffs, out))
         c = cjobs[i]
         c.h, c.w = h, w
-        c.coeffs = _i32ptr(coeffs)
-        c.out = out.ctypes.data_as(ct.POINTER(ct.c_uint8))
-        c.out_cap = cap
+        c.coeffs = _addr(coeffs)
+        c.out = out_base + out_off
+        c.out_cap = caps[i]
+        out_off += caps[i]
     rc = _lib.grk_ht_encode_batch(cjobs, n, num_threads)
     if rc != 0:
         raise RuntimeError("native HT encode overflow")
+    out_off = 0
     for i, j in enumerate(jobs):
         c = cjobs[i]
-        _, out = keep[i]
-        j.data = bytes(out[: c.out_len])
+        j.data = out_pool[out_off: out_off + c.out_len].tobytes()
+        out_off += caps[i]
         j.numbps = int(c.numbps)
         if j.numbps == 0:
             j.passes = []
         else:
-            e0 = float((np.abs(keep[i][0]).astype(np.float64) ** 2).sum())
+            e0 = float((np.abs(coeff_arrs[i]).astype(np.float64) ** 2).sum())
             j.passes = [PassInfo(2, j.numbps - 1, True, len(j.data), e0)]
 
 
@@ -206,21 +237,26 @@ def ht_decode_batch_native(jobs: list[bk.DecodeJob],
     if n == 0:
         return
     cjobs = (_HTDecJob * n)()
-    keep = []
+    data_pool = np.frombuffer(
+        b"".join(j.data if j.data else b"\x00" for j in jobs)
+        or b"\x00", dtype=np.uint8)
+    out_pool = np.zeros(sum(j.h * j.w for j in jobs), dtype=np.int32)
+    data_base = _addr(data_pool)
+    out_base = _addr(out_pool)
+    data_off = out_off = 0
     for i, j in enumerate(jobs):
-        data = np.frombuffer(j.data, dtype=np.uint8) if j.data else \
-            np.zeros(1, dtype=np.uint8)
-        data = np.ascontiguousarray(data)
-        out = np.zeros(j.h * j.w, dtype=np.int32)
-        keep.append((data, out))
         c = cjobs[i]
         c.h, c.w = j.h, j.w
-        c.data = data.ctypes.data_as(ct.POINTER(ct.c_uint8))
+        c.data = data_base + data_off
         c.data_len = len(j.data)
-        c.out = _i32ptr(out)
+        data_off += len(j.data) if j.data else 1
+        c.out = out_base + out_off * 4
+        out_off += j.h * j.w
     _lib.grk_ht_decode_batch(cjobs, n, num_threads)
-    for i, j in enumerate(jobs):
-        j.out = keep[i][1].reshape(j.h, j.w)
+    out_off = 0
+    for j in jobs:
+        j.out = out_pool[out_off: out_off + j.h * j.w].reshape(j.h, j.w)
+        out_off += j.h * j.w
 
 
 bk.register_backend("native", encode_batch_native, decode_batch_native)

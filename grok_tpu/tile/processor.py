@@ -296,10 +296,8 @@ class TileCompressor:
             cblk.num_passes_by_layer = [0] * numlayers
             if not cblk.pass_rates:
                 continue
-            pinfos = [type("P", (), {"rate": r, "dist": d})()
-                      for r, d in zip(cblk.pass_rates, cblk.pass_dists)]
-            hull = convex_hull(pinfos, 1.0)
-            entries.append((cblk, hull))
+            entries.append((cblk, convex_hull(cblk.pass_rates,
+                                              cblk.pass_dists)))
 
         prev = {id(c): 0 for c, _ in entries}
         hulls = [h for _, h in entries]
@@ -330,9 +328,8 @@ class TileCompressor:
             e0_total += getattr(cblk, "_e0", 0.0)
             if not cblk.pass_rates:
                 continue
-            pinfos = [type("P", (), {"rate": r, "dist": d})()
-                      for r, d in zip(cblk.pass_rates, cblk.pass_dists)]
-            entries.append((cblk, convex_hull(pinfos, 1.0)))
+            entries.append((cblk, convex_hull(cblk.pass_rates,
+                                              cblk.pass_dists)))
 
         total_samples = sum(tc.rect.area for tc in self.tile.comps)
         peak = (1 << self.image.comps[0].prec) - 1
@@ -340,7 +337,7 @@ class TileCompressor:
         prev = {id(c): 0 for c, _ in entries}
         for layno, target_db in enumerate(psnr_targets):
             if target_db <= 0 or not slopes:
-                counts = {id(c): (h[-1].passno + 1 if h else 0)
+                counts = {id(c): (h[-1][0] + 1 if h else 0)
                           for c, h in entries}
             else:
                 e_target = (peak ** 2 / (10.0 ** (target_db / 10.0))
@@ -365,7 +362,7 @@ class TileCompressor:
                     else:
                         lo = mid + 1
                 counts = best if best is not None else {
-                    id(c): (h[-1].passno + 1 if h else 0)
+                    id(c): (h[-1][0] + 1 if h else 0)
                     for c, h in entries}
             for c, h in entries:
                 c.num_passes_by_layer[layno] = max(

@@ -6,59 +6,61 @@ the convex hull of (rate, distortion); a global slope threshold lambda picks
 each block's contribution per layer; the threshold is bisected against the
 layer's byte budget with a Tier-2 dry run to account for header overhead
 ("feasible" variant).  `-q` quality mode thresholds on distortion instead.
+
+Hull points are plain tuples (passno, rate, dist, slope) — this runs once
+per codeblock per tile, and object construction showed up at ~15% of
+encode wall time as dataclasses.
 """
 
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 
 
-@dataclass
-class HullPoint:
-    passno: int     # index of last included pass (truncation at passno+1)
-    rate: int       # cumulative bytes
-    dist: float     # cumulative weighted distortion decrease
-    slope: float = 0.0
-
-
-def convex_hull(passes, weight: float) -> list[HullPoint]:
+def convex_hull(rates, dists, weight: float = 1.0) -> list[tuple]:
     """Feasible truncation points with strictly decreasing slopes.
 
-    `passes` is the list of t1.coder.PassInfo; `weight` scales the raw
-    distortion units into image-MSE units ((Delta_b * norm_b * mct_norm)^2).
+    `rates`/`dists` are the cumulative per-pass byte counts and raw
+    distortion decreases; `weight` scales raw distortion units into
+    image-MSE units ((Delta_b * norm_b * mct_norm)^2).  Returns
+    [(passno, rate, dist, slope), ...].
     """
-    pts = [HullPoint(i, p.rate, p.dist * weight) for i, p in enumerate(passes)]
-    hull: list[HullPoint] = []
-    for pt in pts:
+    hull: list[tuple] = []
+    base_r = 0
+    base_d = 0.0
+    for i, (rate, dist) in enumerate(zip(rates, dists)):
+        dist = dist * weight
         while True:
-            base_r = hull[-1].rate if hull else 0
-            base_d = hull[-1].dist if hull else 0.0
-            dr = pt.rate - base_r
-            dd = pt.dist - base_d
+            dr = rate - base_r
+            dd = dist - base_d
             if dd <= 0:
                 break  # no distortion gain: not a feasible truncation point
-            pt.slope = math.inf if dr <= 0 else dd / dr
-            if hull and hull[-1].slope <= pt.slope:
+            slope = math.inf if dr <= 0 else dd / dr
+            if hull and hull[-1][3] <= slope:
                 hull.pop()  # previous point is dominated
+                if hull:
+                    base_r, base_d = hull[-1][1], hull[-1][2]
+                else:
+                    base_r, base_d = 0, 0.0
                 continue
-            hull.append(pt)
+            hull.append((i, rate, dist, slope))
+            base_r, base_d = rate, dist
             break
     return hull
 
 
-def passes_for_threshold(hull: list[HullPoint], lam: float) -> int:
+def passes_for_threshold(hull: list[tuple], lam: float) -> int:
     """Number of passes included when keeping hull slopes >= lam."""
     n = 0
     for pt in hull:
-        if pt.slope >= lam:
-            n = pt.passno + 1
+        if pt[3] >= lam:
+            n = pt[0] + 1
         else:
             break
     return n
 
 
-def candidate_slopes(hulls: list[list[HullPoint]]) -> list[float]:
+def candidate_slopes(hulls: list[list[tuple]]) -> list[float]:
     """All distinct finite hull slopes, descending."""
-    s = {pt.slope for hull in hulls for pt in hull if math.isfinite(pt.slope)}
+    s = {pt[3] for hull in hulls for pt in hull if math.isfinite(pt[3])}
     return sorted(s, reverse=True)
