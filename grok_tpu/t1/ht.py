@@ -146,7 +146,9 @@ class MELDecoder:
         return 1
 
 
-# u-value prefix code: 0->'0', 1->'10', 2->'110', >=3 -> '111'+5 bits (u-3)
+# u-value prefix code: 0->'0', 1->'10', 2->'110', >=3 -> '111'+7 bits (u-3).
+# 7 escape bits cover the zigzagged predictor residual for any int32
+# magnitude (|diff| <= 64); 5 bits silently truncated deep-precision data.
 def _put_u(bw: _BitWriterMSB, u: int):
     if u == 0:
         bw.put(0)
@@ -156,7 +158,7 @@ def _put_u(bw: _BitWriterMSB, u: int):
         bw.put_bits(0b110, 3)
     else:
         bw.put_bits(0b111, 3)
-        bw.put_bits(u - 3, 5)
+        bw.put_bits(u - 3, 7)
 
 
 def _get_u(br: _BitReaderMSB) -> int:
@@ -166,7 +168,7 @@ def _get_u(br: _BitReaderMSB) -> int:
         return 1
     if not br.get():
         return 2
-    return 3 + br.get_bits(5)
+    return 3 + br.get_bits(7)
 
 
 def encode_cblk_ht_refined(coeffs: np.ndarray):
@@ -373,7 +375,8 @@ def decode_cblk_ht(data: bytes, h: int, w: int):
             diff = (zz >> 1) if (zz & 1) == 0 else -((zz + 1) >> 1)
             umax = u_pred + diff
             u_pred = umax
-            if umax < 1 or umax > 32:
+            if umax < 1 or umax > 30:
+                # >30 cannot be represented in the doubled int32 domain
                 return out  # tolerant: corrupt segment
             for i, (y, x) in enumerate(samples):
                 if rho & (1 << i):

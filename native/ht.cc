@@ -134,14 +134,14 @@ static inline void put_u(BitWriterMSB& bw, uint32_t u) {
   if (u == 0) bw.put(0);
   else if (u == 1) bw.put_bits(0b10, 2);
   else if (u == 2) bw.put_bits(0b110, 3);
-  else { bw.put_bits(0b111, 3); bw.put_bits(u - 3, 5); }
+  else { bw.put_bits(0b111, 3); bw.put_bits(u - 3, 7); }
 }
 
 static inline uint32_t get_u(BitReaderMSB& br) {
   if (!br.get()) return 0;
   if (!br.get()) return 1;
   if (!br.get()) return 2;
-  return 3 + br.get_bits(5);
+  return 3 + br.get_bits(7);
 }
 
 }  // namespace

@@ -141,3 +141,19 @@ def test_ht_refinement_passes(rng):
         err_full = float(((dec - c) ** 2).mean())
         err_trunc = float(((dec0 - c) ** 2).mean())
         assert err_full <= err_trunc + 1e-9
+
+
+def test_ht_extreme_magnitude_contrast():
+    """Adjacent quads with wildly different magnitudes exercise the wide
+    u-residual escape (a 5-bit escape silently truncated these)."""
+    from grok_tpu.t1.ht import decode_cblk_ht, encode_cblk_ht
+
+    c = np.zeros((4, 8), dtype=np.int32)
+    c[0, 0] = 1 << 25
+    c[0, 2] = 1
+    c[2, 6] = -(1 << 29)
+    seg, nb = encode_cblk_ht(c)
+    assert nb == 30
+    out = decode_cblk_ht(seg, 4, 8)
+    ref = np.sign(c) * (2 * np.abs(c) + 1) * (np.abs(c) > 0)
+    assert np.array_equal(out, ref)
