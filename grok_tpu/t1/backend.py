@@ -117,9 +117,52 @@ def _decode_ht(jobs: list[DecodeJob]) -> None:
         j.out = ht.decode_cblk_ht(j.data, j.h, j.w)
 
 
+def _encode_ht_device(jobs: list[EncodeJob]) -> list[EncodeJob]:
+    """Route uniform even-dim HT jobs through the device (TPU) cleanup
+    encoder, batched by codeblock shape (ops/ht_encode.py).  Returns the
+    jobs the device path cannot take (ragged dims, out-of-range
+    magnitudes) for the host coder."""
+    from collections import defaultdict
+
+    from ..ops import ht_encode as dht
+    from ..t1.coder import PassInfo
+
+    groups: dict = defaultdict(list)
+    rest: list[EncodeJob] = []
+    for j in jobs:
+        h, w = j.coeffs.shape
+        if h % 2 == 0 and w % 2 == 0:
+            groups[(h, w)].append(j)
+        else:
+            rest.append(j)
+    for (h, w), g in groups.items():
+        batch = np.stack([np.ascontiguousarray(j.coeffs, dtype=np.int32)
+                          for j in g])
+        if int(np.abs(batch).max()) >= (1 << dht.MAX_NUMBPS_DEVICE):
+            rest.extend(g)
+            continue
+        # pad the batch axis to a power of two to bound jit recompiles
+        b = batch.shape[0]
+        bpad = 1 << (b - 1).bit_length()
+        if bpad != b:
+            batch = np.concatenate(
+                [batch, np.zeros((bpad - b, h, w), np.int32)])
+        segs = dht.encode_cblks_ht_device(batch)[:b]
+        for j, (seg, nb) in zip(g, segs):
+            j.data, j.numbps = seg, nb
+            if nb == 0:
+                j.passes = []
+            else:
+                e0 = float((np.abs(j.coeffs).astype(np.float64) ** 2).sum())
+                j.passes = [PassInfo(2, nb - 1, True, len(seg), e0)]
+    return rest
+
+
 def encode_batch(jobs: list[EncodeJob], backend: str = "auto") -> None:
     ht_jobs = [j for j in jobs if j.ht]
     mq_jobs = [j for j in jobs if not j.ht]
+    if ht_jobs and backend == "device":
+        ht_jobs = _encode_ht_device(ht_jobs)
     if ht_jobs:
         name = resolve(backend)
         if name == "native" and _HT_NATIVE is not None and \

@@ -259,5 +259,21 @@ def ht_decode_batch_native(jobs: list[bk.DecodeJob],
         out_off += j.h * j.w
 
 
+_lib.grk_stuff_bits.argtypes = [ct.c_uint64, ct.c_long, ct.c_uint64,
+                                ct.c_long]
+_lib.grk_stuff_bits.restype = ct.c_long
+
+
+def stuff_bits_native(raw: np.ndarray, nbits: int) -> bytes:
+    """0xFF bit-stuffing re-serialization for device-packed HT streams."""
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    cap = int(nbits) // 8 + 8
+    out = np.empty(cap, dtype=np.uint8)
+    n = _lib.grk_stuff_bits(_addr(raw), int(nbits), _addr(out), cap)
+    if n < 0:
+        raise RuntimeError("stuff_bits overflow")
+    return out[:n].tobytes()
+
+
 bk.register_backend("native", encode_batch_native, decode_batch_native)
 bk.register_ht_backend(ht_encode_batch_native, ht_decode_batch_native)

@@ -874,4 +874,35 @@ int grk_t1_decode_batch(GrkT1DecJob* jobs, int n, int num_threads) {
 
 int grk_t1_abi_version() { return 1; }
 
+// Re-serialize an unstuffed MSB-first bit buffer with the HT bit-writer's
+// 0xFF stuffing (7-bit capacity after a 0xFF byte), zero-padded flush and
+// trailing-0xFF guard byte.  Returns the stuffed byte count, or -1 if the
+// output would exceed `cap`.  Consumed by the device HT encode path
+// (grok_tpu/ops/ht_encode.py).
+long grk_stuff_bits(const uint8_t* in, long nbits, uint8_t* out, long cap) {
+  long n = 0;
+  uint32_t acc = 0;
+  int used = 0, width = 8;
+  for (long i = 0; i < nbits; i++) {
+    acc = (acc << 1) | ((in[i >> 3] >> (7 - (i & 7))) & 1);
+    if (++used == width) {
+      if (n >= cap) return -1;
+      out[n++] = (uint8_t)acc;
+      width = (acc == 0xFF) ? 7 : 8;
+      acc = 0;
+      used = 0;
+    }
+  }
+  if (used) {
+    acc <<= width - used;
+    if (n >= cap) return -1;
+    out[n++] = (uint8_t)acc;
+  }
+  if (n && out[n - 1] == 0xFF) {
+    if (n >= cap) return -1;
+    out[n++] = 0;
+  }
+  return n;
+}
+
 }  // extern "C"

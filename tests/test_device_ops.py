@@ -140,3 +140,33 @@ def test_ht_quad_metadata_matches_host(rng):
                 if r:
                     assert umax[b, qy, qx] == u
                     assert nbits[b, qy, qx] == bin(r).count("1") * (u + 1)
+
+
+def test_device_ht_encoder_bit_exact(rng):
+    """The device HT cleanup encoder (scan-MEL + prefix-sum bit packing,
+    ops/ht_encode.py) must be bit-identical to the host coder, and the
+    backend="device" codec path must emit byte-identical codestreams."""
+    import grok_tpu
+    from grok_tpu import CompressParams, GrkImage
+    from grok_tpu.ops.ht_encode import encode_cblks_ht_device
+    from grok_tpu.t1.ht import encode_cblk_ht
+
+    for trial in range(8):
+        h = int(rng.choice([2, 8, 32, 64]))
+        w = int(rng.choice([2, 8, 32, 64]))
+        batch = rng.integers(-(1 << 20), 1 << 20,
+                             size=(3, h, w)).astype(np.int32)
+        batch[rng.random(batch.shape) < rng.uniform(0.2, 0.95)] = 0
+        got = encode_cblks_ht_device(batch)
+        for bi in range(batch.shape[0]):
+            assert got[bi] == encode_cblk_ht(batch[bi]), (trial, bi)
+
+    arr = rng.integers(0, 256, size=(96, 96)).astype(np.int32)
+    img = GrkImage.from_array(arr)
+    d_nat = grok_tpu.compress(img, CompressParams(
+        numresolution=3, ht=True, backend="native"))
+    d_dev = grok_tpu.compress(img, CompressParams(
+        numresolution=3, ht=True, backend="device"))
+    assert d_nat == d_dev
+    out = grok_tpu.decompress(d_dev)
+    assert np.array_equal(out.comps[0].data, arr)
