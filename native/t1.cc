@@ -423,6 +423,7 @@ struct DistTrack {
   }
 };
 
+template <bool TRACK>
 static void enc_sigpass(T1State& st, int bpno, int orient, bool vsc,
                         MQEnc& mq, RawEnc* raw, DistTrack& dt) {
   const uint32_t one = 1u << bpno;
@@ -447,7 +448,7 @@ static void enc_sigpass(T1State& st, int bpno, int orient, bool vsc,
             mq.encode((int)(neg ^ LUT.sc_xor[si]), LUT.sc_cn[si]);
           }
           st.set_sig(i, neg);
-          dt.on_sig(i, bpno);
+          if (TRACK) dt.on_sig(i, bpno);
         }
         FL[i] |= F_VIS;
       }
@@ -455,6 +456,7 @@ static void enc_sigpass(T1State& st, int bpno, int orient, bool vsc,
   }
 }
 
+template <bool TRACK>
 static void enc_refpass(T1State& st, int bpno, bool vsc, MQEnc& mq,
                         RawEnc* raw, DistTrack& dt) {
   const uint32_t one = 1u << bpno;
@@ -478,12 +480,13 @@ static void enc_refpass(T1State& st, int bpno, bool vsc, MQEnc& mq,
           mq.encode(bit, cn);
         }
         FL[i] |= F_REF;
-        dt.on_ref(i, bpno, bit);
+        if (TRACK) dt.on_ref(i, bpno, bit);
       }
     }
   }
 }
 
+template <bool TRACK>
 static void enc_clnpass(T1State& st, int bpno, int orient, bool vsc,
                         MQEnc& mq, DistTrack& dt, bool segsym) {
   const uint32_t one = 1u << bpno;
@@ -520,7 +523,7 @@ static void enc_clnpass(T1State& st, int bpno, int orient, bool vsc,
           int si = sc_index(F);
           mq.encode((int)(neg ^ LUT.sc_xor[si]), LUT.sc_cn[si]);
           st.set_sig(i, neg);
-          dt.on_sig(i, bpno);
+          if (TRACK) dt.on_sig(i, bpno);
           kstart = first + 1;
         }
       }
@@ -536,7 +539,7 @@ static void enc_clnpass(T1State& st, int bpno, int orient, bool vsc,
           int si = sc_index(F);
           mq.encode((int)(neg ^ LUT.sc_xor[si]), LUT.sc_cn[si]);
           st.set_sig(i, neg);
-          dt.on_sig(i, bpno);
+          if (TRACK) dt.on_sig(i, bpno);
         }
       }
     }
@@ -585,12 +588,21 @@ static void encode_one(GrkT1EncJob* j) {
     for (int ptype = pt_first; ptype <= 2; ptype++) {
       bool rawp = is_raw_pass(ptype, bpno, numbps, style);
       if (rawp && !raw_active) { raw = RawEnc(); raw_active = true; }
-      if (ptype == 0) enc_sigpass(st, bpno, j->orient, vsc, mq,
-                                  rawp ? &raw : nullptr, dt);
-      else if (ptype == 1) enc_refpass(st, bpno, vsc, mq,
-                                       rawp ? &raw : nullptr, dt);
-      else {
-        enc_clnpass(st, bpno, j->orient, vsc, mq, dt, style & STY_SEGSYM);
+      if (ptype == 0) {
+        if (dt.enabled) enc_sigpass<true>(st, bpno, j->orient, vsc, mq,
+                                          rawp ? &raw : nullptr, dt);
+        else enc_sigpass<false>(st, bpno, j->orient, vsc, mq,
+                                rawp ? &raw : nullptr, dt);
+      } else if (ptype == 1) {
+        if (dt.enabled) enc_refpass<true>(st, bpno, vsc, mq,
+                                          rawp ? &raw : nullptr, dt);
+        else enc_refpass<false>(st, bpno, vsc, mq,
+                                rawp ? &raw : nullptr, dt);
+      } else {
+        if (dt.enabled) enc_clnpass<true>(st, bpno, j->orient, vsc, mq, dt,
+                                          style & STY_SEGSYM);
+        else enc_clnpass<false>(st, bpno, j->orient, vsc, mq, dt,
+                                style & STY_SEGSYM);
         st.clear_visited();
       }
       bool last = passno == total_passes - 1;
