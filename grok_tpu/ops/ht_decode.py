@@ -1,0 +1,177 @@
+"""Device-side HT (Part 15) cleanup-pass DECODER.
+
+Counterpart of ops/ht_encode.py: the host destuffs the three byte
+streams (0xFF stuffing removal is a cheap deterministic pass — native
+`grk_destuff_bits`), then a single `jax.lax.scan` over the quad sequence
+— vmapped across the codeblock batch — replays the MEL automaton, the
+VLC quad parse with the u-predictor chain, and the MagSgn reads, carrying
+three bit cursors.  Variable-length codes are read as fixed-width windows
+via `lax.dynamic_slice` and the cursor advances by the consumed length.
+
+Bit-identical inverse of t1/ht.py::encode_cblk_ht for even-dimension
+blocks (tests/test_device_ops.py); ragged blocks keep the host decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..t1.ht import MEL_E, _BitReaderMSB
+
+_MS_WIN = 31        # umax (<=30) + sign
+_VLC_WIN = 14       # 4 rho + '111' + 7-bit escape
+_MEL_RUN_WIN = 5    # max run-length field width
+_PAD = 64           # cursor overrun guard
+
+_MEL_E_ARR = np.asarray(MEL_E, dtype=np.int32)
+
+
+def _window(bits, pos, n):
+    """Read n bits MSB-first starting at pos (bits: (L,) int32 0/1,
+    zero-padded past the stream end)."""
+    w = jax.lax.dynamic_slice(bits, (pos,), (n,))
+    weights = (1 << jnp.arange(n - 1, -1, -1)).astype(jnp.int32)
+    return jnp.sum(w * weights)
+
+
+def _decode_one(ms_bits, mel_bits, vlc_bits, qxs):
+    """Scan-decode one block's quad sequence.
+
+    qxs: (nq,) int32 quad column index (0 resets the u predictor).
+    Returns (nq, 4) doubled-domain signed sample values in TL,BL,TR,BR
+    order."""
+    e_tab = jnp.asarray(_MEL_E_ARR)
+
+    def step(carry, qx):
+        (k, pz, pone, mpos, vpos, spos, upred) = carry
+        upred = jnp.where(qx == 0, jnp.int32(1), upred)
+
+        # ---- one MEL event (mirrors t1.ht.MELDecoder)
+        fresh = (pz == 0) & (~pone)
+        bit = jnp.where(fresh, _window(mel_bits, mpos, 1), 0)
+        e = e_tab[k]
+        t = jnp.int32(1) << e
+        run = jnp.where(fresh & (bit == 0),
+                        _window(mel_bits, mpos + 1, _MEL_RUN_WIN)
+                        >> (_MEL_RUN_WIN - e), 0)
+        consumed = jnp.where(fresh, jnp.where(bit == 1, 1, 1 + e), 0)
+        # state transitions
+        ev = jnp.where(
+            ~fresh, jnp.where(pz > 0, 0, 1),
+            jnp.where(bit == 1, 0, jnp.where(run > 0, 0, 1)))
+        k = jnp.where(fresh,
+                      jnp.where(bit == 1, jnp.minimum(12, k + 1),
+                                jnp.maximum(0, k - 1)), k)
+        pz_new = jnp.where(
+            ~fresh, jnp.where(pz > 0, pz - 1, pz),
+            jnp.where(bit == 1, t - 1, jnp.where(run > 0, run - 1, 0)))
+        pone_new = jnp.where(
+            ~fresh, jnp.where(pz > 0, pone, jnp.bool_(False)),
+            jnp.where((bit == 0) & (run > 0), True, False))
+        mpos = mpos + consumed
+
+        # ---- VLC quad parse when the event says "nonempty"
+        win = _window(vlc_bits, vpos, _VLC_WIN)
+        rho = win >> (_VLC_WIN - 4)
+        u0 = (win >> (_VLC_WIN - 5)) & 1
+        u1 = (win >> (_VLC_WIN - 6)) & 1
+        u2 = (win >> (_VLC_WIN - 7)) & 1
+        esc = win & 0x7F
+        zz = jnp.where(u0 == 0, 0,
+                       jnp.where(u1 == 0, 1,
+                                 jnp.where(u2 == 0, 2, 3 + esc)))
+        ulen = jnp.where(u0 == 0, 1,
+                         jnp.where(u1 == 0, 2, jnp.where(u2 == 0, 3, 10)))
+        diff = jnp.where(zz & 1, -((zz + 1) >> 1), zz >> 1)
+        umax = upred + diff
+        rho = jnp.where(ev == 1, rho, 0)
+        vpos = vpos + jnp.where(ev == 1, 4 + ulen, 0)
+        upred = jnp.where(ev == 1, umax, upred)
+
+        # ---- MagSgn: four sequential variable-width reads
+        vals = []
+        for i in range(4):
+            sig = (rho >> i) & 1
+            win = _window(ms_bits, spos, _MS_WIN)
+            m = (win >> (_MS_WIN - umax)) + 1
+            sgn = (win >> (_MS_WIN - umax - 1)) & 1
+            v = jnp.where(sig == 1,
+                          jnp.where(sgn == 1, -(2 * m + 1), 2 * m + 1), 0)
+            vals.append(v.astype(jnp.int32))
+            spos = spos + jnp.where(sig == 1, umax + 1, 0)
+
+        return ((k, pz_new, pone_new, mpos, vpos, spos, upred),
+                jnp.stack(vals))
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1))
+    _, out = jax.lax.scan(step, init, qxs)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("qh", "qw"))
+def decode_batch_device(ms_bits, mel_bits, vlc_bits, *, qh: int, qw: int):
+    qxs = jnp.tile(jnp.arange(qw, dtype=jnp.int32), qh)
+    out = jax.vmap(lambda a, b, c: _decode_one(a, b, c, qxs))(
+        ms_bits, mel_bits, vlc_bits)
+    # (B, nq, 4) TL,BL,TR,BR -> (B, 2qh, 2qw)
+    b = out.shape[0]
+    q = out.reshape(b, qh, qw, 2, 2)       # [..., x, y] (sample order)
+    return q.transpose(0, 1, 4, 2, 3).reshape(b, qh * 2, qw * 2)
+
+
+def _destuff_py(data: bytes) -> np.ndarray:
+    br = _BitReaderMSB(data)
+    n = len(data) * 8
+    out = np.empty(n, dtype=np.uint8)
+    for i in range(n):
+        out[i] = br.get()
+    return out
+
+
+def _destuff(data: bytes) -> np.ndarray:
+    if not data:
+        return np.zeros(0, dtype=np.uint8)
+    try:
+        from ..t1 import native as nat
+
+        return nat.destuff_bits_native(data)
+    except Exception:
+        return _destuff_py(data)
+
+
+def decode_cblks_ht_device(segs: list[bytes], h: int, w: int):
+    """Decode a batch of same-shape HT cleanup segments on the device.
+    Returns a list of (h, w) doubled-domain int32 arrays."""
+    if h % 2 or w % 2:
+        raise ValueError("device HT path requires even codeblock dims")
+    b = len(segs)
+    streams = []
+    for data in segs:
+        if len(data) < 2:
+            streams.append((np.zeros(0, np.uint8),) * 3)
+            continue
+        scup = ((data[-1] & 0xFF) << 4) | (data[-2] & 0x0F)
+        if scup < 2 or scup > len(data):
+            streams.append((np.zeros(0, np.uint8),) * 3)
+            continue
+        suffix = data[len(data) - scup:len(data) - 2]
+        ms = data[: len(data) - scup]
+        streams.append((_destuff(ms), _destuff(suffix),
+                        _destuff(suffix[::-1])))
+    lens = [max(max(len(a), len(m), len(v)), 1) for a, m, v in streams]
+    L = max(lens) + _PAD
+    pads = np.zeros((3, b, L), dtype=np.int32)
+    for i, (a, m, v) in enumerate(streams):
+        pads[0, i, :len(a)] = a
+        pads[1, i, :len(m)] = m
+        pads[2, i, :len(v)] = v
+    out = decode_batch_device(
+        jnp.asarray(pads[0]), jnp.asarray(pads[1]), jnp.asarray(pads[2]),
+        qh=h // 2, qw=w // 2)
+    out = np.asarray(out)
+    return [out[i] for i in range(b)]

@@ -175,9 +175,32 @@ def encode_batch(jobs: list[EncodeJob], backend: str = "auto") -> None:
         _BACKENDS[name][0](mq_jobs)
 
 
+def _decode_ht_device(jobs: list[DecodeJob]) -> list[DecodeJob]:
+    """Batch uniform even-dim HT decode jobs through the device decoder
+    (ops/ht_decode.py); returns the jobs left for the host path."""
+    from collections import defaultdict
+
+    from ..ops import ht_decode as dht
+
+    groups: dict = defaultdict(list)
+    rest: list[DecodeJob] = []
+    for j in jobs:
+        if j.h % 2 == 0 and j.w % 2 == 0:
+            groups[(j.h, j.w)].append(j)
+        else:
+            rest.append(j)
+    for (h, w), g in groups.items():
+        outs = dht.decode_cblks_ht_device([j.data for j in g], h, w)
+        for j, o in zip(g, outs):
+            j.out = o
+    return rest
+
+
 def decode_batch(jobs: list[DecodeJob], backend: str = "auto") -> None:
     ht_jobs = [j for j in jobs if j.ht]
     mq_jobs = [j for j in jobs if not j.ht]
+    if ht_jobs and backend == "device":
+        ht_jobs = _decode_ht_device(ht_jobs)
     if ht_jobs:
         name = resolve(backend)
         if name == "native" and _HT_NATIVE is not None and \

@@ -275,5 +275,17 @@ def stuff_bits_native(raw: np.ndarray, nbits: int) -> bytes:
     return out[:n].tobytes()
 
 
+_lib.grk_destuff_bits.argtypes = [ct.c_uint64, ct.c_long, ct.c_uint64]
+_lib.grk_destuff_bits.restype = ct.c_long
+
+
+def destuff_bits_native(data: bytes) -> np.ndarray:
+    """Expand a 0xFF-stuffed byte stream into a 0/1-per-byte bit array."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(len(data) * 8, dtype=np.uint8)
+    n = _lib.grk_destuff_bits(_addr(raw), len(data), _addr(out))
+    return out[:n]
+
+
 bk.register_backend("native", encode_batch_native, decode_batch_native)
 bk.register_ht_backend(ht_encode_batch_native, ht_decode_batch_native)

@@ -319,7 +319,12 @@ class TileCompressor:
         """-q mode (SURVEY.md B.8): per-layer distortion thresholds.  For
         PSNR target p, keep including hull passes (global slope order)
         until the residual weighted squared error drops below
-        peak^2 / 10^(p/10) * num_samples."""
+        peak^2 / 10^(p/10) * num_samples.
+
+        The residual estimate assumes truncation errors are independent
+        across coefficients (per-band synthesis L2 norms), which biases
+        achieved PSNR by up to ~1 dB at high targets — the same estimate
+        class the reference uses for its pcrdBisect quality mode."""
         numlayers = len(psnr_targets)
         entries = []
         e0_total = 0.0

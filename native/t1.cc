@@ -397,6 +397,21 @@ struct GrkT1DecJob {
   int32_t status;
 };
 
+// Inverse of grk_stuff_bits: expand a stuffed byte stream into one
+// 0/1 byte per bit (8 bits per input byte, 7 after a 0xFF).  Writes
+// nbytes*8 entries at most; returns the bit count.
+long grk_destuff_bits(const uint8_t* in, long nbytes, uint8_t* out) {
+  long n = 0;
+  bool prev_ff = false;
+  for (long i = 0; i < nbytes; i++) {
+    uint8_t b = in[i];
+    int avail = prev_ff ? 7 : 8;
+    for (int k = avail - 1; k >= 0; k--) out[n++] = (b >> k) & 1;
+    prev_ff = (b == 0xFF);
+  }
+  return n;
+}
+
 }  // extern "C"
 
 namespace {

@@ -170,3 +170,19 @@ def test_device_ht_encoder_bit_exact(rng):
     assert d_nat == d_dev
     out = grok_tpu.decompress(d_dev)
     assert np.array_equal(out.comps[0].data, arr)
+    # device DECODE path too (scan-based MEL/VLC/MagSgn parse)
+    from grok_tpu import DecompressParams
+
+    out2 = grok_tpu.decompress(d_dev, DecompressParams(backend="device"))
+    assert np.array_equal(out2.comps[0].data, arr)
+
+    from grok_tpu.ops.ht_decode import decode_cblks_ht_device
+    from grok_tpu.t1.ht import decode_cblk_ht, encode_cblk_ht
+
+    batch = rng.integers(-(1 << 18), 1 << 18, size=(4, 16, 16))
+    batch = batch.astype(np.int32)
+    batch[rng.random(batch.shape) < 0.7] = 0
+    segs = [encode_cblk_ht(batch[i])[0] for i in range(4)]
+    outs = decode_cblks_ht_device(segs, 16, 16)
+    for i in range(4):
+        assert np.array_equal(outs[i], decode_cblk_ht(segs[i], 16, 16))
