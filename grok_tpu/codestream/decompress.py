@@ -58,6 +58,10 @@ class CodestreamDecoder:
         self.tile_tcps: dict[int, TileCodingParams] = {}
         self.tile_ppt: dict[int, bytearray] = {}
         self.tp_sequence: list[int] = []  # tile index per tile-part, in order
+        # TLM fast path: tile-part spans discovered from the TLM index so
+        # tile-part headers/bodies are only touched when a tile is decoded
+        # (SURVEY.md §2.1 "Packet-length / TLM caches": seek directly)
+        self._lazy_spans: dict[int, list[tuple[int, int]]] = {}
         self._parsed = False
 
     # ------------------------------------------------------------- parsing
@@ -82,6 +86,13 @@ class CodestreamDecoder:
                 pos += 2
                 break
             if code == mk.SOT:
+                if (not self.tile_parts and not self._lazy_spans
+                        and cp is not None and getattr(cp, "tlm", None)
+                        and cp.ppm_data is None):
+                    end = self._tlm_spans(pos, cp.tlm)
+                    if end is not None:
+                        pos = end
+                        continue
                 pos = self._parse_tile_part(pos)
                 continue
             if pos + 4 > len(d):
@@ -213,6 +224,34 @@ class CodestreamDecoder:
 
     def _sync_tcps(self, cp: CodingParams, template: TileCodingParams):
         cp.tcps = [template]
+
+    def _tlm_spans(self, start: int, tlm) -> int | None:
+        """Validate the TLM index against the stream and record per-tile
+        tile-part spans WITHOUT scanning their headers or copying bodies.
+        Returns the position after the last tile-part, or None when the
+        index is inconsistent (caller falls back to the sequential walk).
+        Not used when PPM is present (PPM distribution needs the full
+        tile-part sequence)."""
+        d = self.data
+        pos = start
+        spans: dict[int, list[tuple[int, int]]] = {}
+        for (t, ln) in tlm:
+            if ln < 14 or pos + 12 > len(d) or pos + ln > len(d):
+                return None
+            if struct.unpack(">H", bytes(d[pos:pos + 2]))[0] != mk.SOT:
+                return None
+            isot = struct.unpack(">H", bytes(d[pos + 4:pos + 6]))[0]
+            if t is not None and isot != t:
+                return None
+            spans.setdefault(isot, []).append((pos, pos + ln))
+            pos += ln
+        self._lazy_spans = spans
+        return pos
+
+    def _ensure_tile(self, tidx: int) -> None:
+        """Parse the tile-parts of one tile on first use (TLM fast path)."""
+        for (s, _e) in self._lazy_spans.pop(tidx, ()):
+            self._parse_tile_part(s)
 
     def _parse_tile_part(self, pos: int) -> int:
         d = self.data
@@ -389,6 +428,7 @@ class CodestreamDecoder:
             if trect.is_empty() or trect.w != cp.t_width \
                     or trect.h != cp.t_height:
                 continue
+            self._ensure_tile(tidx)
             parts = self.tile_parts.get(tidx)
             if not parts:
                 continue
@@ -445,6 +485,7 @@ class CodestreamDecoder:
             hit = cache.get(ckey)
             if hit is not None:
                 return hit
+        self._ensure_tile(tidx)
         parts = self.tile_parts.get(tidx)
         if not parts:
             self._err(f"no data for tile {tidx}")

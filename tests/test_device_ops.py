@@ -151,9 +151,8 @@ def test_device_ht_encoder_bit_exact(rng):
     from grok_tpu.ops.ht_encode import encode_cblks_ht_device
     from grok_tpu.t1.ht import encode_cblk_ht
 
-    for trial in range(8):
-        h = int(rng.choice([2, 8, 32, 64]))
-        w = int(rng.choice([2, 8, 32, 64]))
+    # keep the jit-shape set small: each (h, w) compiles its own kernel
+    for trial, (h, w) in enumerate([(2, 8), (32, 32), (64, 32), (8, 2)]):
         batch = rng.integers(-(1 << 20), 1 << 20,
                              size=(3, h, w)).astype(np.int32)
         batch[rng.random(batch.shape) < rng.uniform(0.2, 0.95)] = 0

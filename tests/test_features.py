@@ -190,3 +190,28 @@ def test_ppm_roundtrip_and_oracle(rng):
     out = grok_tpu.decompress(data)
     assert np.array_equal(out.comps[0].data, arr)
     assert np.array_equal(np.asarray(Image.open(io.BytesIO(data))), arr)
+
+
+def test_tlm_seek_single_tile(rng):
+    """With a TLM index present, single-tile decode must not parse (or
+    copy bodies of) unrelated tile-parts (SURVEY.md §2.1: TLM seeks)."""
+    from grok_tpu.codestream.decompress import CodestreamDecoder
+
+    arr = _content(rng, 128, 128) if "_content" in dir() else (
+        rng.integers(0, 256, (128, 128)).astype(np.int32))
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, tile_size=(32, 32), tlm=True))
+    dec = CodestreamDecoder(data)
+    dec.parse()
+    assert dec._lazy_spans, "TLM fast path not taken"
+    out = dec.decode(DecompressParams(tile_index=5))
+    t = out.comps[0].data[32:64, 32:64]
+    assert np.array_equal(t, arr[32:64, 32:64])
+    # only tile 5 was materialized; the other 15 stay lazy
+    assert 5 not in dec._lazy_spans
+    assert len(dec._lazy_spans) == 15
+    assert list(dec.tile_parts) == [5]
+    # full decode afterwards still works and is exact
+    full = dec.decode(DecompressParams())
+    assert np.array_equal(full.comps[0].data, arr)
