@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pack packet headers into PPT marker segments")
     p.add_argument("--ht", action="store_true",
                    help="HTJ2K (Part 15) block coder")
+    p.add_argument("-V", "--transfer-exif", action="store_true",
+                   help="copy EXIF metadata from the input into the JP2 "
+                        "(uuid box)")
     p.add_argument("-C", "--comment", default=None)
     p.add_argument("-G", "--guard-bits", type=int, default=None)
     p.add_argument("-H", "--num-threads", type=int, default=0)
@@ -175,6 +178,8 @@ def compress_one(in_path: str, out_path: str, args) -> None:
     cp.cod_format = "jp2" if out_path.lower().endswith(
         (".jp2", ".jph")) else "j2k"
     img = formats.load_image(in_path, raw_desc=args.raw)
+    if not args.transfer_exif:
+        img.meta.exif = None  # EXIF transfer is opt-in (-V)
     if args.subsampling_factor:
         # -s dx,dy: subsample every component on input (reference parity)
         dx, dy = common.parse_int_pair(args.subsampling_factor)

@@ -17,7 +17,49 @@ from ..params import QuantStyle
 from . import common
 
 
+def _dump_jp2_boxes(data: bytes, out) -> None:
+    """Walk the JP2 box tree (superboxes descended one level)."""
+    import struct
+
+    w = out.write
+    w("[jp2 boxes]\n")
+
+    def walk(buf, base, indent):
+        pos = 0
+        while pos + 8 <= len(buf):
+            ln = struct.unpack(">I", buf[pos:pos + 4])[0]
+            btype = bytes(buf[pos + 4:pos + 8])
+            hdr = 8
+            if ln == 1 and pos + 16 <= len(buf):
+                ln = struct.unpack(">Q", buf[pos + 8:pos + 16])[0]
+                hdr = 16
+            elif ln == 0:
+                ln = len(buf) - pos
+            if ln < hdr or pos + ln > len(buf):
+                w(f"{indent}(malformed box at {base + pos})\n")
+                return
+            name = btype.decode("latin1")
+            extra = ""
+            payload = buf[pos + hdr:pos + ln]
+            if btype == b"uuid" and len(payload) >= 16:
+                uid = bytes(payload[:16])
+                extra = (f" id={uid.decode('latin1')!r}"
+                         if all(32 <= c < 127 for c in uid)
+                         else f" id={uid.hex()}")
+            elif btype == b"ihdr" and len(payload) >= 10:
+                hh, ww, nc = struct.unpack(">IIH", payload[:10])
+                extra = f" {ww}x{hh} nc={nc}"
+            w(f"{indent}{base + pos:08d} {name} len={ln}{extra}\n")
+            if btype in (b"jp2h", b"res "):
+                walk(payload, base + pos + hdr, indent + "  ")
+            pos += ln
+
+    walk(data, 0, "  ")
+
+
 def dump(data: bytes, out) -> None:
+    if data[:4] == b"\x00\x00\x00\x0c":
+        _dump_jp2_boxes(data, out)
     hi = codec.read_header(data)
     siz = hi.siz
     w = out.write

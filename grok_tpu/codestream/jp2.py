@@ -21,6 +21,8 @@ log = logging.getLogger("grok_tpu")
 
 JP2_SIGNATURE = b"\x00\x00\x00\x0cjP  \x0d\x0a\x87\x0a"
 XMP_UUID = bytes.fromhex("be7acfcb97a942e89c71999491e3afac")
+# EXIF-in-JP2 convention: the 16 ASCII bytes "JpgTiffExif->JP2"
+EXIF_UUID = b"JpgTiffExif->JP2"
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:
@@ -78,6 +80,8 @@ def wrap_jp2(codestream: bytes, image: GrkImage, ht: bool = False) -> bytes:
         out += _box(b"xml ", xml)
     if meta.xmp:
         out += _box(b"uuid", XMP_UUID + meta.xmp)
+    if meta.exif:
+        out += _box(b"uuid", EXIF_UUID + meta.exif)
     out += _box(b"jp2c", codestream)
     return bytes(out)
 
@@ -149,6 +153,8 @@ def unwrap_jp2(data: bytes) -> tuple[bytes, ImageMeta, ColorSpace | None]:
             cs = _parse_jp2h(payload, meta)
         elif btype == b"xml ":
             meta.xml.append(payload)
+        elif btype == b"uuid" and payload[:16] == EXIF_UUID:
+            meta.exif = payload[16:]
         elif btype == b"uuid" and payload[:16] == XMP_UUID:
             meta.xmp = payload[16:]
         pos += length

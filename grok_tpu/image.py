@@ -83,6 +83,7 @@ class ImageMeta:
 
     icc_profile: bytes | None = None
     xmp: bytes | None = None  # uuid/xml box payload
+    exif: bytes | None = None  # EXIF payload (uuid box "JpgTiffExif->JP2")
     xml: list[bytes] = field(default_factory=list)
     capture_resolution: tuple[float, float] | None = None  # (vres, hres) ppm
     display_resolution: tuple[float, float] | None = None

@@ -153,6 +153,9 @@ def read_pil(path: str) -> GrkImage:
     icc = im.info.get("icc_profile")
     if icc:
         img.meta.icc_profile = icc
+    exif = im.info.get("exif")
+    if exif:
+        img.meta.exif = exif
     dpi = im.info.get("dpi")
     if dpi:
         ppm = (dpi[1] * 39.3701, dpi[0] * 39.3701)
@@ -204,6 +207,9 @@ def write_pil(img: GrkImage, path: str, split_pnm: bool = False,
     kw = {}
     if img.meta.icc_profile:
         kw["icc_profile"] = img.meta.icc_profile
+    if img.meta.exif and ext in (".jpg", ".jpeg", ".png", ".tif", ".tiff",
+                                 ".webp"):
+        kw["exif"] = img.meta.exif
     if ext in (".tif", ".tiff") and tiff_compression:
         kw["compression"] = tiff_compression
     im.save(path, **kw)

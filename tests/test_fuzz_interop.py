@@ -52,12 +52,33 @@ def test_random_params_interop(trial):
         kw["eph"] = True
     if rng.random() < 0.2:
         kw["new_tile_part_progression"] = str(rng.choice(["R", "L", "C"]))
+    if rng.random() < 0.3:
+        kw["tlm"] = True      # exercises the TLM-seek fast path
+    if ncomp == 3 and rng.random() < 0.2:
+        # full MCT/MCC/MCO triplet (self-roundtrip only: lossy transform)
+        kw["custom_mct"] = np.array([[0.6, 0.2, 0.2],
+                                     [-0.3, 0.7, -0.4],
+                                     [0.2, -0.5, 0.6]])
+        kw["irreversible"] = True
+    use_device_ht = rng.random() < 0.15 and "custom_mct" not in kw
+    if use_device_ht:
+        kw["ht"] = True
+        kw["backend"] = "device"   # on-device HT encode path
 
     img = GrkImage.from_array(arr, prec=prec)
     data = grok_tpu.compress(img, CompressParams(**kw))
+    if "custom_mct" in kw:
+        out = grok_tpu.decompress(data)
+        g = out.to_array().astype(float)
+        err = g - arr
+        psnr = 10 * np.log10(mx ** 2 / max((err ** 2).mean(), 1e-9))
+        assert psnr > 28, (psnr, kw)
+        return
     ours = grok_tpu.decompress(data)
     got = ours.to_array() if ncomp > 1 else ours.comps[0].data
     assert np.array_equal(got, arr), f"self roundtrip: {kw}"
+    if kw.get("ht"):
+        return  # no HT oracle: OpenJPEG 2.5 lacks Part 15
     # Known oracle asymmetry: OpenJPEG's decoder disagrees with its own
     # encoder's LAZY bypass threshold when an ROI upshift is active, so
     # that combination is excluded from the oracle cross-check.

@@ -96,3 +96,37 @@ def test_mmap_file_api(tmp_path, rng):
     assert np.array_equal(out.comps[0].data, arr)
     t = decompress_file(p, DecompressParams(tile_index=2))
     assert t.comps[0].data.shape == arr.shape
+
+
+def test_exif_transfer(tmp_path, rng):
+    """-V: EXIF rides a "JpgTiffExif->JP2" uuid box through the JP2 and
+    back onto the decoded output file (reference CLI "EXIF transfer")."""
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    arr = _content(rng, 32, 32).astype(np.uint8)
+    im = Image.fromarray(arr)
+    exif = Image.Exif()
+    exif[271] = "grok_tpu test make"   # tag 271 = Make
+    src = str(tmp_path / "s.jpg")
+    im.save(src, exif=exif, quality=95)
+
+    j2 = str(tmp_path / "s.jp2")
+    out = str(tmp_path / "o.png")
+    env = None
+    r = subprocess.run([sys.executable, "-m", "grok_tpu.cli.grk_compress",
+                        "-i", src, "-o", j2, "-V"], capture_output=True)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([sys.executable, "-m", "grok_tpu.cli.grk_decompress",
+                        "-i", j2, "-o", out], capture_output=True)
+    assert r.returncode == 0, r.stderr
+    got = Image.open(out).getexif()
+    assert got[271] == "grok_tpu test make"
+
+    # without -V the box must not be written
+    r = subprocess.run([sys.executable, "-m", "grok_tpu.cli.grk_compress",
+                        "-i", src, "-o", j2], capture_output=True)
+    assert r.returncode == 0, r.stderr
+    assert b"JpgTiffExif->JP2" not in open(j2, "rb").read()
