@@ -164,8 +164,11 @@ def decode_cblks_ht_device(segs: list[bytes], h: int, w: int):
         streams.append((_destuff(ms), _destuff(suffix),
                         _destuff(suffix[::-1])))
     lens = [max(max(len(a), len(m), len(v)), 1) for a, m, v in streams]
-    L = max(lens) + _PAD
-    pads = np.zeros((3, b, L), dtype=np.int32)
+    # bucket the padded length and batch to powers of two: the scan jit
+    # re-specializes on both, and raw stream lengths vary continuously
+    L = 1 << (max(lens) + _PAD - 1).bit_length()
+    bpad = 1 << (b - 1).bit_length()
+    pads = np.zeros((3, bpad, L), dtype=np.int32)
     for i, (a, m, v) in enumerate(streams):
         pads[0, i, :len(a)] = a
         pads[1, i, :len(m)] = m
