@@ -267,7 +267,9 @@ _lib.grk_stuff_bits.restype = ct.c_long
 def stuff_bits_native(raw: np.ndarray, nbits: int) -> bytes:
     """0xFF bit-stuffing re-serialization for device-packed HT streams."""
     raw = np.ascontiguousarray(raw, dtype=np.uint8)
-    cap = int(nbits) // 8 + 8
+    # stuffing can GROW the stream: after a 0xFF byte only 7 payload bits
+    # fit, so worst case (every byte 0xFF) needs nbits/7 bytes
+    cap = int(nbits) // 7 + 8
     out = np.empty(cap, dtype=np.uint8)
     n = _lib.grk_stuff_bits(_addr(raw), int(nbits), _addr(out), cap)
     if n < 0:

@@ -185,3 +185,18 @@ def test_device_ht_encoder_bit_exact(rng):
     outs = decode_cblks_ht_device(segs, 16, 16)
     for i in range(4):
         assert np.array_equal(outs[i], decode_cblk_ht(segs[i], 16, 16))
+
+
+def test_device_ht_stuffing_dense(rng):
+    """0xFF-dense MagSgn streams grow under bit-stuffing; the host stuffer
+    must size its output for the worst case (regression: overflow with
+    16-bit + ROI-upshifted coefficients)."""
+    from grok_tpu.ops.ht_encode import encode_cblks_ht_device
+    from grok_tpu.t1.ht import encode_cblk_ht
+
+    # values chosen so packed MagSgn bytes are mostly 0xFF
+    batch = np.full((2, 32, 32), (1 << 20) - 1, dtype=np.int32)
+    batch[0, ::2, ::2] = -((1 << 20) - 1)
+    got = encode_cblks_ht_device(batch)
+    for i in range(2):
+        assert got[i] == encode_cblk_ht(batch[i])
