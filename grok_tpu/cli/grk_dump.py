@@ -60,7 +60,7 @@ def _dump_jp2_boxes(data: bytes, out) -> None:
 def dump(data: bytes, out) -> None:
     if data[:4] == b"\x00\x00\x00\x0c":
         _dump_jp2_boxes(data, out)
-    hi = codec.read_header(data)
+    hi = codec.read_header(data, lazy=False)
     siz = hi.siz
     w = out.write
     w("[codestream header]\n")

@@ -34,15 +34,24 @@ def compress(image: GrkImage, params: CompressParams | None = None) -> bytes:
     return cs
 
 
-def read_header(data: bytes, strict: bool = False) -> HeaderInfo:
+def read_header(data: bytes, strict: bool = False,
+                lazy: bool = True) -> HeaderInfo:
     """Parse the container + codestream headers without decoding tiles
-    (grk_decompress_read_header parity; basis of grk_dump)."""
+    (grk_decompress_read_header parity; basis of grk_dump).  lazy=False
+    forces scanning every tile-part even when a TLM index would let the
+    decoder skip them (grk_dump needs the full SOT layout)."""
     if jp2_mod.is_jp2(data):
         cs, meta, colorspace = jp2_mod.unwrap_jp2(data)
     else:
         cs, meta, colorspace = data, None, None
     dec = CodestreamDecoder(cs, strict=strict)
     hi = dec.parse()
+    if not lazy:
+        # materialize in stream order so the marker log reads naturally
+        order = sorted((sp[0], t) for t, sps in dec._lazy_spans.items()
+                       for sp in sps)
+        for _, tidx in order:
+            dec._ensure_tile(tidx)
     if meta is not None:
         hi.image.meta = meta
     if colorspace is not None:

@@ -150,3 +150,22 @@ def test_16bit_png_tiff(tmp_path, rng):
     img = formats.load_image(p)
     assert img.comps[0].prec == 16
     assert np.array_equal(img.comps[0].data, arr.astype(np.int32))
+
+
+def test_dump_shows_tile_parts_with_tlm(tmp_path, rng):
+    """grk_dump must list every SOT even when the decoder's TLM-seek fast
+    path would normally skip the tile-part scan (regression)."""
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    arr = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    src = str(tmp_path / "s.png")
+    Image.fromarray(arr).save(src)
+    j2 = str(tmp_path / "t.j2k")
+    subprocess.run([sys.executable, "-m", "grok_tpu.cli.grk_compress",
+                    "-i", src, "-o", j2, "-t", "32,32", "-A"], check=True)
+    r = subprocess.run([sys.executable, "-m", "grok_tpu.cli.grk_dump",
+                        "-i", j2], capture_output=True, text=True)
+    assert r.stdout.count("SOT") == 4, r.stdout
