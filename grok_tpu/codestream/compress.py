@@ -137,6 +137,13 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
             tccp.stepsizes = quant_mod.default_stepsizes(
                 comp.prec, tccp.numresolutions, reversible, guard,
                 p.quant_step)
+            if (p.roi_comp == compno or p.roi_comp == -2) and p.roi_shift:
+                # upshifted magnitudes must stay inside the int32 T1
+                # domain: prec + band gain (<=2) + shift + guard headroom
+                if comp.prec + 2 + p.roi_shift > 30:
+                    raise ParamError(
+                        f"roi_shift {p.roi_shift} overflows the 32-bit "
+                        f"coefficient range at precision {comp.prec}")
             if p.roi_comp == compno or p.roi_comp == -2:
                 # max-shift ROI: QCD/QCC stay untouched; both encoder and
                 # decoder extend M_b by roi_shift internally (the decoder

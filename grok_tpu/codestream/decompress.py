@@ -62,6 +62,9 @@ class CodestreamDecoder:
         # tile-part headers/bodies are only touched when a tile is decoded
         # (SURVEY.md §2.1 "Packet-length / TLM caches": seek directly)
         self._lazy_spans: dict[int, list[tuple[int, int]]] = {}
+        self._tlm_segs: dict[int, list] = {}
+        # per-tile SOP/EPH overrides from tile-part COD markers
+        self._tile_sop_eph: dict[int, tuple[bool, bool]] = {}
         self._parsed = False
 
     # ------------------------------------------------------------- parsing
@@ -156,7 +159,11 @@ class CodestreamDecoder:
         elif code == mk.COM:
             hi.comments.append(mk.read_com(payload))
         elif code == mk.TLM:
-            cp.tlm = [(t, ln) for t, ln in mk.read_tlm(payload)]
+            # accumulate across multi-segment TLM indexes in Ztlm order
+            ztlm, entries = mk.read_tlm(payload)
+            self._tlm_segs[ztlm] = self._tlm_segs.get(ztlm, []) + entries
+            cp.tlm = [e for z in sorted(self._tlm_segs)
+                      for e in self._tlm_segs[z]]
         elif code == mk.PPM:
             cp.ppm_data = (cp.ppm_data or b"") + payload[1:]
         elif code == mk.MCT:
@@ -290,7 +297,7 @@ class CodestreamDecoder:
             self.hi.marker_log.append((name, pos, seglen2 + 2))
             try:
                 if code == mk.COD:
-                    mk.read_cod(payload, tile_tcp)
+                    self._tile_sop_eph[isot] = mk.read_cod(payload, tile_tcp)
                 elif code == mk.COC:
                     mk.read_coc(payload, tile_tcp, len(self.hi.siz.comps))
                 elif code == mk.QCD:
@@ -437,8 +444,9 @@ class CodestreamDecoder:
             tile = build_tile(tidx, trect, img, tcp)
             td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
                                   reduce=reduce_, max_layers=p.max_layers)
+            sop, eph = self._tile_sop_eph.get(tidx, (hi.sop, hi.eph))
             try:
-                td.decode_packets(b"".join(parts), sop=hi.sop, eph=hi.eph)
+                td.decode_packets(b"".join(parts), sop=sop, eph=eph)
             except Exception as e:
                 if self.strict or p.strict:
                     raise
@@ -497,8 +505,9 @@ class CodestreamDecoder:
                               reduce=reduce_, max_layers=p.max_layers,
                               window=win)
         data = b"".join(parts)
+        sop, eph = self._tile_sop_eph.get(tidx, (hi.sop, hi.eph))
         try:
-            td.decode_packets(data, sop=hi.sop, eph=hi.eph)
+            td.decode_packets(data, sop=sop, eph=eph)
         except Exception as e:  # tolerant decode
             if self.strict or p.strict:
                 raise

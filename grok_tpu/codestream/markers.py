@@ -385,19 +385,36 @@ def read_rgn(p: bytes, numcomps: int) -> tuple[int, int]:
     return compno, p[off + 1]
 
 
+# Marker-segment length is a u16 that includes itself; cap payloads the
+# same way the PPT/PPM writers do (65528 data bytes) and split oversized
+# TLM/PLT/PLM indexes across segments with incrementing Z indices.
+_SEG_DATA_MAX = 65528
+
+
 def write_tlm(ztlm: int, entries: list[tuple[int, int]]) -> bytes:
     """entries: (tile_index, tile_part_length). Uses ST=1 (8-bit Ttlm) when
-    possible, SP=1 (32-bit lengths)."""
+    possible, SP=1 (32-bit lengths).  Splits across multiple TLM marker
+    segments (Ztlm incrementing) when an index exceeds the 64KB marker
+    length limit."""
     st = 1 if all(t < 256 for t, _ in entries) else 2
     stlm = (st << 4) | (1 << 6)
-    p = bytearray([ztlm, stlm])
-    for t, ln in entries:
-        p += u8(t) if st == 1 else u16(t)
-        p += u32(ln)
-    return marker_segment(TLM, bytes(p))
+    per = (_SEG_DATA_MAX - 1) // (st + 4)
+    out = bytearray()
+    z = ztlm
+    for i in range(0, max(1, len(entries)), per):
+        p = bytearray([z & 0xFF, stlm])
+        for t, ln in entries[i:i + per]:
+            p += u8(t) if st == 1 else u16(t)
+            p += u32(ln)
+        out += marker_segment(TLM, bytes(p))
+        z += 1
+    return bytes(out)
 
 
-def read_tlm(p: bytes) -> list[tuple[int | None, int]]:
+def read_tlm(p: bytes) -> tuple[int, list[tuple[int | None, int]]]:
+    """Returns (Ztlm, entries); callers accumulate entries across the
+    (possibly several) TLM segments in Ztlm order."""
+    ztlm = p[0]
     stlm = p[1]
     st = (stlm >> 4) & 3
     sp = (stlm >> 6) & 1
@@ -419,7 +436,7 @@ def read_tlm(p: bytes) -> list[tuple[int | None, int]]:
             ln = struct.unpack(">H", p[off:off + 2])[0]
         off += lsz
         out.append((t, ln))
-    return out
+    return ztlm, out
 
 
 def _varint(v: int) -> bytes:
@@ -439,10 +456,20 @@ def _varint(v: int) -> bytes:
 
 
 def write_plt(zplt: int, lengths: list[int]) -> bytes:
-    p = bytearray([zplt])
+    """Splits across multiple PLT segments at varint boundaries when the
+    packet list exceeds the 64KB marker length limit."""
+    out = bytearray()
+    z = zplt
+    seg = bytearray()
     for ln in lengths:
-        p += _varint(ln)
-    return marker_segment(PLT, bytes(p))
+        v = _varint(ln)
+        if 1 + len(seg) + len(v) > _SEG_DATA_MAX:
+            out += marker_segment(PLT, bytes([z & 0xFF]) + bytes(seg))
+            z += 1
+            seg = bytearray()
+        seg += v
+    out += marker_segment(PLT, bytes([z & 0xFF]) + bytes(seg))
+    return bytes(out)
 
 
 def read_plt(p: bytes) -> list[int]:
@@ -458,8 +485,12 @@ def read_plt(p: bytes) -> list[int]:
 
 def write_plm(zplm: int, tile_part_lengths: list[list[int]]) -> bytes:
     """PLM: packet lengths in the main header; per tile-part a 1-byte
-    Nplm (byte count of its varints) then the varint lengths."""
-    p = bytearray([zplm])
+    Nplm (byte count of its varints) then the varint lengths.  Splits
+    across multiple PLM segments (Zplm incrementing) at Nplm-chunk
+    boundaries when the index exceeds the 64KB marker length limit."""
+    out = bytearray()
+    z = zplm
+    seg = bytearray()
     for lengths in tile_part_lengths:
         body = bytearray()
         for ln in lengths:
@@ -467,8 +498,13 @@ def write_plm(zplm: int, tile_part_lengths: list[list[int]]) -> bytes:
         # Nplm is one byte; split oversized tile-parts across entries
         for off in range(0, len(body), 255):
             chunk = body[off:off + 255]
-            p += u8(len(chunk)) + chunk
-    return marker_segment(PLM, bytes(p))
+            if 1 + len(seg) + 1 + len(chunk) > _SEG_DATA_MAX:
+                out += marker_segment(PLM, bytes([z & 0xFF]) + bytes(seg))
+                z += 1
+                seg = bytearray()
+            seg += u8(len(chunk)) + chunk
+    out += marker_segment(PLM, bytes([z & 0xFF]) + bytes(seg))
+    return bytes(out)
 
 
 def write_ppt(zppt: int, data: bytes) -> bytes:

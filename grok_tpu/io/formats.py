@@ -8,6 +8,7 @@ General formats go through Pillow (the TPU-VM host I/O stack per SURVEY.md
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 import struct
@@ -16,6 +17,8 @@ import numpy as np
 
 from ..errors import GrkError, ParamError
 from ..image import ColorSpace, GrkImage, ImageComponent
+
+log = logging.getLogger("grok_tpu")
 
 PIL_FORMATS = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".pnm",
                ".pgm", ".ppm", ".pbm", ".pam"}
@@ -196,6 +199,10 @@ def write_pil(img: GrkImage, path: str, split_pnm: bool = False,
         im = Image.fromarray(arr)
     elif arr.shape[2] == 3:
         if arr.dtype == np.uint16:
+            log.warning(
+                "multi-channel output at %d bits exceeds %s's 8-bit RGB "
+                "support; downshifting to 8 bits — use a .pgx/.raw output "
+                "or --split-pnm for a lossless route", prec, ext)
             arr8 = (arr >> (prec - 8)).astype(np.uint8)
             im = Image.fromarray(arr8)
         else:

@@ -168,6 +168,12 @@ class CompressParams:
             for (px, py) in self.precincts:
                 if px & (px - 1) or py & (py - 1):
                     raise ParamError("precinct dims must be powers of two")
+        if self.roi_shift:
+            # SPrgn is a u8 on the wire; and upshifted coefficients must
+            # still fit the 32-bit T1 magnitude range (prec + gain(2) +
+            # shift headroom)
+            if not 0 <= self.roi_shift <= 255:
+                raise ParamError("roi_shift must be in [0,255]")
 
 
 @dataclass
