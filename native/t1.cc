@@ -38,13 +38,32 @@ static const QeRow QE[47] = {
 enum { NCTX = 19, CTX_ZC = 0, CTX_SC = 9, CTX_MAG = 14, CTX_RL = 17,
        CTX_UNI = 18 };
 
-struct Ctx { uint8_t state, mps; };
+// Context state packed as si = state*2 + mps so the (d == MPS) test is a
+// bit operation instead of a mispredicting branch; QE2 carries the si
+// transitions with SWITCH folded into the LPS target.
+struct QeRow2 { uint32_t qe; uint8_t nmps, nlps; };
+struct Qe2Table {
+  QeRow2 t[94];
+  Qe2Table() {
+    for (int s = 0; s < 47; s++) {
+      for (int mps = 0; mps < 2; mps++) {
+        QeRow2& r = t[s * 2 + mps];
+        r.qe = QE[s].qe;
+        r.nmps = (uint8_t)(QE[s].nmps * 2 + mps);
+        r.nlps = (uint8_t)(QE[s].nlps * 2 + (mps ^ QE[s].sw));
+      }
+    }
+  }
+};
+static const Qe2Table QE2;
+
+typedef uint8_t Ctx;  // si = state*2 + mps
 
 static void init_ctxs(Ctx* c) {
   std::memset(c, 0, sizeof(Ctx) * NCTX);
-  c[CTX_ZC].state = 4;
-  c[CTX_RL].state = 3;
-  c[CTX_UNI].state = 46;
+  c[CTX_ZC] = 4 * 2;
+  c[CTX_RL] = 3 * 2;
+  c[CTX_UNI] = 46 * 2;
 }
 
 struct MQEnc {
@@ -70,36 +89,40 @@ struct MQEnc {
       }
     }
   }
-  void renorm() {
-    // bulk renormalization: shift by the full deficit at once, emitting
-    // bytes whenever the counter crosses zero
-    do {
-      int n = __builtin_clz((unsigned)a) - 16;  // leading zeros within 16 bits
-      if (n > (int)ct) n = (int)ct;
-      if (n == 0) n = 1;
-      a = (a << n) & 0xFFFF;
-      c <<= n;
-      ct -= (uint32_t)n;
-      if (ct == 0) byteout();
-    } while (!(a & 0x8000));
-  }
-  void encode(int d, int cn) {
-    Ctx& x = ctx[cn];
-    const QeRow& q = QE[x.state];
-    if (d == x.mps) {
-      a -= q.qe;
-      if (!(a & 0x8000)) {
-        if (a < q.qe) a = q.qe; else c += q.qe;
-        x.state = q.nmps;
-        renorm();
-      } else c += q.qe;
-    } else {
-      a -= q.qe;
-      if (a < q.qe) c += q.qe; else a = q.qe;
-      if (q.sw) x.mps ^= 1;
-      x.state = q.nlps;
-      renorm();
+  // bulk renormalization; a no-op when a already has bit 15 set, so
+  // encode() can call it unconditionally (no mispredicting renorm branch)
+  inline void renorm() {
+    int n = __builtin_clz((unsigned)a) - 16;  // shifts to reach bit 15
+    while (n >= (int)ct) {
+      int s = (int)ct;
+      a <<= s;
+      c <<= s;
+      n -= s;
+      ct = 0;
+      byteout();
     }
+    a = (uint32_t)(a << n) & 0xFFFF;
+    c <<= n;
+    ct -= (uint32_t)n;
+    if (ct == 0) byteout();
+  }
+  inline void encode(int d, int cn) {
+    Ctx si = ctx[cn];
+    const QeRow2& q = QE2.t[si];
+    uint32_t qe = q.qe;
+    uint32_t is_lps = (uint32_t)(d ^ si) & 1;
+    uint32_t a2 = a - qe;
+    uint32_t no_renorm = (a2 >> 15) & (is_lps ^ 1);
+    uint32_t small = a2 < qe;
+    // c += qe when: MPS fast path; renorm-MPS with !small; renorm-LPS with
+    // small  ->  no_renorm | (small ^ is_lps ^ 1)
+    uint32_t addq = no_renorm | (small ^ is_lps ^ 1);
+    c += addq ? qe : 0;
+    uint32_t a_renorm = (small ^ is_lps) ? qe : a2;
+    a = no_renorm ? a2 : a_renorm;
+    uint8_t nsi = is_lps ? q.nlps : q.nmps;
+    ctx[cn] = no_renorm ? si : nsi;
+    renorm();
   }
   int num_bytes() const { return (int)buf.size() - 1; }
   // flush into out (appends); returns bytes appended
@@ -136,36 +159,34 @@ struct MQDec {
     bytein();
     c <<= 7; ct -= 7; a = 0x8000;
   }
-  void renorm() {
-    do {
+  // no-op when a already has bit 15 set, mirroring MQEnc::renorm
+  inline void renorm() {
+    int n = __builtin_clz((unsigned)(a & 0xFFFF)) - 16;
+    a = (uint32_t)(a << n) & 0xFFFF;
+    while (n > 0) {
       if (ct == 0) bytein();
-      int n = __builtin_clz((unsigned)(a & 0xFFFF)) - 16;
-      if (n > (int)ct) n = (int)ct;
-      if (n == 0) n = 1;
-      a = (a << n) & 0xFFFF;
-      c <<= n;
-      ct -= (uint32_t)n;
-    } while (!(a & 0x8000));
-  }
-  int decode(int cn) {
-    Ctx& x = ctx[cn];
-    const QeRow& q = QE[x.state];
-    int d;
-    a -= q.qe;
-    if (((c >> 16) & 0xFFFF) < q.qe) {
-      if (a < q.qe) { d = x.mps; x.state = q.nmps; }
-      else { d = 1 - x.mps; if (q.sw) x.mps ^= 1; x.state = q.nlps; }
-      a = q.qe;
-      renorm();
-    } else {
-      c -= (uint32_t)q.qe << 16;
-      if (!(a & 0x8000)) {
-        if (a < q.qe) { d = 1 - x.mps; if (q.sw) x.mps ^= 1; x.state = q.nlps; }
-        else { d = x.mps; x.state = q.nmps; }
-        renorm();
-      } else d = x.mps;
+      int s = n < (int)ct ? n : (int)ct;
+      c <<= s;
+      ct -= (uint32_t)s;
+      n -= s;
     }
-    return d;
+  }
+  inline int decode(int cn) {
+    Ctx si = ctx[cn];
+    const QeRow2& q = QE2.t[si];
+    uint32_t qe = q.qe;
+    uint32_t mps = si & 1;
+    uint32_t a2 = a - qe;
+    uint32_t ge = ((c >> 16) & 0xFFFF) >= qe;
+    c -= ge ? qe << 16 : 0;
+    uint32_t hi = (a2 >> 15) & ge;            // fast path flag
+    uint32_t small = a2 < qe;
+    uint32_t lps = (small == ge) & (hi ^ 1);  // renorm path takes LPS when
+                                              // conditional exchange says so
+    a = ge ? a2 : qe;
+    ctx[cn] = hi ? si : (lps ? q.nlps : q.nmps);
+    renorm();
+    return (int)(mps ^ lps);
   }
 };
 
@@ -173,12 +194,27 @@ struct MQDec {
 struct RawEnc {
   std::vector<uint8_t> buf;
   uint32_t acc = 0, used = 0, cap = 8;
-  void encode(int d) {
+  inline void encode(int d) {
     acc = (acc << 1) | (d & 1);
     if (++used == cap) {
       buf.push_back((uint8_t)acc);
       cap = (acc == 0xFF) ? 7 : 8;
       acc = 0; used = 0;
+    }
+  }
+  // append n (<=16) bits, MSB first — one boundary check per byte at most
+  inline void encode_n(uint32_t bits, int n) {
+    while (n > 0) {
+      int room = (int)(cap - used);
+      int take = n < room ? n : room;
+      acc = (acc << take) | ((bits >> (n - take)) & ((1u << take) - 1));
+      used += (uint32_t)take;
+      n -= take;
+      if (used == cap) {
+        buf.push_back((uint8_t)acc);
+        cap = (acc == 0xFF) ? 7 : 8;
+        acc = 0; used = 0;
+      }
     }
   }
   int num_bytes() const { return (int)buf.size() + (used ? 1 : 0); }
@@ -205,7 +241,7 @@ struct RawDec {
   void init(const uint8_t* d, int l) {
     data = d; len = l; pos = 0; acc = 0; avail = 0; prev_ff = false;
   }
-  int decode() {
+  inline int decode() {
     if (avail == 0) {
       uint8_t b = (pos < len) ? data[pos] : 0xFF;
       pos++;
@@ -215,6 +251,24 @@ struct RawDec {
     }
     avail--;
     return (acc >> avail) & 1;
+  }
+  // read n (<=16) bits MSB first — one refill check per byte at most
+  inline uint32_t decode_n(int n) {
+    uint32_t out = 0;
+    while (n > 0) {
+      if (avail == 0) {
+        uint8_t b = (pos < len) ? data[pos] : 0xFF;
+        pos++;
+        acc = b;
+        avail = prev_ff ? 7 : 8;
+        prev_ff = (b == 0xFF);
+      }
+      int take = n < (int)avail ? n : (int)avail;
+      avail -= (uint32_t)take;
+      out = (out << take) | ((acc >> avail) & ((1u << take) - 1));
+      n -= take;
+    }
+    return out;
   }
 };
 
@@ -310,31 +364,43 @@ static inline int sc_index(uint32_t f) {
                (((f >> 6) & 1) << 6) | (((f >> 11) & 1) << 7));
 }
 
+// Stripe-contiguous state layout: the four rows of a stripe-column are
+// adjacent words (one cache line per column visit instead of four), and a
+// stripe scan walks memory sequentially.  Data coordinates y in [-1, h],
+// x in [-1, w]; arithmetic shift maps y=-1 into a border stripe.
 struct T1State {
-  int h, w, stride;
+  int h, w;
+  int nstripes;
+  size_t sstride;  // words per stripe row: (w+2)*4
   std::vector<uint32_t> flags;
   std::vector<uint32_t> mag;
   std::vector<int32_t> rec;
 
-  T1State(int hh, int ww) : h(hh), w(ww), stride(ww + 2) {
-    size_t n = (size_t)(h + 2) * stride;
+  T1State(int hh, int ww) : h(hh), w(ww) {
+    nstripes = (h + 3) >> 2;
+    sstride = (size_t)(w + 2) * 4;
+    size_t n = (size_t)(nstripes + 2) * sstride;
     flags.assign(n, 0);
     mag.assign(n, 0);
     rec.assign(n, 0);
   }
-  inline size_t idx(int y, int x) const { return (size_t)y * stride + x; }
+  inline size_t idx(int y, int x) const {
+    return (size_t)((y >> 2) + 1) * sstride + (size_t)(x + 1) * 4 + (y & 3);
+  }
 
-  inline void set_sig(size_t i, uint32_t neg) {
+  inline void set_sig(size_t i, int k, uint32_t neg) {
     uint32_t* F = flags.data();
     F[i] |= F_SIG;
-    F[i - stride - 1] |= F_SE;
-    F[i - stride] |= F_S | (neg ? F_SNEG : 0);
-    F[i - stride + 1] |= F_SW;
-    F[i - 1] |= F_E | (neg ? F_ENEG : 0);
-    F[i + 1] |= F_W | (neg ? F_WNEG : 0);
-    F[i + stride - 1] |= F_NE;
-    F[i + stride] |= F_N | (neg ? F_NNEG : 0);
-    F[i + stride + 1] |= F_NW;
+    size_t up = (k > 0) ? i - 1 : i - sstride + 3;
+    size_t dn = (k < 3) ? i + 1 : i + sstride - 3;
+    F[up - 4] |= F_SE;
+    F[up] |= F_S | (neg ? F_SNEG : 0);
+    F[up + 4] |= F_SW;
+    F[i - 4] |= F_E | (neg ? F_ENEG : 0);
+    F[i + 4] |= F_W | (neg ? F_WNEG : 0);
+    F[dn - 4] |= F_NE;
+    F[dn] |= F_N | (neg ? F_NNEG : 0);
+    F[dn + 4] |= F_NW;
   }
   void clear_visited() {
     for (auto& f : flags) f &= ~F_VIS;
@@ -446,9 +512,14 @@ static void enc_sigpass(T1State& st, int bpno, int orient, bool vsc,
   uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
-    for (int x = 1; x <= st.w; x++) {
-      size_t i = st.idx(sy + 1, x);
-      for (int k = 0; k < rows; k++, i += st.stride) {
+    size_t i0 = st.idx(sy, 0);
+    for (int x = 0; x < st.w; x++, i0 += 4) {
+      uint32_t f0 = FL[i0], f1 = FL[i0 + 1], f2 = FL[i0 + 2],
+               f3 = FL[i0 + 3];
+      if (!((f0 | f1 | f2 | f3) & 0xFF)) continue;           // no neighbors
+      if ((f0 & f1 & f2 & f3) & F_SIG) continue;             // all coded
+      for (int k = 0; k < rows; k++) {
+        size_t i = i0 + k;
         uint32_t F = FL[i];
         if (vsc && k == 3) F &= VSC_MASK;
         if ((F & F_SIG) || !(F & 0xFF)) continue;
@@ -462,7 +533,7 @@ static void enc_sigpass(T1State& st, int bpno, int orient, bool vsc,
             int si = sc_index(F);
             mq.encode((int)(neg ^ LUT.sc_xor[si]), LUT.sc_cn[si]);
           }
-          st.set_sig(i, neg);
+          st.set_sig(i, k, neg);
           if (TRACK) dt.on_sig(i, bpno);
         }
         FL[i] |= F_VIS;
@@ -478,9 +549,26 @@ static void enc_refpass(T1State& st, int bpno, bool vsc, MQEnc& mq,
   uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
-    for (int x = 1; x <= st.w; x++) {
-      size_t i = st.idx(sy + 1, x);
-      for (int k = 0; k < rows; k++, i += st.stride) {
+    size_t i0 = st.idx(sy, 0);
+    for (int x = 0; x < st.w; x++, i0 += 4) {
+      uint32_t f0 = FL[i0], f1 = FL[i0 + 1], f2 = FL[i0 + 2],
+               f3 = FL[i0 + 3];
+      if (!((f0 | f1 | f2 | f3) & F_SIG)) continue;      // nothing to refine
+      if (!TRACK && raw && rows == 4 &&
+          ((f0 & f1 & f2 & f3) & F_SIG) &&
+          !((f0 | f1 | f2 | f3) & F_VIS)) {
+        // whole column refines raw: batch the four magnitude bits
+        uint32_t bits = (((st.mag[i0] >> bpno) & 1) << 3) |
+                        (((st.mag[i0 + 1] >> bpno) & 1) << 2) |
+                        (((st.mag[i0 + 2] >> bpno) & 1) << 1) |
+                        ((st.mag[i0 + 3] >> bpno) & 1);
+        raw->encode_n(bits, 4);
+        FL[i0] |= F_REF; FL[i0 + 1] |= F_REF;
+        FL[i0 + 2] |= F_REF; FL[i0 + 3] |= F_REF;
+        continue;
+      }
+      for (int k = 0; k < rows; k++) {
+        size_t i = i0 + k;
         uint32_t F = FL[i];
         if (vsc && k == 3) F &= VSC_MASK;  // stripe-causal MR contexts too
         if (!(F & F_SIG) || (F & F_VIS)) continue;
@@ -507,43 +595,43 @@ static void enc_clnpass(T1State& st, int bpno, int orient, bool vsc,
   const uint32_t one = 1u << bpno;
   const uint8_t* zc = LUT.zc[orient];
   uint32_t* FL = st.flags.data();
-  const size_t S = st.stride;
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
-    for (int x = 1; x <= st.w; x++) {
+    size_t base0 = st.idx(sy, 0);
+    for (int x = 0; x < st.w; x++, base0 += 4) {
       int kstart = 0;
-      size_t base = st.idx(sy + 1, x);
+      size_t base = base0;
+      uint32_t f0 = FL[base], f1 = FL[base + 1], f2 = FL[base + 2],
+               f3 = FL[base + 3];
+      // skip columns where every sample is already significant or visited
+      if ((f0 & (F_SIG | F_VIS)) && (f1 & (F_SIG | F_VIS)) &&
+          (f2 & (F_SIG | F_VIS)) && (f3 & (F_SIG | F_VIS)) && rows == 4)
+        continue;
       if (rows == 4) {
-        bool agg = true;
-        size_t i = base;
-        for (int k = 0; k < 4; k++, i += S) {
-          uint32_t F = FL[i];
-          if (vsc && k == 3) F &= VSC_MASK;
-          if (F & (F_SIG | F_VIS | 0xFF)) { agg = false; break; }
-        }
+        uint32_t fv3 = vsc ? (f3 & VSC_MASK) : f3;
+        bool agg = !((f0 | f1 | f2 | fv3) & (F_SIG | F_VIS | 0xFF));
         if (agg) {
           int first = 4;
-          i = base;
-          for (int k = 0; k < 4; k++, i += S) {
-            if (st.mag[i] & one) { first = k; break; }
+          for (int k = 0; k < 4; k++) {
+            if (st.mag[base + k] & one) { first = k; break; }
           }
           mq.encode(first == 4 ? 0 : 1, CTX_RL);
           if (first == 4) continue;
           mq.encode((first >> 1) & 1, CTX_UNI);
           mq.encode(first & 1, CTX_UNI);
-          i = base + (size_t)first * S;
+          size_t i = base + first;
           uint32_t F = FL[i];
           if (vsc && first == 3) F &= VSC_MASK;
           uint32_t neg = (F & F_NEG) ? 1 : 0;
           int si = sc_index(F);
           mq.encode((int)(neg ^ LUT.sc_xor[si]), LUT.sc_cn[si]);
-          st.set_sig(i, neg);
+          st.set_sig(i, first, neg);
           if (TRACK) dt.on_sig(i, bpno);
           kstart = first + 1;
         }
       }
-      size_t i = base + (size_t)kstart * S;
-      for (int k = kstart; k < rows; k++, i += S) {
+      for (int k = kstart; k < rows; k++) {
+        size_t i = base + k;
         uint32_t F = FL[i];
         if (vsc && k == 3) F &= VSC_MASK;
         if (F & (F_SIG | F_VIS)) continue;
@@ -553,7 +641,7 @@ static void enc_clnpass(T1State& st, int bpno, int orient, bool vsc,
           uint32_t neg = (F & F_NEG) ? 1 : 0;
           int si = sc_index(F);
           mq.encode((int)(neg ^ LUT.sc_xor[si]), LUT.sc_cn[si]);
-          st.set_sig(i, neg);
+          st.set_sig(i, k, neg);
           if (TRACK) dt.on_sig(i, bpno);
         }
       }
@@ -572,7 +660,7 @@ static void encode_one(GrkT1EncJob* j) {
   for (int y = 0; y < h; y++) {
     for (int x = 0; x < w; x++) {
       int32_t v = j->coeffs[(size_t)y * w + x];
-      size_t i = st.idx(y + 1, x + 1);
+      size_t i = st.idx(y, x);
       uint32_t m = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
       st.mag[i] = m;
       if (v < 0) st.flags[i] |= F_NEG;
@@ -664,9 +752,14 @@ static void dec_sigpass(T1State& st, int bpno_rec, int orient,
   uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
-    for (int x = 1; x <= st.w; x++) {
-      size_t i = st.idx(sy + 1, x);
-      for (int k = 0; k < rows; k++, i += st.stride) {
+    size_t i0 = st.idx(sy, 0);
+    for (int x = 0; x < st.w; x++, i0 += 4) {
+      uint32_t f0 = FL[i0], f1 = FL[i0 + 1], f2 = FL[i0 + 2],
+               f3 = FL[i0 + 3];
+      if (!((f0 | f1 | f2 | f3) & 0xFF)) continue;
+      if ((f0 & f1 & f2 & f3) & F_SIG) continue;
+      for (int k = 0; k < rows; k++) {
+        size_t i = i0 + k;
         uint32_t F = FL[i];
         if (vsc && k == 3) F &= VSC_MASK;
         if ((F & F_SIG) || !(F & 0xFF)) continue;
@@ -680,7 +773,7 @@ static void dec_sigpass(T1State& st, int bpno_rec, int orient,
             neg = (uint32_t)(mq.decode(LUT.sc_cn[si]) ^ LUT.sc_xor[si]);
           }
           if (neg) FL[i] |= F_NEG;
-          st.set_sig(i, neg);
+          st.set_sig(i, k, neg);
           st.rec[i] = (int32_t)first_sig_rec(bpno_rec);
         }
         FL[i] |= F_VIS;
@@ -694,9 +787,24 @@ static void dec_refpass(T1State& st, int bpno_rec, bool vsc, MQDec& mq,
   uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
-    for (int x = 1; x <= st.w; x++) {
-      size_t i = st.idx(sy + 1, x);
-      for (int k = 0; k < rows; k++, i += st.stride) {
+    size_t i0 = st.idx(sy, 0);
+    for (int x = 0; x < st.w; x++, i0 += 4) {
+      uint32_t f0 = FL[i0], f1 = FL[i0 + 1], f2 = FL[i0 + 2],
+               f3 = FL[i0 + 3];
+      if (!((f0 | f1 | f2 | f3) & F_SIG)) continue;
+      if (raw && rows == 4 && ((f0 & f1 & f2 & f3) & F_SIG) &&
+          !((f0 | f1 | f2 | f3) & F_VIS)) {
+        uint32_t bits = raw->decode_n(4);
+        for (int k = 0; k < 4; k++) {
+          size_t i = i0 + k;
+          FL[i] |= F_REF;
+          st.rec[i] = (int32_t)refined_rec(st.rec[i], bpno_rec,
+                                           (int)((bits >> (3 - k)) & 1));
+        }
+        continue;
+      }
+      for (int k = 0; k < rows; k++) {
+        size_t i = i0 + k;
         uint32_t F = FL[i];
         if (vsc && k == 3) F &= VSC_MASK;
         if (!(F & F_SIG) || (F & F_VIS)) continue;
@@ -719,36 +827,36 @@ static void dec_clnpass(T1State& st, int bpno_rec, int orient, bool vsc,
                         MQDec& mq, bool segsym) {
   const uint8_t* zc = LUT.zc[orient];
   uint32_t* FL = st.flags.data();
-  const size_t S = st.stride;
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
-    for (int x = 1; x <= st.w; x++) {
+    size_t base0 = st.idx(sy, 0);
+    for (int x = 0; x < st.w; x++, base0 += 4) {
       int kstart = 0;
-      size_t base = st.idx(sy + 1, x);
+      size_t base = base0;
+      uint32_t f0 = FL[base], f1 = FL[base + 1], f2 = FL[base + 2],
+               f3 = FL[base + 3];
+      if ((f0 & (F_SIG | F_VIS)) && (f1 & (F_SIG | F_VIS)) &&
+          (f2 & (F_SIG | F_VIS)) && (f3 & (F_SIG | F_VIS)) && rows == 4)
+        continue;
       if (rows == 4) {
-        bool agg = true;
-        size_t i = base;
-        for (int k = 0; k < 4; k++, i += S) {
-          uint32_t F = FL[i];
-          if (vsc && k == 3) F &= VSC_MASK;
-          if (F & (F_SIG | F_VIS | 0xFF)) { agg = false; break; }
-        }
+        uint32_t fv3 = vsc ? (f3 & VSC_MASK) : f3;
+        bool agg = !((f0 | f1 | f2 | fv3) & (F_SIG | F_VIS | 0xFF));
         if (agg) {
           if (!mq.decode(CTX_RL)) continue;
           int first = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI);
-          size_t i = base + (size_t)first * S;
+          size_t i = base + first;
           uint32_t F = FL[i];
           if (vsc && first == 3) F &= VSC_MASK;
           int si = sc_index(F);
           uint32_t neg = (uint32_t)(mq.decode(LUT.sc_cn[si]) ^ LUT.sc_xor[si]);
           if (neg) FL[i] |= F_NEG;
-          st.set_sig(i, neg);
+          st.set_sig(i, first, neg);
           st.rec[i] = (int32_t)first_sig_rec(bpno_rec);
           kstart = first + 1;
         }
       }
-      size_t i = base + (size_t)kstart * S;
-      for (int k = kstart; k < rows; k++, i += S) {
+      for (int k = kstart; k < rows; k++) {
+        size_t i = base + k;
         uint32_t F = FL[i];
         if (vsc && k == 3) F &= VSC_MASK;
         if (F & (F_SIG | F_VIS)) continue;
@@ -757,7 +865,7 @@ static void dec_clnpass(T1State& st, int bpno_rec, int orient, bool vsc,
           int si = sc_index(F);
           uint32_t neg = (uint32_t)(mq.decode(LUT.sc_cn[si]) ^ LUT.sc_xor[si]);
           if (neg) FL[i] |= F_NEG;
-          st.set_sig(i, neg);
+          st.set_sig(i, k, neg);
           st.rec[i] = (int32_t)first_sig_rec(bpno_rec);
         }
       }
@@ -852,7 +960,7 @@ static void decode_one(GrkT1DecJob* j) {
   }
   for (int y = 0; y < h; y++) {
     for (int x = 0; x < w; x++) {
-      size_t i = st.idx(y + 1, x + 1);
+      size_t i = st.idx(y, x);
       int32_t m = st.rec[i];
       j->out[(size_t)y * w + x] = (st.flags[i] & F_NEG) ? -m : m;
     }

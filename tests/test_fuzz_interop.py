@@ -114,8 +114,12 @@ def test_corruption_never_crashes(mode, rng):
         GrkImage.from_array(arr),
         CompressParams(numresolution=3, tile_size=(48, 48),
                        layer_rates=[10, 1.0]))
+    # deterministic seeds: Python's salted hash() made failures
+    # unreproducible across runs
+    mode_seed = {"flip": 0, "truncate": 1000, "delete": 2000,
+                 "duplicate": 3000}[mode]
     for trial in range(25):
-        r = np.random.default_rng(hash(mode) % 1000 + trial)
+        r = np.random.default_rng(mode_seed + trial)
         ba = bytearray(base)
         if mode == "flip":
             for _ in range(int(r.integers(1, 8))):
