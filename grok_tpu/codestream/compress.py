@@ -365,9 +365,8 @@ def _layer_targets(p: CompressParams, numlayers: int, raw_bytes: float):
                 targets.append(raw_bytes / r)
         return targets
     if p.layer_psnr:
-        # quality mode: approximate via distortion thresholds is handled by
-        # rate control; for now translate PSNR to generous byte budgets by
-        # bisection at the T2 level.  TODO(quality-mode): true -q parity.
+        # quality mode: handled by assign_layers_quality (distortion
+        # thresholds calibrated against measured reconstruction error)
         return [None] * numlayers
     if p.max_cs_size:
         step = p.max_cs_size / numlayers

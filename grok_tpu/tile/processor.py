@@ -274,6 +274,10 @@ class TileCompressor:
             weight = (delta * norm * mctw) ** 2
             cblk.pass_dists = [p.dist * weight for p in job.passes]
             cblk._passes = job.passes  # kept for layer maths
+            # kept for -q actual-error measurement (truncated re-decode)
+            cblk._orient = band.orient
+            cblk._style = tccp.cblk_style
+            cblk._ht = tccp.ht
             # initial (nothing-decoded) weighted squared error, for -q mode
             cblk._e0 = weight * float(
                 (np.abs(job.coeffs).astype(np.float64) ** 2).sum())
@@ -316,15 +320,17 @@ class TileCompressor:
             prev = {k: max(prev[k], counts[k]) for k in prev}
 
     def assign_layers_quality(self, psnr_targets: list[float]) -> None:
-        """-q mode (SURVEY.md B.8): per-layer distortion thresholds.  For
-        PSNR target p, keep including hull passes (global slope order)
-        until the residual weighted squared error drops below
-        peak^2 / 10^(p/10) * num_samples.
+        """-q mode (SURVEY.md B.8): per-layer distortion thresholds.
 
-        The residual estimate assumes truncation errors are independent
-        across coefficients (per-band synthesis L2 norms), which biases
-        achieved PSNR by up to ~1 dB at high targets — the same estimate
-        class the reference uses for its pcrdBisect quality mode."""
+        Two stages per layer: (1) the classic hull walk using the per-band
+        L2-norm error estimate picks a candidate truncation, then (2) the
+        candidate is calibrated against the ACTUAL reconstruction error —
+        truncated codeblocks are Tier-1 decoded, dequantized and
+        inverse-transformed, and the measured image-domain PSNR drives a
+        multiplicative threshold correction until the achieved PSNR is
+        within 0.2 dB of the target (or the error floor is reached).  This
+        removes the ~1 dB high-target bias of the independence
+        approximation."""
         numlayers = len(psnr_targets)
         entries = []
         e0_total = 0.0
@@ -340,39 +346,159 @@ class TileCompressor:
         peak = (1 << self.image.comps[0].prec) - 1
         slopes = candidate_slopes([h for _, h in entries])
         prev = {id(c): 0 for c, _ in entries}
+
+        def estimate_counts(e_target):
+            lo, hi = 0, len(slopes)
+            best = None
+            while lo < hi:
+                mid = (lo + hi) // 2
+                lam = slopes[mid]
+                cand = {}
+                dtot = 0.0
+                for c, h in entries:
+                    n = max(prev[id(c)], passes_for_threshold(h, lam))
+                    cand[id(c)] = n
+                    if n:
+                        dtot += c.pass_dists[n - 1]
+                if e0_total - dtot <= e_target:
+                    best = cand
+                    hi = mid
+                else:
+                    lo = mid + 1
+            return best
+
+        all_counts = {id(c): (h[-1][0] + 1 if h else 0) for c, h in entries}
         for layno, target_db in enumerate(psnr_targets):
             if target_db <= 0 or not slopes:
-                counts = {id(c): (h[-1][0] + 1 if h else 0)
-                          for c, h in entries}
+                counts = dict(all_counts)
             else:
                 e_target = (peak ** 2 / (10.0 ** (target_db / 10.0))
                             * total_samples)
-                counts = dict(prev)
-                # walk slopes from steepest until the error target is met
-                lo, hi = 0, len(slopes)
-                best = None
-                while lo < hi:
-                    mid = (lo + hi) // 2
-                    lam = slopes[mid]
-                    cand = {}
-                    dtot = 0.0
-                    for c, h in entries:
-                        n = max(prev[id(c)], passes_for_threshold(h, lam))
-                        cand[id(c)] = n
-                        if n:
-                            dtot += c.pass_dists[n - 1]
-                    if e0_total - dtot <= e_target:
-                        best = cand
-                        hi = mid
-                    else:
-                        lo = mid + 1
-                counts = best if best is not None else {
-                    id(c): (h[-1][0] + 1 if h else 0)
-                    for c, h in entries}
+                factor = 1.0
+                counts = None
+                best_gap = None
+                for _ in range(6):
+                    cand = estimate_counts(e_target * factor)
+                    if cand is None:
+                        cand = dict(all_counts)
+                    e_act = self._measure_actual_error(entries, cand)
+                    if e_act is None:
+                        counts = cand  # measurement unavailable: estimate
+                        break
+                    if e_act <= 0:
+                        counts = cand  # error floor (effectively lossless)
+                        break
+                    ach_db = 10.0 * math.log10(
+                        peak ** 2 * total_samples / e_act)
+                    gap = abs(ach_db - target_db)
+                    if best_gap is None or gap < best_gap:
+                        best_gap, counts = gap, cand
+                    if gap <= 0.2:
+                        break
+                    if cand == all_counts and ach_db < target_db:
+                        break  # all passes included, target unreachable
+                    # proportional threshold correction: the estimate maps
+                    # threshold T to actual error ~c*T, so retarget with
+                    # T' = T * e_target / e_act (monotone in passes)
+                    factor *= e_target / e_act
+                    factor = min(64.0, max(1.0 / 4096.0, factor))
+                if counts is None:
+                    counts = dict(all_counts)
             for c, h in entries:
                 c.num_passes_by_layer[layno] = max(
                     0, counts[id(c)] - prev[id(c)])
             prev = {k: max(prev[k], counts[k]) for k in prev}
+
+    def _measure_actual_error(self, entries, counts):
+        """Measure the true squared reconstruction error (image domain) of
+        a candidate truncation: Tier-1 decode each truncated codeblock,
+        rebuild band planes, run the full synthesis (dequant + inverse DWT
+        + inverse MCT + DC unshift with precision clamp) and compare to the
+        original tile samples.  Returns None when the tile shape prevents
+        measurement (nothing ingested)."""
+        tile, tcp, image = self.tile, self.tcp, self.image
+        jobs = []
+        meta = []
+        for cblk, _h in entries:
+            n = counts[id(cblk)]
+            if n <= 0 or not cblk.pass_rates:
+                continue
+            passes = cblk._passes[:n]
+            nbytes = passes[-1].rate
+            # segment byte lengths as the decoder would see them: split at
+            # pass terminations (bypass transitions always terminate)
+            seg_lens = []
+            last = 0
+            for pi, p in enumerate(passes):
+                if p.term or pi == len(passes) - 1:
+                    seg_lens.append(p.rate - last)
+                    last = p.rate
+            jobs.append(t1_backend.DecodeJob(
+                cblk.data[:nbytes], seg_lens, n, cblk.numbps,
+                cblk.rect.h, cblk.rect.w, cblk._orient,
+                cblk._style, ht=cblk._ht))
+            meta.append(cblk)
+        t1_backend.decode_batch(jobs, self.backend)
+        decoded = {id(c): j.out for j, c in zip(jobs, meta)}
+
+        total_err = 0.0
+        planes = []
+        for compno, tc in enumerate(tile.comps):
+            tccp = tcp.tccps[compno]
+            reversible = tccp.qmfbid == 1
+            bands = {}
+            for res in tc.resolutions:
+                for bi, band in enumerate(res.bands):
+                    arr = np.zeros((band.rect.h, band.rect.w), dtype=np.int32)
+                    for prc in res.precincts:
+                        for cblk in prc.pbands[bi].cblks:
+                            out = decoded.get(id(cblk))
+                            if out is None:
+                                continue
+                            if tccp.roi_shift:
+                                mag = np.abs(out)
+                                is_roi = mag >= (1 << (tccp.roi_shift + 1))
+                                mag = np.where(is_roi, mag >> tccp.roi_shift,
+                                               mag)
+                                out = np.where(out < 0, -mag,
+                                               mag).astype(np.int32)
+                            y0 = cblk.rect.y0 - band.rect.y0
+                            x0 = cblk.rect.x0 - band.rect.x0
+                            arr[y0:y0 + cblk.rect.h,
+                                x0:x0 + cblk.rect.w] = out
+                    if reversible:
+                        vals = (np.sign(arr) * (np.abs(arr) >> 1)).astype(
+                            np.int32)
+                    else:
+                        vals = quant_mod.dequantize(arr, band.stepsize)
+                    bands[(res.resno, band.orient)] = vals
+            planes.append(dwt_mod.inverse_dwt(
+                bands, tc.rect, tccp.numresolutions, reversible))
+        if tcp.mct == 1 and len(planes) >= 3:
+            if tcp.tccps[0].qmfbid == 1:
+                planes[0], planes[1], planes[2] = mct_mod.rct_inverse(
+                    planes[0], planes[1], planes[2])
+            else:
+                planes[0], planes[1], planes[2] = mct_mod.ict_inverse(
+                    planes[0], planes[1], planes[2])
+        elif tcp.mct == 2 and tcp.mct_matrix is not None:
+            planes[:tcp.mct_matrix.shape[0]] = mct_mod.matrix_inverse(
+                planes[:tcp.mct_matrix.shape[0]], tcp.mct_matrix)
+        for compno, p in enumerate(planes):
+            comp = image.comps[compno]
+            if p.dtype != np.int32:
+                p = np.round(p).astype(np.int64)
+            rec = mct_mod.dc_shift_inverse(p, comp.prec, comp.sgnd)
+            tc = tile.comps[compno]
+            r = tc.rect
+            y0 = r.y0 - comp.y0
+            x0 = r.x0 - comp.x0
+            orig = comp.data[y0:y0 + r.h, x0:x0 + r.w]
+            if orig.shape != rec.shape:
+                return None
+            d = rec.astype(np.float64) - orig
+            total_err += float((d * d).sum())
+        return total_err
 
     def _bisect_layer(self, entries, prev, slopes, layno, target):
         lo, hi = 0, len(slopes)

@@ -51,12 +51,14 @@ def test_quality_mode(rng):
     full = grok_tpu.decompress(data)
     err = full.comps[0].data.astype(float) - arr
     psnr_full = 10 * np.log10(255 ** 2 / (err ** 2).mean())
-    assert psnr_full > 42, psnr_full
+    # actual-error calibration: achieved PSNR within 0.6 dB of the target
+    # (the residual slack is truncation-point granularity)
+    assert abs(psnr_full - 45) < 0.6, psnr_full
     one = grok_tpu.decompress(data, DecompressParams(max_layers=1))
     err1 = one.comps[0].data.astype(float) - arr
     psnr_1 = 10 * np.log10(255 ** 2 / (err1 ** 2).mean())
-    # layer 1 should roughly hit its 35 dB target and be worse than full
-    assert 30 < psnr_1 < psnr_full + 1e-9, (psnr_1, psnr_full)
+    assert abs(psnr_1 - 35) < 0.6, psnr_1
+    assert psnr_1 < psnr_full + 1e-9, (psnr_1, psnr_full)
 
 
 def test_plt_emission_and_decode(rng):
