@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pack packet headers into PPT marker segments")
     p.add_argument("--ht", action="store_true",
                    help="HTJ2K (Part 15) block coder")
+    p.add_argument("--ht-mixed", action="store_true",
+                   help="Part-15 MIXED set: per-codeblock MQ/HT choice "
+                        "(MQ for LL blocks, HT elsewhere); implies --ht")
     p.add_argument("-V", "--transfer-exif", action="store_true",
                    help="copy EXIF metadata from the input into the JP2 "
                         "(uuid box)")
@@ -124,7 +127,8 @@ def params_from_args(args) -> CompressParams:
     cp.tlm = args.tlm
     cp.plt = args.plt
     cp.ppt = args.ppt
-    cp.ht = args.ht
+    cp.ht = args.ht or args.ht_mixed
+    cp.ht_mixed = args.ht_mixed
     cp.num_guard_bits = args.guard_bits
     cp.num_threads = args.num_threads
     cp.backend = args.backend

@@ -45,6 +45,7 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
     if p.ht:
         cp.rsiz |= int(Profile.PART15)
         cp.ht = True
+        cp.ht_mixed = p.ht_mixed
     if p.tile_size:
         cp.t_width, cp.t_height = p.tile_size
         cp.tx0, cp.ty0 = p.tile_offset
@@ -178,7 +179,8 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
         comps=[(c.prec, c.sgnd, c.dx, c.dy) for c in image.comps])
     out += mk.write_siz(si)
     if cp.ht:
-        out += mk.write_cap(ccap15=0)
+        # Ccap15 set bits (B.9): 0 = HTONLY, 3 = MIXED (per-block MQ/HT)
+        out += mk.write_cap(ccap15=0xC000 if cp.ht_mixed else 0)
     has_prc = p.precincts is not None
     out += mk.write_cod(tcp0, has_prc, sop=p.sop, eph=p.eph)
     out += mk.write_qcd(tcp0.tccps[0])

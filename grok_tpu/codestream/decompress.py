@@ -131,6 +131,10 @@ class CodestreamDecoder:
             return
         if code == mk.CAP:
             hi.cap = mk.read_cap(payload)
+            # Ccap15 set bits: 3 = MIXED (per-codeblock MQ/HT choice)
+            for c15 in hi.cap.get("ccap", []):
+                if (c15 >> 14) == 3:
+                    cp.ht_mixed = True
         elif code == mk.COD:
             sop, eph = mk.read_cod(payload, tcp_template)
             hi.sop, hi.eph = sop, eph

@@ -146,6 +146,11 @@ class CompressParams:
 
     # HTJ2K (Part 15)
     ht: bool = False                              # block coder = HT
+    # Part-15 MIXED set: per-codeblock choice between the HT and MQ
+    # coders within one tile (signaled via CAP Ccap15 set bits).  The
+    # default policy codes LL-band (resolution-0) blocks with MQ for its
+    # finer truncation points and everything else with HT for speed.
+    ht_mixed: bool = False
 
     # quantization override: explicit base step size (0 = derived default)
     quant_step: float = 0.0
@@ -178,6 +183,8 @@ class CompressParams:
             for (px, py) in self.precincts:
                 if px & (px - 1) or py & (py - 1):
                     raise ParamError("precinct dims must be powers of two")
+        if self.ht_mixed and not self.ht:
+            raise ParamError("ht_mixed requires ht")
         if self.roi_shift:
             # SPrgn is a u8 on the wire; and upshifted coefficients must
             # still fit the 32-bit T1 magnitude range (prec + gain(2) +
@@ -275,6 +282,7 @@ class CodingParams:
     # TLM tile index: list of (tile_index, length) in codestream order
     tlm: list[tuple[int, int]] | None = None
     ht: bool = False
+    ht_mixed: bool = False  # Part-15 MIXED set (CAP Ccap15 set bits = 3)
 
     @property
     def numtiles(self) -> int:

@@ -257,12 +257,19 @@ def encode_packet(
     eph: bool = False,
     sop_index: int = 0,
     split_header: bool = False,
+    mixed: bool = False,
 ) -> bytes | tuple[bytes, bytes]:
     """Encode one packet (header + body).  Codeblock layer assignments
     (num_passes_by_layer) must already be set by rate control.
 
     With split_header=True the (header, body) pair is returned separately
-    for PPT/PPM packed-header emission (SOP is not applicable then)."""
+    for PPT/PPM packed-header emission (SOP is not applicable then).
+
+    With mixed=True (Part-15 MIXED set) one extra bit follows the
+    zero-bitplane coding at first inclusion: 1 = HT codeblock, 0 = MQ.
+    No normative T.814 text is available in this environment, so like the
+    CxtVLC tables (t1/ht.py) this per-block signal uses a documented
+    self-consistent convention gated on self round-trip tests."""
     prc = res.precincts[precno]
     bio = BitWriter()
     body = bytearray()
@@ -307,6 +314,8 @@ def encode_packet(
             if not already:
                 # newly included: communicate zero bitplanes fully
                 pband.imsb_tree.encode(bio, i, cblk.zero_bitplanes + 1)
+                if mixed:
+                    bio.write_bit(1 if getattr(cblk, "is_ht", False) else 0)
                 cblk.included_in_layer = layno
                 cblk.lblock = 3
                 cblk.total_passes = 0
@@ -363,6 +372,7 @@ def decode_packet(
     hdr_data: bytes | None = None,
     hdr_pos: int = 0,
     discard: bool = False,
+    mixed: bool = False,
 ) -> tuple[int, int]:
     """Decode one packet header, attach body byte ranges to codeblocks, and
     return (new body position, new header position).  When `hdr_data` is
@@ -418,6 +428,9 @@ def decode_packet(
                     k += 1
                 cblk.zero_bitplanes = k - 1
                 cblk.numbps = mb - cblk.zero_bitplanes
+                if mixed:
+                    # MIXED set: per-block coder bit (see encode_packet)
+                    cblk.is_ht = bool(bio.read_bit())
                 cblk.included_in_layer = layno
                 cblk.lblock = 3
                 cblk.total_passes = 0

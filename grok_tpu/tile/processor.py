@@ -234,6 +234,7 @@ class TileCompressor:
                         # max-shift ROI: upshift the quantizer indices
                         coeffs = (coeffs.astype(np.int64)
                                   << tccp.roi_shift).astype(np.int32)
+                    mixed = tccp.ht and getattr(self.cp, "ht_mixed", False)
                     for prc in res.precincts:
                         pband = prc.pbands[bi]
                         for cblk in pband.cblks:
@@ -242,9 +243,13 @@ class TileCompressor:
                                 continue
                             sl = coeffs[cr.y0 - band.rect.y0:cr.y1 - band.rect.y0,
                                         cr.x0 - band.rect.x0:cr.x1 - band.rect.x0]
+                            # MIXED-set policy: MQ for LL-band blocks (fine
+                            # truncation where the energy is), HT elsewhere
+                            use_ht = tccp.ht and not (mixed and res.resno == 0)
+                            cblk.is_ht = use_ht
                             jobs.append(t1_backend.EncodeJob(
                                 np.ascontiguousarray(sl), band.orient,
-                                tccp.cblk_style, ht=tccp.ht,
+                                tccp.cblk_style, ht=use_ht,
                                 need_dist=need_dist))
                             job_meta.append((compno, res.resno, band, cblk))
         t1_backend.encode_batch(jobs, self.backend)
@@ -277,7 +282,7 @@ class TileCompressor:
             # kept for -q actual-error measurement (truncated re-decode)
             cblk._orient = band.orient
             cblk._style = tccp.cblk_style
-            cblk._ht = tccp.ht
+            cblk._ht = cblk.is_ht if hasattr(cblk, "is_ht") else tccp.ht
             # initial (nothing-decoded) weighted squared error, for -q mode
             cblk._e0 = weight * float(
                 (np.abs(job.coeffs).astype(np.float64) ** 2).sum())
@@ -589,10 +594,11 @@ class TileCompressor:
         out = bytearray()
         for tc in self.tile.comps:
             tccp = self.tcp.tccps[tc.compno]
+            mixed = tccp.ht and getattr(self.cp, "ht_mixed", False)
             for res in tc.resolutions:
                 for precno in range(res.pw * res.ph):
                     out += t2.encode_packet(res, precno, layno,
-                                            tccp.cblk_style)
+                                            tccp.cblk_style, mixed=mixed)
         return bytes(out)
 
     def write_packets(self, comp_info, sop=False, eph=False, ppt=False):
@@ -611,17 +617,18 @@ class TileCompressor:
             tc = self.tile.comps[pc.compno]
             tccp = self.tcp.tccps[pc.compno]
             res = tc.resolutions[pc.resno]
+            mixed = tccp.ht and getattr(self.cp, "ht_mixed", False)
             if ppt:
                 hdr, body = t2.encode_packet(
                     res, pc.precno, pc.layno, tccp.cblk_style,
-                    eph=eph, split_header=True)
+                    eph=eph, split_header=True, mixed=mixed)
                 hdrs += hdr
                 out += body
                 lengths.append(len(body))
             else:
                 pkt = t2.encode_packet(
                     res, pc.precno, pc.layno, tccp.cblk_style,
-                    sop=sop, eph=eph, sop_index=n & 0xFFFF)
+                    sop=sop, eph=eph, sop_index=n & 0xFFFF, mixed=mixed)
                 out += pkt
                 lengths.append(len(pkt))
         return bytes(out), lengths, order, bytes(hdrs)
@@ -751,11 +758,13 @@ class TileDecompressor:
             if pos >= len(data):
                 break  # tolerant: truncated tile data
             discard = bool(self.max_layers) and pc.layno >= self.max_layers
+            mixed = tccp.ht and getattr(self.cp, "ht_mixed", False)
             try:
                 pos, hdr_pos = t2.decode_packet(
                     data, pos, res, pc.precno, pc.layno,
                     tccp.cblk_style, band_numbps, sop=sop, eph=eph,
-                    hdr_data=ppt, hdr_pos=hdr_pos, discard=discard)
+                    hdr_data=ppt, hdr_pos=hdr_pos, discard=discard,
+                    mixed=mixed)
             except Exception as e:
                 if not sop:
                     raise
@@ -816,10 +825,14 @@ class TileDecompressor:
                                 continue  # outside decode window: skip T1
                             data, seg_lens, npasses = t2.collect_seg_lengths(
                                 cblk, tccp.cblk_style)
+                            block_ht = tccp.ht and (
+                                getattr(cblk, "is_ht", True)
+                                if getattr(self.cp, "ht_mixed", False)
+                                else True)
                             jobs.append(t1_backend.DecodeJob(
                                 data, seg_lens, npasses, cblk.numbps,
                                 cblk.rect.h, cblk.rect.w, band.orient,
-                                tccp.cblk_style, ht=tccp.ht))
+                                tccp.cblk_style, ht=block_ht))
                             meta.append((tc, res, band, cblk))
         t1_backend.decode_batch(jobs, self.backend)
         # assemble doubled-domain band coefficient arrays (conversion to

@@ -157,3 +157,46 @@ def test_ht_extreme_magnitude_contrast():
     out = decode_cblk_ht(seg, 4, 8)
     ref = np.sign(c) * (2 * np.abs(c) + 1) * (np.abs(c) > 0)
     assert np.array_equal(out, ref)
+
+
+def test_ht_mixed_set_roundtrip(rng):
+    """Part-15 MIXED set: LL blocks MQ-coded, others HT; lossless
+    round-trip and CAP signaling (SURVEY.md B.9 'MIXED')."""
+    arr = _content(rng, 96, 96, 3)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=4, ht=True, ht_mixed=True))
+    hi = grok_tpu.read_header(data)
+    assert hi.cp.ht_mixed
+    assert any((c >> 14) == 3 for c in hi.cap["ccap"])
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.to_array(), arr)
+    # streams genuinely mix: MIXED differs from HTONLY on the same input
+    only = grok_tpu.compress(img, CompressParams(numresolution=4, ht=True))
+    assert data != only
+
+
+def test_ht_mixed_multilayer_rates(rng):
+    """MIXED with rate-targeted layers: the MQ LL blocks carry multiple
+    truncation points while HT blocks contribute all-or-nothing."""
+    arr = _content(rng, 96, 96)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, ht=True, ht_mixed=True, irreversible=True,
+        layer_rates=[20, 5]))
+    out = grok_tpu.decompress(data)
+    err = out.comps[0].data.astype(float) - arr
+    psnr = 10 * np.log10(255 ** 2 / (err ** 2).mean())
+    assert psnr > 30, psnr
+    low = grok_tpu.decompress(data, DecompressParams(max_layers=1))
+    errl = low.comps[0].data.astype(float) - arr
+    assert (errl ** 2).mean() >= (err ** 2).mean() - 1e-9
+
+
+def test_ht_mixed_tiled_16bit(rng):
+    arr = rng.integers(0, 65536, size=(80, 80)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=16)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, ht=True, ht_mixed=True, tile_size=(32, 32)))
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.comps[0].data, arr)
