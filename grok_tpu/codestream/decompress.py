@@ -366,22 +366,33 @@ class CodestreamDecoder:
                       f"clamping to {max_reduce}")
             reduce_ = max_reduce
 
-        # allocate reduced-size component planes
+        img_rect = Rect(hi.siz.xosiz, hi.siz.yosiz, hi.siz.xsiz, hi.siz.ysiz)
+        win = Rect(*p.window) if p.window else None
+
+        # allocate reduced-size component planes; with a decode window the
+        # canvas covers only the window (O(window) memory end to end)
         div = 1 << reduce_
+        canvas_origin = []  # reduced-grid (ry0, rx0) per component
         try:
             for c in img.comps:
-                rx0 = -(-c.x0 // div)
-                ry0 = -(-c.y0 // div)
-                rx1 = -(-(c.x0 + c.w) // div)
-                ry1 = -(-(c.y0 + c.h) // div)
-                c.data = np.zeros((ry1 - ry0, rx1 - rx0), dtype=np.int32)
-                c.w, c.h = rx1 - rx0, ry1 - ry0
+                if win is not None:
+                    wx0 = max(-(-win.x0 // c.dx), c.x0)
+                    wy0 = max(-(-win.y0 // c.dy), c.y0)
+                    wx1 = min(-(-win.x1 // c.dx), c.x0 + c.w)
+                    wy1 = min(-(-win.y1 // c.dy), c.y0 + c.h)
+                else:
+                    wx0, wy0 = c.x0, c.y0
+                    wx1, wy1 = c.x0 + c.w, c.y0 + c.h
+                rx0 = -(-wx0 // div)
+                ry0 = -(-wy0 // div)
+                rx1 = -(-wx1 // div)
+                ry1 = -(-wy1 // div)
+                c.data = np.zeros((max(0, ry1 - ry0), max(0, rx1 - rx0)),
+                                  dtype=np.int32)
+                canvas_origin.append((ry0, rx0))
         except MemoryError:
             raise CodestreamError(
                 "image too large to allocate for decode") from None
-
-        img_rect = Rect(hi.siz.xosiz, hi.siz.yosiz, hi.siz.xsiz, hi.siz.ysiz)
-        win = Rect(*p.window) if p.window else None
 
         self._distribute_ppm()
         tiles = range(cp.numtiles)
@@ -403,16 +414,24 @@ class CodestreamDecoder:
             if result is None:
                 continue
             planes, rects = result
-            # paste tile planes into the reduced component canvases
+            # paste tile planes into the reduced component canvases,
+            # clipped (window-produce rects carry lifting margins)
             for compno, (plane, rr) in enumerate(zip(planes, rects)):
                 comp = img.comps[compno]
-                rx0 = -(-comp.x0 // div)
-                ry0 = -(-comp.y0 // div)
-                y_off = rr.y0 - ry0
-                x_off = rr.x0 - rx0
-                comp.data[y_off:y_off + rr.h, x_off:x_off + rr.w] = plane
-        if win is not None:
-            _crop_to_window(img, win, reduce_)
+                ry0, rx0 = canvas_origin[compno]
+                ch, cw = comp.data.shape
+                sy0 = max(0, ry0 - rr.y0)
+                sx0 = max(0, rx0 - rr.x0)
+                dy0 = max(0, rr.y0 - ry0)
+                dx0 = max(0, rr.x0 - rx0)
+                hh = min(rr.h - sy0, ch - dy0)
+                ww = min(rr.w - sx0, cw - dx0)
+                if hh > 0 and ww > 0:
+                    comp.data[dy0:dy0 + hh, dx0:dx0 + ww] = \
+                        plane[sy0:sy0 + hh, sx0:sx0 + ww]
+        for compno, c in enumerate(img.comps):
+            c.h, c.w = c.data.shape
+            c.y0, c.x0 = canvas_origin[compno]
         return img
 
     def _distribute_ppm(self):
@@ -530,11 +549,17 @@ class CodestreamDecoder:
             log.warning("tile %d: packet parse error: %s", tidx, e)
         td.run_t1()
         planes = td.reconstruct()
-        rects = []
-        for compno in range(len(planes)):
-            tccp = tcp.tccps[compno]
-            numres_used = max(1, tccp.numresolutions - reduce_)
-            rects.append(tile.comps[compno].resolutions[numres_used - 1].rect)
+        rects = getattr(td, "_out_rects", None)
+        if not rects:
+            rects = []
+            for compno in range(len(planes)):
+                tccp = tcp.tccps[compno]
+                numres_used = max(1, tccp.numresolutions - reduce_)
+                rects.append(
+                    tile.comps[compno].resolutions[numres_used - 1].rect)
+        # O(window) introspection for tests/observability
+        self.last_band_bytes = sum(
+            a.nbytes for a in getattr(td, "_band_arrays", {}).values())
         result = (planes, rects)
         if ckey is not None:
             cache.put(ckey, result)
@@ -578,22 +603,3 @@ class CodestreamDecoder:
                           r.x0 - rx0:r.x1 - rx0] = plane
                 assembled[compno] = strip
             yield y0_out, assembled
-
-
-def _crop_to_window(img: GrkImage, win: Rect, reduce_: int) -> None:
-    div = 1 << reduce_
-    for c in img.comps:
-        # window in component grid, then reduced
-        wx0 = max(-(-win.x0 // c.dx), c.x0)
-        wy0 = max(-(-win.y0 // c.dy), c.y0)
-        wx1 = min(-(-win.x1 // c.dx), c.x0 + (c.w * div if reduce_ else c.w))
-        wy1 = min(-(-win.y1 // c.dy), c.y0 + (c.h * div if reduce_ else c.h))
-        rx0 = -(-wx0 // div)
-        ry0 = -(-wy0 // div)
-        rx1 = -(-wx1 // div)
-        ry1 = -(-wy1 // div)
-        cx0 = -(-c.x0 // div)
-        cy0 = -(-c.y0 // div)
-        c.data = c.data[ry0 - cy0:ry1 - cy0, rx0 - cx0:rx1 - cx0]
-        c.h, c.w = c.data.shape
-        c.x0, c.y0 = rx0, ry0

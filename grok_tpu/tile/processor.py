@@ -778,33 +778,44 @@ class TileDecompressor:
                     break
                 pos = nxt
 
-    def _window_band_rect(self, compno: int, resno: int, orient: int,
-                          margin: int = 4) -> Rect | None:
-        """Decode-window rect in band coordinates, widened by the lifting
-        halo margin (SURVEY.md §3.3 region decode: per-resolution window
-        intersection)."""
+    def _window_produce(self, compno: int) -> dict | None:
+        """Per-resolution rects the window-aware synthesis reconstructs for
+        this component (SURVEY.md §3.3 region decode), cached."""
         if self.window is None:
             return None
+        cache = getattr(self, "_produce_cache", None)
+        if cache is None:
+            cache = self._produce_cache = {}
+        if compno in cache:
+            return cache[compno]
         comp = self.image.comps[compno]
         tccp = self.tcp.tccps[compno]
+        tc = self.tile.comps[compno]
+        numres_used = max(1, tccp.numresolutions - self.reduce)
+        max_res = numres_used - 1
         nl = tccp.numresolutions - 1
         w = self.window
-        cx0, cy0 = w.x0 // comp.dx, w.y0 // comp.dy
-        cx1 = -(-w.x1 // comp.dx)
-        cy1 = -(-w.y1 // comp.dy)
-        if resno == 0:
-            nb, xob, yob = nl, 0, 0
-        else:
-            nb = nl - resno + 1
-            xob, yob = BAND_OFFSET[orient]
-        if nb == 0:
-            return Rect(cx0 - margin, cy0 - margin,
-                        cx1 + margin, cy1 + margin)
-        h = 1 << (nb - 1)
-        return Rect(((cx0 - h * xob) >> nb) - margin,
-                    ((cy0 - h * yob) >> nb) - margin,
-                    -(-(cx1 - h * xob) >> nb) + margin,
-                    -(-(cy1 - h * yob) >> nb) + margin)
+        div = 1 << (nl - max_res)
+        win_res = Rect((w.x0 // comp.dx) // div, (w.y0 // comp.dy) // div,
+                       -(-(-(-w.x1 // comp.dx)) // div),
+                       -(-(-(-w.y1 // comp.dy)) // div))
+        produce = dwt_mod.window_produce_rects(
+            tc.rect, tccp.numresolutions, tccp.qmfbid == 1, win_res,
+            max_res=max_res)
+        cache[compno] = produce
+        return produce
+
+    def _window_band_rect(self, compno: int, resno: int,
+                          orient: int) -> Rect | None:
+        """Decode-window rect in band coordinates — exactly what the
+        window-aware inverse DWT will read, so Tier-1 skip and band
+        allocation stay consistent with the synthesis crops."""
+        produce = self._window_produce(compno)
+        if produce is None:
+            return None
+        if resno not in produce and resno - 1 not in produce:
+            return Rect(0, 0, 0, 0)  # above max_res (reduced away)
+        return dwt_mod.window_band_rect(produce, resno)
 
     def run_t1(self) -> None:
         jobs = []
@@ -836,19 +847,29 @@ class TileDecompressor:
                             meta.append((tc, res, band, cblk))
         t1_backend.decode_batch(jobs, self.backend)
         # assemble doubled-domain band coefficient arrays (conversion to
-        # final sample values happens in reconstruct(), host or device)
+        # final sample values happens in reconstruct(), host or device).
+        # With a decode window the arrays cover only the window's span of
+        # each band (SURVEY.md §2.1 SparseBuffer role: O(window) memory).
         self._band_arrays = {}
+        self._band_offsets = {}
         for tc in self.tile.comps:
             tccp = self.tcp.tccps[tc.compno]
             numres_used = max(1, tccp.numresolutions - self.reduce)
             for res in tc.resolutions[:numres_used]:
                 for band in res.bands:
-                    self._band_arrays[(tc.compno, res.resno, band.orient)] = \
-                        np.zeros((band.rect.h, band.rect.w), dtype=np.int32)
+                    crop = band.rect
+                    wrect = self._window_band_rect(
+                        tc.compno, res.resno, band.orient)
+                    if wrect is not None:
+                        crop = band.rect.intersect(wrect)
+                    key = (tc.compno, res.resno, band.orient)
+                    self._band_arrays[key] = np.zeros(
+                        (max(0, crop.h), max(0, crop.w)), dtype=np.int32)
+                    self._band_offsets[key] = crop
         for job, (tc, res, band, cblk) in zip(jobs, meta):
-            arr = self._band_arrays[(tc.compno, res.resno, band.orient)]
-            y0 = cblk.rect.y0 - band.rect.y0
-            x0 = cblk.rect.x0 - band.rect.x0
+            key = (tc.compno, res.resno, band.orient)
+            arr = self._band_arrays[key]
+            crop = self._band_offsets[key]
             out = job.out
             shift = self.tcp.tccps[tc.compno].roi_shift
             if shift:
@@ -858,11 +879,19 @@ class TileDecompressor:
                 is_roi = mag >= (1 << (shift + 1))
                 mag = np.where(is_roi, mag >> shift, mag)
                 out = np.where(out < 0, -mag, mag).astype(np.int32)
-            arr[y0:y0 + cblk.rect.h, x0:x0 + cblk.rect.w] = out
+            # clipped paste: an intersecting codeblock may extend past the
+            # window crop
+            ix = cblk.rect.intersect(crop)
+            if ix.is_empty():
+                continue
+            arr[ix.y0 - crop.y0:ix.y1 - crop.y0,
+                ix.x0 - crop.x0:ix.x1 - crop.x0] = \
+                out[ix.y0 - cblk.rect.y0:ix.y1 - cblk.rect.y0,
+                    ix.x0 - cblk.rect.x0:ix.x1 - cblk.rect.x0]
 
     def _device_eligible(self) -> bool:
         tile, tcp, image = self.tile, self.tcp, self.image
-        if self.reduce:
+        if self.reduce or self.window is not None:
             return False
         t0 = tcp.tccps[0]
         nl = t0.numresolutions - 1
@@ -915,13 +944,16 @@ class TileDecompressor:
 
     def reconstruct(self) -> list[np.ndarray]:
         """Inverse DWT + MCT + DC shift; returns per-component planes at the
-        reduced resolution."""
+        reduced resolution.  With a decode window set, the synthesis is
+        window-aware: only the produce-chain spans are lifted (SURVEY.md
+        §3.3) and the planes cover just the window (self._out_rects)."""
         if self.backend == "device":
             dev = self.reconstruct_device()
             if dev is not None:
                 return dev
         planes = []
         tcp = self.tcp
+        self._out_rects = []
         for tc in self.tile.comps:
             tccp = tcp.tccps[tc.compno]
             reversible = tccp.qmfbid == 1
@@ -938,8 +970,24 @@ class TileDecompressor:
                         vals = quant_mod.dequantize(
                             doubled, band.stepsize)
                     bands[(res.resno, band.orient)] = vals
-            out = dwt_mod.inverse_dwt(bands, tc.rect, tccp.numresolutions,
-                                      reversible, max_res=numres_used - 1)
+            if self.window is not None:
+                produce = self._window_produce(tc.compno)
+                offsets = {
+                    (res.resno, band.orient):
+                        self._band_offsets[(tc.compno, res.resno,
+                                            band.orient)]
+                    for res in tc.resolutions[:numres_used]
+                    for band in res.bands}
+                out = dwt_mod.inverse_dwt_window(
+                    bands, offsets, tc.rect, tccp.numresolutions,
+                    reversible, produce, max_res=numres_used - 1)
+                self._out_rects.append(produce[numres_used - 1])
+            else:
+                out = dwt_mod.inverse_dwt(
+                    bands, tc.rect, tccp.numresolutions,
+                    reversible, max_res=numres_used - 1)
+                self._out_rects.append(
+                    tc.resolutions[numres_used - 1].rect)
             planes.append(out)
         if tcp.mct == 1 and len(planes) >= 3:
             if tcp.tccps[0].qmfbid == 1:

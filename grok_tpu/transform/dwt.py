@@ -374,6 +374,91 @@ def forward_dwt(data: np.ndarray, tc_rect, numres: int, reversible: bool):
     return bands
 
 
+def window_produce_rects(tc_rect, numres: int, reversible: bool,
+                         win, max_res: int | None = None) -> dict:
+    """Per-resolution rects the window-aware inverse must reconstruct
+    (SURVEY.md §3.3: 'WaveletReverse lifts only the needed line spans').
+
+    `win` is the decode window in the coordinates of resolution
+    ``max_res``.  Walking down the pyramid, each level needs the half-size
+    span plus a lifting margin m chosen so the symmetric-extension error a
+    cropped merge makes at its edges (<= 2m-1 samples) never reaches the
+    span the level above consumes: m=3 for 5/3 (support 2), m=5 for 9/7
+    (support 4)."""
+    from ..tile.geometry import Rect, res_rect
+
+    if max_res is None:
+        max_res = numres - 1
+    m = 3 if reversible else 5
+    produce = {}
+    rr = res_rect(tc_rect, numres, max_res)
+    produce[max_res] = Rect(max(win.x0, rr.x0), max(win.y0, rr.y0),
+                            min(win.x1, rr.x1), min(win.y1, rr.y1))
+    for r in range(max_res, 0, -1):
+        p = produce[r]
+        rr = res_rect(tc_rect, numres, r - 1)
+        produce[r - 1] = Rect(
+            max(p.x0 // 2 - m, rr.x0), max(p.y0 // 2 - m, rr.y0),
+            min(-(-p.x1 // 2) + m, rr.x1), min(-(-p.y1 // 2) + m, rr.y1))
+    return produce
+
+
+def window_band_rect(produce: dict, resno: int):
+    """Band-coordinate window covering everything the cropped merges read
+    from the (resno, orient>=1) bands (or the LL band for resno 0)."""
+    from ..tile.geometry import Rect
+
+    if resno == 0:
+        return produce[0]
+    p = produce[resno - 1]
+    # high-axis indices are floor-based (one below the low-axis origin)
+    return Rect(p.x0 - 1, p.y0 - 1, p.x1, p.y1)
+
+
+def inverse_dwt_window(bands: dict, band_offsets: dict, tc_rect,
+                       numres: int, reversible: bool, produce: dict,
+                       max_res: int) -> np.ndarray:
+    """Window-aware inverse multi-level DWT over CROPPED band arrays.
+
+    `bands[(resno, orient)]` holds only the window portion of each band;
+    `band_offsets[(resno, orient)]` gives the band-coordinate rect each
+    crop covers.  Returns the array covering ``produce[max_res]``."""
+    from ..tile.geometry import Rect, res_rect
+
+    def crop(key, rect):
+        arr = bands[key]
+        off = band_offsets[key]
+        return arr[rect.y0 - off.y0:rect.y1 - off.y0,
+                   rect.x0 - off.x0:rect.x1 - off.x0]
+
+    cur_rect = produce[0]
+    cur = crop((0, 0), cur_rect)
+    for r in range(1, max_res + 1):
+        rr = res_rect(tc_rect, numres, r)
+        p = produce[r - 1]
+        o = Rect(max(2 * p.x0, rr.x0), max(2 * p.y0, rr.y0),
+                 min(2 * p.x1, rr.x1), min(2 * p.y1, rr.y1))
+        # even/odd index spans of the output rect in the level-below grids
+        ex0, ey0 = -(-o.x0 // 2), -(-o.y0 // 2)
+        ox0, oy0 = o.x0 // 2, o.y0 // 2
+        ex1, ey1 = -(-o.x1 // 2), -(-o.y1 // 2)
+        ox1, oy1 = o.x1 // 2, o.y1 // 2
+        ll = cur[ey0 - cur_rect.y0:ey1 - cur_rect.y0,
+                 ex0 - cur_rect.x0:ex1 - cur_rect.x0]
+        hl = crop((r, 1), Rect(ox0, ey0, ox1, ey1))
+        lh = crop((r, 2), Rect(ex0, oy0, ex1, oy1))
+        hh = crop((r, 3), Rect(ox0, oy0, ox1, oy1))
+        out = _merge_2d(ll, hl, lh, hh, o, reversible)
+        if r == max_res:
+            p_out = produce[r]
+            return out[p_out.y0 - o.y0:p_out.y1 - o.y0,
+                       p_out.x0 - o.x0:p_out.x1 - o.x0]
+        cur_rect = produce[r]
+        cur = out[cur_rect.y0 - o.y0:cur_rect.y1 - o.y0,
+                  cur_rect.x0 - o.x0:cur_rect.x1 - o.x0]
+    return cur
+
+
 def inverse_dwt(bands: dict, tc_rect, numres: int, reversible: bool,
                 max_res: int | None = None) -> np.ndarray:
     """Full inverse multi-level DWT from a band dict.  If max_res is given,

@@ -217,3 +217,60 @@ def test_tlm_seek_single_tile(rng):
     # full decode afterwards still works and is exact
     full = dec.decode(DecompressParams())
     assert np.array_equal(full.comps[0].data, arr)
+
+
+def test_window_decode_is_o_window(rng):
+    """Region decode must touch O(window) band memory and return exactly
+    the full-decode crop (SURVEY.md §3.3 window-aware inverse DWT +
+    sparse band storage)."""
+    from grok_tpu.codestream.decompress import CodestreamDecoder
+
+    yy, xx = np.mgrid[0:1024, 0:1024].astype(float)
+    arr = ((np.sin(xx / 31) * np.cos(yy / 17) + 1) * 120).astype(np.uint8)
+    data = grok_tpu.compress(GrkImage.from_array(arr),
+                             CompressParams(numresolution=6))
+
+    dec = CodestreamDecoder(data)
+    dec.parse()
+    win = (400, 320, 528, 416)  # 128x96
+    out = dec.decode(DecompressParams(window=win))
+    win_bytes = dec.last_band_bytes
+
+    dec2 = CodestreamDecoder(data)
+    dec2.parse()
+    full = dec2.decode(DecompressParams())
+    full_bytes = dec2.last_band_bytes
+
+    assert np.array_equal(out.comps[0].data,
+                          full.comps[0].data[320:416, 400:528])
+    # window covers ~1.2% of the tile; band memory must scale with the
+    # window (margins included), not the tile
+    assert win_bytes < full_bytes / 12, (win_bytes, full_bytes)
+    # output canvas is window-sized, not image-sized
+    assert out.comps[0].data.shape == (96, 128)
+
+
+def test_window_decode_with_reduce_o_window(rng):
+    yy, xx = np.mgrid[0:512, 0:512].astype(float)
+    arr = ((np.sin(xx / 13) + 1) * 100).astype(np.uint8)
+    data = grok_tpu.compress(GrkImage.from_array(arr),
+                             CompressParams(numresolution=5))
+    win = (100, 60, 240, 200)
+    full = grok_tpu.decompress(data, DecompressParams(reduce=2))
+    wind = grok_tpu.decompress(data, DecompressParams(reduce=2, window=win))
+    assert np.array_equal(wind.comps[0].data,
+                          full.comps[0].data[15:50, 25:60])
+
+
+def test_window_decode_lossy_psnr(rng):
+    """9/7 window decode matches the full-decode crop to float tolerance."""
+    yy, xx = np.mgrid[0:512, 0:512].astype(float)
+    arr = ((np.sin(xx / 23) * np.cos(yy / 19) + 1) * 110 +
+           rng.normal(0, 4, (512, 512))).clip(0, 255).astype(np.uint8)
+    data = grok_tpu.compress(GrkImage.from_array(arr), CompressParams(
+        numresolution=5, irreversible=True))
+    win = (130, 250, 290, 380)
+    full = grok_tpu.decompress(data)
+    wind = grok_tpu.decompress(data, DecompressParams(window=win))
+    crop = full.comps[0].data[250:380, 130:290]
+    assert np.abs(wind.comps[0].data - crop).max() <= 1
