@@ -188,6 +188,94 @@ def sp_sharded_fwd_97_level(mesh: Mesh, x):
     return fn(x)
 
 
+def _interleave_rows(ev, od):
+    """(…, m, W) + (…, m, W) -> (…, 2m, W) with ev rows at even indices."""
+    stacked = jnp.stack([ev, od], axis=-2)  # (..., m, 2, W)
+    return stacked.reshape(stacked.shape[:-3] + (-1, stacked.shape[-1]))
+
+
+def _inv_53_rows_local(s_loc, d_loc, axis_name: str):
+    """Vertical inverse 5/3 on row-sharded subbands: s_loc low rows (global
+    even), d_loc high rows (global odd), equal local counts.  One-row halo
+    exchange per subband; global edges use the subband-domain mirrors the
+    host reference applies (d[-1]=d[0], ev[m]=ev[m-1])."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    d_prev = jax.lax.ppermute(d_loc[..., -1:, :], axis_name, fwd)
+    s_next = jax.lax.ppermute(s_loc[..., :1, :], axis_name, bwd)
+    d_next = jax.lax.ppermute(d_loc[..., :1, :], axis_name, bwd)
+    d_top = jnp.where(idx == 0, d_loc[..., :1, :], d_prev)
+    d_ext = jnp.concatenate([d_top, d_loc], axis=-2)
+    # ev[i] = s[i] - ((d[i-1] + d[i] + 2) >> 2)
+    ev = s_loc - ((d_ext[..., :-1, :] + d_ext[..., 1:, :] + 2) >> 2)
+    ev_next0 = s_next - ((d_loc[..., -1:, :] + d_next + 2) >> 2)
+    ev_bot = jnp.where(idx == n - 1, ev[..., -1:, :], ev_next0)
+    ev_ext = jnp.concatenate([ev, ev_bot], axis=-2)
+    # od[j] = d[j] + ((ev[j] + ev[j+1]) >> 1)
+    od = d_loc + ((ev_ext[..., :-1, :] + ev_ext[..., 1:, :]) >> 1)
+    return _interleave_rows(ev, od)
+
+
+def _inv_97_rows_local(s_loc, d_loc, axis_name: str):
+    """Vertical inverse 9/7 on row-sharded subbands: un-scale, interleave,
+    4-row halo exchange, then the four inverse lifting steps on shrinking
+    windows (global rows tracked in the comments; m = local low count)."""
+    from ..transform.dwt import ALPHA, BETA, DELTA, GAMMA, K
+
+    ev_t = s_loc.astype(jnp.float32) * jnp.float32(K)
+    od_t = d_loc.astype(jnp.float32) * jnp.float32(1.0 / K)
+    y = _interleave_rows(ev_t, od_t)              # local rows [0, 2m)
+    top, bot = _halo_exchange(y, 4, axis_name)
+    yext = jnp.concatenate([top, y, bot], axis=-2)  # rows [-4, 2m+4)
+    ev0 = yext[..., 0::2, :]                       # evens -4 .. 2m+2
+    od0 = yext[..., 1::2, :]                       # odds  -3 .. 2m+3
+    evA = ev0[..., 1:, :] - jnp.float32(DELTA) * (
+        od0[..., :-1, :] + od0[..., 1:, :])        # evens -2 .. 2m+2
+    odB = od0[..., 1:-1, :] - jnp.float32(GAMMA) * (
+        evA[..., :-1, :] + evA[..., 1:, :])        # odds  -1 .. 2m+1
+    evC = evA[..., 1:-1, :] - jnp.float32(BETA) * (
+        odB[..., :-1, :] + odB[..., 1:, :])        # evens  0 .. 2m
+    odD = odB[..., 1:-1, :] - jnp.float32(ALPHA) * (
+        evC[..., :-1, :] + evC[..., 1:, :])        # odds   1 .. 2m-1
+    return _interleave_rows(evC[..., :-1, :], odD)
+
+
+def sp_sharded_inv_53_level(mesh: Mesh, ll, hl, lh, hh):
+    """One inverse 5/3 level with rows sharded over 'sp': shard-local
+    horizontal inverses, then halo-exchange vertical inverse lifting.
+    Inverse of sp_sharded_fwd_53_level (bit-exact round trip)."""
+
+    def local(ll_l, hl_l, lh_l, hh_l):
+        w = ll_l.shape[-1] + hl_l.shape[-1]
+        lo_v = ddwt.inv_53_axis(ll_l, hl_l, w)
+        hi_v = ddwt.inv_53_axis(lh_l, hh_l, w)
+        return _inv_53_rows_local(lo_v, hi_v, "sp")
+
+    nd = ll.ndim
+    spec = P(*([None] * (nd - 2) + ["sp", None]))
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,) * 4,
+                   out_specs=spec, check_rep=False)
+    return fn(ll, hl, lh, hh)
+
+
+def sp_sharded_inv_97_level(mesh: Mesh, ll, hl, lh, hh):
+    """One inverse 9/7 level with rows sharded over 'sp'."""
+
+    def local(ll_l, hl_l, lh_l, hh_l):
+        w = ll_l.shape[-1] + hl_l.shape[-1]
+        lo_v = ddwt.inv_97_axis(ll_l, hl_l, w)
+        hi_v = ddwt.inv_97_axis(lh_l, hh_l, w)
+        return _inv_97_rows_local(lo_v, hi_v, "sp")
+
+    nd = ll.ndim
+    spec = P(*([None] * (nd - 2) + ["sp", None]))
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,) * 4,
+                   out_specs=spec, check_rep=False)
+    return fn(ll, hl, lh, hh)
+
+
 def sp_sharded_fwd_53_level(mesh: Mesh, x):
     """One forward 5/3 DWT level of (..., H, W) with rows sharded over the
     'sp' mesh axis: vertical lifting uses ppermute halo exchange, then the

@@ -200,3 +200,39 @@ def test_device_ht_stuffing_dense(rng):
     got = encode_cblks_ht_device(batch)
     for i in range(2):
         assert got[i] == encode_cblk_ht(batch[i])
+
+
+def test_sp_sharded_inverse_levels(rng):
+    """sp-sharded synthesis: inverse 5/3 bit-exact and inverse 9/7 within
+    float tolerance against the forward (SURVEY.md §2.3 distributed
+    backend — decode half of the sp story)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from grok_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(8, dp=2, sp=4)
+    big = rng.integers(-1000, 1000, size=(4 * 16, 64)).astype(np.int32)
+    bs = jax.device_put(jnp.asarray(big), NamedSharding(mesh, P("sp", None)))
+    ll, hl, lh, hh = jax.jit(
+        lambda a: pmesh.sp_sharded_fwd_53_level(mesh, a))(bs)
+    back = jax.jit(
+        lambda *b: pmesh.sp_sharded_inv_53_level(mesh, *b))(ll, hl, lh, hh)
+    assert np.array_equal(np.asarray(back), big)
+
+    bigf = big.astype(np.float32)
+    bf = jax.device_put(jnp.asarray(bigf), NamedSharding(mesh, P("sp", None)))
+    ll, hl, lh, hh = jax.jit(
+        lambda a: pmesh.sp_sharded_fwd_97_level(mesh, a))(bf)
+    back = jax.jit(
+        lambda *b: pmesh.sp_sharded_inv_97_level(mesh, *b))(ll, hl, lh, hh)
+    assert np.abs(np.asarray(back) - bigf).max() < 2e-2
+
+    # inverse must also match the single-device reference synthesis
+    rll, rhl, rlh, rhh = ddwt.fwd_level(jnp.asarray(big), True)
+    ref_back = jax.jit(
+        lambda *b: pmesh.sp_sharded_inv_53_level(mesh, *b))(
+        jax.device_put(rll, NamedSharding(mesh, P("sp", None))),
+        jax.device_put(rhl, NamedSharding(mesh, P("sp", None))),
+        jax.device_put(rlh, NamedSharding(mesh, P("sp", None))),
+        jax.device_put(rhh, NamedSharding(mesh, P("sp", None))))
+    assert np.array_equal(np.asarray(ref_back), big)
