@@ -49,18 +49,32 @@ def batch_inputs(img_dir: str, out_dir: str, out_fmt: str,
     return pairs
 
 
-def run_repeated(fn, repetitions: int, duration: float | None = None):
-    """-e repetitions / -j duration benchmarking loops (SURVEY.md §5
-    "Tracing/profiling")."""
+def run_repeated(fn, repetitions: int, duration: float | None = None,
+                 profile_dir: str | None = None):
+    """-e repetitions / -j duration benchmarking loops, optionally inside
+    a jax.profiler trace (--profile DIR -> Perfetto/TensorBoard trace;
+    SURVEY.md §5 "Tracing/profiling")."""
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if profile_dir:
+        import jax
+
+        ctx = jax.profiler.trace(profile_dir, create_perfetto_trace=True)
     times = []
     n = max(1, repetitions)
-    start = time.perf_counter()
-    for i in range(n if not duration else 1 << 30):
-        t0 = time.perf_counter()
-        result = fn()
-        times.append(time.perf_counter() - t0)
-        if duration and time.perf_counter() - start > duration:
-            break
-        if not duration and i + 1 >= n:
-            break
+    with ctx:
+        start = time.perf_counter()
+        for i in range(n if not duration else 1 << 30):
+            t0 = time.perf_counter()
+            result = fn()
+            times.append(time.perf_counter() - t0)
+            if duration and time.perf_counter() - start > duration:
+                break
+            if not duration and i + 1 >= n:
+                break
+    if profile_dir:
+        logging.getLogger("grok_tpu").warning(
+            "profiler trace written to %s (open with Perfetto or "
+            "TensorBoard)", profile_dir)
     return result, times

@@ -95,6 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-G", "--guard-bits", type=int, default=None)
     p.add_argument("-H", "--num-threads", type=int, default=0)
     p.add_argument("-e", "--repetitions", type=int, default=1)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace (Perfetto/TensorBoard) to DIR")
     p.add_argument("-j", "--duration", type=float, default=None,
                    help="repeat for at least this many seconds (benchmark)")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -207,7 +209,8 @@ def compress_one(in_path: str, out_path: str, args) -> None:
     def do():
         return codec.compress(img, cp)
 
-    data, times = common.run_repeated(do, args.repetitions, args.duration)
+    data, times = common.run_repeated(do, args.repetitions, args.duration,
+                                      profile_dir=args.profile)
     with open(out_path, "wb") as f:
         f.write(data)
     mp = (img.x1 - img.x0) * (img.y1 - img.y0) / 1e6

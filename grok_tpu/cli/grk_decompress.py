@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fail on malformed streams instead of tolerating")
     p.add_argument("-H", "--num-threads", type=int, default=0)
     p.add_argument("-e", "--repetitions", type=int, default=1)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace (Perfetto/TensorBoard) to DIR")
     p.add_argument("-j", "--duration", type=float, default=None,
                    help="repeat for at least this many seconds (benchmark)")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -85,7 +87,8 @@ def decompress_one(in_path: str, out_path: str, args) -> None:
     def do():
         return codec.decompress(data, dp)
 
-    img, times = common.run_repeated(do, args.repetitions, args.duration)
+    img, times = common.run_repeated(do, args.repetitions, args.duration,
+                                      profile_dir=args.profile)
     formats.save_image(img, out_path, split_pnm=args.split_pnm,
                        tiff_compression=args.compression)
     mp = sum(c.data.size for c in img.comps) / 1e6

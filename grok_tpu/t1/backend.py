@@ -176,22 +176,19 @@ def encode_batch(jobs: list[EncodeJob], backend: str = "auto") -> None:
 
 
 def _decode_ht_device(jobs: list[DecodeJob]) -> list[DecodeJob]:
-    """Batch uniform even-dim HT decode jobs through the device decoder
-    (ops/ht_decode.py); returns the jobs left for the host path."""
-    from collections import defaultdict
-
+    """Batch even-dim HT decode jobs — mixed shapes together — through the
+    device decoder (ops/ht_decode.py decodes them on one canonical padded
+    quad grid); returns the jobs left for the host path."""
     from ..ops import ht_decode as dht
 
-    groups: dict = defaultdict(list)
+    dev: list[DecodeJob] = []
     rest: list[DecodeJob] = []
     for j in jobs:
-        if j.h % 2 == 0 and j.w % 2 == 0:
-            groups[(j.h, j.w)].append(j)
-        else:
-            rest.append(j)
-    for (h, w), g in groups.items():
-        outs = dht.decode_cblks_ht_device([j.data for j in g], h, w)
-        for j, o in zip(g, outs):
+        (dev if j.h % 2 == 0 and j.w % 2 == 0 else rest).append(j)
+    if dev:
+        outs = dht.decode_cblks_ht_device(
+            [(j.data, j.h, j.w) for j in dev])
+        for j, o in zip(dev, outs):
             j.out = o
     return rest
 

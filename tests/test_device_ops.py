@@ -182,9 +182,42 @@ def test_device_ht_encoder_bit_exact(rng):
     batch = batch.astype(np.int32)
     batch[rng.random(batch.shape) < 0.7] = 0
     segs = [encode_cblk_ht(batch[i])[0] for i in range(4)]
-    outs = decode_cblks_ht_device(segs, 16, 16)
+    outs = decode_cblks_ht_device([(s, 16, 16) for s in segs])
     for i in range(4):
         assert np.array_equal(outs[i], decode_cblk_ht(segs[i], 16, 16))
+
+
+def test_device_ht_decode_mixed_shapes_one_compile(rng):
+    """Mixed codeblock shapes decode in ONE device batch on a canonical
+    quad grid — ragged edge tiles must not recompile per shape."""
+    from grok_tpu.ops import ht_decode as dht
+    from grok_tpu.t1.ht import decode_cblk_ht, encode_cblk_ht
+
+    shapes = [(32, 32), (32, 12), (10, 32), (10, 12), (2, 4)]
+    items = []
+    refs = []
+    for i, (h, w) in enumerate(shapes):
+        c = rng.integers(-(1 << 15), 1 << 15, size=(h, w)).astype(np.int32)
+        c[rng.random(c.shape) < 0.6] = 0
+        seg, _ = encode_cblk_ht(c)
+        items.append((seg, h, w))
+        refs.append(decode_cblk_ht(seg, h, w))
+    calls = []
+    orig = dht.decode_batch_device
+
+    def counting(*a, **k):
+        calls.append((k.get("cqh"), k.get("cqw")))
+        return orig(*a, **k)
+
+    dht.decode_batch_device = counting
+    try:
+        outs = dht.decode_cblks_ht_device(items)
+    finally:
+        dht.decode_batch_device = orig
+    for out, ref in zip(outs, refs):
+        assert np.array_equal(out, ref)
+    # one canonical-grid invocation for all five shapes
+    assert calls == [(16, 16)]
 
 
 def test_device_ht_stuffing_dense(rng):
