@@ -76,9 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Cinema 2K profile at fps")
     p.add_argument("-x", "--cinema4k", action="store_true",
                    help="Cinema 4K profile (24 fps)")
-    p.add_argument("-U", "--broadcast", type=int,
-                   help="Broadcast profile level")
-    p.add_argument("-z", "--imf", type=int, help="IMF profile level")
+    p.add_argument("-U", "--broadcast",
+                   help="Broadcast profile: SINGLE|MULTI|MULTI_R"
+                        "[,mainlevel=X] (e.g. SINGLE,mainlevel=5)")
+    p.add_argument("-z", "--imf",
+                   help="IMF profile: 2K|4K|8K|2K_R|4K_R|8K_R"
+                        "[,mainlevel=X][,sublevel=Y]")
     p.add_argument("-A", "--tlm", action="store_true", help="write TLM")
     p.add_argument("-L", "--plt", action="store_true", help="write PLT")
     p.add_argument("--ppt", action="store_true",
@@ -173,11 +176,42 @@ def params_from_args(args) -> CompressParams:
         cp.framerate = 24
         cp.irreversible = True
     elif args.broadcast is not None:
-        cp.profile = Profile(0x0100 + ((args.broadcast & 0xF) << 4)) \
-            if False else Profile.BC_SINGLE
-        cp.irreversible = True
+        fields = args.broadcast.split(",")
+        variants = {"SINGLE": Profile.BC_SINGLE, "MULTI": Profile.BC_MULTI,
+                    "MULTI_R": Profile.BC_MULTI_R}
+        name = fields[0].upper()
+        if name not in variants:
+            raise ParamError(f"unknown Broadcast profile {fields[0]!r} "
+                             "(SINGLE|MULTI|MULTI_R)")
+        cp.profile = variants[name]
+        for f in fields[1:]:
+            k, _, v = f.partition("=")
+            if k == "mainlevel":
+                cp.profile_level = int(v)
+            elif k == "framerate":
+                cp.framerate = int(v)
+            else:
+                raise ParamError(f"unknown Broadcast option {f!r}")
     elif args.imf is not None:
-        cp.profile = Profile.IMF_2K
+        fields = args.imf.split(",")
+        variants = {"2K": Profile.IMF_2K, "4K": Profile.IMF_4K,
+                    "8K": Profile.IMF_8K, "2K_R": Profile.IMF_2K_R,
+                    "4K_R": Profile.IMF_4K_R, "8K_R": Profile.IMF_8K_R}
+        name = fields[0].upper()
+        if name not in variants:
+            raise ParamError(f"unknown IMF profile {fields[0]!r} "
+                             "(2K|4K|8K|2K_R|4K_R|8K_R)")
+        cp.profile = variants[name]
+        for f in fields[1:]:
+            k, _, v = f.partition("=")
+            if k == "mainlevel":
+                cp.profile_level = int(v)
+            elif k == "sublevel":
+                cp.profile_sublevel = int(v)
+            elif k == "framerate":
+                cp.framerate = int(v)
+            else:
+                raise ParamError(f"unknown IMF option {f!r}")
     return cp
 
 

@@ -42,6 +42,11 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
     p.validate()
     cp = CodingParams()
     cp.rsiz = int(p.profile)
+    if Profile.BC_SINGLE.value <= int(p.profile) <= Profile.IMF_8K_R.value:
+        # Broadcast/IMF: mainlevel in Rsiz bits 0-3, IMF sublevel bits 4-7
+        cp.rsiz |= (p.profile_level & 0xF)
+        if int(p.profile) >= Profile.IMF_2K.value:
+            cp.rsiz |= (p.profile_sublevel & 0xF) << 4
     if p.ht:
         cp.rsiz |= int(Profile.PART15)
         cp.ht = True

@@ -138,6 +138,8 @@ class CompressParams:
 
     # profiles
     profile: Profile = Profile.NONE               # -w/-x/-U/-z
+    profile_level: int = 0                        # BC/IMF mainlevel (Rsiz 0-3)
+    profile_sublevel: int = 0                     # IMF sublevel (Rsiz 4-7)
     framerate: int = 24                           # cinema fps (rate caps)
     max_cs_size: int = 0                          # -W total size cap (bytes)
     max_comp_size: int = 0

@@ -102,3 +102,57 @@ def test_imf_reversible(rng):
     assert hi.cp.tcps[0].tccps[0].qmfbid == 1
     out = grok_tpu.decompress(data)
     assert np.array_equal(out.to_array(), arr)
+
+
+def test_imf_full_constraints(rng):
+    """IMF full constraint set: 32x32 cblk, 256/128 precincts, TLM,
+    resolution tile-parts, level bits in Rsiz, decoder validation."""
+    arr = rng.integers(0, 4096, (128, 160, 3)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=12)
+    p = CompressParams(profile=Profile.IMF_2K_R, profile_level=5,
+                       profile_sublevel=2, numresolution=5)
+    data = grok_tpu.compress(img, p)
+    hi = grok_tpu.read_header(data)
+    assert hi.siz.rsiz == (int(Profile.IMF_2K_R) | 5 | (2 << 4))
+    t = hi.cp.tcps[0].tccps[0]
+    assert (1 << t.cblkw, 1 << t.cblkh) == (32, 32)
+    assert t.qmfbid == 1  # _R variant forces 5/3
+    assert hi.cp.tlm  # mandatory TLM
+    assert profiles.validate_decoded_profile(hi.siz.rsiz, hi) == []
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.to_array(), arr)
+
+
+def test_imf_rejects_bad_geometry(rng):
+    arr = rng.integers(0, 256, (64, 64)).astype(np.int32)
+    img = GrkImage.from_array(arr)
+    img.x0 = img.comps[0].x0 = 2  # nonzero offset
+    img.x1 += 2
+    with pytest.raises(ParamError):
+        grok_tpu.compress(img, CompressParams(profile=Profile.IMF_2K))
+    big = GrkImage.from_array(
+        rng.integers(0, 256, (8, 4096)).astype(np.int32))
+    with pytest.raises(ParamError):
+        grok_tpu.compress(big, CompressParams(profile=Profile.IMF_2K))
+
+
+def test_broadcast_full_constraints(rng):
+    arr = rng.integers(0, 1024, (96, 96, 3)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=10)
+    p = CompressParams(profile=Profile.BC_MULTI_R, profile_level=4,
+                       tile_size=(48, 48), numresolution=4)
+    data = grok_tpu.compress(img, p)
+    hi = grok_tpu.read_header(data)
+    assert hi.siz.rsiz == (int(Profile.BC_MULTI_R) | 4)
+    assert hi.cp.numtiles == 4
+    assert hi.cp.tcps[0].tccps[0].qmfbid == 1  # MULTI_R reversible
+    assert profiles.validate_decoded_profile(hi.siz.rsiz, hi) == []
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.to_array(), arr)
+    # 9 tiles is not a legal broadcast tiling
+    with pytest.raises(ParamError):
+        grok_tpu.compress(img, CompressParams(
+            profile=Profile.BC_MULTI, tile_size=(32, 32)))
+    with pytest.raises(ParamError):
+        grok_tpu.compress(img, CompressParams(
+            profile=Profile.BC_SINGLE, profile_level=12))
