@@ -158,9 +158,51 @@ def _encode_ht_device(jobs: list[EncodeJob]) -> list[EncodeJob]:
     return rest
 
 
+def _encode_mq_device(jobs: list[EncodeJob]) -> list[EncodeJob]:
+    """Route eligible MQ jobs through the device Tier-1 encoder
+    (ops/mq_encode.py): styles NONE/LAZY without distortion tracking,
+    magnitudes within the device range.  Groups by (shape, style) and
+    returns the jobs left for the host coder."""
+    from collections import defaultdict
+
+    from ..ops import mq_encode as dmq
+    from ..params import CblkStyle
+
+    groups: dict = defaultdict(list)
+    rest: list[EncodeJob] = []
+    for j in jobs:
+        style = CblkStyle(j.style)
+        if j.need_dist or style not in (CblkStyle.NONE, CblkStyle.LAZY):
+            rest.append(j)
+            continue
+        h, w = j.coeffs.shape
+        groups[(h, w, style == CblkStyle.LAZY)].append(j)
+    for (h, w, lazy), g in groups.items():
+        batch = np.stack([np.ascontiguousarray(j.coeffs, dtype=np.int32)
+                          for j in g])
+        if int(np.abs(batch).max(initial=0)).bit_length() \
+                > dmq.MAX_NUMBPS_DEVICE:
+            rest.extend(g)
+            continue
+        # pad the batch axis to a power of two to bound jit recompiles
+        b = batch.shape[0]
+        bpad = 1 << (b - 1).bit_length()
+        orients = np.array([j.orient for j in g] + [0] * (bpad - b),
+                           dtype=np.int32)
+        if bpad != b:
+            batch = np.concatenate(
+                [batch, np.zeros((bpad - b, h, w), np.int32)])
+        res = dmq.encode_cblks_mq_device(batch, orients, lazy)[:b]
+        for j, (data, nb, passes) in zip(g, res):
+            j.data, j.numbps, j.passes = data, nb, passes
+    return rest
+
+
 def encode_batch(jobs: list[EncodeJob], backend: str = "auto") -> None:
     ht_jobs = [j for j in jobs if j.ht]
     mq_jobs = [j for j in jobs if not j.ht]
+    if mq_jobs and backend == "device":
+        mq_jobs = _encode_mq_device(mq_jobs)
     if ht_jobs and backend == "device":
         ht_jobs = _encode_ht_device(ht_jobs)
     if ht_jobs:

@@ -269,3 +269,57 @@ def test_sp_sharded_inverse_levels(rng):
         jax.device_put(rlh, NamedSharding(mesh, P("sp", None))),
         jax.device_put(rhh, NamedSharding(mesh, P("sp", None))))
     assert np.array_equal(np.asarray(ref_back), big)
+
+
+def test_device_mq_encoder_bit_exact(rng):
+    """The device MQ Tier-1 encoder (significance-time wavefront + slot
+    compaction + vmapped MQ byte scan, ops/mq_encode.py) must be
+    byte-identical to the host coder for styles NONE and LAZY."""
+    from grok_tpu.ops.mq_encode import encode_cblks_mq_device
+    from grok_tpu.params import CblkStyle
+    from grok_tpu.t1.coder import encode_cblk
+
+    for lazy in (False, True):
+        style = CblkStyle.LAZY if lazy else CblkStyle.NONE
+        for h, w, mx, dens in [(16, 16, 900, 0.5), (7, 13, 40, 0.3),
+                               (32, 32, 1 << 20, 0.8), (1, 9, 5, 1.0)]:
+            batch = rng.integers(-mx, mx + 1, size=(3, h, w)).astype(
+                np.int32)
+            batch[rng.random(batch.shape) > dens] = 0
+            batch[2] = 0  # all-zero block
+            orients = rng.integers(0, 4, 3).astype(np.int32)
+            got = encode_cblks_mq_device(batch, orients, lazy)
+            for bi in range(3):
+                ref_data, ref_nb, ref_passes = encode_cblk(
+                    batch[bi], int(orients[bi]), style)
+                assert got[bi][0] == ref_data, (lazy, h, w, bi)
+                assert got[bi][1] == ref_nb
+                assert len(got[bi][2]) == len(ref_passes)
+                for gp, rp in zip(got[bi][2], ref_passes):
+                    assert (gp.passtype, gp.bpno, gp.term) == \
+                        (rp.passtype, rp.bpno, rp.term)
+                    if rp.term:
+                        assert gp.rate == rp.rate
+
+
+def test_device_mq_codec_stream_identical(rng):
+    """backend='device' MQ encode emits codestreams byte-identical to the
+    native host path, and they decode losslessly."""
+    import grok_tpu
+    from grok_tpu import CompressParams, GrkImage
+
+    arr = rng.integers(0, 256, (96, 96)).astype(np.uint8)
+    img = GrkImage.from_array(arr)
+    d_nat = grok_tpu.compress(img, CompressParams(backend="native"))
+    d_dev = grok_tpu.compress(img, CompressParams(backend="device"))
+    assert d_nat == d_dev
+    out = grok_tpu.decompress(d_dev)
+    assert np.array_equal(out.comps[0].data, arr.astype(np.int32))
+    # all-MQ style too
+    from grok_tpu.params import CblkStyle
+
+    d_nat0 = grok_tpu.compress(img, CompressParams(
+        backend="native", cblk_style=CblkStyle.NONE))
+    d_dev0 = grok_tpu.compress(img, CompressParams(
+        backend="device", cblk_style=CblkStyle.NONE))
+    assert d_nat0 == d_dev0
