@@ -565,12 +565,33 @@ class CodestreamDecoder:
             cache.put(ckey, result)
         return result
 
-    def decode_strips(self, p: DecompressParams):
+    def decode_strips(self, p: DecompressParams,
+                      strip_height: int | None = None):
         """Strip-streaming decode (StripCache parity, SURVEY.md §2.1):
-        yields (y0, {compno: plane_rows}) one tile-row at a time so whole-
-        image memory never exceeds one row of tiles."""
+        yields (y0, {compno: plane_rows}).
+
+        Default granularity is one tile row.  With `strip_height` (canvas
+        rows), each strip is produced through the window-aware decode
+        path instead, so memory is O(strip) even when tiles are taller
+        than the strip — the reference StripCache's bounded-memory
+        gigapixel behavior."""
         if not self._parsed:
             self.parse()
+        if strip_height is not None:
+            hi = self.hi
+            div0 = 1 << min(
+                p.reduce,
+                min(t.numresolutions for t in self.hi.cp.tcps[0].tccps) - 1)
+            y = hi.siz.yosiz
+            while y < hi.siz.ysiz:
+                y1 = min(y + strip_height, hi.siz.ysiz)
+                sp = copy.copy(p)
+                sp.window = (hi.siz.xosiz, y, hi.siz.xsiz, y1)
+                img = self.decode(sp)
+                yield (-(-y // div0),
+                       {ci: c.data for ci, c in enumerate(img.comps)})
+                y = y1
+            return
         cp = self.hi.cp
         img = self._build_image_template()
         reduce_ = min(p.reduce,

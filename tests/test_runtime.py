@@ -130,3 +130,22 @@ def test_exif_transfer(tmp_path, rng):
                         "-i", src, "-o", j2], capture_output=True)
     assert r.returncode == 0, r.stderr
     assert b"JpgTiffExif->JP2" not in open(j2, "rb").read()
+
+
+def test_fine_strip_streaming(rng):
+    """strip_height strips through the window-aware path: assembled
+    output equals the full decode, and each strip is O(strip) tall even
+    inside a single large tile."""
+    yy, xx = np.mgrid[0:256, 0:192].astype(float)
+    arr = ((np.sin(xx / 17) * np.cos(yy / 23) + 1) * 110).astype(np.uint8)
+    data = grok_tpu.compress(GrkImage.from_array(arr),
+                             CompressParams(numresolution=4))
+    full = grok_tpu.decompress(data)
+    rows = []
+    for y0, strips in decompress_strips(data, strip_height=48):
+        s = strips[0]
+        assert s.shape[0] <= 48
+        rows.append((y0, s))
+    assembled = np.concatenate([s for _, s in rows], axis=0)
+    assert np.array_equal(assembled, full.comps[0].data)
+    assert rows[0][0] == 0 and len(rows) == 6
