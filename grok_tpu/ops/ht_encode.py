@@ -49,19 +49,22 @@ def _pack_bits(vals, lens, max_len: int, total_bits: int):
 
     vals/lens: (N,) int32.  Returns (bytes (total_bits//8,) uint8, nbits).
     total_bits must be a static multiple of 8 bounding the stream size.
-    """
+    Gather-based: output bit q belongs to the code i whose cumulative
+    length first exceeds q (searchsorted); TPU scatters serialize,
+    gathers do not."""
+    del max_len
     lens = lens.astype(jnp.int32)
-    offs = jnp.cumsum(lens) - lens
-    nbits = jnp.sum(lens)
-    bits = jnp.zeros(total_bits + 1, dtype=jnp.uint8)
-    for j in range(max_len):
-        valid = j < lens
-        bit = (vals >> jnp.maximum(lens - 1 - j, 0)) & 1
-        pos = jnp.where(valid, offs + j, total_bits)
-        bits = bits.at[pos].set(bit.astype(jnp.uint8), mode="drop")
+    cs = jnp.cumsum(lens)
+    nbits = cs[-1]
+    q = jnp.arange(total_bits, dtype=jnp.int32)
+    i = jnp.searchsorted(cs, q, side="right")
+    i = jnp.minimum(i, vals.shape[0] - 1)
+    offs = cs[i] - lens[i]
+    j = q - offs
+    bit = (vals[i] >> jnp.maximum(lens[i] - 1 - j, 0)) & 1
+    bits = jnp.where(q < nbits, bit, 0).astype(jnp.int32)
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.int32)
-    byts = (bits[:total_bits].reshape(-1, 8).astype(jnp.int32)
-            @ weights).astype(jnp.uint8)
+    byts = (bits.reshape(-1, 8) @ weights).astype(jnp.uint8)
     return byts, nbits
 
 

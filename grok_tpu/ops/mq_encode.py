@@ -297,12 +297,15 @@ def _plane_slots(mag, sign, numbps, i, times, orient, lazy, h, w):
 
 def _compact(vals, valid, out_len):
     """Stable compaction of valid entries to the front of an (out_len,)
-    array (prefix-sum + scatter, the ht_encode packing idiom)."""
-    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    pos = jnp.where(valid, pos, out_len)
-    out = jnp.zeros(out_len + 1, dtype=vals.dtype)
-    out = out.at[pos].set(vals, mode="drop")
-    return out[:out_len], jnp.sum(valid.astype(jnp.int32))
+    array.  Gather-based (cumsum + searchsorted): TPU scatters serialize,
+    gathers do not."""
+    cs = jnp.cumsum(valid.astype(jnp.int32))
+    n = cs[-1]
+    sel = jnp.searchsorted(cs, jnp.arange(1, out_len + 1, dtype=jnp.int32))
+    sel = jnp.minimum(sel, vals.shape[0] - 1)
+    out = jnp.where(jnp.arange(out_len) < n, vals[sel],
+                    jnp.zeros((), vals.dtype))
+    return out, n
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "maxp", "lazy"))
@@ -478,8 +481,10 @@ def mq_scan(ctx_stream, bit_stream, counts, *, maxseg: int):
         emit_v = emit_v.reshape(-1)
         seg_of = jnp.repeat(segs, 3)
         byts, nbytes = _compact(emits, emit_v, emits.shape[0])
-        seg_counts = jnp.zeros(maxseg, jnp.int32).at[
-            jnp.where(emit_v, seg_of, maxseg)].add(1, mode="drop")
+        seg_counts = jnp.sum(
+            (emit_v[:, None] & (seg_of[:, None]
+                                == jnp.arange(maxseg))).astype(jnp.int32),
+            axis=0)
         return byts, nbytes, seg_counts
 
     return jax.vmap(one)(ctx_stream, bit_stream, counts)
