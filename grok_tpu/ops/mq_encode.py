@@ -292,7 +292,10 @@ def _plane_slots(mag, sign, numbps, i, times, orient, lazy, h, w):
         [raw_spp_b.reshape(-1), mrp_bitv.reshape(-1)])
     raw_valid = jnp.concatenate(
         [raw_spp_v.reshape(-1), raw_mrp_v.reshape(-1)])
-    return times, mq_ctx.astype(jnp.int32), mq_bit, raw_bit, raw_valid
+    # uint8 slot streams: the stacked per-plane layout is the encoder's
+    # biggest buffer (B x maxp x 24*S*W) — keep it byte-wide
+    return (times, mq_ctx.astype(jnp.uint8), mq_bit.astype(jnp.uint8),
+            raw_bit.astype(jnp.uint8), raw_valid)
 
 
 def _compact(vals, valid, out_len):
@@ -373,28 +376,35 @@ def mq_scan(ctx_stream, bit_stream, counts, *, maxseg: int):
     counts (fake lead bytes included)."""
 
     qe_t = jnp.asarray(_QE)
+    si_ids = jnp.arange(_QE.shape[0], dtype=jnp.int32)
     nmps_t = jnp.asarray(_NMPS)
     nlps_t = jnp.asarray(_NLPS)
     init_ctx = jnp.asarray(_INIT_CTX)
 
+    # decisions per scan step: on the TPU the per-iteration fusion-launch
+    # overhead dwarfs the body, so amortize it; on CPU (tests) keep the
+    # body small — XLA compile time grows with the unroll on 1 core
+    CHUNK = 8 if jax.default_backend() != "cpu" else 1
+
     def one(ctxs, bits, n):
         L = ctxs.shape[0]
 
-        def step(carry, x):
+        ctx_ids = jnp.arange(19, dtype=jnp.int32)
+
+        def decision(carry, cn, d):
             a, c, ct, last, states, seg, pos = carry
-            cn, d = x
             live = pos < n
             is_flush1 = live & (cn == _FLUSH1)
             is_flush2 = live & (cn == _FLUSH2)
             is_dec = live & (cn < 19)
 
-            emits = jnp.zeros(3, dtype=jnp.uint32)
-            emit_v = jnp.zeros(3, dtype=jnp.bool_)
-
-            # ---- decision path
+            # ---- decision path (no scatters or gathers: one-hot
+            # reductions — TPU per-lane gathers cost microseconds each)
             cn_i = jnp.minimum(cn, 18).astype(jnp.int32)
-            si = states[cn_i].astype(jnp.int32)
-            qe = qe_t[si]
+            oh_cn = ctx_ids == cn_i
+            si = jnp.sum(jnp.where(oh_cn, states, 0)).astype(jnp.int32)
+            oh_si = si_ids == si
+            qe = jnp.sum(jnp.where(oh_si, qe_t, 0))
             is_lps = ((d.astype(jnp.uint32) ^ si.astype(jnp.uint32)) & 1)
             a2 = a - qe
             no_renorm = ((a2 >> 15) & 1) & (1 - is_lps)
@@ -403,7 +413,9 @@ def mq_scan(ctx_stream, bit_stream, counts, *, maxseg: int):
             c_d = c + jnp.where(addq == 1, qe, 0)
             a_renorm = jnp.where((small ^ is_lps) == 1, qe, a2)
             a_d = jnp.where(no_renorm == 1, a2, a_renorm)
-            nsi = jnp.where(is_lps == 1, nlps_t[si], nmps_t[si])
+            nsi = jnp.sum(jnp.where(
+                oh_si, jnp.where(is_lps == 1, nlps_t, nmps_t), 0)).astype(
+                jnp.uint8)
             si_new = jnp.where(no_renorm == 1, si.astype(jnp.uint8), nsi)
             # renorm (no-op when bit 15 already set)
             n_sh = (jnp.uint32(15)
@@ -412,6 +424,8 @@ def mq_scan(ctx_stream, bit_stream, counts, *, maxseg: int):
             n_sh = jnp.where(a_d & 0x8000, jnp.uint32(0), n_sh)
             ct_d = ct
             last_d = last
+            ems = [jnp.uint32(0), jnp.uint32(0), jnp.uint32(0)]
+            evs = [jnp.bool_(False), jnp.bool_(False), jnp.bool_(False)]
             for j in range(2):
                 do = n_sh >= ct_d
                 s = jnp.where(do, ct_d, 0)
@@ -419,8 +433,8 @@ def mq_scan(ctx_stream, bit_stream, counts, *, maxseg: int):
                 c_d = c_d << s
                 n_sh = n_sh - s
                 c_n, ct_n, last_n, em = _byteout(c_d, ct_d, last_d)
-                emits = emits.at[j].set(jnp.where(do, em, 0))
-                emit_v = emit_v.at[j].set(do & is_dec)
+                ems[j] = jnp.where(do, em, 0)
+                evs[j] = do & is_dec
                 c_d = jnp.where(do, c_n, c_d)
                 ct_d = jnp.where(do, ct_n, ct_d)
                 last_d = jnp.where(do, last_n, last_d)
@@ -429,8 +443,8 @@ def mq_scan(ctx_stream, bit_stream, counts, *, maxseg: int):
             ct_d = ct_d - n_sh
             do = ct_d == 0
             c_n, ct_n, last_n, em = _byteout(c_d, ct_d, last_d)
-            emits = emits.at[2].set(jnp.where(do, em, 0))
-            emit_v = emit_v.at[2].set(do & is_dec)
+            ems[2] = jnp.where(do, em, 0)
+            evs[2] = do & is_dec
             c_d = jnp.where(do, c_n, c_d)
             ct_d = jnp.where(do, ct_n, ct_d)
             last_d = jnp.where(do, last_n, last_d)
@@ -443,7 +457,7 @@ def mq_scan(ctx_stream, bit_stream, counts, *, maxseg: int):
             c_f1, ct_f1, last_f1, em_f1 = _byteout(c_f, ct, last)
             # ---- flush step 2: shift + byteout + emit final last + reinit
             c_f2 = c << ct
-            c_f2b, ct_f2, last_f2, em_f2 = _byteout(c_f2, ct, last)
+            _, _, last_f2, em_f2 = _byteout(c_f2, ct, last)
 
             a_out = jnp.where(is_dec, a_d,
                               jnp.where(is_flush2, jnp.uint32(0x8000), a))
@@ -459,27 +473,42 @@ def mq_scan(ctx_stream, bit_stream, counts, *, maxseg: int):
                                  jnp.where(is_flush1, last_f1,
                                            jnp.where(is_flush2,
                                                      jnp.uint32(0), last)))
-            states_out = jnp.where(
-                is_dec, states.at[cn_i].set(si_new), states)
-            emits = jnp.where(is_flush1, emits.at[0].set(em_f1), emits)
-            emit_v = jnp.where(is_flush1, emit_v.at[0].set(True), emit_v)
-            emits = jnp.where(
-                is_flush2,
-                emits.at[0].set(em_f2).at[1].set(last_f2), emits)
-            emit_v = jnp.where(
-                is_flush2, emit_v.at[0].set(True).at[1].set(True), emit_v)
+            states_out = jnp.where(is_dec & (ctx_ids == cn_i),
+                                   si_new, states)
+            e0 = jnp.where(is_flush1, em_f1,
+                           jnp.where(is_flush2, em_f2, ems[0]))
+            v0 = is_flush1 | is_flush2 | evs[0]
+            e1 = jnp.where(is_flush2, last_f2, ems[1])
+            v1 = is_flush2 | evs[1]
+            emits = jnp.stack([e0, e1, ems[2]])
+            emit_v = jnp.stack([v0, v1, evs[2]])
             seg_out = jnp.where(is_flush2, seg + 1, seg)
             return ((a_out, c_out, ct_out, last_out, states_out, seg_out,
                      pos + live.astype(jnp.int32)),
                     (emits.astype(jnp.uint8), emit_v, seg))
 
+        def step(carry, x):
+            cns, ds = x
+            outs = []
+            for k in range(CHUNK):
+                carry, out = decision(carry, cns[k], ds[k])
+                outs.append(out)
+            emits = jnp.stack([o[0] for o in outs])      # (CHUNK, 3)
+            emit_v = jnp.stack([o[1] for o in outs])
+            segs = jnp.stack([o[2] for o in outs])       # (CHUNK,)
+            return carry, (emits, emit_v, segs)
+
+        lpad = -(-L // CHUNK) * CHUNK
+        ctxs = jnp.pad(ctxs.astype(jnp.int32), (0, lpad - L),
+                       constant_values=_PAD).reshape(-1, CHUNK)
+        bits = jnp.pad(bits.astype(jnp.int32),
+                       (0, lpad - L)).reshape(-1, CHUNK)
         init = (jnp.uint32(0x8000), jnp.uint32(0), jnp.uint32(12),
                 jnp.uint32(0), init_ctx, jnp.int32(0), jnp.int32(0))
-        _, (emits, emit_v, segs) = jax.lax.scan(
-            step, init, (ctxs.astype(jnp.int32), bits.astype(jnp.int32)))
+        _, (emits, emit_v, segs) = jax.lax.scan(step, init, (ctxs, bits))
         emits = emits.reshape(-1)
         emit_v = emit_v.reshape(-1)
-        seg_of = jnp.repeat(segs, 3)
+        seg_of = jnp.repeat(segs.reshape(-1), 3)
         byts, nbytes = _compact(emits, emit_v, emits.shape[0])
         seg_counts = jnp.sum(
             (emit_v[:, None] & (seg_of[:, None]
@@ -591,21 +620,30 @@ def _assemble_one(byts, nbytes, seg_counts, raw_bits, raw_n,
     return bytes(data), seq
 
 
-def encode_cblks_mq_device(coeffs_batch: np.ndarray, orients: np.ndarray,
-                           lazy: bool):
+def encode_cblks_mq_device(coeffs_batch, orients, lazy: bool,
+                           numbps_bound: int | None = None):
     """End-to-end device MQ encode of a uniform-shape batch.
 
-    coeffs_batch: (B, H, W) int32; orients: (B,).  Returns
-    [(data, numbps, passes)] byte-identical to the host coder with style
-    NONE (lazy=False) or LAZY (lazy=True), need_dist off."""
+    coeffs_batch: (B, H, W) int32 — numpy, or a device array (transform
+    outputs stay resident, no coefficient round trip); orients: (B,).
+    numbps_bound: static magnitude bit bound (band M_b) so the plane
+    bucket needs no device sync; derived from the data for numpy inputs.
+    Returns [(data, numbps, passes)] byte-identical to the host coder
+    with style NONE (lazy=False) or LAZY (lazy=True), need_dist off."""
     b, h, w = coeffs_batch.shape
-    maxmag = int(np.abs(coeffs_batch).max(initial=0))
-    nbmax = int(maxmag).bit_length()
-    if nbmax > MAX_NUMBPS_DEVICE:
+    if numbps_bound is None:
+        if isinstance(coeffs_batch, np.ndarray):
+            numbps_bound = int(np.abs(coeffs_batch).max(initial=0)
+                               ).bit_length()
+        else:
+            numbps_bound = int(jnp.abs(coeffs_batch).max()).bit_length()
+    if numbps_bound > MAX_NUMBPS_DEVICE:
         raise ValueError("magnitudes exceed the device MQ range")
-    maxp = next(bkt for bkt in NUMBPS_BUCKETS if bkt >= max(nbmax, 1))
-    mags = jnp.asarray(np.abs(coeffs_batch).astype(np.int32))
-    signs = jnp.asarray((coeffs_batch < 0).astype(np.int32))
+    maxp = next(bkt for bkt in NUMBPS_BUCKETS
+                if bkt >= max(numbps_bound, 1))
+    xb = jnp.asarray(coeffs_batch)
+    mags = jnp.abs(xb).astype(jnp.int32)
+    signs = (xb < 0).astype(jnp.int32)
     res = build_streams(mags, signs, jnp.asarray(orients, jnp.int32),
                         h=h, w=w, maxp=maxp, lazy=lazy)
     mq_ctx, mq_bit, mq_n, raw_c, raw_n, raw_counts, numbps = res
@@ -614,9 +652,15 @@ def encode_cblks_mq_device(coeffs_batch: np.ndarray, orients: np.ndarray,
     L = 1 << max(4, (lmax - 1).bit_length())
     byts, nbytes, seg_counts = mq_scan(
         mq_ctx[:, :L], mq_bit[:, :L], mq_n, maxseg=maxp + 1)
-    byts = np.asarray(byts)
+    # fetch the small metadata together, then slice the big padded
+    # streams ON DEVICE before they cross the (slow) D2H link
+    nbytes_h = np.asarray(nbytes)
+    raw_n_h = np.asarray(raw_n)
+    bmax = max(1, int(nbytes_h.max(initial=1)))
+    rmax = max(1, int(raw_n_h.max(initial=1)))
+    byts = np.asarray(byts[:, :bmax])
+    raw_c = np.asarray(raw_c[:, :rmax])
     seg_counts = np.asarray(seg_counts)
-    raw_c = np.asarray(raw_c)
     raw_counts = np.asarray(raw_counts)
     numbps_h = np.asarray(numbps)
     out = []

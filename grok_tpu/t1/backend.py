@@ -27,11 +27,14 @@ from . import coder as pycoder
 
 @dataclass
 class EncodeJob:
-    coeffs: np.ndarray
+    coeffs: np.ndarray        # numpy, or a device (jax) array slice
     orient: int
     style: CblkStyle
     ht: bool = False          # Part 15 HT block coder instead of MQ
     need_dist: bool = True    # PCRD distortion tracking required
+    # static magnitude-bitcount bound (band M_b); lets the device paths
+    # pick a plane bucket without a device->host sync
+    numbps_bound: int = 32
     # results
     data: bytes = b""
     numbps: int = 0
@@ -131,22 +134,21 @@ def _encode_ht_device(jobs: list[EncodeJob]) -> list[EncodeJob]:
     rest: list[EncodeJob] = []
     for j in jobs:
         h, w = j.coeffs.shape
-        if h % 2 == 0 and w % 2 == 0:
+        if h % 2 == 0 and w % 2 == 0 \
+                and j.numbps_bound <= dht.MAX_NUMBPS_DEVICE:
             groups[(h, w)].append(j)
         else:
             rest.append(j)
     for (h, w), g in groups.items():
-        batch = np.stack([np.ascontiguousarray(j.coeffs, dtype=np.int32)
-                          for j in g])
-        if int(np.abs(batch).max()) >= (1 << dht.MAX_NUMBPS_DEVICE):
-            rest.extend(g)
-            continue
+        batch = _stack_coeffs([j.coeffs for j in g])
         # pad the batch axis to a power of two to bound jit recompiles
-        b = batch.shape[0]
+        b = len(g)
         bpad = 1 << (b - 1).bit_length()
         if bpad != b:
-            batch = np.concatenate(
-                [batch, np.zeros((bpad - b, h, w), np.int32)])
+            import jax.numpy as jnp
+
+            batch = jnp.concatenate(
+                [batch, jnp.zeros((bpad - b, h, w), jnp.int32)])
         segs = dht.encode_cblks_ht_device(batch)[:b]
         for j, (seg, nb) in zip(g, segs):
             j.data, j.numbps = seg, nb
@@ -172,30 +174,42 @@ def _encode_mq_device(jobs: list[EncodeJob]) -> list[EncodeJob]:
     rest: list[EncodeJob] = []
     for j in jobs:
         style = CblkStyle(j.style)
-        if j.need_dist or style not in (CblkStyle.NONE, CblkStyle.LAZY):
+        if j.need_dist or style not in (CblkStyle.NONE, CblkStyle.LAZY) \
+                or j.numbps_bound > dmq.MAX_NUMBPS_DEVICE:
             rest.append(j)
             continue
         h, w = j.coeffs.shape
         groups[(h, w, style == CblkStyle.LAZY)].append(j)
     for (h, w, lazy), g in groups.items():
-        batch = np.stack([np.ascontiguousarray(j.coeffs, dtype=np.int32)
-                          for j in g])
-        if int(np.abs(batch).max(initial=0)).bit_length() \
-                > dmq.MAX_NUMBPS_DEVICE:
-            rest.extend(g)
-            continue
+        batch = _stack_coeffs([j.coeffs for j in g])
         # pad the batch axis to a power of two to bound jit recompiles
-        b = batch.shape[0]
+        b = len(g)
         bpad = 1 << (b - 1).bit_length()
         orients = np.array([j.orient for j in g] + [0] * (bpad - b),
                            dtype=np.int32)
         if bpad != b:
-            batch = np.concatenate(
-                [batch, np.zeros((bpad - b, h, w), np.int32)])
-        res = dmq.encode_cblks_mq_device(batch, orients, lazy)[:b]
+            import jax.numpy as jnp
+
+            batch = jnp.concatenate(
+                [batch, jnp.zeros((bpad - b, h, w), jnp.int32)])
+        nb_bound = max(j.numbps_bound for j in g)
+        res = dmq.encode_cblks_mq_device(batch, orients, lazy,
+                                         numbps_bound=nb_bound)[:b]
         for j, (data, nb, passes) in zip(g, res):
             j.data, j.numbps, j.passes = data, nb, passes
     return rest
+
+
+def _stack_coeffs(arrs):
+    """Stack codeblock slices on the device when they are device arrays
+    (keeps transform outputs resident — no coefficient round trip), on
+    the host otherwise."""
+    import jax.numpy as jnp
+
+    if any(not isinstance(a, np.ndarray) for a in arrs):
+        return jnp.stack([jnp.asarray(a, jnp.int32) for a in arrs])
+    return jnp.asarray(np.stack(
+        [np.ascontiguousarray(a, dtype=np.int32) for a in arrs]))
 
 
 def encode_batch(jobs: list[EncodeJob], backend: str = "auto") -> None:

@@ -170,7 +170,10 @@ class TileCompressor:
             mct=tcp.mct, prec=image.comps[0].prec,
             sgnd=image.comps[0].sgnd, deltas=deltas)
         for compno, tc in enumerate(tile.comps):
-            tc.data = {k: np.asarray(v[compno, 0]) for k, v in bands.items()}
+            # keep bands DEVICE-resident: the device Tier-1 paths slice
+            # them in place, so coefficients never round-trip the host
+            # (host fallbacks convert lazily per codeblock)
+            tc.data = {k: v[compno, 0] for k, v in bands.items()}
         self._device_quantized = not reversible
         return True
 
@@ -247,10 +250,13 @@ class TileCompressor:
                             # truncation where the energy is), HT elsewhere
                             use_ht = tccp.ht and not (mixed and res.resno == 0)
                             cblk.is_ht = use_ht
+                            if isinstance(sl, np.ndarray):
+                                sl = np.ascontiguousarray(sl)
                             jobs.append(t1_backend.EncodeJob(
-                                np.ascontiguousarray(sl), band.orient,
+                                sl, band.orient,
                                 tccp.cblk_style, ht=use_ht,
-                                need_dist=need_dist))
+                                need_dist=need_dist,
+                                numbps_bound=band.numbps))
                             job_meta.append((compno, res.resno, band, cblk))
         t1_backend.encode_batch(jobs, self.backend)
         for job, (compno, resno, band, cblk) in zip(jobs, job_meta):
@@ -283,9 +289,13 @@ class TileCompressor:
             cblk._orient = band.orient
             cblk._style = tccp.cblk_style
             cblk._ht = cblk.is_ht if hasattr(cblk, "is_ht") else tccp.ht
-            # initial (nothing-decoded) weighted squared error, for -q mode
-            cblk._e0 = weight * float(
-                (np.abs(job.coeffs).astype(np.float64) ** 2).sum())
+            # initial (nothing-decoded) weighted squared error, for -q
+            # mode — only when rate control needs it (avoids pulling
+            # device-resident coefficients back to the host)
+            if need_dist:
+                cblk._e0 = weight * float(
+                    (np.abs(np.asarray(job.coeffs)).astype(np.float64)
+                     ** 2).sum())
 
     # ---- stage 2: rate control ----
 
