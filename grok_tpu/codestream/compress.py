@@ -263,8 +263,14 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
             run_transforms_device_batched(full)
 
     tlm_entries = []
-    for (tidx, tcp, trect, tc) in compressors:
+    for n, (tidx, tcp, trect, tc) in enumerate(compressors):
             tc.run_transforms()
+            if p.backend == "device" and n + 1 < len(compressors):
+                # host-device pipelining (StripCache-overlap parity): JAX
+                # dispatch is asynchronous, so issuing the NEXT tile's
+                # device analysis now lets it execute while this tile's
+                # host entropy/Tier-2 stages run below
+                compressors[n + 1][3].run_transforms()
             tc.run_t1()
             # layer budgets
             if p.layer_psnr:

@@ -179,7 +179,8 @@ class TileCompressor:
 
     def run_transforms(self) -> None:
         if getattr(self, "_transforms_done", False):
-            return  # already produced by a batched device call
+            return  # already produced (batched or pipelined prefetch)
+        self._transforms_done = True
         if self.backend == "device" and self.run_transforms_device():
             return
         self._device_quantized = False
