@@ -25,6 +25,27 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), os.pardir, "_native",
                          "libgrk_t1.so")
 
 
+def _ensure_built() -> None:
+    """Build the native library on first use when the checkout has none
+    (or the sources are newer) — `./native/build.sh` semantics."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    srcs = [os.path.join(root, "native", n)
+            for n in ("t1.cc", "ht.cc", "dwt.cc")]
+    if not all(os.path.exists(s) for s in srcs):
+        return  # installed layout without sources: use the shipped lib
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= max(
+            os.path.getmtime(s) for s in srcs):
+        return
+    import subprocess
+
+    subprocess.run([os.path.join(root, "native", "build.sh")], check=True,
+                   cwd=root)
+
+
+_ensure_built()
+
+
 def _addr(a: np.ndarray) -> int:
     return a.__array_interface__["data"][0]
 
@@ -291,3 +312,41 @@ def destuff_bits_native(data: bytes) -> np.ndarray:
 
 bk.register_backend("native", encode_batch_native, decode_batch_native)
 bk.register_ht_backend(ht_encode_batch_native, ht_decode_batch_native)
+
+
+# ----------------------------------------------------------- native 5/3 DWT
+
+_lib.grk_fwd53_level.argtypes = [ct.c_uint64, ct.c_int, ct.c_int,
+                                 ct.c_uint64, ct.c_uint64, ct.c_uint64,
+                                 ct.c_uint64, ct.c_uint64]
+_lib.grk_inv53_level.argtypes = [ct.c_uint64, ct.c_uint64, ct.c_uint64,
+                                 ct.c_uint64, ct.c_int, ct.c_int,
+                                 ct.c_uint64, ct.c_uint64]
+
+
+def fwd53_level_native(x: np.ndarray):
+    """One forward 5/3 level (even-parity origin) -> (ll, hl, lh, hh)."""
+    h, w = x.shape
+    x = np.ascontiguousarray(x, dtype=np.int32)
+    eh, ew = (h + 1) // 2, (w + 1) // 2
+    oh, ow = h // 2, w // 2
+    ll = np.empty((eh, ew), np.int32)
+    hl = np.empty((eh, ow), np.int32)
+    lh = np.empty((oh, ew), np.int32)
+    hh = np.empty((oh, ow), np.int32)
+    scratch = np.empty((h, w), np.int32)
+    _lib.grk_fwd53_level(_addr(x), h, w, _addr(ll), _addr(hl), _addr(lh),
+                         _addr(hh), _addr(scratch))
+    return ll, hl, lh, hh
+
+
+def inv53_level_native(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
+    ll = np.ascontiguousarray(ll, dtype=np.int32)
+    hl = np.ascontiguousarray(hl, dtype=np.int32)
+    lh = np.ascontiguousarray(lh, dtype=np.int32)
+    hh = np.ascontiguousarray(hh, dtype=np.int32)
+    out = np.empty((h, w), np.int32)
+    scratch = np.empty((h, w), np.int32)
+    _lib.grk_inv53_level(_addr(ll), _addr(hl), _addr(lh), _addr(hh), h, w,
+                         _addr(out), _addr(scratch))
+    return out

@@ -348,22 +348,43 @@ def _merge_2d(ll, hl, lh, hh, rect, reversible: bool):
     return np.ascontiguousarray(out.T)
 
 
+def _native53():
+    """The C++ 5/3 level functions, or None (lazy import with fallback)."""
+    global _NATIVE53
+    if _NATIVE53 is None:
+        try:
+            from ..t1 import native as nat
+
+            _NATIVE53 = (nat.fwd53_level_native, nat.inv53_level_native)
+        except Exception:
+            _NATIVE53 = ()
+    return _NATIVE53 or None
+
+
+_NATIVE53 = None
+
+
 def forward_dwt(data: np.ndarray, tc_rect, numres: int, reversible: bool):
     """Full forward multi-level DWT.
 
     Returns a dict mapping (resno, orient) -> coefficient array, where
     orient uses tile.geometry codes (LL only at resno 0; HL/LH/HH at
-    resno >= 1)."""
+    resno >= 1).  Even-parity reversible levels run through the native
+    C++ lifting (bit-identical; differential-tested)."""
     from ..tile.geometry import Rect, res_rect
 
+    nat = _native53() if reversible else None
     bands: dict[tuple[int, int], np.ndarray] = {}
     cur = data
     cur_rect = tc_rect
     nl = numres - 1
     for lev in range(nl):
         resno = nl - lev  # bands produced belong to this resolution
-        # sub-rect of the LL input at this level in its own scale
-        ll, hl, lh, hh = _split_2d(cur, cur_rect, reversible)
+        if nat is not None and (cur_rect.x0 & 1) == 0 \
+                and (cur_rect.y0 & 1) == 0 and isinstance(cur, np.ndarray):
+            ll, hl, lh, hh = nat[0](cur)
+        else:
+            ll, hl, lh, hh = _split_2d(cur, cur_rect, reversible)
         bands[(resno, 1)] = hl
         bands[(resno, 2)] = lh
         bands[(resno, 3)] = hh
@@ -468,9 +489,15 @@ def inverse_dwt(bands: dict, tc_rect, numres: int, reversible: bool,
     nl = numres - 1
     if max_res is None:
         max_res = numres - 1
+    nat = _native53() if reversible else None
     cur = bands[(0, 0)]
     for resno in range(1, max_res + 1):
         rect = res_rect(tc_rect, numres, resno)
-        cur = _merge_2d(cur, bands[(resno, 1)], bands[(resno, 2)],
-                        bands[(resno, 3)], rect, reversible)
+        if nat is not None and (rect.x0 & 1) == 0 and (rect.y0 & 1) == 0 \
+                and isinstance(cur, np.ndarray):
+            cur = nat[1](cur, bands[(resno, 1)], bands[(resno, 2)],
+                         bands[(resno, 3)], rect.h, rect.w)
+        else:
+            cur = _merge_2d(cur, bands[(resno, 1)], bands[(resno, 2)],
+                            bands[(resno, 3)], rect, reversible)
     return cur

@@ -68,3 +68,24 @@ def test_signed_extremes_16bit(rng):
             size=(64, 64))
         bands = forward_dwt(x, rect, 6, True)
         assert np.array_equal(inverse_dwt(bands, rect, 6, True), x)
+
+
+def test_native53_level_matches_python(rng):
+    """native/dwt.cc must be bit-identical to the numpy reference for
+    even-parity levels (the production host fast path)."""
+    from grok_tpu.t1 import native as nat
+    from grok_tpu.tile.geometry import Rect
+    from grok_tpu.transform.dwt import _merge_2d, _split_2d
+
+    for (h, w) in [(64, 64), (37, 53), (2, 2), (5, 8), (1, 7), (8, 1),
+                   (256, 192)]:
+        x = rng.integers(-(1 << 20), 1 << 20, size=(h, w)).astype(np.int32)
+        rect = Rect(0, 0, w, h)
+        rll, rhl, rlh, rhh = _split_2d(x, rect, True)
+        ll, hl, lh, hh = nat.fwd53_level_native(x)
+        assert np.array_equal(ll, rll) and np.array_equal(hl, rhl)
+        assert np.array_equal(lh, rlh) and np.array_equal(hh, rhh)
+        back = nat.inv53_level_native(ll, hl, lh, hh, h, w)
+        ref = _merge_2d(rll, rhl, rlh, rhh, rect, True)
+        assert np.array_equal(back, ref)
+        assert np.array_equal(back, x)
