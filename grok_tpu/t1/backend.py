@@ -249,9 +249,43 @@ def _decode_ht_device(jobs: list[DecodeJob]) -> list[DecodeJob]:
     return rest
 
 
+def _decode_mq_device(jobs: list[DecodeJob]) -> list[DecodeJob]:
+    """Route eligible MQ decode jobs through the device decoder
+    (ops/mq_decode.py flags-in-carry scan): styles NONE/LAZY, uniform
+    shapes, numbps within the device range.  Small groups stay on the
+    host (the scan amortizes across blocks, and each (shape, plane
+    bucket) costs one jit compilation)."""
+    from collections import defaultdict
+
+    from ..ops import mq_decode as dmqd
+    from ..params import CblkStyle
+
+    groups: dict = defaultdict(list)
+    rest: list[DecodeJob] = []
+    for j in jobs:
+        style = CblkStyle(j.style)
+        if style not in (CblkStyle.NONE, CblkStyle.LAZY) \
+                or j.numbps > dmqd.MAX_NUMBPS_DEVICE or j.numbps < 0:
+            rest.append(j)
+            continue
+        groups[(j.h, j.w)].append(j)
+    for (h, w), g in groups.items():
+        if len(g) < 8:
+            rest.extend(g)
+            continue
+        outs = dmqd.decode_cblks_mq_device(
+            [(j.data, j.seg_lengths, j.num_passes, j.numbps, j.h, j.w,
+              j.orient, j.style) for j in g])
+        for j, o in zip(g, outs):
+            j.out = o
+    return rest
+
+
 def decode_batch(jobs: list[DecodeJob], backend: str = "auto") -> None:
     ht_jobs = [j for j in jobs if j.ht]
     mq_jobs = [j for j in jobs if not j.ht]
+    if mq_jobs and backend == "device":
+        mq_jobs = _decode_mq_device(mq_jobs)
     if ht_jobs and backend == "device":
         ht_jobs = _decode_ht_device(ht_jobs)
     if ht_jobs:

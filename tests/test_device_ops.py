@@ -323,3 +323,50 @@ def test_device_mq_codec_stream_identical(rng):
     d_dev0 = grok_tpu.compress(img, CompressParams(
         backend="device", cblk_style=CblkStyle.NONE))
     assert d_nat0 == d_dev0
+
+
+def test_device_mq_decoder_bit_exact(rng):
+    """The device MQ decoder (flags-in-carry scan, ops/mq_decode.py) must
+    match the host decoder exactly, including bypassed (LAZY) segments,
+    pass-capped (layer-limited) decodes, and all-zero blocks."""
+    from grok_tpu.ops.mq_decode import decode_cblks_mq_device
+    from grok_tpu.params import CblkStyle
+    from grok_tpu.t1.coder import decode_cblk, encode_cblk
+
+    for lazy in (False, True):
+        style = CblkStyle.LAZY if lazy else CblkStyle.NONE
+        batch = rng.integers(-900, 901, size=(3, 16, 16)).astype(np.int32)
+        batch[rng.random(batch.shape) > 0.5] = 0
+        batch[2] = 0
+        items = []
+        refs = []
+        for bi in range(3):
+            orient = int(rng.integers(0, 4))
+            data, nb, passes = encode_cblk(batch[bi], orient, style)
+            seg_lens = []
+            last = 0
+            for pi, p in enumerate(passes):
+                if p.term or pi == len(passes) - 1:
+                    seg_lens.append(p.rate - last)
+                    last = p.rate
+            npd = len(passes) if bi != 1 else max(1, 2 * len(passes) // 3)
+            items.append((data, seg_lens, npd, nb, 16, 16, orient, style))
+            refs.append(decode_cblk(data, seg_lens, npd, nb, 16, 16,
+                                    orient, style))
+        outs = decode_cblks_mq_device(items)
+        for bi in range(3):
+            assert np.array_equal(outs[bi], refs[bi]), (lazy, bi)
+
+
+def test_device_mq_codec_decode_end_to_end(rng):
+    """backend='device' decode routes MQ codeblocks through the device
+    decoder (>=8 same-shape blocks) and reproduces the host decode."""
+    import grok_tpu
+    from grok_tpu import CompressParams, DecompressParams, GrkImage
+
+    arr = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    img = GrkImage.from_array(arr)
+    d = grok_tpu.compress(img, CompressParams(
+        numresolution=2, cblk_width=16, cblk_height=16))
+    out = grok_tpu.decompress(d, DecompressParams(backend="device"))
+    assert np.array_equal(out.comps[0].data, arr.astype(np.int32))
