@@ -274,3 +274,35 @@ def test_window_decode_lossy_psnr(rng):
     wind = grok_tpu.decompress(data, DecompressParams(window=win))
     crop = full.comps[0].data[250:380, 130:290]
     assert np.abs(wind.comps[0].data - crop).max() <= 1
+
+
+def test_quality_mode_multitile(rng):
+    """-q calibration operates per tile; the assembled image must land
+    near the target."""
+    arr = _content(rng, 128, 128)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, irreversible=True, tile_size=(64, 64),
+        layer_psnr=[36.0]))
+    out = grok_tpu.decompress(data)
+    err = out.comps[0].data.astype(float) - arr
+    psnr = 10 * np.log10(255 ** 2 / (err ** 2).mean())
+    assert abs(psnr - 36) < 1.2, psnr  # per-tile targeting, global slack
+
+
+def test_window_decode_subsampled(rng):
+    """Region decode with 4:2:0-style subsampled chroma: each component's
+    window scales by its sampling factors."""
+    arr = _content(rng, 96, 96, 3)
+    img = GrkImage.from_array(arr)
+    for c in img.comps[1:]:
+        c.data = c.data[::2, ::2]
+        c.dx = c.dy = 2
+        c.h, c.w = c.data.shape
+    data = grok_tpu.compress(img, CompressParams(numresolution=3, mct=0))
+    full = grok_tpu.decompress(data)
+    win = grok_tpu.decompress(data, DecompressParams(window=(24, 16, 72, 80)))
+    assert np.array_equal(win.comps[0].data,
+                          full.comps[0].data[16:80, 24:72])
+    assert np.array_equal(win.comps[1].data,
+                          full.comps[1].data[8:40, 12:36])
