@@ -350,3 +350,39 @@ def inv53_level_native(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
     _lib.grk_inv53_level(_addr(ll), _addr(hl), _addr(lh), _addr(hh), h, w,
                          _addr(out), _addr(scratch))
     return out
+
+
+_lib.grk_fwd97_level.argtypes = [ct.c_uint64, ct.c_int, ct.c_int,
+                                 ct.c_uint64, ct.c_uint64, ct.c_uint64,
+                                 ct.c_uint64, ct.c_uint64]
+_lib.grk_inv97_level.argtypes = [ct.c_uint64, ct.c_uint64, ct.c_uint64,
+                                 ct.c_uint64, ct.c_int, ct.c_int,
+                                 ct.c_uint64, ct.c_uint64]
+
+
+def fwd97_level_native(x: np.ndarray):
+    """One forward 9/7 level (even-parity origin) -> (ll, hl, lh, hh)."""
+    h, w = x.shape
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    eh, ew = (h + 1) // 2, (w + 1) // 2
+    oh, ow = h // 2, w // 2
+    ll = np.empty((eh, ew), np.float32)
+    hl = np.empty((eh, ow), np.float32)
+    lh = np.empty((oh, ew), np.float32)
+    hh = np.empty((oh, ow), np.float32)
+    scratch = np.empty((h, w), np.float32)
+    _lib.grk_fwd97_level(_addr(x), h, w, _addr(ll), _addr(hl), _addr(lh),
+                         _addr(hh), _addr(scratch))
+    return ll, hl, lh, hh
+
+
+def inv97_level_native(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
+    ll = np.ascontiguousarray(ll, dtype=np.float32)
+    hl = np.ascontiguousarray(hl, dtype=np.float32)
+    lh = np.ascontiguousarray(lh, dtype=np.float32)
+    hh = np.ascontiguousarray(hh, dtype=np.float32)
+    out = np.empty((h, w), np.float32)
+    scratch = np.empty((h, w), np.float32)
+    _lib.grk_inv97_level(_addr(ll), _addr(hl), _addr(lh), _addr(hh), h, w,
+                         _addr(out), _addr(scratch))
+    return out

@@ -503,7 +503,10 @@ class TileCompressor:
         for compno, p in enumerate(planes):
             comp = image.comps[compno]
             if p.dtype != np.int32:
-                p = np.round(p).astype(np.int64)
+                # float planes fit int32 comfortably at normal precisions;
+                # rint->int32 keeps dc_shift_inverse on its fast path
+                p = np.rint(p).astype(
+                    np.int32 if comp.prec <= 28 else np.int64)
             rec = mct_mod.dc_shift_inverse(p, comp.prec, comp.sgnd)
             tc = tile.comps[compno]
             r = tc.rect
@@ -1029,7 +1032,10 @@ class TileDecompressor:
         for compno, p in enumerate(planes):
             comp = self.image.comps[compno]
             if p.dtype != np.int32:
-                p = np.round(p).astype(np.int64)
+                # float planes fit int32 comfortably at normal precisions;
+                # rint->int32 keeps dc_shift_inverse on its fast path
+                p = np.rint(p).astype(
+                    np.int32 if comp.prec <= 28 else np.int64)
             out_planes.append(
                 mct_mod.dc_shift_inverse(p, comp.prec, comp.sgnd))
         return out_planes

@@ -356,9 +356,18 @@ def _native53():
             from ..t1 import native as nat
 
             _NATIVE53 = (nat.fwd53_level_native, nat.inv53_level_native)
+            _NATIVE97[:] = [nat.fwd97_level_native, nat.inv97_level_native]
         except Exception:
             _NATIVE53 = ()
     return _NATIVE53 or None
+
+
+_NATIVE97: list = []
+
+
+def _native97():
+    _native53()
+    return _NATIVE97 or None
 
 
 _NATIVE53 = None
@@ -373,7 +382,7 @@ def forward_dwt(data: np.ndarray, tc_rect, numres: int, reversible: bool):
     C++ lifting (bit-identical; differential-tested)."""
     from ..tile.geometry import Rect, res_rect
 
-    nat = _native53() if reversible else None
+    nat = _native53() if reversible else _native97()
     bands: dict[tuple[int, int], np.ndarray] = {}
     cur = data
     cur_rect = tc_rect
@@ -489,7 +498,7 @@ def inverse_dwt(bands: dict, tc_rect, numres: int, reversible: bool,
     nl = numres - 1
     if max_res is None:
         max_res = numres - 1
-    nat = _native53() if reversible else None
+    nat = _native53() if reversible else _native97()
     cur = bands[(0, 0)]
     for resno in range(1, max_res + 1):
         rect = res_rect(tc_rect, numres, resno)

@@ -157,3 +157,172 @@ void grk_inv53_level(const int32_t* ll, const int32_t* hl,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------ 9/7 (float)
+// Irreversible lifting mirroring transform/dwt.py::_fwd_97_even /
+// _inv_97_even: same step order and float32 arithmetic, even-parity
+// origins (odd-parity rects keep the numpy path).
+
+namespace {
+
+constexpr float ALPHA = -1.586134342059924f;
+constexpr float BETA = -0.052980118572961f;
+constexpr float GAMMA = 0.882911075530934f;
+constexpr float DELTA = 0.443506852043971f;
+constexpr float KK = 1.230174104914001f;
+
+// lift od[j] += c * (ev[j] + ev[j+1]) with the bottom mirror, row arrays
+static inline void lift_odd_v(float* od, const float* ev, int ne, int no,
+                              int w, float cf) {
+  for (int j = 0; j < no; j++) {
+    const float* a = ev + (size_t)j * w;
+    const float* b = (j + 1 < ne) ? a + w : a;  // mirror when ne == no
+    float* d = od + (size_t)j * w;
+    for (int i = 0; i < w; i++) d[i] += cf * (a[i] + b[i]);
+  }
+}
+
+// lift ev[j] += c * (od[j-1] + od[j]) with edge mirrors
+static inline void lift_even_v(float* ev, const float* od, int ne, int no,
+                               int w, float cf) {
+  for (int j = 0; j < ne; j++) {
+    const float* dl = od + (size_t)(j > 0 ? j - 1 : 0) * w;
+    const float* dr = od + (size_t)(j < no ? j : no - 1) * w;
+    float* s = ev + (size_t)j * w;
+    for (int i = 0; i < w; i++) s[i] += cf * (dl[i] + dr[i]);
+  }
+}
+
+static void fwd97_vertical(const float* x, int h, int w, float* out) {
+  int ne = (h + 1) / 2, no = h / 2;
+  float* lo = out;
+  float* hi = out + (size_t)ne * w;
+  if (h == 1) {
+    for (int i = 0; i < w; i++) lo[i] = x[i] * (1.0f / KK);
+    return;
+  }
+  for (int j = 0; j < ne; j++)
+    std::memcpy(lo + (size_t)j * w, x + (size_t)(2 * j) * w,
+                sizeof(float) * w);
+  for (int j = 0; j < no; j++)
+    std::memcpy(hi + (size_t)j * w, x + (size_t)(2 * j + 1) * w,
+                sizeof(float) * w);
+  lift_odd_v(hi, lo, ne, no, w, ALPHA);
+  lift_even_v(lo, hi, ne, no, w, BETA);
+  lift_odd_v(hi, lo, ne, no, w, GAMMA);
+  lift_even_v(lo, hi, ne, no, w, DELTA);
+  for (int j = 0; j < ne * w; j++) lo[j] *= (1.0f / KK);
+  for (int j = 0; j < no * w; j++) hi[j] *= KK;
+}
+
+static void inv97_vertical(const float* lo_in, const float* hi_in, int h,
+                           int w, float* out, float* tmp) {
+  int ne = (h + 1) / 2, no = h / 2;
+  float* lo = tmp;
+  float* hi = tmp + (size_t)ne * w;
+  if (h == 1) {
+    for (int i = 0; i < w; i++) out[i] = lo_in[i] * KK;
+    return;
+  }
+  for (int j = 0; j < ne * w; j++) lo[j] = lo_in[j] * KK;
+  for (int j = 0; j < no * w; j++) hi[j] = hi_in[j] * (1.0f / KK);
+  lift_even_v(lo, hi, ne, no, w, -DELTA);
+  lift_odd_v(hi, lo, ne, no, w, -GAMMA);
+  lift_even_v(lo, hi, ne, no, w, -BETA);
+  lift_odd_v(hi, lo, ne, no, w, -ALPHA);
+  for (int j = 0; j < ne; j++)
+    std::memcpy(out + (size_t)(2 * j) * w, lo + (size_t)j * w,
+                sizeof(float) * w);
+  for (int j = 0; j < no; j++)
+    std::memcpy(out + (size_t)(2 * j + 1) * w, hi + (size_t)j * w,
+                sizeof(float) * w);
+}
+
+static inline void fwd97_row(const float* x, int n, float* out) {
+  int ne = (n + 1) / 2, no = n / 2;
+  float* lo = out;
+  float* hi = out + ne;
+  if (n == 1) {
+    lo[0] = x[0] * (1.0f / KK);
+    return;
+  }
+  for (int j = 0; j < ne; j++) lo[j] = x[2 * j];
+  for (int j = 0; j < no; j++) hi[j] = x[2 * j + 1];
+  for (int j = 0; j < no; j++)
+    hi[j] += ALPHA * (lo[j] + lo[j + 1 < ne ? j + 1 : j]);
+  for (int j = 0; j < ne; j++)
+    lo[j] += BETA * (hi[j > 0 ? j - 1 : 0] + hi[j < no ? j : no - 1]);
+  for (int j = 0; j < no; j++)
+    hi[j] += GAMMA * (lo[j] + lo[j + 1 < ne ? j + 1 : j]);
+  for (int j = 0; j < ne; j++)
+    lo[j] += DELTA * (hi[j > 0 ? j - 1 : 0] + hi[j < no ? j : no - 1]);
+  for (int j = 0; j < ne; j++) lo[j] *= (1.0f / KK);
+  for (int j = 0; j < no; j++) hi[j] *= KK;
+}
+
+static inline void inv97_row(const float* lo_in, const float* hi_in,
+                             int n, float* out, float* tmp) {
+  int ne = (n + 1) / 2, no = n / 2;
+  float* lo = tmp;
+  float* hi = tmp + ne;
+  if (n == 1) {
+    out[0] = lo_in[0] * KK;
+    return;
+  }
+  for (int j = 0; j < ne; j++) lo[j] = lo_in[j] * KK;
+  for (int j = 0; j < no; j++) hi[j] = hi_in[j] * (1.0f / KK);
+  for (int j = 0; j < ne; j++)
+    lo[j] -= DELTA * (hi[j > 0 ? j - 1 : 0] + hi[j < no ? j : no - 1]);
+  for (int j = 0; j < no; j++)
+    hi[j] -= GAMMA * (lo[j] + lo[j + 1 < ne ? j + 1 : j]);
+  for (int j = 0; j < ne; j++)
+    lo[j] -= BETA * (hi[j > 0 ? j - 1 : 0] + hi[j < no ? j : no - 1]);
+  for (int j = 0; j < no; j++)
+    hi[j] -= ALPHA * (lo[j] + lo[j + 1 < ne ? j + 1 : j]);
+  for (int j = 0; j < ne; j++) out[2 * j] = lo[j];
+  for (int j = 0; j < no; j++) out[2 * j + 1] = hi[j];
+}
+
+}  // namespace
+
+extern "C" {
+
+void grk_fwd97_level(const float* x, int h, int w, float* ll, float* hl,
+                     float* lh, float* hh, float* scratch) {
+  int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
+  fwd97_vertical(x, h, w, scratch);
+  std::vector<float> row(w);
+  for (int y = 0; y < eh; y++) {
+    fwd97_row(scratch + (size_t)y * w, w, row.data());
+    std::memcpy(ll + (size_t)y * ew, row.data(), sizeof(float) * ew);
+    std::memcpy(hl + (size_t)y * ow, row.data() + ew, sizeof(float) * ow);
+  }
+  for (int y = 0; y < oh; y++) {
+    fwd97_row(scratch + (size_t)(eh + y) * w, w, row.data());
+    std::memcpy(lh + (size_t)y * ew, row.data(), sizeof(float) * ew);
+    std::memcpy(hh + (size_t)y * ow, row.data() + ew, sizeof(float) * ow);
+  }
+}
+
+void grk_inv97_level(const float* ll, const float* hl, const float* lh,
+                     const float* hh, int h, int w, float* out,
+                     float* scratch) {
+  int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
+  // horizontal inverses into (lo rows | hi rows) of scratch
+  std::vector<float> lo(ew), hi(ow > 0 ? ow : 1), tmp(w);
+  for (int y = 0; y < eh; y++) {
+    std::memcpy(lo.data(), ll + (size_t)y * ew, sizeof(float) * ew);
+    std::memcpy(hi.data(), hl + (size_t)y * ow, sizeof(float) * ow);
+    inv97_row(lo.data(), hi.data(), w, scratch + (size_t)y * w, tmp.data());
+  }
+  for (int y = 0; y < oh; y++) {
+    std::memcpy(lo.data(), lh + (size_t)y * ew, sizeof(float) * ew);
+    std::memcpy(hi.data(), hh + (size_t)y * ow, sizeof(float) * ow);
+    inv97_row(lo.data(), hi.data(), w,
+              scratch + (size_t)(eh + y) * w, tmp.data());
+  }
+  std::vector<float> vtmp((size_t)h * w);
+  inv97_vertical(scratch, scratch + (size_t)eh * w, h, w, out, vtmp.data());
+}
+
+}  // extern "C"

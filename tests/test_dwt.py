@@ -89,3 +89,23 @@ def test_native53_level_matches_python(rng):
         ref = _merge_2d(rll, rhl, rlh, rhh, rect, True)
         assert np.array_equal(back, ref)
         assert np.array_equal(back, x)
+
+
+def test_native97_level_close_to_python(rng):
+    """native/dwt.cc 9/7 levels follow the same float32 lifting order as
+    the numpy reference; values agree within float tolerance and the
+    native round trip reconstructs the input."""
+    from grok_tpu.t1 import native as nat
+    from grok_tpu.tile.geometry import Rect
+    from grok_tpu.transform.dwt import _merge_2d, _split_2d
+
+    for (h, w) in [(64, 64), (37, 53), (2, 2), (5, 8), (256, 192)]:
+        x = rng.integers(-(1 << 12), 1 << 12, size=(h, w)).astype(
+            np.float32)
+        rect = Rect(0, 0, w, h)
+        rll, rhl, rlh, rhh = _split_2d(x, rect, False)
+        ll, hl, lh, hh = nat.fwd97_level_native(x)
+        for got, ref in ((ll, rll), (hl, rhl), (lh, rlh), (hh, rhh)):
+            assert np.abs(got - ref).max() < 2e-2, (h, w)
+        back = nat.inv97_level_native(ll, hl, lh, hh, h, w)
+        assert np.abs(back - x).max() < 2e-2, (h, w)
