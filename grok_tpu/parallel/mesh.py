@@ -17,13 +17,11 @@ Collectives ride ICI; no reference NCCL/MPI analog exists or is needed.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import dwt as ddwt
 from ..ops import pipeline as dpipe

@@ -18,9 +18,7 @@ import math
 
 import numpy as np
 
-from ..errors import CodestreamError
 from ..params import (
-    CblkStyle,
     CodingParams,
     QuantStyle,
     TileCodingParams,
@@ -32,7 +30,6 @@ from ..transform import mct as mct_mod
 from ..transform import quant as quant_mod
 from .geometry import (
     BAND_GAIN,
-    BAND_OFFSET,
     Rect,
     Tile,
     TileComponent,
