@@ -6,7 +6,8 @@ import shlex
 import numpy as np
 import pytest
 
-from grok_tpu.cli import grk_compress, grk_decompress, grk_dump
+from grok_tpu.cli import (compare_dump_files, compare_images,
+                          grk_compress, grk_decompress, grk_dump)
 from grok_tpu.io import formats
 
 PIL = pytest.importorskip("PIL")
@@ -44,7 +45,9 @@ def test_manifest(inputs):
     tmp = inputs
     tools = {"grk_compress": grk_compress.main,
              "grk_decompress": grk_decompress.main,
-             "grk_dump": grk_dump.main}
+             "grk_dump": grk_dump.main,
+             "compare_images": compare_images.main,
+             "compare_dump_files": compare_dump_files.main}
     with open(MANIFEST) as f:
         for lineno, line in enumerate(f, 1):
             line = line.strip()
