@@ -15,6 +15,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__BMI2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------- MQ coder
@@ -68,29 +72,42 @@ static void init_ctxs(Ctx* c) {
 
 struct MQEnc {
   uint32_t a = 0x8000, c = 0, ct = 12;
-  std::vector<uint8_t> buf;   // buf[0] is the fake leading byte
+  // arena-backed output: bp points at the last written byte (bp == b0 is
+  // the fake leading byte).  A raw pointer keeps byteout() free of the
+  // vector capacity check that showed up in the hot-loop profile.
+  uint8_t* b0 = nullptr;
+  uint8_t* bp = nullptr;
+  std::vector<uint8_t> arena;
   Ctx ctx[NCTX];
 
-  MQEnc() { buf.reserve(8192); init_ctxs(ctx); restart(); }
-  void restart() { a = 0x8000; c = 0; ct = 12; buf.clear(); buf.push_back(0); }
+  explicit MQEnc(size_t cap = 8192) {
+    arena.resize(cap + 32);
+    init_ctxs(ctx);
+    restart();
+  }
+  void restart() {
+    a = 0x8000; c = 0; ct = 12;
+    b0 = bp = arena.data();
+    *bp = 0;
+  }
 
   void byteout() {
-    if (buf.back() == 0xFF) {
-      buf.push_back((c >> 20) & 0xFF); c &= 0xFFFFF; ct = 7;
+    if (*bp == 0xFF) {
+      *++bp = (c >> 20) & 0xFF; c &= 0xFFFFF; ct = 7;
     } else if (c < 0x8000000) {
-      buf.push_back((c >> 19) & 0xFF); c &= 0x7FFFF; ct = 8;
+      *++bp = (c >> 19) & 0xFF; c &= 0x7FFFF; ct = 8;
     } else {
-      buf.back()++;
-      if (buf.back() == 0xFF) {
+      (*bp)++;
+      if (*bp == 0xFF) {
         c &= 0x7FFFFFF;
-        buf.push_back((c >> 20) & 0xFF); c &= 0xFFFFF; ct = 7;
+        *++bp = (c >> 20) & 0xFF; c &= 0xFFFFF; ct = 7;
       } else {
-        buf.push_back((c >> 19) & 0xFF); c &= 0x7FFFF; ct = 8;
+        *++bp = (c >> 19) & 0xFF; c &= 0x7FFFF; ct = 8;
       }
     }
   }
-  // bulk renormalization; a no-op when a already has bit 15 set, so
-  // encode() can call it unconditionally (no mispredicting renorm branch)
+  // bulk renormalization; only called on the renorm path (encode() takes
+  // an early return when a keeps bit 15 after an MPS)
   inline void renorm() {
     int n = __builtin_clz((unsigned)a) - 16;  // shifts to reach bit 15
     while (n >= (int)ct) {
@@ -110,21 +127,20 @@ struct MQEnc {
     Ctx si = ctx[cn];
     const QeRow2& q = QE2.t[si];
     uint32_t qe = q.qe;
-    uint32_t is_lps = (uint32_t)(d ^ si) & 1;
     uint32_t a2 = a - qe;
-    uint32_t no_renorm = (a2 >> 15) & (is_lps ^ 1);
+    if (((d ^ si) & 1) == 0 && (a2 & 0x8000)) {  // MPS without renorm
+      a = a2;
+      c += qe;
+      return;
+    }
+    uint32_t is_lps = (uint32_t)(d ^ si) & 1;
     uint32_t small = a2 < qe;
-    // c += qe when: MPS fast path; renorm-MPS with !small; renorm-LPS with
-    // small  ->  no_renorm | (small ^ is_lps ^ 1)
-    uint32_t addq = no_renorm | (small ^ is_lps ^ 1);
-    c += addq ? qe : 0;
-    uint32_t a_renorm = (small ^ is_lps) ? qe : a2;
-    a = no_renorm ? a2 : a_renorm;
-    uint8_t nsi = is_lps ? q.nlps : q.nmps;
-    ctx[cn] = no_renorm ? si : nsi;
+    c += (small ^ is_lps ^ 1) ? qe : 0;
+    a = (small ^ is_lps) ? qe : a2;
+    ctx[cn] = is_lps ? q.nlps : q.nmps;
     renorm();
   }
-  int num_bytes() const { return (int)buf.size() - 1; }
+  int num_bytes() const { return (int)(bp - b0); }
   // flush into out (appends); returns bytes appended
   int flush(std::vector<uint8_t>& out) {
     uint32_t tempc = c + a;
@@ -132,10 +148,10 @@ struct MQEnc {
     if (c >= tempc) c -= 0x8000;
     c <<= ct; byteout();
     c <<= ct; byteout();
-    size_t n = buf.size();
-    if (buf[n - 1] == 0xFF) n--;
-    out.insert(out.end(), buf.begin() + 1, buf.begin() + n);
-    return (int)(n - 1);
+    uint8_t* end = bp + 1;
+    if (end[-1] == 0xFF) end--;
+    out.insert(out.end(), b0 + 1, end);
+    return (int)(end - (b0 + 1));
   }
 };
 
@@ -177,14 +193,19 @@ struct MQDec {
     uint32_t qe = q.qe;
     uint32_t mps = si & 1;
     uint32_t a2 = a - qe;
-    uint32_t ge = ((c >> 16) & 0xFFFF) >= qe;
+    uint32_t chigh = (c >> 16) & 0xFFFF;
+    if (chigh >= qe && (a2 & 0x8000)) {       // MPS without renorm
+      c -= qe << 16;
+      a = a2;
+      return (int)mps;
+    }
+    uint32_t ge = chigh >= qe;
     c -= ge ? qe << 16 : 0;
-    uint32_t hi = (a2 >> 15) & ge;            // fast path flag
     uint32_t small = a2 < qe;
-    uint32_t lps = (small == ge) & (hi ^ 1);  // renorm path takes LPS when
+    uint32_t lps = (small == ge);             // renorm path takes LPS when
                                               // conditional exchange says so
     a = ge ? a2 : qe;
-    ctx[cn] = hi ? si : (lps ? q.nlps : q.nmps);
+    ctx[cn] = lps ? q.nlps : q.nmps;
     renorm();
     return (int)(mps ^ lps);
   }
@@ -339,13 +360,14 @@ struct Luts {
       }
     }
     for (int idx = 0; idx < 256; idx++) {
-      // idx bits: 0 Wsig 1 Wneg 2 Esig 3 Eneg 4 Nsig 5 Nneg 6 Ssig 7 Sneg
+      // idx bits follow pext order over SC_MASK (ascending flag-bit
+      // position): 0 Nsig 1 Wsig 2 Esig 3 Ssig 4 Wneg 5 Eneg 6 Nneg 7 Sneg
       auto contrib = [&](int sigb, int negb) {
         if (!((idx >> sigb) & 1)) return 0;
         return ((idx >> negb) & 1) ? -1 : 1;
       };
-      int hc = contrib(0, 1) + contrib(2, 3);
-      int vc = contrib(4, 5) + contrib(6, 7);
+      int hc = contrib(1, 4) + contrib(2, 5);
+      int vc = contrib(0, 6) + contrib(3, 7);
       if (hc > 1) hc = 1; if (hc < -1) hc = -1;
       if (vc > 1) vc = 1; if (vc < -1) vc = -1;
       int cn, xb;
@@ -357,11 +379,20 @@ struct Luts {
 };
 static const Luts LUT;
 
+// bits of the flags word that feed sign coding, in pext (ascending) order:
+// N(1) W(3) E(4) S(6) WNEG(8) ENEG(9) NNEG(10) SNEG(11)
+static const uint32_t SC_MASK =
+    F_N | F_W | F_E | F_S | F_WNEG | F_ENEG | F_NNEG | F_SNEG;
+
 static inline int sc_index(uint32_t f) {
-  return (int)(((f >> 3) & 1) | (((f >> 8) & 1) << 1) |
-               (((f >> 4) & 1) << 2) | (((f >> 9) & 1) << 3) |
-               (((f >> 1) & 1) << 4) | (((f >> 10) & 1) << 5) |
-               (((f >> 6) & 1) << 6) | (((f >> 11) & 1) << 7));
+#if defined(__BMI2__)
+  return (int)_pext_u32(f, SC_MASK);
+#else
+  return (int)(((f >> 1) & 1) | (((f >> 3) & 1) << 1) |
+               (((f >> 4) & 1) << 2) | (((f >> 6) & 1) << 3) |
+               (((f >> 8) & 1) << 4) | (((f >> 9) & 1) << 5) |
+               (((f >> 10) & 1) << 6) | (((f >> 11) & 1) << 7));
+#endif
 }
 
 // Stripe-contiguous state layout: the four rows of a stripe-column are
@@ -675,7 +706,10 @@ static void encode_one(GrkT1EncJob* j) {
   j->status = 0;
   if (numbps == 0) return;
 
-  MQEnc mq;
+  // MQ output bound: <=2.25 decisions/sample/plane, <=8/7 bits out per
+  // decision plus per-segment flush slack
+  size_t mq_cap = (size_t)h * w * (size_t)numbps / 3 + 1024;
+  MQEnc mq(mq_cap);
   RawEnc raw;
   bool raw_active = false;
   std::vector<uint8_t> out;
