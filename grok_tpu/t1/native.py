@@ -31,7 +31,7 @@ def _ensure_built() -> None:
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     srcs = [os.path.join(root, "native", n)
-            for n in ("t1.cc", "ht.cc", "dwt.cc")]
+            for n in ("t1.cc", "ht.cc", "dwt.cc", "t2.cc")]
     if not all(os.path.exists(s) for s in srcs):
         return  # installed layout without sources: use the shipped lib
     if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= max(

@@ -1,0 +1,175 @@
+"""ctypes bindings for the native C++ Tier-2 packet-header coder.
+
+Parity: the reference's T2Compress/T2Decompress are native C++ (SURVEY.md
+§2.1 "Tier-2"); this module routes the per-packet header coding through
+native/t2.cc while the progression iteration, SOP/EPH framing and body
+assembly stay in Python (grok_tpu/t2/packets.py).  The native side owns
+the resumable per-precinct state (tag trees, Lblock, inclusion layer,
+pass counters); the Python Codeblock state is mirrored on decode so the
+rest of the pipeline (Tier-1, window skip) sees the same fields the pure
+Python coder maintains.
+
+The pure-Python implementation in packets.py remains the correctness
+oracle; tests/test_native_t2.py differential-tests both per packet.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+
+import numpy as np
+
+from ..t1 import native as _t1_native  # builds + loads libgrk_t1.so
+
+_lib = _t1_native._lib
+
+MAX_CHUNKS = 200
+
+_lib.grk_t2_prc_new.argtypes = [ct.c_int, ct.c_uint64, ct.c_uint64]
+_lib.grk_t2_prc_new.restype = ct.c_void_p
+_lib.grk_t2_prc_free.argtypes = [ct.c_void_p]
+_lib.grk_t2_prc_reset.argtypes = [ct.c_void_p]
+_lib.grk_t2_encode_packet.argtypes = [
+    ct.c_void_p, ct.c_int, ct.c_int, ct.c_int,
+    ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+    ct.c_uint64, ct.c_int, ct.c_uint64, ct.c_long, ct.c_uint64]
+_lib.grk_t2_encode_packet.restype = ct.c_long
+_lib.grk_t2_decode_packet.argtypes = [
+    ct.c_void_p, ct.c_int, ct.c_int, ct.c_int,
+    ct.c_uint64, ct.c_long, ct.c_long, ct.c_uint64,
+    ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+    ct.c_uint64, ct.c_int, ct.POINTER(ct.c_long)]
+_lib.grk_t2_decode_packet.restype = ct.c_int
+
+
+def _addr(a: np.ndarray) -> int:
+    return a.__array_interface__["data"][0]
+
+
+class PrecinctHandle:
+    """Owns the native per-precinct Tier-2 state plus the reusable
+    marshalling arrays (one allocation per precinct, not per packet)."""
+
+    __slots__ = (
+        "ptr", "ncb", "cblks", "cblk_band", "npasses", "first_layer", "zb",
+        "numbps", "is_ht", "rates", "rates_stride", "ranges", "hdr_buf",
+        "out_incl", "out_newly", "out_zb", "out_isht", "out_nchunks",
+        "out_chunks", "hdr_pos_out", "statics_built",
+    )
+
+    def __init__(self, prc) -> None:
+        cw = np.asarray([pb.cblk_w if pb.cblks else 0 for pb in prc.pbands],
+                        dtype=np.int32)
+        ch = np.asarray([pb.cblk_h if pb.cblks else 0 for pb in prc.pbands],
+                        dtype=np.int32)
+        self.ptr = _lib.grk_t2_prc_new(len(prc.pbands), _addr(cw), _addr(ch))
+        self.cblks = [c for pb in prc.pbands for c in pb.cblks]
+        self.cblk_band = [bi for bi, pb in enumerate(prc.pbands)
+                          for _ in pb.cblks]
+        self.ncb = len(self.cblks)
+        n = max(self.ncb, 1)
+        self.npasses = np.zeros(n, dtype=np.int32)
+        self.first_layer = np.zeros(n, dtype=np.int32)
+        self.zb = np.zeros(n, dtype=np.int32)
+        self.numbps = np.zeros(n, dtype=np.int32)
+        self.is_ht = np.zeros(n, dtype=np.int32)
+        self.rates = None
+        self.rates_stride = 0
+        self.ranges = np.zeros(2 * n, dtype=np.int32)
+        self.hdr_buf = np.zeros(1 << 16, dtype=np.uint8)
+        self.out_incl = np.zeros(n, dtype=np.int32)
+        self.out_newly = np.zeros(n, dtype=np.int32)
+        self.out_zb = np.zeros(n, dtype=np.int32)
+        self.out_isht = np.zeros(n, dtype=np.int32)
+        self.out_nchunks = np.zeros(n, dtype=np.int32)
+        self.out_chunks = np.zeros(n * MAX_CHUNKS * 2, dtype=np.int32)
+        self.hdr_pos_out = ct.c_long(0)
+        self.statics_built = False
+
+    def __del__(self):  # pragma: no cover - interpreter teardown order
+        try:
+            _lib.grk_t2_prc_free(self.ptr)
+        except Exception:
+            pass
+
+    def reset(self) -> None:
+        _lib.grk_t2_prc_reset(self.ptr)
+        # rate control may have reassigned layers since the last pass
+        self.statics_built = False
+
+    # ------------------------------------------------------------ encoder
+
+    def _build_statics(self) -> None:
+        """Cache the per-cblk inputs that are static after Tier-1 (+ rate
+        control): zero bitplanes, numbps, coder choice, pass rates."""
+        stride = 1
+        for c in self.cblks:
+            stride = max(stride, len(c.pass_rates))
+        rates = np.zeros((max(self.ncb, 1), stride), dtype=np.int32)
+        for i, c in enumerate(self.cblks):
+            self.zb[i] = c.zero_bitplanes
+            self.numbps[i] = c.numbps
+            self.is_ht[i] = 1 if getattr(c, "is_ht", False) else 0
+            npl = c.num_passes_by_layer
+            first = len(npl)
+            for ln, np_ in enumerate(npl):
+                if np_ > 0:
+                    first = ln
+                    break
+            self.first_layer[i] = first
+            if c.pass_rates:
+                rates[i, :len(c.pass_rates)] = c.pass_rates
+        self.rates = rates
+        self.rates_stride = stride
+        self.statics_built = True
+
+    def encode(self, layno: int, style: int, mixed: bool):
+        """Returns (header bytes, body ranges int32[2*ncb])."""
+        if not self.statics_built:
+            self._build_statics()
+        for i, c in enumerate(self.cblks):
+            npl = c.num_passes_by_layer
+            self.npasses[i] = npl[layno] if layno < len(npl) else 0
+        n = _lib.grk_t2_encode_packet(
+            self.ptr, layno, int(style), 1 if mixed else 0,
+            _addr(self.npasses), _addr(self.first_layer), _addr(self.zb),
+            _addr(self.numbps), _addr(self.is_ht),
+            _addr(self.rates), self.rates_stride,
+            _addr(self.hdr_buf), len(self.hdr_buf), _addr(self.ranges))
+        if n < 0:  # pragma: no cover - 64KB header cap
+            raise RuntimeError("native T2 header overflow")
+        return self.hdr_buf[:n].tobytes(), self.ranges
+
+    # ------------------------------------------------------------ decoder
+
+    def decode(self, layno: int, style: int, mixed: bool,
+               hdr: bytes, hdr_pos: int, mb_per_band) -> int:
+        """Decode one packet header starting at hdr[hdr_pos].  Results are
+        left in the out_* arrays; returns the aligned position after the
+        header.  Raises ValueError on a malformed header."""
+        mb = np.asarray(mb_per_band, dtype=np.int32)
+        rc = _lib.grk_t2_decode_packet(
+            self.ptr, layno, int(style), 1 if mixed else 0,
+            _addr(np.frombuffer(hdr, dtype=np.uint8)) if hdr else 0,
+            len(hdr), hdr_pos, _addr(mb),
+            _addr(self.out_incl), _addr(self.out_newly), _addr(self.out_zb),
+            _addr(self.out_isht), _addr(self.out_nchunks),
+            _addr(self.out_chunks), MAX_CHUNKS,
+            ct.byref(self.hdr_pos_out))
+        if rc != 0:
+            raise ValueError("malformed packet header")
+        return self.hdr_pos_out.value
+
+
+def get_handle(prc) -> PrecinctHandle:
+    h = getattr(prc, "_nt2", None)
+    if h is None:
+        h = PrecinctHandle(prc)
+        prc._nt2 = h
+    return h
+
+
+def reset_precinct(prc) -> None:
+    h = getattr(prc, "_nt2", None)
+    if h is not None:
+        h.reset()

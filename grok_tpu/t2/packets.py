@@ -28,6 +28,25 @@ from .tagtree import TagTree
 SOP_MARKER = b"\xff\x91"
 EPH_MARKER = b"\xff\x92"
 
+# Native Tier-2 header coder (native/t2.cc); the pure-Python functions
+# below remain the correctness oracle (differential: tests/test_native_t2.py)
+import os as _os
+
+_native = None
+if _os.environ.get("GROK_TPU_NATIVE_T2", "1") != "0":  # pragma: no branch
+    try:
+        from . import native as _native_mod
+        _native = _native_mod
+    except Exception:  # pragma: no cover - missing/unbuilt native lib
+        _native = None
+
+
+def reset_precinct(prc) -> None:
+    """Reset all Tier-2 state of a precinct (native side; callers reset the
+    Python-side tag trees / codeblock counters themselves)."""
+    if _native is not None:
+        _native.reset_precinct(prc)
+
 
 # ---------------------------------------------------------------------------
 # Packet iteration
@@ -259,6 +278,42 @@ def encode_packet(
     split_header: bool = False,
     mixed: bool = False,
 ) -> bytes | tuple[bytes, bytes]:
+    """Encode one packet, routing the header coding through the native
+    Tier-2 coder when available (byte-identical to encode_packet_py)."""
+    if _native is None:
+        return encode_packet_py(res, precno, layno, style, sop, eph,
+                                sop_index, split_header, mixed)
+    prc = res.precincts[precno]
+    h = _native.get_handle(prc)
+    hdr, ranges = h.encode(layno, style, mixed)
+    body = bytearray()
+    for i, cblk in enumerate(h.cblks):
+        s = ranges[2 * i]
+        if s >= 0:
+            body += cblk.data[s:ranges[2 * i + 1]]
+    hdr = hdr + (EPH_MARKER if eph else b"")
+    if split_header:
+        return hdr, bytes(body)
+    out = bytearray()
+    if sop:
+        out += SOP_MARKER + b"\x00\x04" + bytes([(sop_index >> 8) & 0xFF,
+                                                 sop_index & 0xFF])
+    out += hdr
+    out += body
+    return bytes(out)
+
+
+def encode_packet_py(
+    res: Resolution,
+    precno: int,
+    layno: int,
+    style: CblkStyle,
+    sop: bool = False,
+    eph: bool = False,
+    sop_index: int = 0,
+    split_header: bool = False,
+    mixed: bool = False,
+) -> bytes | tuple[bytes, bytes]:
     """Encode one packet (header + body).  Codeblock layer assignments
     (num_passes_by_layer) must already be set by rate control.
 
@@ -360,6 +415,73 @@ def encode_packet(
 # ---------------------------------------------------------------------------
 
 def decode_packet(
+    data: bytes,
+    pos: int,
+    res: Resolution,
+    precno: int,
+    layno: int,
+    style: CblkStyle,
+    band_numbps: dict[int, int],
+    sop: bool = False,
+    eph: bool = False,
+    hdr_data: bytes | None = None,
+    hdr_pos: int = 0,
+    discard: bool = False,
+    mixed: bool = False,
+) -> tuple[int, int]:
+    """Decode one packet, routing the header parse through the native
+    Tier-2 coder when available (state mirrored onto the codeblocks so
+    downstream Tier-1 sees exactly what decode_packet_py maintains)."""
+    if _native is None:
+        return decode_packet_py(data, pos, res, precno, layno, style,
+                                band_numbps, sop, eph, hdr_data, hdr_pos,
+                                discard, mixed)
+    prc = res.precincts[precno]
+    in_ppt = hdr_data is not None
+    if data[pos:pos + 2] == SOP_MARKER:
+        pos += 6
+    elif sop and not in_ppt:
+        raise ValueError(f"expected SOP marker at offset {pos}")
+    h = _native.get_handle(prc)
+    mb = [band_numbps[pb.band_orient] for pb in prc.pbands]
+    if in_ppt:
+        hdr_pos = h.decode(layno, style, mixed, hdr_data, hdr_pos, mb)
+        if eph and hdr_data[hdr_pos:hdr_pos + 2] == EPH_MARKER:
+            hdr_pos += 2
+    else:
+        pos = h.decode(layno, style, mixed, data, pos, mb)
+        if eph and data[pos:pos + 2] == EPH_MARKER:
+            pos += 2
+    incl = h.out_incl
+    newly = h.out_newly
+    nchunks = h.out_nchunks
+    chunks = h.out_chunks
+    maxch = _native.MAX_CHUNKS
+    for i, cblk in enumerate(h.cblks):
+        if not incl[i]:
+            continue
+        if newly[i]:
+            cblk.zero_bitplanes = int(h.out_zb[i])
+            cblk.numbps = mb[h.cblk_band[i]] - cblk.zero_bitplanes
+            if mixed:
+                cblk.is_ht = bool(h.out_isht[i])
+            cblk.included_in_layer = layno
+            cblk.lblock = 3
+            cblk.total_passes = 0
+        if discard and not hasattr(cblk, "decode_pass_cap"):
+            cblk.decode_pass_cap = cblk.total_passes
+        base = i * maxch * 2
+        for k in range(int(nchunks[i])):
+            np_ = int(chunks[base + 2 * k])
+            ln = int(chunks[base + 2 * k + 1])
+            cblk.seg_data.append(data[pos:pos + ln])
+            cblk.seg_passes.append(np_)
+            cblk.total_passes += np_
+            pos += ln
+    return pos, hdr_pos
+
+
+def decode_packet_py(
     data: bytes,
     pos: int,
     res: Resolution,

@@ -551,10 +551,14 @@ class TileCompressor:
         return total + 14
 
     def _snapshot_t2(self):
+        # the native Tier-2 state is reset (not saved): simulation always
+        # starts from fresh state and real packet emission resets again
+        # via reset_t2(), so "fresh" IS the saved state here
         state = []
         for tc in self.tile.comps:
             for res in tc.resolutions:
                 for prc in res.precincts:
+                    t2.reset_precinct(prc)
                     for pband in prc.pbands:
                         state.append((pband, pband.incl_tree, pband.imsb_tree))
                         pband.incl_tree = None
@@ -592,6 +596,7 @@ class TileCompressor:
         for tc in self.tile.comps:
             for res in tc.resolutions:
                 for prc in res.precincts:
+                    t2.reset_precinct(prc)
                     for pband in prc.pbands:
                         pband.incl_tree = None
                         pband.imsb_tree = None

@@ -16,10 +16,11 @@ if g++ $FLAGS -fprofile-generate="$PGODIR" -o "$PGODIR/train" train.cc dwt.cc \
        2>/dev/null \
    && "$PGODIR/train" \
    && g++ $FLAGS -fprofile-use="$PGODIR" -fprofile-correction -shared \
-          -o ../grok_tpu/_native/libgrk_t1.so t1.cc ht.cc dwt.cc 2>/dev/null; then
+          -o ../grok_tpu/_native/libgrk_t1.so t1.cc ht.cc dwt.cc t2.cc \
+          2>/dev/null; then
     echo "built grok_tpu/_native/libgrk_t1.so (PGO)"
 else
-    g++ $FLAGS -shared -o ../grok_tpu/_native/libgrk_t1.so t1.cc ht.cc dwt.cc
+    g++ $FLAGS -shared -o ../grok_tpu/_native/libgrk_t1.so t1.cc ht.cc dwt.cc t2.cc
     echo "built grok_tpu/_native/libgrk_t1.so (no PGO)"
 fi
 rm -rf "$PGODIR"

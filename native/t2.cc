@@ -1,0 +1,552 @@
+// Native Tier-2 packet header coder.
+//
+// Parity: T2Compress/T2Decompress packet-header coding (SURVEY.md §2.1
+// "Tier-2", src/lib/core/t2/ [P]; ISO/IEC 15444-1 B.9-B.12).  The
+// progression iteration (PacketIter) and body assembly stay in Python
+// (grok_tpu/t2/packets.py); this module owns the per-precinct resumable
+// state — inclusion + zero-bitplane tag trees, per-codeblock Lblock /
+// inclusion-layer / pass counters — and the bit-level header codec, which
+// profiled as ~15-20%% of end-to-end host codec time in pure Python.
+//
+// The algorithm is a direct translation of the oracle-validated Python
+// reference (grok_tpu/t2/packets.py + bitio.py + tagtree.py); differential
+// tests in tests/test_native_t2.py keep both byte-identical.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace t2 {
+
+// ------------------------------------------------------------- bit I/O
+// Exact mirror of grok_tpu/t2/bitio.py: MSB-first with 0xFF stuffing
+// (7 payload bits after an emitted 0xFF byte).
+
+struct BitW {
+  std::vector<uint8_t> buf;
+  uint32_t acc = 0;
+  int used = 0, cap = 8;
+
+  inline void put(int b) {
+    acc = (acc << 1) | (b & 1);
+    if (++used == cap) {
+      buf.push_back((uint8_t)(acc & ((1u << cap) - 1)));
+      cap = (buf.back() == 0xFF) ? 7 : 8;
+      acc = 0;
+      used = 0;
+    }
+  }
+  inline void putn(uint32_t v, int n) {
+    for (int i = n - 1; i >= 0; i--) put((int)((v >> i) & 1));
+  }
+  void flush() {
+    while (used) put(0);
+    if (cap == 7) {  // last emitted byte was 0xFF: guard byte
+      buf.push_back(0);
+      cap = 8;
+    }
+  }
+};
+
+struct BitR {
+  const uint8_t* d;
+  long len, pos;
+  uint32_t acc = 0;
+  int avail = 0;
+  bool prev_ff = false;
+
+  BitR(const uint8_t* dd, long l, long p) : d(dd), len(l), pos(p) {}
+  inline int bit() {
+    if (avail == 0) {
+      uint8_t b = 0;  // tolerant: past-the-end reads zeros
+      if (pos < len) b = d[pos++];
+      acc = b;
+      avail = prev_ff ? 7 : 8;
+      prev_ff = (b == 0xFF);
+    }
+    avail--;
+    return (int)((acc >> avail) & 1);
+  }
+  inline uint32_t bits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | (uint32_t)bit();
+    return v;
+  }
+  void align() {
+    avail = 0;
+    if (prev_ff) {
+      if (pos < len) pos++;
+      prev_ff = false;
+    }
+  }
+};
+
+// ------------------------------------------------------------ tag tree
+// Array-based resumable tag tree (grok_tpu/t2/tagtree.py; ISO B.10.2).
+
+constexpr int32_t UNKNOWN = 999999999;
+
+struct TagTree {
+  int w = 0, h = 0, nleaves = 0, leaf0 = 0;
+  std::vector<int32_t> parent;  // node index or -1 (root)
+  std::vector<int32_t> value, low;
+  std::vector<uint8_t> known;
+
+  void build(int ww, int hh) {
+    w = ww;
+    h = hh;
+    parent.clear();
+    if (w <= 0 || h <= 0) {
+      nleaves = 0;
+      return;
+    }
+    // level dims from leaves up to the 1x1 root
+    std::vector<std::pair<int, int>> dims;
+    int lw = w, lh = h;
+    for (;;) {
+      dims.push_back({lw, lh});
+      if (lw == 1 && lh == 1) break;
+      lw = (lw + 1) / 2;
+      lh = (lh + 1) / 2;
+    }
+    // lay out root-first so parents precede children
+    int total = 0;
+    for (auto& dlv : dims) total += dlv.first * dlv.second;
+    parent.assign(total, -1);
+    int off_prev = -1, off_cur = 0;
+    int pw = 0;
+    for (int li = (int)dims.size() - 1; li >= 0; li--) {
+      int cw = dims[li].first, ch = dims[li].second;
+      if (off_prev >= 0) {
+        for (int j = 0; j < ch; j++)
+          for (int i = 0; i < cw; i++)
+            parent[off_cur + j * cw + i] = off_prev + (j / 2) * pw + (i / 2);
+      }
+      off_prev = off_cur;
+      off_cur += cw * ch;
+      pw = cw;
+    }
+    leaf0 = off_prev;
+    nleaves = w * h;
+    value.assign(total, UNKNOWN);
+    low.assign(total, 0);
+    known.assign(total, 0);
+  }
+  void reset() {
+    std::fill(value.begin(), value.end(), UNKNOWN);
+    std::fill(low.begin(), low.end(), 0);
+    std::fill(known.begin(), known.end(), 0);
+  }
+  void set_value(int leafno, int32_t v) {
+    int n = leaf0 + leafno;
+    while (n >= 0 && value[n] > v) {
+      value[n] = v;
+      n = parent[n];
+    }
+  }
+  void encode(BitW& bio, int leafno, int32_t threshold) {
+    int stack[32];
+    int sp = 0;
+    int n = leaf0 + leafno;
+    while (parent[n] >= 0) {
+      stack[sp++] = n;
+      n = parent[n];
+    }
+    int32_t lo = 0;
+    for (;;) {
+      if (lo > low[n]) low[n] = lo;
+      else lo = low[n];
+      while (lo < threshold) {
+        if (lo >= value[n]) {
+          if (!known[n]) {
+            bio.put(1);
+            known[n] = 1;
+          }
+          break;
+        }
+        bio.put(0);
+        lo++;
+      }
+      low[n] = lo;
+      if (sp == 0) break;
+      n = stack[--sp];
+    }
+  }
+  bool decode(BitR& bio, int leafno, int32_t threshold) {
+    int stack[32];
+    int sp = 0;
+    int n = leaf0 + leafno;
+    while (parent[n] >= 0) {
+      stack[sp++] = n;
+      n = parent[n];
+    }
+    int32_t lo = 0;
+    for (;;) {
+      if (lo > low[n]) low[n] = lo;
+      else lo = low[n];
+      while (lo < threshold && lo < value[n]) {
+        if (bio.bit()) value[n] = lo;
+        else lo++;
+      }
+      low[n] = lo;
+      if (sp == 0) break;
+      n = stack[--sp];
+    }
+    return value[n] < threshold;
+  }
+};
+
+// ---------------------------------------------------- segment layout
+// Mirrors grok_tpu/t1/coder.py segment_layout / _is_raw_pass /
+// _is_term_pass (SURVEY.md B.6 "Segments").
+
+enum { STY_LAZY = 1, STY_RESET = 2, STY_TERMALL = 4, STY_VSC = 8,
+       STY_PTERM = 16, STY_SEGSYM = 32 };
+
+static inline bool raw_pass(int ptype, int bpno, int numbps, int style) {
+  return (style & STY_LAZY) && ptype <= 1 && bpno <= numbps - 5;
+}
+static inline bool term_pass(int ptype, int bpno, int numbps, int style,
+                             bool last) {
+  if (last) return true;
+  if (style & STY_TERMALL) return true;
+  if (style & STY_LAZY) {
+    if (ptype == 2 && bpno <= numbps - 4) return true;
+    if (ptype == 1 && bpno <= numbps - 5) return true;
+  }
+  return false;
+}
+
+// codeword-segment bounds [s0, s1] by pass index
+static int seg_bounds(int style, int numbps, int32_t (*bounds)[2], int cap) {
+  int nsegs = 0;
+  int total = 3 * numbps - 2;
+  int passno = 0;
+  int cur_first = -1;
+  bool cur_raw = false;
+  for (int bpno = numbps - 1; bpno >= 0; bpno--) {
+    int pt_first = (bpno == numbps - 1) ? 2 : 0;
+    for (int ptype = pt_first; ptype <= 2; ptype++) {
+      bool rawp = raw_pass(ptype, bpno, numbps, style);
+      if (cur_first >= 0 && rawp != cur_raw) {
+        if (nsegs < cap) { bounds[nsegs][0] = cur_first;
+                           bounds[nsegs][1] = passno - 1; }
+        nsegs++;
+        cur_first = -1;
+      }
+      if (cur_first < 0) {
+        cur_first = passno;
+        cur_raw = rawp;
+      }
+      bool last = passno == total - 1;
+      if (term_pass(ptype, bpno, numbps, style, last)) {
+        if (nsegs < cap) { bounds[nsegs][0] = cur_first;
+                           bounds[nsegs][1] = passno; }
+        nsegs++;
+        cur_first = -1;
+      }
+      passno++;
+    }
+  }
+  if (cur_first >= 0) {
+    if (nsegs < cap) { bounds[nsegs][0] = cur_first;
+                       bounds[nsegs][1] = passno - 1; }
+    nsegs++;
+  }
+  return nsegs < cap ? nsegs : cap;
+}
+
+// split passes [first, first+num_new) into per-segment runs
+static int contribution_runs(int style, int numbps, int first, int num_new,
+                             int32_t (*runs)[2], int cap) {
+  int32_t bounds[128][2];
+  int nsegs = seg_bounds(style, numbps, bounds, 128);
+  int n = 0;
+  int p = first;
+  int end = first + num_new;
+  while (p < end) {
+    bool found = false;
+    for (int s = 0; s < nsegs; s++) {
+      if (bounds[s][0] <= p && p <= bounds[s][1]) {
+        int take = (end - 1 < bounds[s][1] ? end - 1 : bounds[s][1]) - p + 1;
+        if (n < cap) { runs[n][0] = p; runs[n][1] = take; }
+        n++;
+        p += take;
+        found = true;
+        break;
+      }
+    }
+    if (!found) {
+      if (n < cap) { runs[n][0] = p; runs[n][1] = end - p; }
+      n++;
+      break;
+    }
+  }
+  return n < cap ? n : cap;
+}
+
+static inline int floorlog2(uint32_t x) {  // x >= 1
+  return 31 - __builtin_clz(x);
+}
+static inline int bit_length(uint32_t x) {
+  return x ? 32 - __builtin_clz(x) : 0;
+}
+
+// pass-count code (SURVEY.md B.6)
+static void write_numpasses(BitW& bio, int n) {
+  if (n == 1) bio.put(0);
+  else if (n == 2) bio.putn(0b10, 2);
+  else if (n <= 5) { bio.putn(0b11, 2); bio.putn((uint32_t)(n - 3), 2); }
+  else if (n <= 36) { bio.putn(0b1111, 4); bio.putn((uint32_t)(n - 6), 5); }
+  else { bio.putn(0b111111111, 9); bio.putn((uint32_t)(n - 37), 7); }
+}
+static int read_numpasses(BitR& bio) {
+  if (!bio.bit()) return 1;
+  if (!bio.bit()) return 2;
+  uint32_t v = bio.bits(2);
+  if (v < 3) return 3 + (int)v;
+  v = bio.bits(5);
+  if (v < 31) return 6 + (int)v;
+  return 37 + (int)bio.bits(7);
+}
+
+// ------------------------------------------------------------ precinct
+
+struct Cblk {
+  int32_t incl_layer = -1;
+  int32_t lblock = 3;
+  int32_t total = 0;
+  int32_t numbps = 0;  // decoder: mb - zb once included
+};
+
+struct Band {
+  int cw = 0, ch = 0, off = 0;  // off: first cblk index in prc.cblks
+  TagTree incl, imsb;
+};
+
+struct Prc {
+  std::vector<Band> bands;
+  std::vector<Cblk> cblks;
+  bool enc_leaves_set = false;
+
+  void reset() {
+    for (auto& b : bands) {
+      b.incl.reset();
+      b.imsb.reset();
+    }
+    for (auto& c : cblks) c = Cblk{};
+    enc_leaves_set = false;
+  }
+};
+
+}  // namespace t2
+
+// ---------------------------------------------------------------- C ABI
+
+extern "C" {
+
+void* grk_t2_prc_new(int nbands, const int32_t* cw, const int32_t* ch) {
+  auto* p = new t2::Prc();
+  p->bands.resize(nbands);
+  int off = 0;
+  for (int b = 0; b < nbands; b++) {
+    t2::Band& bd = p->bands[b];
+    bd.cw = cw[b];
+    bd.ch = ch[b];
+    bd.off = off;
+    bd.incl.build(cw[b], ch[b]);
+    bd.imsb.build(cw[b], ch[b]);
+    off += cw[b] * ch[b];
+  }
+  p->cblks.resize(off);
+  return p;
+}
+
+void grk_t2_prc_free(void* h) { delete (t2::Prc*)h; }
+
+void grk_t2_prc_reset(void* h) { ((t2::Prc*)h)->reset(); }
+
+// Encode one packet header for this precinct/layer.  Arrays are indexed by
+// flat cblk index (band-major raster).  Writes header bytes to hdr_out and
+// the body byte range of each contributing cblk to body_ranges[2i..2i+1]
+// (start, end into cblk.data; -1,-1 = no contribution).  Returns the header
+// length in bytes or -1 if hdr_cap would overflow.
+long grk_t2_encode_packet(
+    void* h, int layno, int style, int mixed,
+    const int32_t* npasses_layer, const int32_t* first_layer,
+    const int32_t* zero_bitplanes, const int32_t* numbps,
+    const int32_t* is_ht,
+    const int32_t* pass_rates, int rates_stride,
+    uint8_t* hdr_out, long hdr_cap, int32_t* body_ranges) {
+  auto* p = (t2::Prc*)h;
+  int ncb = (int)p->cblks.size();
+  for (int i = 0; i < ncb; i++) {
+    body_ranges[2 * i] = -1;
+    body_ranges[2 * i + 1] = -1;
+  }
+  if (!p->enc_leaves_set) {
+    for (auto& bd : p->bands) {
+      if (!bd.cw || !bd.ch) continue;
+      for (int i = 0; i < bd.cw * bd.ch; i++) {
+        bd.incl.set_value(i, first_layer[bd.off + i]);
+        bd.imsb.set_value(i, zero_bitplanes[bd.off + i]);
+      }
+    }
+    p->enc_leaves_set = true;
+  }
+  t2::BitW bio;
+  bool any = false;
+  for (int i = 0; i < ncb && !any; i++) any = npasses_layer[i] > 0;
+  if (!any) {
+    bio.put(0);
+    bio.flush();
+    if ((long)bio.buf.size() > hdr_cap) return -1;
+    std::memcpy(hdr_out, bio.buf.data(), bio.buf.size());
+    return (long)bio.buf.size();
+  }
+  bio.put(1);
+  for (auto& bd : p->bands) {
+    int n = bd.cw * bd.ch;
+    for (int i = 0; i < n; i++) {
+      int ci = bd.off + i;
+      t2::Cblk& cb = p->cblks[ci];
+      int np = npasses_layer[ci];
+      bool already = cb.incl_layer >= 0;
+      if (!already) bd.incl.encode(bio, i, layno + 1);
+      else bio.put(np ? 1 : 0);
+      if (!np) continue;
+      if (!already) {
+        bd.imsb.encode(bio, i, zero_bitplanes[ci] + 1);
+        if (mixed) bio.put(is_ht[ci] ? 1 : 0);
+        cb.incl_layer = layno;
+        cb.lblock = 3;
+        cb.total = 0;
+      }
+      t2::write_numpasses(bio, np);
+      int32_t runs[200][2];
+      int nr = t2::contribution_runs(style, numbps[ci], cb.total, np,
+                                     runs, 200);
+      const int32_t* rates = pass_rates + (size_t)ci * rates_stride;
+      // Lblock update: one comma code fitting all runs
+      int needed = 0;
+      for (int r = 0; r < nr; r++) {
+        int p0 = runs[r][0], rn = runs[r][1];
+        int32_t start = p0 > 0 ? rates[p0 - 1] : 0;
+        int32_t ln = rates[p0 + rn - 1] - start;
+        int bl = t2::bit_length((uint32_t)ln);
+        if (bl < 1) bl = 1;
+        int bits = bl - t2::floorlog2((uint32_t)rn);
+        if (bits > needed) needed = bits;
+      }
+      if (needed > cb.lblock) {
+        for (int k = cb.lblock; k < needed; k++) bio.put(1);
+        cb.lblock = needed;
+      }
+      bio.put(0);
+      for (int r = 0; r < nr; r++) {
+        int p0 = runs[r][0], rn = runs[r][1];
+        int32_t start = p0 > 0 ? rates[p0 - 1] : 0;
+        int32_t ln = rates[p0 + rn - 1] - start;
+        bio.putn((uint32_t)ln, cb.lblock + t2::floorlog2((uint32_t)rn));
+      }
+      int32_t bstart = cb.total > 0 ? rates[cb.total - 1] : 0;
+      int32_t bend = rates[cb.total + np - 1];
+      body_ranges[2 * ci] = bstart;
+      body_ranges[2 * ci + 1] = bend;
+      cb.total += np;
+    }
+  }
+  bio.flush();
+  if ((long)bio.buf.size() > hdr_cap) return -1;
+  std::memcpy(hdr_out, bio.buf.data(), bio.buf.size());
+  return (long)bio.buf.size();
+}
+
+// Decode one packet header.  Outputs per flat cblk index: whether the cblk
+// contributes to this packet, whether it was newly included (zb/is_ht then
+// valid), and the (npasses, length) chunk list.  Returns 0 on success,
+// 1 on a malformed header (Lblock/zero-bitplane runaway or chunk
+// overflow); out_hdr_pos receives the byte-aligned position after the
+// header either way.
+int grk_t2_decode_packet(
+    void* h, int layno, int style, int mixed,
+    const uint8_t* hdr, long hdr_len, long hdr_pos,
+    const int32_t* mb_per_band,
+    int32_t* out_incl, int32_t* out_newly, int32_t* out_zb,
+    int32_t* out_isht, int32_t* out_nchunks, int32_t* out_chunks,
+    int maxch, long* out_hdr_pos) {
+  auto* p = (t2::Prc*)h;
+  int ncb = (int)p->cblks.size();
+  std::memset(out_incl, 0, sizeof(int32_t) * ncb);
+  std::memset(out_newly, 0, sizeof(int32_t) * ncb);
+  std::memset(out_nchunks, 0, sizeof(int32_t) * ncb);
+  t2::BitR bio(hdr, hdr_len, hdr_pos);
+  if (!bio.bit()) {
+    bio.align();
+    *out_hdr_pos = bio.pos;
+    return 0;
+  }
+  int bandno = -1;
+  for (auto& bd : p->bands) {
+    bandno++;
+    int n = bd.cw * bd.ch;
+    if (!n) continue;
+    int32_t mb = mb_per_band[bandno];
+    for (int i = 0; i < n; i++) {
+      int ci = bd.off + i;
+      t2::Cblk& cb = p->cblks[ci];
+      bool already = cb.incl_layer >= 0;
+      bool included;
+      if (!already) included = bd.incl.decode(bio, i, layno + 1);
+      else included = bio.bit() != 0;
+      if (!included) continue;
+      if (!already) {
+        int32_t k = 1;
+        while (!bd.imsb.decode(bio, i, k)) {
+          if (++k > mb + 256) {  // runaway: corrupt header
+            bio.align();
+            *out_hdr_pos = bio.pos;
+            return 1;
+          }
+        }
+        cb.numbps = mb - (k - 1);
+        out_zb[ci] = k - 1;
+        if (mixed) out_isht[ci] = bio.bit();
+        out_newly[ci] = 1;
+        cb.incl_layer = layno;
+        cb.lblock = 3;
+        cb.total = 0;
+      }
+      int np = t2::read_numpasses(bio);
+      int32_t runs[200][2];
+      int nr = t2::contribution_runs(style, cb.numbps, cb.total, np,
+                                     runs, 200);
+      while (bio.bit()) {
+        if (++cb.lblock > 64) {  // runaway comma code: corrupt header
+          bio.align();
+          *out_hdr_pos = bio.pos;
+          return 1;
+        }
+      }
+      if (nr > maxch) {
+        bio.align();
+        *out_hdr_pos = bio.pos;
+        return 1;
+      }
+      for (int r = 0; r < nr; r++) {
+        int rn = runs[r][1];
+        uint32_t ln = bio.bits(cb.lblock + t2::floorlog2((uint32_t)rn));
+        out_chunks[((size_t)ci * maxch + r) * 2] = rn;
+        out_chunks[((size_t)ci * maxch + r) * 2 + 1] = (int32_t)ln;
+      }
+      out_nchunks[ci] = nr;
+      out_incl[ci] = 1;
+      cb.total += np;
+    }
+  }
+  bio.align();
+  *out_hdr_pos = bio.pos;
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,127 @@
+"""Differential tests: native Tier-2 packet coder vs the pure-Python oracle.
+
+The native path (native/t2.cc via grok_tpu/t2/native.py) must produce
+byte-identical codestreams and identical decoded images to the Python
+reference implementation (encode_packet_py / decode_packet_py) across the
+option space: layers, progressions, precincts, SOP/EPH, mode switches,
+PPT packed headers, tiles.
+"""
+
+import numpy as np
+import pytest
+
+import grok_tpu
+from grok_tpu import CompressParams, DecompressParams, GrkImage
+from grok_tpu.params import Progression
+from grok_tpu.t2 import packets
+
+
+requires_native = pytest.mark.skipif(
+    packets._native is None, reason="native T2 not built")
+
+
+def _img(shape, seed=0, prec=8):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 1 << prec, shape,
+                       dtype=np.uint16 if prec > 8 else np.uint8)
+    if prec <= 8:
+        arr = arr.astype(np.uint8)
+    return GrkImage.from_array(arr, prec=prec)
+
+
+def _with_python_t2(fn):
+    saved = packets._native
+    packets._native = None
+    try:
+        return fn()
+    finally:
+        packets._native = saved
+
+
+CASES = [
+    dict(),  # defaults: lossless 5/3 single layer
+    dict(layers_rates=[40.0, 10.0, 2.5], irreversible=True),
+    dict(prog_order=Progression.RPCL, precinct_size=[(128, 128)],
+         sop=True, eph=True),
+    dict(prog_order=Progression.PCRL, layers_rates=[20.0, 5.0]),
+    dict(cblk_style=0x01 | 0x04),            # lazy + termall
+    dict(tile_size=(64, 64), layers_rates=[8.0, 2.0]),
+    dict(ppt=True, layers_rates=[10.0, 3.0]),
+]
+
+
+@requires_native
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_encode_matches_python(case):
+    kw = dict(CASES[case])
+    img = _img((96, 112), seed=case)
+    p = CompressParams()
+    for k, v in kw.items():
+        setattr(p, k, v)
+    native_bytes = grok_tpu.compress(img, p)
+    img2 = _img((96, 112), seed=case)
+    py_bytes = _with_python_t2(lambda: grok_tpu.compress(img2, p))
+    assert native_bytes == py_bytes
+
+
+@requires_native
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_decode_matches_python(case):
+    kw = dict(CASES[case])
+    img = _img((96, 112), seed=100 + case)
+    p = CompressParams()
+    for k, v in kw.items():
+        setattr(p, k, v)
+    data = grok_tpu.compress(img, p)
+    a = grok_tpu.decompress(data, DecompressParams()).to_array()
+    b = _with_python_t2(
+        lambda: grok_tpu.decompress(data, DecompressParams()).to_array())
+    assert np.array_equal(a, b)
+
+
+@requires_native
+def test_decode_matches_python_layer_discard():
+    img = _img((128, 128), seed=7)
+    p = CompressParams()
+    p.layers_rates = [40.0, 10.0, 2.5]
+    p.irreversible = True
+    data = grok_tpu.compress(img, p)
+    dp = DecompressParams()
+    dp.max_layers = 2
+    a = grok_tpu.decompress(data, dp).to_array()
+    b = _with_python_t2(lambda: grok_tpu.decompress(data, dp).to_array())
+    assert np.array_equal(a, b)
+
+
+@requires_native
+def test_malformed_header_raises_not_crashes():
+    img = _img((64, 64), seed=9)
+    data = bytearray(grok_tpu.compress(img, CompressParams()))
+    # find SOD and trash the first packet-header bytes after it
+    sod = bytes(data).find(b"\xff\x93")
+    assert sod > 0
+    for i in range(sod + 2, min(sod + 8, len(data))):
+        data[i] = 0xFF
+    try:
+        grok_tpu.decompress(bytes(data), DecompressParams(strict=False))
+    except grok_tpu.CodestreamError:
+        pass  # rejecting is fine; crashing or hanging is not
+
+
+@requires_native
+def test_oracle_stream_decodes_identically():
+    # streams from the independent OpenJPEG encoder exercise tag-tree and
+    # Lblock paths our encoder may not produce
+    from io import BytesIO
+    from PIL import Image
+
+    arr = (np.random.default_rng(3).integers(0, 256, (130, 75, 3))
+           .astype(np.uint8))
+    buf = BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG2000", no_jp2=True,
+                              quality_mode="rates", quality_layers=[30, 8, 1],
+                              progression="RPCL", num_resolutions=4)
+    data = buf.getvalue()
+    a = grok_tpu.decompress(data).to_array()
+    b = _with_python_t2(lambda: grok_tpu.decompress(data).to_array())
+    assert np.array_equal(a, b)
