@@ -169,3 +169,23 @@ def test_dump_shows_tile_parts_with_tlm(tmp_path, rng):
     r = subprocess.run([sys.executable, "-m", "grok_tpu.cli.grk_dump",
                         "-i", j2], capture_output=True, text=True)
     assert r.stdout.count("SOT") == 4, r.stdout
+
+
+def test_random_tile_access(tmp_path, rng):
+    """j2k_random_tile_access parity (SURVEY.md §4 family 3): every tile
+    decodes independently, in shuffled order, bit-identical to the full
+    decode — with tile offsets, subsampling, and a TLM index present."""
+    from grok_tpu import codec as gcodec
+    from grok_tpu.cli import random_tile_access
+    from grok_tpu.image import GrkImage
+    from grok_tpu.params import CompressParams
+
+    arr = rng.integers(0, 256, (150, 210, 3)).astype(np.uint8)
+    p = CompressParams()
+    p.tile_size = (64, 64)
+    p.tlm = True
+    data = gcodec.compress(GrkImage.from_array(arr), p)
+    f = tmp_path / "rta.j2k"
+    f.write_bytes(data)
+    assert random_tile_access.main(["-i", str(f), "--seed", "11"]) == 0
+    assert random_tile_access.main(["-i", str(f), "--seed", "4"]) == 0
