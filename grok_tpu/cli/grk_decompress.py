@@ -79,10 +79,53 @@ def params_from_args(args) -> DecompressParams:
     return dp
 
 
+def _try_stream_strips(data: bytes, out_path: str, args, dp) -> bool:
+    """Strip-streamed decode -> async PNM writer (FileUringIO/StripCache
+    parity): file I/O overlaps decode.  Returns False when the request
+    needs the whole-image path (post-ops, other formats, benchmarking)."""
+    import os
+
+    if os.path.splitext(out_path)[1].lower() not in (".pgm", ".ppm", ".pnm"):
+        return False
+    if (args.repetitions != 1 or args.duration or args.profile
+            or args.split_pnm or args.force_rgb or args.upsample
+            or args.apply_icc or args.precision
+            or args.tile is not None or args.decode_window is not None):
+        return False
+    hi = codec.read_header(data, strict=dp.strict)
+    comps = hi.image.comps
+    if len(comps) not in (1, 3) or hi.image.meta.palette is not None:
+        return False
+    if any(c.sgnd or c.prec > 16 or c.dx != 1 or c.dy != 1 for c in comps):
+        return False
+    import time
+
+    from ..io.stripio import AsyncStripWriter
+
+    t0 = time.perf_counter()
+    div = 1 << min(dp.reduce,
+                   min(t.numresolutions for t in hi.cp.tcps[0].tccps) - 1)
+    w = -(-(hi.image.x1 - hi.image.x0) // div)
+    h = -(-(hi.image.y1 - hi.image.y0) // div)
+    with AsyncStripWriter(out_path, w, h, len(comps),
+                          comps[0].prec) as wr:
+        for _, strip in codec.decompress_strips(data, dp):
+            wr.write_strip(strip)
+    log.info("%s (strip-streamed): %.2f MP/s",
+             out_path, w * h * len(comps) / 1e6 / (time.perf_counter() - t0))
+    return True
+
+
 def decompress_one(in_path: str, out_path: str, args) -> None:
     dp = params_from_args(args)
     with open(in_path, "rb") as f:
         data = f.read()
+
+    try:
+        if _try_stream_strips(data, out_path, args, dp):
+            return
+    except (GrkError, ValueError, IOError) as e:
+        log.warning("strip streaming unavailable (%s); whole-image path", e)
 
     def do():
         return codec.decompress(data, dp)

@@ -1,0 +1,95 @@
+"""Asynchronous strip-streamed image output.
+
+Parity: the reference's FileUringIO async strip writes (SURVEY.md §2.2
+"Image formats": io_uring strip writes on Linux) + StripCache streaming
+(§2.3): the decoder produces strips while a background writer thread
+serializes and writes the previous strips, so file I/O and pixel
+serialization overlap decode instead of following it.
+
+Supports binary PNM (P5 gray / P6 RGB, 8- and 16-bit big-endian) — the
+formats whose layout permits append-only row streaming.  Everything else
+goes through the whole-image writers in io/formats.py.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+class AsyncStripWriter:
+    """Writes (y0, {compno: rows}) strips to a PNM file through a bounded
+    queue + writer thread (double-buffer overlap)."""
+
+    def __init__(self, path: str, width: int, height: int, ncomp: int,
+                 prec: int, queue_depth: int = 2) -> None:
+        if ncomp not in (1, 3):
+            raise ValueError("PNM streaming supports 1 or 3 components")
+        if prec > 16:
+            raise ValueError("PNM supports at most 16-bit samples")
+        self.width = width
+        self.height = height
+        self.ncomp = ncomp
+        self.prec = prec
+        self._rows_written = 0
+        self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
+        self._err: list[BaseException] = []
+        self._f = open(path, "wb")
+        magic = b"P5" if ncomp == 1 else b"P6"
+        maxval = (1 << prec) - 1
+        self._f.write(magic + b"\n%d %d\n%d\n" % (width, height, maxval))
+        self._thread = threading.Thread(target=self._writer, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------ producer
+
+    def write_strip(self, comps: dict[int, np.ndarray]) -> None:
+        """Enqueue one strip ({compno: (rows, width) int arrays}); blocks
+        when the writer is more than queue_depth strips behind."""
+        if self._err:
+            raise self._err[0]
+        self._q.put(comps)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join()
+        self._f.close()
+        if self._err:
+            raise self._err[0]
+        if self._rows_written != self.height:
+            raise IOError(
+                f"strip stream ended at row {self._rows_written}, "
+                f"expected {self.height}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:  # error upstream: stop the writer, leave the partial file
+            self._q.put(None)
+            self._thread.join()
+            self._f.close()
+        return False
+
+    # ------------------------------------------------------------- writer
+
+    def _writer(self) -> None:
+        try:
+            dtype = np.dtype(">u2") if self.prec > 8 else np.dtype("u1")
+            while True:
+                item = self._q.get()
+                if item is None:
+                    return
+                planes = [np.asarray(item[c]) for c in range(self.ncomp)]
+                if self.ncomp == 1:
+                    block = planes[0].astype(dtype)
+                else:
+                    block = np.stack(planes, axis=-1).astype(dtype)
+                self._rows_written += planes[0].shape[0]
+                self._f.write(block.tobytes())
+        except BaseException as e:  # pragma: no cover - propagated to close()
+            self._err.append(e)

@@ -189,3 +189,33 @@ def test_random_tile_access(tmp_path, rng):
     f.write_bytes(data)
     assert random_tile_access.main(["-i", str(f), "--seed", "11"]) == 0
     assert random_tile_access.main(["-i", str(f), "--seed", "4"]) == 0
+
+
+def test_strip_streamed_pnm_output(tmp_path, rng):
+    """grk_decompress streams PNM output through the async strip writer
+    (FileUringIO/StripCache parity) bit-identically to a full decode."""
+    from grok_tpu import codec as gcodec
+    from grok_tpu.cli import grk_decompress
+    from grok_tpu.image import GrkImage
+    from grok_tpu.params import CompressParams
+
+    arr = rng.integers(0, 256, (150, 210)).astype(np.uint8)
+    p = CompressParams()
+    p.tile_size = (64, 64)
+    j2 = tmp_path / "s.j2k"
+    j2.write_bytes(gcodec.compress(GrkImage.from_array(arr), p))
+    out = tmp_path / "s.pgm"
+    assert grk_decompress.main(["-i", str(j2), "-o", str(out)]) == 0
+    assert np.array_equal(np.asarray(Image.open(out)), arr)
+
+    rgb = rng.integers(0, 65536, (64, 80, 3)).astype(np.uint16)
+    j2 = tmp_path / "s16.j2k"
+    j2.write_bytes(gcodec.compress(GrkImage.from_array(rgb, prec=16),
+                                   CompressParams()))
+    out = tmp_path / "s16.ppm"
+    assert grk_decompress.main(["-i", str(j2), "-o", str(out)]) == 0
+    raw = out.read_bytes()
+    hdr = b"P6\n80 64\n65535\n"
+    assert raw.startswith(hdr)
+    got = np.frombuffer(raw[len(hdr):], dtype=">u2").reshape(64, 80, 3)
+    assert np.array_equal(got, rgb)
