@@ -110,6 +110,34 @@ def main():
     assert np.array_equal(out3.comps[0].data, g16)
     mp3 = g16.size / 1e6
 
+    # config 4: DCI cinema 2K (XYZ 12-bit, CPRL, DCI rate caps)
+    from grok_tpu.params import Profile
+
+    yy, xx = np.mgrid[0:1080, 0:2048].astype(float)
+    xyz = np.stack([2048 + 1500 * np.sin(xx / 37) * np.cos(yy / 23),
+                    xx * 4095 / 2048, yy * 4095 / 1080], -1)
+    xyz = (xyz + rng2.normal(0, 20, xyz.shape)).clip(0, 4095).astype(np.int32)
+    img4 = GrkImage.from_array(xyz, prec=12)
+    cp4 = CompressParams(profile=Profile.CINEMA_2K, framerate=24,
+                         numresolution=6, backend=backend)
+    d4 = grok_tpu.compress(img4, cp4)
+    t4e = best_of(lambda: grok_tpu.compress(img4, cp4), 3)
+    t4d = best_of(lambda: grok_tpu.decompress(d4, dp), 3)
+    mp4 = xyz.size / 3 / 1e6
+
+    # config 5 family: tiled HTJ2K image, O(window) region decode
+    g5 = rng2.integers(0, 256, size=(2048, 2048)).astype(np.int32)
+    img5 = GrkImage.from_array(g5, prec=8)
+    cp5 = CompressParams(numresolution=6, tile_size=(512, 512), ht=True,
+                         tlm=True, backend=backend)
+    d5 = grok_tpu.compress(img5, cp5)
+    dp5 = DecompressParams(backend=backend)
+    dp5.window = (700, 900, 956, 1156)  # 256x256 ROI crossing a tile seam
+    out5 = grok_tpu.decompress(d5, dp5)  # window-sized canvas
+    assert np.array_equal(out5.comps[0].data, g5[900:1156, 700:956])
+    t5d = best_of(lambda: grok_tpu.decompress(d5, dp5), 5)
+    roi_mp = 256 * 256 / 1e6
+
     # device Tier-1 kernel throughput (guarded: the experimental axon
     # relay worker can crash on large programs; never fail the bench)
     device_mq = device_ht = None
@@ -150,6 +178,9 @@ def main():
         "lossy_decode_mps": round(mp2 / t2d, 3),
         "tiled16_encode_mps": round(mp3 / t3e, 3),
         "tiled16_decode_mps": round(mp3 / t3d, 3),
+        "cinema2k_encode_mps": round(mp4 / t4e, 3),
+        "cinema2k_decode_mps": round(mp4 / t4d, 3),
+        "roi_window_decode_mps": round(roi_mp / t5d, 3),
         # on-device Tier-1 kernel throughput at a 64-block batch (byte-
         # identical streams; see PERF_NOTES.md for the relay economics —
         # scan cost is ~constant in batch size, so these scale with B on
