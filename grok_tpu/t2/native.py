@@ -94,22 +94,19 @@ class PrecinctHandle:
 
     def reset(self) -> None:
         _lib.grk_t2_prc_reset(self.ptr)
-        # rate control may have reassigned layers since the last pass
+        # rate control may have reassigned layers since the last pass:
+        # the inclusion-tree leaf values (first contributing layer) must
+        # be rederived, but zb/numbps/rates are static after Tier-1
         self.statics_built = False
 
     # ------------------------------------------------------------ encoder
 
     def _build_statics(self) -> None:
-        """Cache the per-cblk inputs that are static after Tier-1 (+ rate
-        control): zero bitplanes, numbps, coder choice, pass rates."""
-        stride = 1
-        for c in self.cblks:
-            stride = max(stride, len(c.pass_rates))
-        rates = np.zeros((max(self.ncb, 1), stride), dtype=np.int32)
+        """Refresh the per-cblk encoder inputs.  The tag-tree leaf values
+        (first contributing layer) change with every rate-control trial;
+        zero bitplanes / numbps / coder choice / pass rates are static
+        after Tier-1 and are built only once."""
         for i, c in enumerate(self.cblks):
-            self.zb[i] = c.zero_bitplanes
-            self.numbps[i] = c.numbps
-            self.is_ht[i] = 1 if getattr(c, "is_ht", False) else 0
             npl = c.num_passes_by_layer
             first = len(npl)
             for ln, np_ in enumerate(npl):
@@ -117,10 +114,19 @@ class PrecinctHandle:
                     first = ln
                     break
             self.first_layer[i] = first
-            if c.pass_rates:
-                rates[i, :len(c.pass_rates)] = c.pass_rates
-        self.rates = rates
-        self.rates_stride = stride
+        if self.rates is None:
+            stride = 1
+            for c in self.cblks:
+                stride = max(stride, len(c.pass_rates))
+            rates = np.zeros((max(self.ncb, 1), stride), dtype=np.int32)
+            for i, c in enumerate(self.cblks):
+                self.zb[i] = c.zero_bitplanes
+                self.numbps[i] = c.numbps
+                self.is_ht[i] = 1 if getattr(c, "is_ht", False) else 0
+                if c.pass_rates:
+                    rates[i, :len(c.pass_rates)] = c.pass_rates
+            self.rates = rates
+            self.rates_stride = stride
         self.statics_built = True
 
     def encode(self, layno: int, style: int, mixed: bool):

@@ -550,29 +550,42 @@ class TileCompressor:
         # headers: SOT+SOD fixed overhead per tile-part
         return total + 14
 
+    def _precinct_list(self):
+        plist = getattr(self, "_t2_prc_cache", None)
+        if plist is None:
+            plist = [prc for tc in self.tile.comps
+                     for res in tc.resolutions for prc in res.precincts]
+            self._t2_prc_cache = plist
+        return plist
+
     def _snapshot_t2(self):
         # the native Tier-2 state is reset (not saved): simulation always
         # starts from fresh state and real packet emission resets again
         # via reset_t2(), so "fresh" IS the saved state here
+        if t2._native is not None:
+            # native path: Python-side trees/counters are never touched by
+            # the native coder, so only the native state needs resetting
+            for prc in self._precinct_list():
+                t2.reset_precinct(prc)
+            return None
         state = []
-        for tc in self.tile.comps:
-            for res in tc.resolutions:
-                for prc in res.precincts:
-                    t2.reset_precinct(prc)
-                    for pband in prc.pbands:
-                        state.append((pband, pband.incl_tree, pband.imsb_tree))
-                        pband.incl_tree = None
-                        pband.imsb_tree = None
-                        for cblk in pband.cblks:
-                            state.append(
-                                (cblk, cblk.included_in_layer, cblk.lblock,
-                                 cblk.total_passes))
-                            cblk.included_in_layer = -1
-                            cblk.lblock = 3
-                            cblk.total_passes = 0
+        for prc in self._precinct_list():
+            for pband in prc.pbands:
+                state.append((pband, pband.incl_tree, pband.imsb_tree))
+                pband.incl_tree = None
+                pband.imsb_tree = None
+                for cblk in pband.cblks:
+                    state.append(
+                        (cblk, cblk.included_in_layer, cblk.lblock,
+                         cblk.total_passes))
+                    cblk.included_in_layer = -1
+                    cblk.lblock = 3
+                    cblk.total_passes = 0
         return state
 
     def _restore_t2(self, state):
+        if state is None:  # native path: next consumer resets first
+            return
         for item in state:
             if len(item) == 3:
                 pband, it, zt = item
@@ -593,17 +606,15 @@ class TileCompressor:
     # ---- stage 3: Tier-2 packet emission ----
 
     def reset_t2(self):
-        for tc in self.tile.comps:
-            for res in tc.resolutions:
-                for prc in res.precincts:
-                    t2.reset_precinct(prc)
-                    for pband in prc.pbands:
-                        pband.incl_tree = None
-                        pband.imsb_tree = None
-                        for cblk in pband.cblks:
-                            cblk.included_in_layer = -1
-                            cblk.lblock = 3
-                            cblk.total_passes = 0
+        for prc in self._precinct_list():
+            t2.reset_precinct(prc)
+            for pband in prc.pbands:
+                pband.incl_tree = None
+                pband.imsb_tree = None
+                for cblk in pband.cblks:
+                    cblk.included_in_layer = -1
+                    cblk.lblock = 3
+                    cblk.total_passes = 0
 
     def write_layer_packets(self, layno: int) -> bytes:
         """Packets of one layer in LRCP-local order (used for simulation)."""
