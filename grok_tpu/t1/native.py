@@ -248,7 +248,12 @@ def ht_encode_batch_native(jobs: list[bk.EncodeJob],
         if j.numbps == 0:
             j.passes = []
         else:
-            e0 = float((np.abs(coeff_arrs[i]).astype(np.float64) ** 2).sum())
+            # coefficient energy = distortion removed by the (single) HT
+            # pass; only rate control across layers reads it
+            e0 = 0.0
+            if j.need_dist:
+                a = coeff_arrs[i].astype(np.float64)
+                e0 = float((a * a).sum())
             j.passes = [PassInfo(2, j.numbps - 1, True, len(j.data), e0)]
 
 

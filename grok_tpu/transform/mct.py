@@ -82,6 +82,10 @@ def matrix_inverse(planes: list[np.ndarray], m: np.ndarray) -> list[np.ndarray]:
 def dc_shift_forward(x: np.ndarray, prec: int, sgnd: bool) -> np.ndarray:
     if sgnd:
         return x.astype(np.int32, copy=False)
+    if prec <= 24 and x.dtype == np.int32:
+        # int32 headroom is ample below 24-bit precision (mirrors
+        # dc_shift_inverse): one subtract, no int64 round-trip copies
+        return x - np.int32(1 << (prec - 1))
     return (x.astype(np.int64) - (1 << (prec - 1))).astype(np.int32)
 
 

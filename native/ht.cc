@@ -16,74 +16,115 @@ namespace {
 
 static const int MEL_E[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
 
-struct BitWriterMSB {
-  // 64-bit accumulator bit packer; bytes drain through the 0xFF-stuffing
-  // rule (7-bit capacity after an 0xFF byte)
+// Fast unstuffed MSB-first bit packer: a 64-bit accumulator drains four
+// bytes at a time with no per-byte stuffing checks; the stream is stuffed
+// once at assembly time (grk_stuff_bits), which is byte-identical to
+// streaming through the stuffing-aware writer.
+struct FastBitW {
   std::vector<uint8_t> bytes;
   uint64_t acc = 0;
-  uint32_t used = 0, cap = 8;
-  inline void drain() {
-    while (used >= cap) {
-      uint8_t b = (uint8_t)((acc >> (used - cap)) & ((1u << cap) - 1));
-      bytes.push_back(b);
-      used -= cap;
-      cap = (b == 0xFF) ? 7 : 8;
+  uint32_t used = 0;
+  inline void put(int bit) { put_bits((uint32_t)(bit & 1), 1); }
+  inline void put_bits(uint32_t v, int n) {
+    acc = (acc << n) | (uint64_t)(v & ((n >= 32) ? 0xFFFFFFFFu
+                                                 : ((1u << n) - 1)));
+    used += (uint32_t)n;
+    if (used >= 32) {
+      used -= 32;
+      uint32_t out = (uint32_t)(acc >> used);
+      size_t o = bytes.size();
+      bytes.resize(o + 4);
+      bytes[o] = (uint8_t)(out >> 24);
+      bytes[o + 1] = (uint8_t)(out >> 16);
+      bytes[o + 2] = (uint8_t)(out >> 8);
+      bytes[o + 3] = (uint8_t)out;
     }
   }
-  inline void put(int bit) {
-    acc = (acc << 1) | (uint32_t)(bit & 1);
-    used++;
-    drain();
-  }
-  inline void put_bits(uint32_t v, int n) {
-    acc = (acc << n) | (v & ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
-    used += n;
-    drain();
-  }
-  void flush() {
-    while (used) put(0);  // zero-pad to the next (stuffing-aware) boundary
-    if (!bytes.empty() && bytes.back() == 0xFF) bytes.push_back(0);
-    acc = 0; used = 0; cap = 8;
+  long nbits() const { return (long)bytes.size() * 8 + used; }
+  // close the packed byte buffer (zero-pad the final partial byte)
+  void finalize() {
+    uint32_t rem = used;
+    if (rem) {
+      uint64_t tail = acc << (8 * ((rem + 7) / 8) - rem);
+      for (int k = (int)((rem + 7) / 8) - 1; k >= 0; k--)
+        bytes.push_back((uint8_t)(tail >> (8 * k)));
+    }
   }
 };
 
-struct BitReaderMSB {
-  // 64-bit reservoir reader honoring the 0xFF-stuffing rule
-  const uint8_t* data = nullptr;
-  int len = 0, pos = 0;
-  uint64_t acc = 0;
-  uint32_t avail = 0;
-  bool prev_ff = false;
-  void init(const uint8_t* d, int l) {
-    data = d; len = l; pos = 0; acc = 0; avail = 0; prev_ff = false;
-  }
-  inline void refill(uint32_t need) {
-    while (avail < need) {
-      uint8_t b = pos < len ? data[pos] : 0;
-      pos++;
-      uint32_t c = prev_ff ? 7 : 8;
-      acc = (acc << c) | (uint64_t)(b & ((1u << c) - 1));
-      avail += c;
-      prev_ff = (b == 0xFF);
+// Byte-wise 0xFF stuffer: same output as streaming the bits through a
+// stuffing-aware writer with zero-pad flush and trailing-0xFF guard
+// (grk_stuff_bits semantics), but ~1 loop iteration per byte.
+static void stuff_stream(FastBitW& bw, long nbits,
+                         std::vector<uint8_t>& out) {
+  out.clear();
+  out.reserve((size_t)(nbits / 7 + 16));
+  const uint8_t* in = bw.bytes.data();
+  long nbytes = (nbits + 7) / 8;
+  uint32_t acc = 0, used = 0, width = 8;
+  for (long i = 0; i < nbytes; i++) {
+    uint32_t take = (i == nbytes - 1) ? (uint32_t)(nbits - 8 * i) : 8u;
+    acc = (acc << take) | (uint32_t)(in[i] >> (8 - take));
+    used += take;
+    while (used >= width) {
+      uint8_t b = (uint8_t)((acc >> (used - width)) & ((1u << width) - 1));
+      out.push_back(b);
+      used -= width;
+      width = (b == 0xFF) ? 7 : 8;
     }
   }
-  inline int get() {
-    refill(1);
-    avail--;
-    return (int)((acc >> avail) & 1);
+  if (used) {
+    uint8_t b = (uint8_t)((acc << (width - used)) & ((1u << width) - 1));
+    out.push_back(b);
   }
+  if (!out.empty() && out.back() == 0xFF) out.push_back(0);
+}
+
+// Fast stuffed-stream reader: destuffs once into a packed bit buffer,
+// then serves get/get_bits via unaligned big-endian loads.
+struct FastBitR {
+  std::vector<uint8_t> buf;  // packed payload bits + 8 guard bytes
+  size_t bitpos = 0;
+  void init(const uint8_t* d, int len) {
+    buf.assign((size_t)len + 16, 0);
+    uint64_t acc = 0;
+    uint32_t used = 0;
+    size_t o = 0;
+    bool prev_ff = false;
+    for (int i = 0; i < len; i++) {
+      uint8_t b = d[i];
+      uint32_t c = prev_ff ? 7 : 8;
+      prev_ff = (b == 0xFF);
+      acc = (acc << c) | (uint64_t)(b & ((1u << c) - 1));
+      used += c;
+      while (used >= 8) {
+        used -= 8;
+        buf[o++] = (uint8_t)(acc >> used);
+      }
+    }
+    if (used) buf[o++] = (uint8_t)(acc << (8 - used));
+    bitpos = 0;  // tolerant: reads past the end return zeros (guard bytes)
+  }
+  inline int get() { return (int)get_bits(1); }
   inline uint32_t get_bits(int n) {
     if (n == 0) return 0;
-    refill((uint32_t)n);
-    avail -= (uint32_t)n;
-    return (uint32_t)((acc >> avail) & ((n >= 32) ? 0xFFFFFFFFu
-                                                  : ((1u << n) - 1)));
+    size_t byte = bitpos >> 3;
+    if (byte + 8 > buf.size()) {  // tolerant: corrupt stream over-read
+      bitpos += (size_t)n;
+      return 0;
+    }
+    uint32_t off = (uint32_t)(bitpos & 7);
+    uint64_t w;
+    std::memcpy(&w, buf.data() + byte, 8);
+    w = __builtin_bswap64(w);
+    bitpos += (size_t)n;
+    return (uint32_t)((w << off) >> (64 - n));
   }
 };
 
 struct MELEnc {
   int k = 0, run = 0;
-  BitWriterMSB bw;
+  FastBitW bw;
   inline void encode(int e) {
     int t = 1 << MEL_E[k];
     if (e == 0) {
@@ -99,15 +140,18 @@ struct MELEnc {
       if (k > 0) k--;
     }
   }
-  void flush() {
+  // returns payload bit count (run-terminator included)
+  long finish() {
     if (run) bw.put(1);
-    bw.flush();
+    long n = bw.nbits();
+    bw.finalize();
+    return n;
   }
 };
 
 struct MELDec {
   int k = 0;
-  BitReaderMSB br;
+  FastBitR br;
   int pending_zeros = 0;
   bool pending_one = false;
   inline int decode() {
@@ -130,14 +174,14 @@ struct MELDec {
   }
 };
 
-static inline void put_u(BitWriterMSB& bw, uint32_t u) {
+static inline void put_u(FastBitW& bw, uint32_t u) {
   if (u == 0) bw.put(0);
   else if (u == 1) bw.put_bits(0b10, 2);
   else if (u == 2) bw.put_bits(0b110, 3);
   else { bw.put_bits(0b111, 3); bw.put_bits(u - 3, 7); }
 }
 
-static inline uint32_t get_u(BitReaderMSB& br) {
+static inline uint32_t get_u(FastBitR& br) {
   if (!br.get()) return 0;
   if (!br.get()) return 1;
   if (!br.get()) return 2;
@@ -186,9 +230,11 @@ static void ht_encode_one(GrkHTEncJob* j) {
   j->numbps = numbps;
   if (numbps == 0) return;
 
-  BitWriterMSB magsgn;
+  FastBitW magsgn;
   MELEnc mel;
-  BitWriterMSB vlc;
+  FastBitW vlc;
+  magsgn.bytes.reserve((size_t)h * w * 5);
+  vlc.bytes.reserve((size_t)h * w);
   int qh = (h + 1) / 2, qw = (w + 1) / 2;
   for (int qy = 0; qy < qh; qy++) {
     uint32_t u_pred = 1;
@@ -229,19 +275,25 @@ static void ht_encode_one(GrkHTEncJob* j) {
       }
     }
   }
-  magsgn.flush();
-  mel.flush();
-  vlc.flush();
-  size_t scup = mel.bw.bytes.size() + vlc.bytes.size() + 2;
+  long ms_bits = magsgn.nbits();
+  magsgn.finalize();
+  long mel_bits = mel.finish();
+  long vlc_bits = vlc.nbits();
+  vlc.finalize();
+  thread_local std::vector<uint8_t> ms_s, mel_s, vlc_s;
+  stuff_stream(magsgn, ms_bits, ms_s);
+  stuff_stream(mel.bw, mel_bits, mel_s);
+  stuff_stream(vlc, vlc_bits, vlc_s);
+  size_t scup = mel_s.size() + vlc_s.size() + 2;
   if (scup > 4079) { j->status = 1; return; }
-  size_t total = magsgn.bytes.size() + scup;
+  size_t total = ms_s.size() + scup;
   if ((int)total > j->out_cap) { j->status = 1; return; }
   uint8_t* o = j->out;
-  std::memcpy(o, magsgn.bytes.data(), magsgn.bytes.size());
-  o += magsgn.bytes.size();
-  std::memcpy(o, mel.bw.bytes.data(), mel.bw.bytes.size());
-  o += mel.bw.bytes.size();
-  for (size_t i = vlc.bytes.size(); i-- > 0;) *o++ = vlc.bytes[i];
+  std::memcpy(o, ms_s.data(), ms_s.size());
+  o += ms_s.size();
+  std::memcpy(o, mel_s.data(), mel_s.size());
+  o += mel_s.size();
+  for (size_t i = vlc_s.size(); i-- > 0;) *o++ = vlc_s[i];
   *o++ = (uint8_t)(scup & 0x0F);
   *o++ = (uint8_t)((scup >> 4) & 0xFF);
   j->out_len = (int32_t)total;
@@ -258,13 +310,13 @@ static void ht_decode_one(GrkHTDecJob* j) {
   if (scup < 2 || scup > L) return;
   int ms_len = L - scup;
   int suf_len = scup - 2;
-  BitReaderMSB ms;
+  FastBitR ms;
   ms.init(d, ms_len);
   MELDec mel;
   mel.br.init(d + ms_len, suf_len);
   std::vector<uint8_t> rev(suf_len);
   for (int i = 0; i < suf_len; i++) rev[i] = d[ms_len + suf_len - 1 - i];
-  BitReaderMSB vlc;
+  FastBitR vlc;
   vlc.init(rev.data(), suf_len);
 
   int qh = (h + 1) / 2, qw = (w + 1) / 2;
