@@ -291,7 +291,7 @@ class CodestreamDecoder:
             return tp_end
         tile_tcp = self.tile_tcps.get(isot)
         if tile_tcp is None:
-            tile_tcp = copy.deepcopy(self.hi.cp.tcps[0])
+            tile_tcp = self.hi.cp.tcps[0].clone()
             self.tile_tcps[isot] = tile_tcp
         while pos + 2 <= tp_end:
             code = struct.unpack(">H", d[pos:pos + 2])[0]

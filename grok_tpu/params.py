@@ -12,6 +12,7 @@ LRCP, one layer, reversible 5/3, no precincts (implicit 2^15), 2 guard bits.
 
 from __future__ import annotations
 
+import dataclasses
 import enum
 from dataclasses import dataclass, field
 
@@ -241,6 +242,15 @@ class TileComponentCodingParams:
     roi_shift: int = 0
     ht: bool = False             # this component uses the HT block coder
 
+    def clone(self) -> "TileComponentCodingParams":
+        """Independent copy (cheaper than deepcopy on the decode hot path:
+        one clone per tile seeds the per-tile TCP from the main header)."""
+        c = dataclasses.replace(self)
+        c.prcw = list(self.prcw)
+        c.prch = list(self.prch)
+        c.stepsizes = [dataclasses.replace(s) for s in self.stepsizes]
+        return c
+
 
 @dataclass
 class TileCodingParams:
@@ -264,6 +274,20 @@ class TileCodingParams:
     mct_offsets: object | None = None
     rates: list[float] = field(default_factory=list)
     distortions: list[float] = field(default_factory=list)
+
+    def clone(self) -> "TileCodingParams":
+        """Independent per-tile copy of the main-header TCP.  Containers
+        are copied one level deep; leaf records (MCT arrays, progression
+        change entries) are read-only once parsed and stay shared."""
+        c = dataclasses.replace(self)
+        c.tccps = [t.clone() for t in self.tccps]
+        c.progression_changes = list(self.progression_changes)
+        c.mct_records = dict(self.mct_records)
+        c.mcc_records = dict(self.mcc_records)
+        c.mco_order = list(self.mco_order)
+        c.rates = list(self.rates)
+        c.distortions = list(self.distortions)
+        return c
 
 
 @dataclass
