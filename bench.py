@@ -129,7 +129,7 @@ def main():
     g5 = rng2.integers(0, 256, size=(2048, 2048)).astype(np.int32)
     img5 = GrkImage.from_array(g5, prec=8)
     cp5 = CompressParams(numresolution=6, tile_size=(512, 512), ht=True,
-                         tlm=True, backend=backend)
+                         tlm=True, plt=True, backend=backend)
     d5 = grok_tpu.compress(img5, cp5)
     dp5 = DecompressParams(backend=backend)
     dp5.window = (700, 900, 956, 1156)  # 256x256 ROI crossing a tile seam

@@ -55,6 +55,7 @@ class CodestreamDecoder:
         self.strict = strict
         self.hi = HeaderInfo()
         self.tile_parts: dict[int, list[bytes]] = {}
+        self.tile_plt: dict[int, bytearray] = {}  # concatenated PLT varints
         self.tile_tcps: dict[int, TileCodingParams] = {}
         self.tile_ppt: dict[int, bytearray] = {}
         self.tp_sequence: list[int] = []  # tile index per tile-part, in order
@@ -267,6 +268,16 @@ class CodestreamDecoder:
         self._lazy_spans = spans
         return pos
 
+    def _tile_pkt_lens(self, tidx: int) -> list[int] | None:
+        """Per-packet byte lengths from the tile's PLT index (None when no
+        PLT was signaled).  Lets decode_packets skip whole packets outside
+        the decode window / reduced resolutions / discarded layers without
+        parsing their headers — the O(region) random-access path."""
+        buf = self.tile_plt.get(tidx)
+        if not buf:
+            return None
+        return mk.read_plt(b"\x00" + bytes(buf))
+
     def _ensure_tile(self, tidx: int) -> None:
         """Parse the tile-parts of one tile on first use (TLM fast path)."""
         for (s, _e) in self._lazy_spans.pop(tidx, ()):
@@ -326,7 +337,15 @@ class CodestreamDecoder:
                 elif code == mk.PPT:
                     buf = self.tile_ppt.setdefault(isot, bytearray())
                     buf += payload[1:]
-                elif code in (mk.PLT, mk.COM):
+                elif code == mk.PLT:
+                    # packet-length index: drives O(region) packet skipping
+                    # (SURVEY.md §3.3 "PLT ... make this O(region)").
+                    # Varint bytes are concatenated across segments (a
+                    # length may straddle a Zplt boundary in other
+                    # encoders' streams).
+                    self.tile_plt.setdefault(isot, bytearray()).extend(
+                        payload[1:])
+                elif code == mk.COM:
                     pass
                 else:
                     self._err(
@@ -478,7 +497,8 @@ class CodestreamDecoder:
             tcp.ppt_data = bytes(self.tile_ppt.get(tidx, b"")) or None
             tile = build_tile(tidx, trect, img, tcp)
             td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
-                                  reduce=reduce_, max_layers=p.max_layers)
+                                  reduce=reduce_, max_layers=p.max_layers,
+                                  pkt_lens=self._tile_pkt_lens(tidx))
             sop, eph = self._tile_sop_eph.get(tidx, (hi.sop, hi.eph))
             try:
                 td.decode_packets(b"".join(parts), sop=sop, eph=eph)
@@ -538,7 +558,7 @@ class CodestreamDecoder:
         tile = build_tile(tidx, trect, img, tcp)
         td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
                               reduce=reduce_, max_layers=p.max_layers,
-                              window=win)
+                              window=win, pkt_lens=self._tile_pkt_lens(tidx))
         data = b"".join(parts)
         sop, eph = self._tile_sop_eph.get(tidx, (hi.sop, hi.eph))
         try:

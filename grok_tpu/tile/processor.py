@@ -760,7 +760,8 @@ def reconstruct_device_batched(tds: list["TileDecompressor"]):
 class TileDecompressor:
     def __init__(self, tile: Tile, tcp: TileCodingParams, image,
                  cp: CodingParams, backend: str = "auto", reduce: int = 0,
-                 max_layers: int = 0, window: Rect | None = None):
+                 max_layers: int = 0, window: Rect | None = None,
+                 pkt_lens: list[int] | None = None):
         self.tile = tile
         self.tcp = tcp
         self.image = image
@@ -769,6 +770,34 @@ class TileDecompressor:
         self.reduce = reduce
         self.max_layers = max_layers
         self.window = window  # canvas-coords decode region or None
+        self.pkt_lens = pkt_lens  # PLT index: per-packet byte lengths
+
+    def _packet_needed(self, pc) -> bool:
+        """Does this packet contribute to the requested decode?  False only
+        for packets that are provably irrelevant: reduced-away resolutions,
+        discarded layers, and precincts disjoint from the decode window.
+        Skipping a whole precinct (or a tail of layers) never desyncs the
+        remaining headers: Tier-2 state is per-precinct and layer-monotone."""
+        tccp = self.tcp.tccps[pc.compno]
+        numres_used = max(1, tccp.numresolutions - self.reduce)
+        if pc.resno >= numres_used:
+            return False
+        if self.max_layers and pc.layno >= self.max_layers:
+            return False
+        if self.window is None:
+            return True
+        prc = self.tile.comps[pc.compno].resolutions[pc.resno].precincts[
+            pc.precno]
+        for pband in prc.pbands:
+            if not pband.cblks:
+                continue
+            wrect = self._window_band_rect(pc.compno, pc.resno,
+                                           pband.band_orient)
+            if wrect is None:
+                return True
+            if not pband.rect.intersect(wrect).is_empty():
+                return True
+        return False
 
     def decode_packets(self, data: bytes, sop=False, eph=False) -> None:
         comp_info = [(c.dx, c.dy, self.tcp.tccps[i].numresolutions)
@@ -777,6 +806,10 @@ class TileDecompressor:
         pos = 0
         hdr_pos = 0
         ppt = self.tcp.ppt_data
+        # PLT-guided packet skipping needs inline headers (with PPT the
+        # header stream has no length index) and a plausible PLT
+        plt = self.pkt_lens if ppt is None and self.pkt_lens and \
+            len(self.pkt_lens) >= len(order) else None
         for n, pc in enumerate(order):
             tc = self.tile.comps[pc.compno]
             tccp = self.tcp.tccps[pc.compno]
@@ -784,6 +817,11 @@ class TileDecompressor:
             band_numbps = {b.orient: b.numbps for b in res.bands}
             if pos >= len(data):
                 break  # tolerant: truncated tile data
+            if plt is not None and not self._packet_needed(pc):
+                pos += plt[n]  # skip without parsing (O(region) path)
+                self._skipped_packets = getattr(
+                    self, "_skipped_packets", 0) + 1
+                continue
             discard = bool(self.max_layers) and pc.layno >= self.max_layers
             mixed = tccp.ht and getattr(self.cp, "ht_mixed", False)
             try:

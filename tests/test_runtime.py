@@ -149,3 +149,46 @@ def test_fine_strip_streaming(rng):
     assembled = np.concatenate([s for _, s in rows], axis=0)
     assert np.array_equal(assembled, full.comps[0].data)
     assert rows[0][0] == 0 and len(rows) == 6
+
+
+def test_plt_guided_packet_skip(rng):
+    """With a PLT index present, window decode skips parsing packets of
+    precincts outside the region (SURVEY.md §3.3 O(region) path) and still
+    reproduces the full decode bit-exactly."""
+    import grok_tpu
+    from grok_tpu import CompressParams, DecompressParams, GrkImage
+    from grok_tpu.codestream.decompress import CodestreamDecoder
+
+    g = rng.integers(0, 256, size=(512, 512)).astype(np.int32)
+    p = CompressParams(numresolution=5, tile_size=(256, 256),
+                       precincts=[(128, 128)], plt=True)
+    data = grok_tpu.compress(GrkImage.from_array(g, prec=8), p)
+
+    dec = CodestreamDecoder(data)
+    dec.parse()
+    dp = DecompressParams()
+    dp.window = (10, 10, 100, 100)
+    out = dec.decode(dp)
+    assert np.array_equal(out.comps[0].data, g[10:100, 10:100])
+    # at least the three other tiles' precincts were skipped unparsed
+    assert getattr(dec, "_last_skipped", None) is None  # decoder-level n/a
+
+    # count skips on a single-tile windowed decode via the processor hook
+    import grok_tpu.tile.processor as proc
+    skipped = []
+    orig = proc.TileDecompressor.decode_packets
+
+    def wrapper(self, *a, **kw):
+        r = orig(self, *a, **kw)
+        skipped.append(getattr(self, "_skipped_packets", 0))
+        return r
+
+    proc.TileDecompressor.decode_packets = wrapper
+    try:
+        dec2 = CodestreamDecoder(data)
+        dec2.parse()
+        out2 = dec2.decode(dp)
+    finally:
+        proc.TileDecompressor.decode_packets = orig
+    assert np.array_equal(out2.comps[0].data, g[10:100, 10:100])
+    assert sum(skipped) > 0, "no packets were PLT-skipped"
