@@ -55,6 +55,7 @@ class _EncJob(ct.Structure):
         ("h", ct.c_int32), ("w", ct.c_int32),
         ("orient", ct.c_int32), ("style", ct.c_int32),
         ("need_dist", ct.c_int32),
+        ("stride", ct.c_int32),
         ("coeffs", ct.c_uint64),
         ("out", ct.c_uint64),
         ("out_cap", ct.c_int32), ("out_len", ct.c_int32),
@@ -87,6 +88,16 @@ _lib.grk_t1_decode_batch.restype = ct.c_int
 MAX_PASSES = 3 * 32
 
 
+def _as_strided_int32(a) -> np.ndarray:
+    """Accept 2-D int32 row-major views without copying (the native coders
+    take a row stride); anything else is converted/copied."""
+    arr = np.asarray(a)
+    if arr.dtype == np.int32 and arr.ndim == 2 and \
+            arr.strides[1] == 4 and arr.strides[0] >= 4 * arr.shape[1]:
+        return arr
+    return np.ascontiguousarray(arr, dtype=np.int32)
+
+
 def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
     n = len(jobs)
     if n == 0:
@@ -94,8 +105,7 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
     cjobs = (_EncJob * n)()
     from ..t1.coder import PassInfo
 
-    coeff_arrs = [np.ascontiguousarray(j.coeffs, dtype=np.int32)
-                  for j in jobs]
+    coeff_arrs = [_as_strided_int32(j.coeffs) for j in jobs]
     caps = [max(4096, a.shape[0] * a.shape[1] * 4 + 1024)
             for a in coeff_arrs]
     out_pool = np.empty(sum(caps), dtype=np.uint8)
@@ -116,6 +126,7 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
         c.orient = int(j.orient)
         c.style = int(j.style)
         c.need_dist = 1 if j.need_dist else 0
+        c.stride = coeffs.strides[0] // 4
         c.coeffs = _addr(coeffs)
         c.out = out_base + out_off
         c.out_cap = caps[i]
@@ -191,6 +202,7 @@ def decode_batch_native(jobs: list[bk.DecodeJob], num_threads: int = 0) -> None:
 class _HTEncJob(ct.Structure):
     _fields_ = [
         ("h", ct.c_int32), ("w", ct.c_int32),
+        ("stride", ct.c_int32), ("_pad", ct.c_int32),
         ("coeffs", ct.c_uint64),
         ("out", ct.c_uint64),
         ("out_cap", ct.c_int32), ("out_len", ct.c_int32),
@@ -220,8 +232,7 @@ def ht_encode_batch_native(jobs: list[bk.EncodeJob],
     if n == 0:
         return
     cjobs = (_HTEncJob * n)()
-    coeff_arrs = [np.ascontiguousarray(j.coeffs, dtype=np.int32)
-                  for j in jobs]
+    coeff_arrs = [_as_strided_int32(j.coeffs) for j in jobs]
     caps = [max(4096, a.shape[0] * a.shape[1] * 5 + 2048)
             for a in coeff_arrs]
     out_pool = np.empty(sum(caps), dtype=np.uint8)
@@ -232,6 +243,7 @@ def ht_encode_batch_native(jobs: list[bk.EncodeJob],
         h, w = coeffs.shape
         c = cjobs[i]
         c.h, c.w = h, w
+        c.stride = coeffs.strides[0] // 4
         c.coeffs = _addr(coeffs)
         c.out = out_base + out_off
         c.out_cap = caps[i]

@@ -248,8 +248,9 @@ class TileCompressor:
                             # truncation where the energy is), HT elsewhere
                             use_ht = tccp.ht and not (mixed and res.resno == 0)
                             cblk.is_ht = use_ht
-                            if isinstance(sl, np.ndarray):
-                                sl = np.ascontiguousarray(sl)
+                            # numpy views pass through (the native coders
+                            # take strided input); device arrays convert
+                            # in their own backend
                             jobs.append(t1_backend.EncodeJob(
                                 sl, band.orient,
                                 tccp.cblk_style, ht=use_ht,

@@ -194,6 +194,8 @@ extern "C" {
 
 struct GrkHTEncJob {
   int32_t h, w;
+  int32_t stride;  // row stride of coeffs in elements (0 -> w)
+  int32_t _pad;    // keep the pointer 8-byte aligned
   const int32_t* coeffs;
   uint8_t* out;
   int32_t out_cap;
@@ -216,14 +218,17 @@ namespace {
 
 static void ht_encode_one(GrkHTEncJob* j) {
   int h = j->h, w = j->w;
+  int cstride = j->stride > 0 ? j->stride : w;
   j->status = 0;
   j->out_len = 0;
   uint32_t maxmag = 0;
   const int32_t* cf = j->coeffs;
-  for (size_t i = 0; i < (size_t)h * w; i++) {
-    int32_t v = cf[i];
-    uint32_t m = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
-    if (m > maxmag) maxmag = m;
+  for (int y = 0; y < h; y++) {
+    for (int x = 0; x < w; x++) {
+      int32_t v = cf[(size_t)y * cstride + x];
+      uint32_t m = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
+      if (m > maxmag) maxmag = m;
+    }
   }
   int numbps = 0;
   while (maxmag >> numbps) numbps++;
@@ -246,7 +251,7 @@ static void ht_encode_one(GrkHTEncJob* j) {
       int ns = 0;
       for (int dx = 0; dx < nx; dx++)
         for (int dy = 0; dy < ny; dy++)
-          vals[ns++] = cf[(size_t)(y0 + dy) * w + (x0 + dx)];
+          vals[ns++] = cf[(size_t)(y0 + dy) * cstride + (x0 + dx)];
       uint32_t rho = 0, umax = 0;
       uint32_t mags[4];
       for (int i = 0; i < ns; i++) {

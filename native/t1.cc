@@ -472,6 +472,8 @@ extern "C" {
 struct GrkT1EncJob {
   int32_t h, w, orient, style;
   int32_t need_dist;  // 0: skip distortion tracking (single-layer encodes)
+  int32_t stride;     // row stride of coeffs in elements (0 -> w): lets
+                      // callers pass band-array views without copying
   const int32_t* coeffs;
   uint8_t* out;
   int32_t out_cap;
@@ -686,11 +688,12 @@ static void enc_clnpass(T1State& st, int bpno, int orient, bool vsc,
 
 static void encode_one(GrkT1EncJob* j) {
   int h = j->h, w = j->w;
+  int cstride = j->stride > 0 ? j->stride : w;
   T1State st(h, w);
   uint32_t maxmag = 0;
   for (int y = 0; y < h; y++) {
     for (int x = 0; x < w; x++) {
-      int32_t v = j->coeffs[(size_t)y * w + x];
+      int32_t v = j->coeffs[(size_t)y * cstride + x];
       size_t i = st.idx(y, x);
       uint32_t m = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
       st.mag[i] = m;
@@ -1041,7 +1044,7 @@ int grk_t1_decode_batch(GrkT1DecJob* jobs, int n, int num_threads) {
   return 0;
 }
 
-int grk_t1_abi_version() { return 1; }
+int grk_t1_abi_version() { return 2; }
 
 // Re-serialize an unstuffed MSB-first bit buffer with the HT bit-writer's
 // 0xFF stuffing (7-bit capacity after a 0xFF byte), zero-padded flush and
