@@ -219,3 +219,17 @@ def test_strip_streamed_pnm_output(tmp_path, rng):
     assert raw.startswith(hdr)
     got = np.frombuffer(raw[len(hdr):], dtype=">u2").reshape(64, 80, 3)
     assert np.array_equal(got, rgb)
+
+
+def test_compare_raw_files(tmp_path):
+    from grok_tpu.cli import compare_raw_files
+
+    a = tmp_path / "a.raw"
+    b = tmp_path / "b.raw"
+    a.write_bytes(b"\x00\x01\x02\x03")
+    b.write_bytes(b"\x00\x01\x02\x03")
+    assert compare_raw_files.main(["-b", str(a), "-t", str(b)]) == 0
+    b.write_bytes(b"\x00\x01\xFF\x03")
+    assert compare_raw_files.main(["-b", str(a), "-t", str(b)]) == 1
+    b.write_bytes(b"\x00\x01")
+    assert compare_raw_files.main(["-b", str(a), "-t", str(b)]) == 1
