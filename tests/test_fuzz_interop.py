@@ -137,3 +137,33 @@ def test_corruption_never_crashes(mode, rng):
             grok_tpu.decompress(bytes(ba))
         except GrkError:
             pass  # clean codec error is acceptable
+
+
+def test_corruption_with_indexes_and_window_never_crashes(rng):
+    """Fuzz the index-driven fast paths added in round 2: PLT-guided
+    packet skipping, TLM tile seek, SOP resync, and the native Tier-2
+    header parser must all survive corruption (at worst a GrkError), with
+    and without a decode window."""
+    from grok_tpu.errors import GrkError
+    from grok_tpu.params import DecompressParams
+
+    yy, xx = np.mgrid[0:96, 0:96].astype(float)
+    arr = (128 + 90 * np.sin(xx / 13) * np.cos(yy / 9)).clip(
+        0, 255).astype(np.int32)
+    base = grok_tpu.compress(
+        GrkImage.from_array(arr),
+        CompressParams(numresolution=3, tile_size=(48, 48),
+                       layer_rates=[10, 1.0], plt=True, tlm=True,
+                       sop=True, eph=True))
+    for trial in range(40):
+        r = np.random.default_rng(7000 + trial)
+        ba = bytearray(base)
+        for _ in range(int(r.integers(1, 10))):
+            ba[int(r.integers(0, len(ba)))] = int(r.integers(0, 256))
+        dp = DecompressParams()
+        if trial % 2:
+            dp.window = (10, 10, 60, 60)
+        try:
+            grok_tpu.decompress(bytes(ba), dp)
+        except GrkError:
+            pass  # clean codec error is acceptable
