@@ -18,10 +18,22 @@ from .image import GrkImage  # noqa: F401
 from .params import CompressParams, DecompressParams  # noqa: F401
 
 
+_CODEC_API = (
+    "compress", "decompress", "read_header", "decompress_strips",
+    "decompress_file", "compress_file", "decompress_stream",
+    "compress_stream", "set_msg_handlers",
+)
+_ERRORS = ("GrkError", "CodestreamError", "ParamError")
+
+
 def __getattr__(name):
     # codec imports jax lazily; keep top-level import light
-    if name in ("compress", "decompress", "read_header"):
+    if name in _CODEC_API:
         from . import codec
 
         return getattr(codec, name)
+    if name in _ERRORS:
+        from . import errors
+
+        return getattr(errors, name)
     raise AttributeError(name)

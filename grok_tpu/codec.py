@@ -121,6 +121,26 @@ def compress_file(image: GrkImage, path: str,
     return len(data)
 
 
+def decompress_stream(stream, params: DecompressParams | None = None,
+                      cache=None) -> GrkImage:
+    """Decode from a user stream object (grk_stream_params callback-stream
+    parity, SURVEY.md §2.1 "Public API"): anything with read() — a file
+    object, socket wrapper, BytesIO — or with a buffer protocol."""
+    if hasattr(stream, "read"):
+        data = stream.read()
+    else:
+        data = stream
+    return decompress(data, params, cache=cache)
+
+
+def compress_stream(image: GrkImage, stream,
+                    params: CompressParams | None = None) -> int:
+    """Encode to a user stream object with write(); returns byte count."""
+    data = compress(image, params)
+    stream.write(data)
+    return len(data)
+
+
 # ---------------------------------------------------------------- logging
 
 def set_msg_handlers(info=None, warn=None, error=None) -> None:

@@ -192,3 +192,23 @@ def test_plt_guided_packet_skip(rng):
         proc.TileDecompressor.decode_packets = orig
     assert np.array_equal(out2.comps[0].data, g[10:100, 10:100])
     assert sum(skipped) > 0, "no packets were PLT-skipped"
+
+
+def test_stream_object_api(rng):
+    """compress_stream/decompress_stream (grk_stream_params callback-stream
+    parity) round-trip through file-like objects."""
+    import io as _io
+
+    import grok_tpu
+    from grok_tpu import CompressParams, GrkImage
+
+    arr = rng.integers(0, 256, (40, 60)).astype(np.int32)
+    buf = _io.BytesIO()
+    n = grok_tpu.compress_stream(GrkImage.from_array(arr, prec=8), buf,
+                                 CompressParams(numresolution=3))
+    assert n == buf.tell() and n > 0
+    buf.seek(0)
+    out = grok_tpu.decompress_stream(buf)
+    assert np.array_equal(out.comps[0].data, arr)
+    # error types are reachable from the package root
+    assert issubclass(grok_tpu.CodestreamError, grok_tpu.GrkError)
