@@ -253,7 +253,8 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
             tile = build_tile(tidx, trect, image, tcp)
             compressors.append((tidx, tcp, trect, TileCompressor(
                 tile, tcp, image, cp, backend=p.backend,
-                mct_norms_arr=mct_norms_arr)))
+                mct_norms_arr=mct_norms_arr,
+                num_threads=p.num_threads)))
     if p.backend == "device" and len(compressors) > 1:
         from ..tile.processor import run_transforms_device_batched
 

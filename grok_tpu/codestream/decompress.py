@@ -498,7 +498,8 @@ class CodestreamDecoder:
             tile = build_tile(tidx, trect, img, tcp)
             td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
                                   reduce=reduce_, max_layers=p.max_layers,
-                                  pkt_lens=self._tile_pkt_lens(tidx))
+                                  pkt_lens=self._tile_pkt_lens(tidx),
+                                  num_threads=p.num_threads)
             sop, eph = self._tile_sop_eph.get(tidx, (hi.sop, hi.eph))
             try:
                 td.decode_packets(b"".join(parts), sop=sop, eph=eph)
@@ -558,7 +559,8 @@ class CodestreamDecoder:
         tile = build_tile(tidx, trect, img, tcp)
         td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
                               reduce=reduce_, max_layers=p.max_layers,
-                              window=win, pkt_lens=self._tile_pkt_lens(tidx))
+                              window=win, pkt_lens=self._tile_pkt_lens(tidx),
+                              num_threads=p.num_threads)
         data = b"".join(parts)
         sop, eph = self._tile_sop_eph.get(tidx, (hi.sop, hi.eph))
         try:

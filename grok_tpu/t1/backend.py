@@ -55,13 +55,13 @@ class DecodeJob:
     out: np.ndarray | None = None  # doubled-domain signed int32
 
 
-def _encode_python(jobs: list[EncodeJob]) -> None:
+def _encode_python(jobs: list[EncodeJob], num_threads: int = 0) -> None:
     for j in jobs:
         j.data, j.numbps, j.passes = pycoder.encode_cblk(
             j.coeffs, j.orient, j.style)
 
 
-def _decode_python(jobs: list[DecodeJob]) -> None:
+def _decode_python(jobs: list[DecodeJob], num_threads: int = 0) -> None:
     for j in jobs:
         j.out = pycoder.decode_cblk(
             j.data, j.seg_lengths, j.num_passes, j.numbps,
@@ -212,7 +212,12 @@ def _stack_coeffs(arrs):
         [np.ascontiguousarray(a, dtype=np.int32) for a in arrs]))
 
 
-def encode_batch(jobs: list[EncodeJob], backend: str = "auto") -> None:
+def encode_batch(jobs: list[EncodeJob], backend: str = "auto",
+                 num_threads: int = 0) -> None:
+    """num_threads sizes the native thread pool (-H parity; 0 = all
+    cores).  Output is byte-identical for any thread count — jobs are
+    independent and land in per-job buffers (the reference's determinism
+    invariant, SURVEY.md §4)."""
     ht_jobs = [j for j in jobs if j.ht]
     mq_jobs = [j for j in jobs if not j.ht]
     if mq_jobs and backend == "device":
@@ -223,12 +228,12 @@ def encode_batch(jobs: list[EncodeJob], backend: str = "auto") -> None:
         name = resolve(backend)
         if name == "native" and _HT_NATIVE is not None and \
                 backend != "python":
-            _HT_NATIVE[0](ht_jobs)
+            _HT_NATIVE[0](ht_jobs, num_threads)
         else:
             _encode_ht(ht_jobs)
     if mq_jobs:
         name = resolve(backend)
-        _BACKENDS[name][0](mq_jobs)
+        _BACKENDS[name][0](mq_jobs, num_threads)
 
 
 def _decode_ht_device(jobs: list[DecodeJob]) -> list[DecodeJob]:
@@ -281,7 +286,8 @@ def _decode_mq_device(jobs: list[DecodeJob]) -> list[DecodeJob]:
     return rest
 
 
-def decode_batch(jobs: list[DecodeJob], backend: str = "auto") -> None:
+def decode_batch(jobs: list[DecodeJob], backend: str = "auto",
+                 num_threads: int = 0) -> None:
     ht_jobs = [j for j in jobs if j.ht]
     mq_jobs = [j for j in jobs if not j.ht]
     if mq_jobs and backend == "device":
@@ -292,9 +298,9 @@ def decode_batch(jobs: list[DecodeJob], backend: str = "auto") -> None:
         name = resolve(backend)
         if name == "native" and _HT_NATIVE is not None and \
                 backend != "python":
-            _HT_NATIVE[1](ht_jobs)
+            _HT_NATIVE[1](ht_jobs, num_threads)
         else:
             _decode_ht(ht_jobs)
     if mq_jobs:
         name = resolve(backend)
-        _BACKENDS[name][1](mq_jobs)
+        _BACKENDS[name][1](mq_jobs, num_threads)

@@ -102,13 +102,15 @@ def build_tile(tile_idx: int, trect: Rect, image, tcp: TileCodingParams) -> Tile
 
 class TileCompressor:
     def __init__(self, tile: Tile, tcp: TileCodingParams, image, cp: CodingParams,
-                 backend: str = "auto", mct_norms_arr=None):
+                 backend: str = "auto", mct_norms_arr=None,
+                 num_threads: int = 0):
         self.tile = tile
         self.tcp = tcp
         self.image = image
         self.cp = cp
         self.backend = backend
         self.mct_norms = mct_norms_arr
+        self.num_threads = num_threads  # -H parity: native pool size
 
     # ---- stage 1: sample pipeline (DC shift + MCT + DWT + quant + T1) ----
 
@@ -257,7 +259,8 @@ class TileCompressor:
                                 need_dist=need_dist,
                                 numbps_bound=band.numbps))
                             job_meta.append((compno, res.resno, band, cblk))
-        t1_backend.encode_batch(jobs, self.backend)
+        t1_backend.encode_batch(jobs, self.backend,
+                                getattr(self, 'num_threads', 0))
         for job, (compno, resno, band, cblk) in zip(jobs, job_meta):
             cblk.data = job.data
             cblk.pass_rates = [p.rate for p in job.passes]
@@ -452,7 +455,8 @@ class TileCompressor:
                 cblk.rect.h, cblk.rect.w, cblk._orient,
                 cblk._style, ht=cblk._ht))
             meta.append(cblk)
-        t1_backend.decode_batch(jobs, self.backend)
+        t1_backend.decode_batch(jobs, self.backend,
+                                getattr(self, 'num_threads', 0))
         decoded = {id(c): j.out for j, c in zip(jobs, meta)}
 
         total_err = 0.0
@@ -762,7 +766,7 @@ class TileDecompressor:
     def __init__(self, tile: Tile, tcp: TileCodingParams, image,
                  cp: CodingParams, backend: str = "auto", reduce: int = 0,
                  max_layers: int = 0, window: Rect | None = None,
-                 pkt_lens: list[int] | None = None):
+                 pkt_lens: list[int] | None = None, num_threads: int = 0):
         self.tile = tile
         self.tcp = tcp
         self.image = image
@@ -772,6 +776,7 @@ class TileDecompressor:
         self.max_layers = max_layers
         self.window = window  # canvas-coords decode region or None
         self.pkt_lens = pkt_lens  # PLT index: per-packet byte lengths
+        self.num_threads = num_threads  # -H parity: native pool size
 
     def _packet_needed(self, pc) -> bool:
         """Does this packet contribute to the requested decode?  False only
@@ -911,7 +916,8 @@ class TileDecompressor:
                                 cblk.rect.h, cblk.rect.w, band.orient,
                                 tccp.cblk_style, ht=block_ht))
                             meta.append((tc, res, band, cblk))
-        t1_backend.decode_batch(jobs, self.backend)
+        t1_backend.decode_batch(jobs, self.backend,
+                                getattr(self, 'num_threads', 0))
         # assemble doubled-domain band coefficient arrays (conversion to
         # final sample values happens in reconstruct(), host or device).
         # With a decode window the arrays cover only the window's span of

@@ -87,3 +87,19 @@ def test_full_pipeline_native_backend(rng):
     assert d_py == d_nat  # codestreams bit-identical across backends
     out = grok_tpu.decompress(d_nat, DecompressParams(backend="native"))
     assert np.array_equal(out.comps[0].data, arr)
+
+
+def test_thread_count_determinism(rng):
+    """The reference's concurrency invariant (SURVEY.md §4): output must be
+    byte-identical regardless of thread count (-H), for both coders."""
+    import grok_tpu
+    from grok_tpu import CompressParams, GrkImage
+
+    arr = rng.integers(0, 256, (128, 128)).astype(np.int32)
+    for ht in (False, True):
+        outs = []
+        for nt in (1, 4):
+            p = CompressParams(numresolution=4, ht=ht, num_threads=nt)
+            outs.append(grok_tpu.compress(GrkImage.from_array(arr, prec=8),
+                                          p))
+        assert outs[0] == outs[1]
