@@ -98,6 +98,8 @@ def _try_stream_strips(data: bytes, out_path: str, args, dp) -> bool:
         return False
     if any(c.sgnd or c.prec > 16 or c.dx != 1 or c.dy != 1 for c in comps):
         return False
+    if len({c.prec for c in comps}) != 1:
+        return False  # mixed precisions need the whole-image scaler
     import time
 
     from ..io.stripio import AsyncStripWriter
@@ -105,11 +107,16 @@ def _try_stream_strips(data: bytes, out_path: str, args, dp) -> bool:
     t0 = time.perf_counter()
     div = 1 << min(dp.reduce,
                    min(t.numresolutions for t in hi.cp.tcps[0].tccps) - 1)
-    w = -(-(hi.image.x1 - hi.image.x0) // div)
-    h = -(-(hi.image.y1 - hi.image.y0) // div)
+    # reduced canvas dims: ceil(x1/div) - ceil(x0/div) (canvas-grid
+    # halving, NOT ceil((x1-x0)/div) — they differ for offset images)
+    def ceil_div(v):
+        return -(-v // div)
+
+    w = ceil_div(hi.image.x1) - ceil_div(hi.image.x0)
+    h = ceil_div(hi.image.y1) - ceil_div(hi.image.y0)
     with AsyncStripWriter(out_path, w, h, len(comps),
                           comps[0].prec) as wr:
-        for _, strip in codec.decompress_strips(data, dp):
+        for _, strip in codec.decompress_strips(data, dp, header=hi):
             wr.write_strip(strip)
     log.info("%s (strip-streamed): %.2f MP/s",
              out_path, w * h * len(comps) / 1e6 / (time.perf_counter() - t0))

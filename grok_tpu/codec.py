@@ -84,16 +84,20 @@ def decompress(data: bytes, params: DecompressParams | None = None,
 
 
 def decompress_strips(data: bytes, params: DecompressParams | None = None,
-                      strip_height: int | None = None):
+                      strip_height: int | None = None,
+                      header: HeaderInfo | None = None):
     """Strip-streaming decode generator (StripCache parity, SURVEY.md §2.1):
     yields (y0, {compno: strip ndarray}) — one tile row at a time by
     default, or `strip_height` canvas rows at a time via the window-aware
     decode path (memory O(strip) even inside huge tiles) — the gigapixel
-    decode path."""
+    decode path.  Pass the HeaderInfo from read_header(data) to reuse its
+    parsed state instead of re-scanning the headers."""
     params = params or DecompressParams()
-    cs = jp2_mod.unwrap_jp2(data)[0] if jp2_mod.is_jp2(data) else data
-    dec = CodestreamDecoder(cs, strict=params.strict)
-    dec.parse()
+    dec = getattr(header, "_decoder", None) if header is not None else None
+    if dec is None:
+        cs = jp2_mod.unwrap_jp2(data)[0] if jp2_mod.is_jp2(data) else data
+        dec = CodestreamDecoder(cs, strict=params.strict)
+        dec.parse()
     yield from dec.decode_strips(params, strip_height=strip_height)
 
 

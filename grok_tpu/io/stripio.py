@@ -45,15 +45,26 @@ class AsyncStripWriter:
 
     # ------------------------------------------------------------ producer
 
+    def _put(self, item) -> None:
+        # bounded put that stays responsive to a dead writer: a writer
+        # that errored drains the queue, but guard with a timeout loop so
+        # an I/O failure can never deadlock the producer
+        while True:
+            if self._err:
+                raise self._err[0]
+            try:
+                self._q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
     def write_strip(self, comps: dict[int, np.ndarray]) -> None:
         """Enqueue one strip ({compno: (rows, width) int arrays}); blocks
         when the writer is more than queue_depth strips behind."""
-        if self._err:
-            raise self._err[0]
-        self._q.put(comps)
+        self._put(comps)
 
     def close(self) -> None:
-        self._q.put(None)
+        self._put(None)
         self._thread.join()
         self._f.close()
         if self._err:
@@ -70,7 +81,12 @@ class AsyncStripWriter:
         if exc_type is None:
             self.close()
         else:  # error upstream: stop the writer, leave the partial file
-            self._q.put(None)
+            while self._thread.is_alive():
+                try:
+                    self._q.put(None, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue  # writer still draining; retry
             self._thread.join()
             self._f.close()
         return False
@@ -85,11 +101,22 @@ class AsyncStripWriter:
                 if item is None:
                     return
                 planes = [np.asarray(item[c]) for c in range(self.ncomp)]
+                if any(p.shape[1] != self.width for p in planes):
+                    raise IOError(
+                        f"strip width {planes[0].shape[1]} != PNM header "
+                        f"width {self.width}")
                 if self.ncomp == 1:
                     block = planes[0].astype(dtype)
                 else:
                     block = np.stack(planes, axis=-1).astype(dtype)
                 self._rows_written += planes[0].shape[0]
                 self._f.write(block.tobytes())
-        except BaseException as e:  # pragma: no cover - propagated to close()
+        except BaseException as e:
             self._err.append(e)
+            # drain so a blocked producer wakes up and sees the error
+            while True:
+                try:
+                    if self._q.get_nowait() is None:
+                        return
+                except queue.Empty:
+                    return

@@ -79,7 +79,16 @@ class _DecJob(ct.Structure):
     ]
 
 
+_ABI_VERSION = 2  # job-struct layout (v2: stride fields before pointers)
+
 _lib = ct.CDLL(_LIB_PATH)
+if _lib.grk_t1_abi_version() != _ABI_VERSION:
+    # a stale shipped library with a different struct layout would read
+    # garbage through the job pointers; fail the import so the backend
+    # registry falls back to the Python reference implementation
+    raise ImportError(
+        f"libgrk_t1.so ABI {_lib.grk_t1_abi_version()} != expected "
+        f"{_ABI_VERSION}; rebuild with native/build.sh")
 _lib.grk_t1_encode_batch.argtypes = [ct.POINTER(_EncJob), ct.c_int, ct.c_int]
 _lib.grk_t1_encode_batch.restype = ct.c_int
 _lib.grk_t1_decode_batch.argtypes = [ct.POINTER(_DecJob), ct.c_int, ct.c_int]

@@ -32,8 +32,10 @@ _lib.grk_t2_prc_reset.argtypes = [ct.c_void_p]
 _lib.grk_t2_encode_packet.argtypes = [
     ct.c_void_p, ct.c_int, ct.c_int, ct.c_int,
     ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
-    ct.c_uint64, ct.c_int, ct.c_uint64, ct.c_long, ct.c_uint64]
+    ct.c_uint64, ct.c_int, ct.c_uint64]
 _lib.grk_t2_encode_packet.restype = ct.c_long
+_lib.grk_t2_prc_hdr.argtypes = [ct.c_void_p]
+_lib.grk_t2_prc_hdr.restype = ct.c_void_p
 _lib.grk_t2_decode_packet.argtypes = [
     ct.c_void_p, ct.c_int, ct.c_int, ct.c_int,
     ct.c_uint64, ct.c_long, ct.c_long, ct.c_uint64,
@@ -52,17 +54,18 @@ class PrecinctHandle:
 
     __slots__ = (
         "ptr", "ncb", "cblks", "cblk_band", "npasses", "first_layer", "zb",
-        "numbps", "is_ht", "rates", "rates_stride", "ranges", "hdr_buf",
+        "numbps", "is_ht", "rates", "rates_stride", "ranges",
         "out_incl", "out_newly", "out_zb", "out_isht", "out_nchunks",
-        "out_chunks", "hdr_pos_out", "statics_built",
+        "out_chunks", "hdr_pos_out", "statics_built", "maxch",
     )
 
-    def __init__(self, prc) -> None:
+    def __init__(self, prc, maxch: int = MAX_CHUNKS) -> None:
         cw = np.asarray([pb.cblk_w if pb.cblks else 0 for pb in prc.pbands],
                         dtype=np.int32)
         ch = np.asarray([pb.cblk_h if pb.cblks else 0 for pb in prc.pbands],
                         dtype=np.int32)
         self.ptr = _lib.grk_t2_prc_new(len(prc.pbands), _addr(cw), _addr(ch))
+        self.maxch = maxch
         self.cblks = [c for pb in prc.pbands for c in pb.cblks]
         self.cblk_band = [bi for bi, pb in enumerate(prc.pbands)
                           for _ in pb.cblks]
@@ -76,13 +79,12 @@ class PrecinctHandle:
         self.rates = None
         self.rates_stride = 0
         self.ranges = np.zeros(2 * n, dtype=np.int32)
-        self.hdr_buf = np.zeros(1 << 16, dtype=np.uint8)
         self.out_incl = np.zeros(n, dtype=np.int32)
         self.out_newly = np.zeros(n, dtype=np.int32)
         self.out_zb = np.zeros(n, dtype=np.int32)
         self.out_isht = np.zeros(n, dtype=np.int32)
         self.out_nchunks = np.zeros(n, dtype=np.int32)
-        self.out_chunks = np.zeros(n * MAX_CHUNKS * 2, dtype=np.int32)
+        self.out_chunks = np.zeros(n * maxch * 2, dtype=np.int32)
         self.hdr_pos_out = ct.c_long(0)
         self.statics_built = False
 
@@ -136,15 +138,15 @@ class PrecinctHandle:
         for i, c in enumerate(self.cblks):
             npl = c.num_passes_by_layer
             self.npasses[i] = npl[layno] if layno < len(npl) else 0
+        # the header lands in a native growable buffer (huge precincts /
+        # tiny codeblocks can legitimately exceed any fixed cap)
         n = _lib.grk_t2_encode_packet(
             self.ptr, layno, int(style), 1 if mixed else 0,
             _addr(self.npasses), _addr(self.first_layer), _addr(self.zb),
             _addr(self.numbps), _addr(self.is_ht),
-            _addr(self.rates), self.rates_stride,
-            _addr(self.hdr_buf), len(self.hdr_buf), _addr(self.ranges))
-        if n < 0:  # pragma: no cover - 64KB header cap
-            raise RuntimeError("native T2 header overflow")
-        return self.hdr_buf[:n].tobytes(), self.ranges
+            _addr(self.rates), self.rates_stride, _addr(self.ranges))
+        hdr = ct.string_at(_lib.grk_t2_prc_hdr(self.ptr), n)
+        return hdr, self.ranges
 
     # ------------------------------------------------------------ decoder
 
@@ -160,17 +162,17 @@ class PrecinctHandle:
             len(hdr), hdr_pos, _addr(mb),
             _addr(self.out_incl), _addr(self.out_newly), _addr(self.out_zb),
             _addr(self.out_isht), _addr(self.out_nchunks),
-            _addr(self.out_chunks), MAX_CHUNKS,
+            _addr(self.out_chunks), self.maxch,
             ct.byref(self.hdr_pos_out))
         if rc != 0:
             raise ValueError("malformed packet header")
         return self.hdr_pos_out.value
 
 
-def get_handle(prc) -> PrecinctHandle:
+def get_handle(prc, maxch: int = MAX_CHUNKS) -> PrecinctHandle:
     h = getattr(prc, "_nt2", None)
     if h is None:
-        h = PrecinctHandle(prc)
+        h = PrecinctHandle(prc, maxch)
         prc._nt2 = h
     return h
 

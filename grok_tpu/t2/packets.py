@@ -442,7 +442,10 @@ def decode_packet(
         pos += 6
     elif sop and not in_ppt:
         raise ValueError(f"expected SOP marker at offset {pos}")
-    h = _native.get_handle(prc)
+    # chunk capacity: one codeword segment per packet contribution unless
+    # TERMALL/LAZY split segments (then up to one per pass)
+    maxch = _native.MAX_CHUNKS if int(style) & 0x05 else 2
+    h = _native.get_handle(prc, maxch)
     mb = [band_numbps[pb.band_orient] for pb in prc.pbands]
     if in_ppt:
         hdr_pos = h.decode(layno, style, mixed, hdr_data, hdr_pos, mb)
@@ -456,7 +459,7 @@ def decode_packet(
     newly = h.out_newly
     nchunks = h.out_nchunks
     chunks = h.out_chunks
-    maxch = _native.MAX_CHUNKS
+    maxch = h.maxch
     for i, cblk in enumerate(h.cblks):
         if not incl[i]:
             continue

@@ -767,6 +767,13 @@ static void encode_one(GrkT1EncJob* j) {
       j->pass_dists[passno] = dt.total;
       j->pass_terms[passno] = term;
       passno++;
+      // arena headroom guard: the sizing bound above covers every legal
+      // input (<=2.25 decisions/sample/plane), so this is insurance that
+      // turns a reasoning error into a clean failure, not a heap smash
+      if ((size_t)(mq.bp - mq.b0) + 64 > mq.arena.size()) {
+        j->status = 1;
+        return;
+      }
     }
   }
   j->num_passes = passno;

@@ -327,6 +327,7 @@ struct Band {
 struct Prc {
   std::vector<Band> bands;
   std::vector<Cblk> cblks;
+  std::vector<uint8_t> hdr;  // last encoded packet header (growable)
   bool enc_leaves_set = false;
 
   void reset() {
@@ -367,17 +368,18 @@ void grk_t2_prc_free(void* h) { delete (t2::Prc*)h; }
 void grk_t2_prc_reset(void* h) { ((t2::Prc*)h)->reset(); }
 
 // Encode one packet header for this precinct/layer.  Arrays are indexed by
-// flat cblk index (band-major raster).  Writes header bytes to hdr_out and
-// the body byte range of each contributing cblk to body_ranges[2i..2i+1]
-// (start, end into cblk.data; -1,-1 = no contribution).  Returns the header
-// length in bytes or -1 if hdr_cap would overflow.
+// flat cblk index (band-major raster).  The header bytes land in the
+// precinct's growable buffer (read them via grk_t2_prc_hdr) and the body
+// byte range of each contributing cblk goes to body_ranges[2i..2i+1]
+// (start, end into cblk.data; -1,-1 = no contribution).  Returns the
+// header length in bytes.
 long grk_t2_encode_packet(
     void* h, int layno, int style, int mixed,
     const int32_t* npasses_layer, const int32_t* first_layer,
     const int32_t* zero_bitplanes, const int32_t* numbps,
     const int32_t* is_ht,
     const int32_t* pass_rates, int rates_stride,
-    uint8_t* hdr_out, long hdr_cap, int32_t* body_ranges) {
+    int32_t* body_ranges) {
   auto* p = (t2::Prc*)h;
   int ncb = (int)p->cblks.size();
   for (int i = 0; i < ncb; i++) {
@@ -400,9 +402,8 @@ long grk_t2_encode_packet(
   if (!any) {
     bio.put(0);
     bio.flush();
-    if ((long)bio.buf.size() > hdr_cap) return -1;
-    std::memcpy(hdr_out, bio.buf.data(), bio.buf.size());
-    return (long)bio.buf.size();
+    p->hdr.swap(bio.buf);
+    return (long)p->hdr.size();
   }
   bio.put(1);
   for (auto& bd : p->bands) {
@@ -457,9 +458,12 @@ long grk_t2_encode_packet(
     }
   }
   bio.flush();
-  if ((long)bio.buf.size() > hdr_cap) return -1;
-  std::memcpy(hdr_out, bio.buf.data(), bio.buf.size());
-  return (long)bio.buf.size();
+  p->hdr.swap(bio.buf);
+  return (long)p->hdr.size();
+}
+
+const uint8_t* grk_t2_prc_hdr(void* h) {
+  return ((t2::Prc*)h)->hdr.data();
 }
 
 // Decode one packet header.  Outputs per flat cblk index: whether the cblk

@@ -40,14 +40,25 @@ def _with_python_t2(fn):
 
 CASES = [
     dict(),  # defaults: lossless 5/3 single layer
-    dict(layers_rates=[40.0, 10.0, 2.5], irreversible=True),
-    dict(prog_order=Progression.RPCL, precinct_size=[(128, 128)],
+    dict(layer_rates=[40.0, 10.0, 2.5], irreversible=True),
+    dict(prog_order=Progression.RPCL, precincts=[(128, 128)],
          sop=True, eph=True),
-    dict(prog_order=Progression.PCRL, layers_rates=[20.0, 5.0]),
+    dict(prog_order=Progression.PCRL, layer_rates=[20.0, 5.0]),
     dict(cblk_style=0x01 | 0x04),            # lazy + termall
-    dict(tile_size=(64, 64), layers_rates=[8.0, 2.0]),
-    dict(ppt=True, layers_rates=[10.0, 3.0]),
+    dict(tile_size=(64, 64), layer_rates=[8.0, 2.0]),
+    dict(ppt=True, layer_rates=[10.0, 3.0]),
 ]
+
+
+def test_case_fields_exist():
+    """Guard against silently-dead dataclass attributes: every CASES key
+    must be a real CompressParams field."""
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(CompressParams)}
+    for case in CASES:
+        for k in case:
+            assert k in names, k
 
 
 @requires_native
@@ -83,7 +94,7 @@ def test_decode_matches_python(case):
 def test_decode_matches_python_layer_discard():
     img = _img((128, 128), seed=7)
     p = CompressParams()
-    p.layers_rates = [40.0, 10.0, 2.5]
+    p.layer_rates = [40.0, 10.0, 2.5]
     p.irreversible = True
     data = grok_tpu.compress(img, p)
     dp = DecompressParams()
@@ -125,3 +136,20 @@ def test_oracle_stream_decodes_identically():
     a = grok_tpu.decompress(data).to_array()
     b = _with_python_t2(lambda: grok_tpu.decompress(data).to_array())
     assert np.array_equal(a, b)
+
+
+@requires_native
+def test_huge_precinct_header(rng):
+    """A single maximal precinct holding thousands of tiny codeblocks
+    produces a packet header beyond any fixed buffer; the native coder
+    must grow and stay byte-identical to the Python coder (regression:
+    the first native T2 had a hard 64KB header cap)."""
+    arr = rng.integers(0, 256, (512, 512)).astype(np.uint8)
+    img = GrkImage.from_array(arr)
+    p = CompressParams(numresolution=2, cblk_width=4, cblk_height=4)
+    native_bytes = grok_tpu.compress(img, p)
+    py_bytes = _with_python_t2(
+        lambda: grok_tpu.compress(GrkImage.from_array(arr), p))
+    assert native_bytes == py_bytes
+    out = grok_tpu.decompress(native_bytes).to_array()
+    assert np.array_equal(out, arr.astype(out.dtype))
