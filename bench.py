@@ -65,7 +65,14 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    reps = 5
+    # CPU-speed canary: this box's shared core has multi-minute slow
+    # phases (+-25%); a fixed scalar workload timed alongside lets the
+    # recorded numbers be normalized for machine state
+    canary = np.arange(1 << 21, dtype=np.int64)
+    tc_ = best_of(lambda: int((canary * canary % 1000003).sum()), 5)
+    canary_mops = (1 << 21) / tc_ / 1e6
+
+    reps = 8
     te = best_of(lambda: grok_tpu.compress(img, cp), reps)
     td = best_of(lambda: grok_tpu.decompress(data, dp), reps)
 
@@ -189,6 +196,9 @@ def main():
         "device_ht_t1_mps": device_ht,
         "backend": backend,
         "bytes": len(data),
+        # fixed-workload canary (Mops): compare across bench runs to see
+        # whether this shared core was in a slow phase
+        "cpu_canary_mops": round(canary_mops, 1),
     }
     print(json.dumps(result))
 
