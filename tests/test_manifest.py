@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from grok_tpu.cli import (compare_dump_files, compare_images,
-                          grk_compress, grk_decompress, grk_dump)
+                          compare_raw_files, grk_compress, grk_decompress,
+                          grk_dump, random_tile_access)
 from grok_tpu.io import formats
 
 PIL = pytest.importorskip("PIL")
@@ -47,7 +48,9 @@ def test_manifest(inputs):
              "grk_decompress": grk_decompress.main,
              "grk_dump": grk_dump.main,
              "compare_images": compare_images.main,
-             "compare_dump_files": compare_dump_files.main}
+             "compare_dump_files": compare_dump_files.main,
+             "compare_raw_files": compare_raw_files.main,
+             "random_tile_access": random_tile_access.main}
     with open(MANIFEST) as f:
         for lineno, line in enumerate(f, 1):
             line = line.strip()
