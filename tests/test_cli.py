@@ -233,3 +233,16 @@ def test_compare_raw_files(tmp_path):
     assert compare_raw_files.main(["-b", str(a), "-t", str(b)]) == 1
     b.write_bytes(b"\x00\x01")
     assert compare_raw_files.main(["-b", str(a), "-t", str(b)]) == 1
+
+
+def test_profile_trace_written(tmp_path, rng):
+    """--profile DIR writes a jax.profiler trace (SURVEY.md §5 tracing)."""
+    arr = rng.integers(0, 256, (48, 48)).astype(np.uint8)
+    src = tmp_path / "p.png"
+    Image.fromarray(arr).save(src)
+    out = tmp_path / "p.j2k"
+    prof = tmp_path / "trace"
+    assert grk_compress.main(["-i", str(src), "-o", str(out),
+                              "--profile", str(prof)]) == 0
+    files = [f for d, _, fs in os.walk(prof) for f in fs]
+    assert files, "no trace files written"
