@@ -402,6 +402,9 @@ static inline int sc_index(uint32_t f) {
 struct T1State {
   int h, w;
   int nstripes;
+  int n_sig = 0;   // significant samples so far: n_sig == 0 makes the
+                   // sig/ref passes no-ops, n_sig == h*w the sig/cleanup
+                   // scans (deep-precision noise spends most planes there)
   size_t sstride;  // words per stripe row: (w+2)*4
   std::vector<uint32_t> flags;
   std::vector<uint32_t> mag;
@@ -422,6 +425,7 @@ struct T1State {
   inline void set_sig(size_t i, int k, uint32_t neg) {
     uint32_t* F = flags.data();
     F[i] |= F_SIG;
+    n_sig++;
     size_t up = (k > 0) ? i - 1 : i - sstride + 3;
     size_t dn = (k < 3) ? i + 1 : i + sstride - 3;
     F[up - 4] |= F_SE;
@@ -540,6 +544,9 @@ struct DistTrack {
 template <bool TRACK>
 static void enc_sigpass(T1State& st, int bpno, int orient, bool vsc,
                         MQEnc& mq, RawEnc* raw, DistTrack& dt) {
+  // no significant sample -> no neighborhoods; all significant -> all
+  // coded: either way the pass codes nothing
+  if (st.n_sig == 0 || st.n_sig == st.h * st.w) return;
   const uint32_t one = 1u << bpno;
   const uint8_t* zc = LUT.zc[orient];
   uint32_t* FL = st.flags.data();
@@ -578,6 +585,7 @@ static void enc_sigpass(T1State& st, int bpno, int orient, bool vsc,
 template <bool TRACK>
 static void enc_refpass(T1State& st, int bpno, bool vsc, MQEnc& mq,
                         RawEnc* raw, DistTrack& dt) {
+  if (st.n_sig == 0) return;  // nothing significant to refine
   const uint32_t one = 1u << bpno;
   uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
@@ -625,6 +633,13 @@ static void enc_refpass(T1State& st, int bpno, bool vsc, MQEnc& mq,
 template <bool TRACK>
 static void enc_clnpass(T1State& st, int bpno, int orient, bool vsc,
                         MQEnc& mq, DistTrack& dt, bool segsym) {
+  if (st.n_sig == st.h * st.w) {  // everything coded in earlier passes
+    if (segsym) {
+      mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
+      mq.encode(1, CTX_UNI); mq.encode(0, CTX_UNI);
+    }
+    return;
+  }
   const uint32_t one = 1u << bpno;
   const uint8_t* zc = LUT.zc[orient];
   uint32_t* FL = st.flags.data();
@@ -792,6 +807,7 @@ static void encode_one(GrkT1EncJob* j) {
 
 static void dec_sigpass(T1State& st, int bpno_rec, int orient,
                         bool vsc, MQDec& mq, RawDec* raw) {
+  if (st.n_sig == 0 || st.n_sig == st.h * st.w) return;
   const uint8_t* zc = LUT.zc[orient];
   uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
@@ -828,6 +844,7 @@ static void dec_sigpass(T1State& st, int bpno_rec, int orient,
 
 static void dec_refpass(T1State& st, int bpno_rec, bool vsc, MQDec& mq,
                         RawDec* raw) {
+  if (st.n_sig == 0) return;
   uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
     int rows = std::min(4, st.h - sy);
@@ -869,6 +886,13 @@ static void dec_refpass(T1State& st, int bpno_rec, bool vsc, MQDec& mq,
 
 static void dec_clnpass(T1State& st, int bpno_rec, int orient, bool vsc,
                         MQDec& mq, bool segsym) {
+  if (st.n_sig == st.h * st.w) {
+    if (segsym) {
+      mq.decode(CTX_UNI); mq.decode(CTX_UNI);
+      mq.decode(CTX_UNI); mq.decode(CTX_UNI);
+    }
+    return;
+  }
   const uint8_t* zc = LUT.zc[orient];
   uint32_t* FL = st.flags.data();
   for (int sy = 0; sy < st.h; sy += 4) {
