@@ -74,7 +74,7 @@ def dump(data: bytes, out) -> None:
     tcp = hi.cp.tcps[0]
     w("[coding parameters]\n")
     w(f"  progression={tcp.prog_order.name} layers={tcp.numlayers} "
-      f"mct={tcp.mct}\n")
+      f"mct={tcp.mct} sop={int(hi.sop)} eph={int(hi.eph)}\n")
     for i, tccp in enumerate(tcp.tccps):
         w(f"  comp[{i}]: resolutions={tccp.numresolutions} "
           f"cblk={1 << tccp.cblkw}x{1 << tccp.cblkh} "
