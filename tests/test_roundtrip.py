@@ -159,3 +159,22 @@ def test_truncated_stream_tolerant(rng):
     data = grok_tpu.compress(img, CompressParams(numresolution=3))
     out = grok_tpu.decompress(data[: int(len(data) * 0.6)])
     assert out.comps[0].data.shape == arr.shape
+
+
+@pytest.mark.parametrize("prec,sgnd", [(20, False), (24, False), (25, True)])
+def test_deep_precision_lossless(prec, sgnd, rng):
+    """Precisions beyond 16 bits (medical/scientific range) round-trip
+    bit-exactly through the reversible path (SURVEY.md §2.1 GrkImage:
+    'precision 1-16+ bits signed/unsigned')."""
+    import grok_tpu
+    from grok_tpu import CompressParams, GrkImage
+
+    if sgnd:
+        arr = rng.integers(-(1 << (prec - 1)), 1 << (prec - 1),
+                           (64, 80)).astype(np.int32)
+    else:
+        arr = rng.integers(0, 1 << prec, (64, 80)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=prec, sgnd=sgnd)
+    d = grok_tpu.compress(img, CompressParams(numresolution=4))
+    out = grok_tpu.decompress(d).comps[0].data
+    assert np.array_equal(out, arr)
