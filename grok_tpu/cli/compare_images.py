@@ -50,7 +50,12 @@ def main(argv=None) -> int:
         if spec is None:
             return [default] * n
         vals = [float(x) for x in spec.split(",")]
-        return vals * n if len(vals) == 1 else vals
+        if len(vals) == 1:
+            return vals * n
+        if len(vals) != n:
+            print(f"tolerance count {len(vals)} != component count {n}")
+            sys.exit(1)
+        return vals
 
     mse_tol = tol(args.mse, 0.0)
     peak_tol = tol(args.peak, 0.0)

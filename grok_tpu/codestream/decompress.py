@@ -132,10 +132,12 @@ class CodestreamDecoder:
             return
         if code == mk.CAP:
             hi.cap = mk.read_cap(payload)
-            # Ccap15 set bits: 3 = MIXED (per-codeblock MQ/HT choice)
-            for c15 in hi.cap.get("ccap", []):
-                if (c15 >> 14) == 3:
-                    cp.ht_mixed = True
+            # Ccap15 set bits: 3 = MIXED (per-codeblock MQ/HT choice).
+            # Only Part 15's own Ccap entry counts — other capability
+            # bits' values must not enable the per-block coder bit.
+            c15 = hi.cap.get("parts", {}).get(15)
+            if c15 is not None and (c15 >> 14) == 3:
+                cp.ht_mixed = True
         elif code == mk.COD:
             sop, eph = mk.read_cod(payload, tcp_template)
             hi.sop, hi.eph = sop, eph
@@ -599,6 +601,8 @@ class CodestreamDecoder:
         gigapixel behavior."""
         if not self._parsed:
             self.parse()
+        if strip_height is not None and strip_height <= 0:
+            raise ValueError("strip_height must be positive")
         if strip_height is not None:
             hi = self.hi
             div0 = 1 << min(

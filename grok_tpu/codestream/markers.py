@@ -356,12 +356,18 @@ def write_cap(ccap15: int = 0) -> bytes:
 
 
 def read_cap(p: bytes) -> dict:
+    """Ccap entries appear in Pcap bit order, one per set bit; `parts`
+    maps the ISO part number (Pcap bit n, MSB-first = part n) to its
+    Ccap value so consumers don't misattribute entries when several
+    capability bits are set."""
     pcap = struct.unpack(">I", p[:4])[0]
-    out = {"pcap": pcap, "ccap": []}
+    out = {"pcap": pcap, "ccap": [], "parts": {}}
     off = 4
     for bit in range(32):
         if pcap & (1 << (31 - bit)):
-            out["ccap"].append(struct.unpack(">H", p[off:off + 2])[0])
+            val = struct.unpack(">H", p[off:off + 2])[0]
+            out["ccap"].append(val)
+            out["parts"][bit + 1] = val
             off += 2
     return out
 

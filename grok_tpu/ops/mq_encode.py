@@ -544,8 +544,8 @@ def _raw_payload(bits: np.ndarray) -> bytes:
     return payload.tobytes()
 
 
-def _assemble_one(byts, nbytes, seg_counts, raw_bits, raw_n,
-                  raw_plane_counts, numbps, lazy):
+def _assemble_one(byts, seg_counts, raw_bits, raw_plane_counts, numbps,
+                  lazy):
     """Splice one block's MQ segments and raw segments into the final
     codeword stream; returns (data, passes) with term-pass rates exact."""
     from ..t1.coder import PassInfo
@@ -665,9 +665,7 @@ def encode_cblks_mq_device(coeffs_batch, orients, lazy: bool,
     numbps_h = np.asarray(numbps)
     out = []
     for bi in range(b):
-        data, passes = _assemble_one(
-            byts[bi], int(np.asarray(nbytes)[bi]), seg_counts[bi],
-            raw_c[bi], int(np.asarray(raw_n)[bi]), raw_counts[bi],
-            numbps_h[bi], lazy)
+        data, passes = _assemble_one(byts[bi], seg_counts[bi], raw_c[bi],
+                                     raw_counts[bi], numbps_h[bi], lazy)
         out.append((data, int(numbps_h[bi]), passes))
     return out

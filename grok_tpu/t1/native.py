@@ -27,20 +27,33 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), os.pardir, "_native",
 
 def _ensure_built() -> None:
     """Build the native library on first use when the checkout has none
-    (or the sources are newer) — `./native/build.sh` semantics."""
+    (or the sources are newer) — `./native/build.sh` semantics.  An
+    exclusive file lock serializes concurrent importers (parallel test
+    workers, bench + CLI); build.sh itself writes the .so atomically via
+    a temp file + rename, so a dlopen never sees a half-written file."""
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     srcs = [os.path.join(root, "native", n)
-            for n in ("t1.cc", "ht.cc", "dwt.cc", "t2.cc")]
+            for n in ("t1.cc", "ht.cc", "dwt.cc", "t2.cc", "amalgam.cc",
+                      "train.cc")]
     if not all(os.path.exists(s) for s in srcs):
         return  # installed layout without sources: use the shipped lib
-    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= max(
-            os.path.getmtime(s) for s in srcs):
+
+    def stale() -> bool:
+        return not os.path.exists(_LIB_PATH) or os.path.getmtime(
+            _LIB_PATH) < max(os.path.getmtime(s) for s in srcs)
+
+    if not stale():
         return
+    import fcntl
     import subprocess
 
-    subprocess.run([os.path.join(root, "native", "build.sh")], check=True,
-                   cwd=root)
+    lock_path = os.path.join(root, "native", ".build.lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if stale():  # another process may have built while we waited
+            subprocess.run([os.path.join(root, "native", "build.sh")],
+                           check=True, cwd=root)
 
 
 _ensure_built()

@@ -1,13 +1,20 @@
 // PGO training driver: exercises the MQ and HT batch coders on
 // DWT-coefficient-like data so profile-guided builds see the production
 // branch mix (noise magnitudes, sparse high bands, bypass mode).
+//
+// Compiled only through amalgam.cc (-DGRK_TRAIN_MAIN) so the training
+// pass and the library share ONE translation unit — gcc profile data is
+// keyed per object file, so a separate train TU would leave the coders
+// unprofiled.
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
 
+#ifndef GRK_AMALGAM
 #include "t1.cc"
 #include "ht.cc"
+#endif
 
 int main() {
   srand(7);
