@@ -96,3 +96,26 @@ def test_multisegment_tlm_decode_accumulates(rng):
     assert np.array_equal(img.comps[0].data, arr.astype(np.int32))
     # fast path actually engaged: tile-parts were seeked lazily
     assert dec._lazy_spans or dec.tile_parts
+
+
+def test_cap_parts_mapping_gates_mixed():
+    """Only Part 15's own Ccap entry may enable the MIXED per-block coder
+    bit; other capability bits' values must not (regression: the decoder
+    used to scan every Ccap entry)."""
+    import struct
+
+    from grok_tpu.codestream import markers as mk
+
+    # Pcap with bits for part 2 and part 15 set (MSB-first numbering)
+    pcap = (1 << (32 - 2)) | (1 << (32 - 15))
+    # part-2 entry looks like a MIXED signal (top bits 3), part-15 benign
+    payload = struct.pack(">I", pcap) + struct.pack(">HH", 0xC001, 0x0000)
+    cap = mk.read_cap(payload)
+    assert cap["parts"][2] == 0xC001
+    assert cap["parts"][15] == 0x0000
+    assert (cap["parts"][15] >> 14) != 3  # decoder must NOT set ht_mixed
+
+    # part-15 entry signaling MIXED
+    payload2 = struct.pack(">I", 1 << (32 - 15)) + struct.pack(">H", 0xC000)
+    cap2 = mk.read_cap(payload2)
+    assert (cap2["parts"][15] >> 14) == 3
