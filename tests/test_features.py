@@ -306,3 +306,36 @@ def test_window_decode_subsampled(rng):
                           full.comps[0].data[16:80, 24:72])
     assert np.array_equal(win.comps[1].data,
                           full.comps[1].data[8:40, 12:36])
+
+
+def test_cross_feature_interactions(rng):
+    """Combinations the reference's non-regression suite would cover:
+    PPM x tiles x window, POC x PLT x window, MIXED x tiles x PLT."""
+    import grok_tpu
+    from grok_tpu import CompressParams, DecompressParams, GrkImage
+    from grok_tpu.params import Progression, ProgressionChange
+
+    arr = rng.integers(0, 256, (160, 200)).astype(np.int32)
+
+    def check(p, win=None):
+        d = grok_tpu.compress(GrkImage.from_array(arr, prec=8), p)
+        dp = DecompressParams()
+        if win:
+            dp.window = win
+        out = grok_tpu.decompress(d, dp).comps[0].data
+        want = arr[win[1]:win[3], win[0]:win[2]] if win else arr
+        assert np.array_equal(out, want)
+
+    check(CompressParams(numresolution=4, tile_size=(64, 64), ppm=True,
+                         layer_rates=[8, 1.0]))
+    check(CompressParams(numresolution=4, tile_size=(64, 64), ppm=True),
+          win=(30, 40, 100, 120))
+    check(CompressParams(numresolution=4, plt=True, numlayers=2,
+                         layer_rates=[10, 1.0],
+                         progression_changes=[
+                             ProgressionChange(0, 0, 2, 4, 1,
+                                               Progression.CPRL)]),
+          win=(10, 10, 60, 60))
+    check(CompressParams(numresolution=4, ht=True, ht_mixed=True,
+                         tile_size=(64, 64), plt=True),
+          win=(50, 30, 120, 90))
