@@ -18,7 +18,7 @@ PIL = pytest.importorskip("PIL")
 from PIL import Image  # noqa: E402
 
 
-@pytest.mark.parametrize("trial", range(20))
+@pytest.mark.parametrize("trial", range(32))
 def test_random_params_interop(trial):
     rng = np.random.default_rng(1000 + trial)
     h = int(rng.integers(8, 120))
@@ -54,6 +54,13 @@ def test_random_params_interop(trial):
         kw["new_tile_part_progression"] = str(rng.choice(["R", "L", "C"]))
     if rng.random() < 0.3:
         kw["tlm"] = True      # exercises the TLM-seek fast path
+    if rng.random() < 0.3:
+        kw["plt"] = True      # exercises PLT write + PLT-guided skip
+    if rng.random() < 0.15 and not kw.get("sop"):
+        kw["ppt"] = True      # packed packet headers
+    if rng.random() < 0.15:
+        kw["ht_mixed"] = True
+        kw["ht"] = True
     if ncomp == 3 and rng.random() < 0.2:
         # full MCT/MCC/MCO triplet (self-roundtrip only: lossy transform)
         kw["custom_mct"] = np.array([[0.6, 0.2, 0.2],
@@ -77,6 +84,17 @@ def test_random_params_interop(trial):
     ours = grok_tpu.decompress(data)
     got = ours.to_array() if ncomp > 1 else ours.comps[0].data
     assert np.array_equal(got, arr), f"self roundtrip: {kw}"
+    if h >= 24 and w >= 24 and rng.random() < 0.4:
+        # window decode equals the full-decode crop (O(region) path
+        # when a PLT index is present)
+        dp = grok_tpu.DecompressParams()
+        wx0, wy0 = int(rng.integers(0, w // 2)), int(rng.integers(0, h // 2))
+        wx1, wy1 = wx0 + w // 3 + 1, wy0 + h // 3 + 1
+        dp.window = (wx0, wy0, wx1, wy1)
+        wimg = grok_tpu.decompress(data, dp)
+        wgot = wimg.to_array() if ncomp > 1 else wimg.comps[0].data
+        want = arr[wy0:wy1, wx0:wx1]
+        assert np.array_equal(wgot, want), f"window: {kw}"
     if kw.get("ht"):
         return  # no HT oracle: OpenJPEG 2.5 lacks Part 15
     # Known oracle asymmetry: OpenJPEG's decoder disagrees with its own
