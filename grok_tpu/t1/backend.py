@@ -53,6 +53,11 @@ class DecodeJob:
     style: CblkStyle
     ht: bool = False
     out: np.ndarray | None = None  # doubled-domain signed int32
+    # optional pre-zeroed (h, w) int32 view into the destination band
+    # array: native backends write it directly (no paste copy) and set
+    # direct_done; other backends ignore it and fill `out` as usual
+    out_dest: np.ndarray | None = None
+    direct_done: bool = False
 
 
 def _encode_python(jobs: list[EncodeJob], num_threads: int = 0) -> None:

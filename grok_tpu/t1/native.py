@@ -88,6 +88,7 @@ class _DecJob(ct.Structure):
         ("data", ct.c_uint64), ("data_len", ct.c_int32),
         ("seg_lens", ct.c_uint64), ("num_segs", ct.c_int32),
         ("out", ct.c_uint64),
+        ("out_stride", ct.c_int32),
         ("status", ct.c_int32),
     ]
 
@@ -193,7 +194,8 @@ def decode_batch_native(jobs: list[bk.DecodeJob], num_threads: int = 0) -> None:
         or b"\x00", dtype=np.uint8)
     seg_lists = [j.seg_lengths or [0] for j in jobs]
     segs_pool = np.asarray([x for s in seg_lists for x in s], dtype=np.int32)
-    out_pool = np.zeros(sum(j.h * j.w for j in jobs), dtype=np.int32)
+    out_pool = np.zeros(sum(j.h * j.w for j in jobs
+                            if j.out_dest is None), dtype=np.int32)
     data_base = _addr(data_pool)
     segs_base = _addr(segs_pool)
     out_base = _addr(out_pool)
@@ -212,11 +214,19 @@ def decode_batch_native(jobs: list[bk.DecodeJob], num_threads: int = 0) -> None:
         c.seg_lens = segs_base + seg_off * 4
         c.num_segs = len(seg_lists[i])
         seg_off += len(seg_lists[i])
-        c.out = out_base + out_off * 4
-        out_off += j.h * j.w
+        if j.out_dest is not None:
+            # direct band write: pre-zeroed destination view, row stride
+            c.out = _addr(j.out_dest)
+            c.out_stride = j.out_dest.strides[0] // 4
+        else:
+            c.out = out_base + out_off * 4
+            out_off += j.h * j.w
     _lib.grk_t1_decode_batch(cjobs, n, num_threads)
     out_off = 0
     for j in jobs:
+        if j.out_dest is not None:
+            j.direct_done = True
+            continue
         j.out = out_pool[out_off: out_off + j.h * j.w].reshape(j.h, j.w)
         out_off += j.h * j.w
 
@@ -236,7 +246,8 @@ class _HTDecJob(ct.Structure):
     _fields_ = [
         ("h", ct.c_int32), ("w", ct.c_int32),
         ("data", ct.c_uint64), ("data_len", ct.c_int32),
-        ("out", ct.c_uint64), ("status", ct.c_int32),
+        ("out", ct.c_uint64),
+        ("out_stride", ct.c_int32), ("status", ct.c_int32),
     ]
 
 
@@ -300,7 +311,8 @@ def ht_decode_batch_native(jobs: list[bk.DecodeJob],
     data_pool = np.frombuffer(
         b"".join(j.data if j.data else b"\x00" for j in jobs)
         or b"\x00", dtype=np.uint8)
-    out_pool = np.zeros(sum(j.h * j.w for j in jobs), dtype=np.int32)
+    out_pool = np.zeros(sum(j.h * j.w for j in jobs
+                            if j.out_dest is None), dtype=np.int32)
     data_base = _addr(data_pool)
     out_base = _addr(out_pool)
     data_off = out_off = 0
@@ -310,11 +322,18 @@ def ht_decode_batch_native(jobs: list[bk.DecodeJob],
         c.data = data_base + data_off
         c.data_len = len(j.data)
         data_off += len(j.data) if j.data else 1
-        c.out = out_base + out_off * 4
-        out_off += j.h * j.w
+        if j.out_dest is not None:
+            c.out = _addr(j.out_dest)
+            c.out_stride = j.out_dest.strides[0] // 4
+        else:
+            c.out = out_base + out_off * 4
+            out_off += j.h * j.w
     _lib.grk_ht_decode_batch(cjobs, n, num_threads)
     out_off = 0
     for j in jobs:
+        if j.out_dest is not None:
+            j.direct_done = True
+            continue
         j.out = out_pool[out_off: out_off + j.h * j.w].reshape(j.h, j.w)
         out_off += j.h * j.w
 

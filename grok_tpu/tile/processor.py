@@ -889,6 +889,12 @@ class TileDecompressor:
         return dwt_mod.window_band_rect(produce, resno)
 
     def run_t1(self) -> None:
+        # band arrays first (doubled-domain; conversion to final sample
+        # values happens in reconstruct()) so the native backends can
+        # decode straight into them — no per-codeblock paste copies.
+        # With a decode window the arrays cover only the window's span of
+        # each band (SURVEY.md §2.1 SparseBuffer role: O(window) memory).
+        self._alloc_band_arrays()
         jobs = []
         meta = []
         for tc in self.tile.comps:
@@ -898,6 +904,10 @@ class TileDecompressor:
                 for bi, band in enumerate(res.bands):
                     wrect = self._window_band_rect(
                         tc.compno, res.resno, band.orient)
+                    key = (tc.compno, res.resno, band.orient)
+                    arr = self._band_arrays[key]
+                    crop = self._band_offsets[key]
+                    direct_ok = not tccp.roi_shift
                     for prc in res.precincts:
                         for cblk in prc.pbands[bi].cblks:
                             if cblk.total_passes <= 0 or cblk.rect.is_empty():
@@ -911,34 +921,23 @@ class TileDecompressor:
                                 getattr(cblk, "is_ht", True)
                                 if getattr(self.cp, "ht_mixed", False)
                                 else True)
-                            jobs.append(t1_backend.DecodeJob(
+                            job = t1_backend.DecodeJob(
                                 data, seg_lens, npasses, cblk.numbps,
                                 cblk.rect.h, cblk.rect.w, band.orient,
-                                tccp.cblk_style, ht=block_ht))
+                                tccp.cblk_style, ht=block_ht)
+                            if direct_ok and crop.contains(cblk.rect):
+                                job.out_dest = arr[
+                                    cblk.rect.y0 - crop.y0:
+                                    cblk.rect.y1 - crop.y0,
+                                    cblk.rect.x0 - crop.x0:
+                                    cblk.rect.x1 - crop.x0]
+                            jobs.append(job)
                             meta.append((tc, res, band, cblk))
         t1_backend.decode_batch(jobs, self.backend,
                                 getattr(self, 'num_threads', 0))
-        # assemble doubled-domain band coefficient arrays (conversion to
-        # final sample values happens in reconstruct(), host or device).
-        # With a decode window the arrays cover only the window's span of
-        # each band (SURVEY.md §2.1 SparseBuffer role: O(window) memory).
-        self._band_arrays = {}
-        self._band_offsets = {}
-        for tc in self.tile.comps:
-            tccp = self.tcp.tccps[tc.compno]
-            numres_used = max(1, tccp.numresolutions - self.reduce)
-            for res in tc.resolutions[:numres_used]:
-                for band in res.bands:
-                    crop = band.rect
-                    wrect = self._window_band_rect(
-                        tc.compno, res.resno, band.orient)
-                    if wrect is not None:
-                        crop = band.rect.intersect(wrect)
-                    key = (tc.compno, res.resno, band.orient)
-                    self._band_arrays[key] = np.zeros(
-                        (max(0, crop.h), max(0, crop.w)), dtype=np.int32)
-                    self._band_offsets[key] = crop
         for job, (tc, res, band, cblk) in zip(jobs, meta):
+            if job.direct_done:
+                continue  # native backend wrote the band array in place
             key = (tc.compno, res.resno, band.orient)
             arr = self._band_arrays[key]
             crop = self._band_offsets[key]
@@ -960,6 +959,24 @@ class TileDecompressor:
                 ix.x0 - crop.x0:ix.x1 - crop.x0] = \
                 out[ix.y0 - cblk.rect.y0:ix.y1 - cblk.rect.y0,
                     ix.x0 - cblk.rect.x0:ix.x1 - cblk.rect.x0]
+
+    def _alloc_band_arrays(self) -> None:
+        self._band_arrays = {}
+        self._band_offsets = {}
+        for tc in self.tile.comps:
+            tccp = self.tcp.tccps[tc.compno]
+            numres_used = max(1, tccp.numresolutions - self.reduce)
+            for res in tc.resolutions[:numres_used]:
+                for band in res.bands:
+                    crop = band.rect
+                    wrect = self._window_band_rect(
+                        tc.compno, res.resno, band.orient)
+                    if wrect is not None:
+                        crop = band.rect.intersect(wrect)
+                    key = (tc.compno, res.resno, band.orient)
+                    self._band_arrays[key] = np.zeros(
+                        (max(0, crop.h), max(0, crop.w)), dtype=np.int32)
+                    self._band_offsets[key] = crop
 
     def _device_eligible(self) -> bool:
         tile, tcp, image = self.tile, self.tcp, self.image

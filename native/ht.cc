@@ -208,7 +208,9 @@ struct GrkHTDecJob {
   int32_t h, w;
   const uint8_t* data;
   int32_t data_len;
-  int32_t* out;  // doubled-domain
+  int32_t* out;         // doubled-domain
+  int32_t out_stride;   // row stride in elements (0 -> w); strided
+                        // destinations must arrive pre-zeroed
   int32_t status;
 };
 
@@ -306,8 +308,10 @@ static void ht_encode_one(GrkHTEncJob* j) {
 
 static void ht_decode_one(GrkHTDecJob* j) {
   int h = j->h, w = j->w;
+  int ostride = j->out_stride > 0 ? j->out_stride : w;
   j->status = 0;
-  std::memset(j->out, 0, sizeof(int32_t) * (size_t)h * w);
+  if (ostride == w)
+    std::memset(j->out, 0, sizeof(int32_t) * (size_t)h * w);
   if (j->data_len < 2) return;
   const uint8_t* d = j->data;
   int L = j->data_len;
@@ -345,7 +349,8 @@ static void ht_decode_one(GrkHTDecJob* j) {
             uint32_t m = ms.get_bits(umax) + 1;
             int sgn = ms.get();
             int32_t val = (int32_t)(2 * m + 1);
-            j->out[(size_t)(y0 + dy) * w + (x0 + dx)] = sgn ? -val : val;
+            j->out[(size_t)(y0 + dy) * ostride + (x0 + dx)] =
+                sgn ? -val : val;
           }
         }
       }

@@ -496,7 +496,10 @@ struct GrkT1DecJob {
   int32_t data_len;
   const int32_t* seg_lens;
   int32_t num_segs;
-  int32_t* out;          // h*w doubled-domain signed values
+  int32_t* out;          // doubled-domain signed values
+  int32_t out_stride;    // row stride of out in elements (0 -> w); a
+                         // strided destination (direct band write) must
+                         // arrive pre-zeroed
   int32_t status;
 };
 
@@ -947,9 +950,11 @@ static void dec_clnpass(T1State& st, int bpno_rec, int orient, bool vsc,
 
 static void decode_one(GrkT1DecJob* j) {
   int h = j->h, w = j->w;
+  int ostride = j->out_stride > 0 ? j->out_stride : w;
   T1State st(h, w);
   j->status = 0;
-  std::memset(j->out, 0, sizeof(int32_t) * (size_t)h * w);
+  if (ostride == w)
+    std::memset(j->out, 0, sizeof(int32_t) * (size_t)h * w);
   if (j->numbps <= 0 || j->num_passes <= 0) return;
   int numbps = j->numbps;
   int style = j->style;
@@ -1030,7 +1035,7 @@ static void decode_one(GrkT1DecJob* j) {
     for (int x = 0; x < w; x++) {
       size_t i = st.idx(y, x);
       int32_t m = st.rec[i];
-      j->out[(size_t)y * w + x] = (st.flags[i] & F_NEG) ? -m : m;
+      j->out[(size_t)y * ostride + x] = (st.flags[i] & F_NEG) ? -m : m;
     }
   }
 }
