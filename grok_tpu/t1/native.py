@@ -93,7 +93,7 @@ class _DecJob(ct.Structure):
     ]
 
 
-_ABI_VERSION = 2  # job-struct layout (v2: stride fields before pointers)
+_ABI_VERSION = 3  # job-struct layout (v3: enc + dec stride fields)
 
 _lib = ct.CDLL(_LIB_PATH)
 if _lib.grk_t1_abi_version() != _ABI_VERSION:
