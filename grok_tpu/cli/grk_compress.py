@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import argparse
 import logging
-import math
-import statistics
 import sys
 
 import numpy as np

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import logging
 
-import numpy as np
 
 from .codestream import jp2 as jp2_mod
 from .codestream.compress import compress_codestream

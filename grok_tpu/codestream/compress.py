@@ -9,7 +9,6 @@ terminates with EOC.
 
 from __future__ import annotations
 
-import copy
 import logging
 import math
 

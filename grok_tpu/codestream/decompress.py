@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..errors import CodestreamError, TruncatedStreamError, UnsupportedError
+from ..errors import CodestreamError
 from ..image import ColorSpace, GrkImage, ImageComponent
 from ..params import CodingParams, DecompressParams, TileCodingParams, \
     TileComponentCodingParams

@@ -19,7 +19,6 @@ is a mirrored interior sample and no physical padding is needed.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ lands (round 2).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ freely (SURVEY.md §2.3 "codeblock-batch axis").
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 import numpy as np

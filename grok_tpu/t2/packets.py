@@ -16,11 +16,10 @@ streams (tests/test_oracle_interop.py).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
-from ..params import CblkStyle, Progression, ProgressionChange, TileCodingParams
-from ..tile.geometry import Codeblock, Precinct, PrecinctBand, Resolution, Tile
+from ..params import CblkStyle, Progression, TileCodingParams
+from ..tile.geometry import Codeblock, PrecinctBand, Resolution, Tile
 from ..t1.coder import segment_layout
 from .bitio import BitReader, BitWriter
 from .tagtree import TagTree
