@@ -230,6 +230,7 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
     img_rect = Rect(image.x0, image.y0, image.x1, image.y1)
     raw_bytes = sum(c.data.shape[0] * c.data.shape[1] * c.prec
                     for c in image.comps) / 8.0
+    p._raw_bytes_total = raw_bytes  # for -W per-tile share scaling
 
     cp._has_rate_targets = bool(p.layer_rates or p.layer_psnr
                                 or p.max_cs_size)
@@ -294,13 +295,16 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                 coords, None if p.ppt else p.new_tile_part_progression)
             tnsot = len(groups)
             off = 0
+            zplt = 0  # PLT segment index: sequential per tile across
+                      # tile-parts (a 64KB split consumes extra indexes)
             for tpno, (p0, p1) in enumerate(groups):
                 glen = sum(pkt_lens[p0:p1])
                 chunk = body[off:off + glen]
                 off += glen
                 plt_seg = b""
                 if p.plt:
-                    plt_seg = mk.write_plt(tpno & 0xFF, pkt_lens[p0:p1])
+                    plt_seg, zplt = mk.write_plt(
+                        zplt & 0xFF, pkt_lens[p0:p1], return_next=True)
                 if p.plm:
                     plm_entries.append(list(pkt_lens[p0:p1]))
                 if p.ppt and not p.ppm and tpno == 0:
@@ -382,6 +386,13 @@ def _layer_targets(p: CompressParams, numlayers: int, raw_bytes: float):
         # thresholds calibrated against measured reconstruction error)
         return [None] * numlayers
     if p.max_cs_size:
-        step = p.max_cs_size / numlayers
-        return [step * (i + 1) for i in range(numlayers - 1)] + [p.max_cs_size]
+        # -W is a TOTAL codestream cap: scale each tile's share by its
+        # area fraction (tile_frac folded into raw_bytes by the caller)
+        # minus a small main-header allowance
+        share = p.max_cs_size * (raw_bytes / max(1.0, p._raw_bytes_total)
+                                 if getattr(p, "_raw_bytes_total", 0)
+                                 else 1.0)
+        share = max(64.0, share - 64.0)
+        step = share / numlayers
+        return [step * (i + 1) for i in range(numlayers - 1)] + [share]
     return [None] * numlayers

@@ -461,9 +461,12 @@ def _varint(v: int) -> bytes:
     return bytes(out)
 
 
-def write_plt(zplt: int, lengths: list[int]) -> bytes:
+def write_plt(zplt: int, lengths: list[int],
+              return_next: bool = False) -> bytes | tuple[bytes, int]:
     """Splits across multiple PLT segments at varint boundaries when the
-    packet list exceeds the 64KB marker length limit."""
+    packet list exceeds the 64KB marker length limit.  With return_next,
+    also returns the Zplt index the NEXT tile-part's PLT must start at
+    (segment indexes are sequential per tile, not per tile-part)."""
     out = bytearray()
     z = zplt
     seg = bytearray()
@@ -475,6 +478,8 @@ def write_plt(zplt: int, lengths: list[int]) -> bytes:
             seg = bytearray()
         seg += v
     out += marker_segment(PLT, bytes([z & 0xFF]) + bytes(seg))
+    if return_next:
+        return bytes(out), z + 1
     return bytes(out)
 
 

@@ -60,16 +60,13 @@ def read_pgx(path: str) -> GrkImage:
     return img
 
 
-def write_pgx(img: GrkImage, path: str, split: bool = True) -> list[str]:
+def write_pgx(img: GrkImage, path: str) -> list[str]:
     """PGX holds one component per file; multi-component images write
     path_0.pgx, path_1.pgx, ... (reference behavior)."""
     base, ext = os.path.splitext(path)
     out = []
     for i, c in enumerate(img.comps):
-        p = path if (img.numcomps == 1 and not split) else \
-            f"{base}_{i}{ext or '.pgx'}"
-        if img.numcomps == 1:
-            p = path
+        p = path if img.numcomps == 1 else f"{base}_{i}{ext or '.pgx'}"
         sign = "-" if c.sgnd else "+"
         header = f"PG ML {sign}{c.prec} {c.data.shape[1]} {c.data.shape[0]}\n"
         nbytes = 1 if c.prec <= 8 else (2 if c.prec <= 16 else 4)
@@ -207,6 +204,12 @@ def write_pil(img: GrkImage, path: str, split_pnm: bool = False,
         else:
             im = Image.fromarray(arr)
     elif arr.shape[2] == 4:
+        if arr.dtype == np.uint16:
+            log.warning(
+                "4-channel output at %d bits exceeds %s's 8-bit RGBA "
+                "support; downshifting to 8 bits — use a .pgx/.raw output "
+                "or --split-pnm for a lossless route", prec, ext)
+            arr = (arr >> (prec - 8)).astype(np.uint8)
         im = Image.fromarray(arr.astype(np.uint8), "RGBA")
     else:
         im = Image.fromarray(arr[:, :, 0])

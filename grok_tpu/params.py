@@ -186,6 +186,11 @@ class CompressParams:
             for (px, py) in self.precincts:
                 if px & (px - 1) or py & (py - 1):
                     raise ParamError("precinct dims must be powers of two")
+                if px < 2 or py < 2:
+                    # PPx=0 is only legal at the lowest resolution (ISO
+                    # B.6); the list replicates across resolutions here,
+                    # so size-1 precincts are rejected outright
+                    raise ParamError("precinct dims must be >= 2")
         if self.ht_mixed and not self.ht:
             raise ParamError("ht_mixed requires ht")
         if self.roi_shift:

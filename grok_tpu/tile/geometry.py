@@ -187,9 +187,11 @@ def build_resolutions(
         else:
             res.pw = _cdp2(rr.x1, ppx) - (rr.x0 >> ppx)
             res.ph = _cdp2(rr.y1, ppy) - (rr.y0 >> ppy)
-        # codeblock exponent in band coords
-        cbw = min(cblkw_expn, ppx - (1 if r > 0 else 0))
-        cbh = min(cblkh_expn, ppy - (1 if r > 0 else 0))
+        # codeblock exponent in band coords; the max(0, ...) clamp keeps
+        # corrupt streams that signal PPx=0 above the lowest resolution
+        # (spec-illegal, ISO B.6) from producing a negative shift
+        cbw = max(0, min(cblkw_expn, ppx - (1 if r > 0 else 0)))
+        cbh = max(0, min(cblkh_expn, ppy - (1 if r > 0 else 0)))
         res.cblk_expn = (cbw, cbh)
         orients = [LL] if r == 0 else [HL, LH, HH]
         for o in orients:

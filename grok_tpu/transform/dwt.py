@@ -31,9 +31,7 @@ def _extend_ws(x: np.ndarray, left: int, right: int) -> np.ndarray:
     repeating the edge sample (… x2 x1 | x0 x1 x2 … x_{n-1} | x_{n-2} …)."""
     n = x.shape[-1]
     if n == 1:
-        reps = left + 1 + right
-        return np.repeat(x, reps, axis=-1) if False else np.concatenate(
-            [x] * reps, axis=-1)
+        return np.repeat(x, left + 1 + right, axis=-1)
     idx = np.arange(-left, n + right)
     # reflect into [0, n-1] (period 2n-2)
     period = 2 * n - 2

@@ -25,11 +25,15 @@ from ..params import QuantStyle, StepSize
 from ..tile.geometry import BAND_GAIN, HH, HL, LH, LL
 
 
+# deepest decomposition computed by direct impulse synthesis; beyond it
+# the per-level gain has converged and norms extrapolate geometrically
+# (the impulse canvas is O(4^depth): depth 8 = 1024^2 floats, depth 12
+# would be 4+ GB)
+_NORM_DEPTH_CAP = 8
+
+
 @functools.lru_cache(maxsize=None)
-def band_norm(numres: int, resno: int, orient: int) -> float:
-    """L2 norm of the synthesis basis function of band (resno, orient) in a
-    `numres`-resolution irreversible decomposition, computed by pushing a
-    unit impulse through our inverse 9/7 DWT."""
+def _impulse_norm(numres: int, resno: int, orient: int) -> float:
     from ..tile.geometry import Rect, band_rect
     from .dwt import inverse_dwt
 
@@ -48,9 +52,29 @@ def band_norm(numres: int, resno: int, orient: int) -> float:
 
 
 @functools.lru_cache(maxsize=None)
-def band_norm_53(numres: int, resno: int, orient: int) -> float:
-    """Same for the reversible 5/3 path (linearized), used only for PCRD
-    distortion weighting of lossless layered streams."""
+def band_norm(numres: int, resno: int, orient: int) -> float:
+    """L2 norm of the synthesis basis function of band (resno, orient) in a
+    `numres`-resolution irreversible decomposition, computed by pushing a
+    unit impulse through our inverse 9/7 DWT.  The norm depends only on
+    the band's synthesis depth, so deep decompositions reduce to an
+    equivalent shallow impulse; depths past _NORM_DEPTH_CAP extrapolate
+    along the converged per-level gain."""
+    # depth-equivalent reduction: a band at resno >= 1 in an
+    # numres-resolution decomposition synthesizes through numres - resno
+    # levels, same as band (1, orient) with numres - resno + 1
+    if resno >= 1:
+        eff, r_eff = numres - resno + 1, 1
+    else:
+        eff, r_eff = numres, 0
+    if eff <= _NORM_DEPTH_CAP:
+        return _impulse_norm(eff, r_eff, orient)
+    base = _impulse_norm(_NORM_DEPTH_CAP, r_eff, orient)
+    ratio = base / _impulse_norm(_NORM_DEPTH_CAP - 1, r_eff, orient)
+    return base * ratio ** (eff - _NORM_DEPTH_CAP)
+
+
+@functools.lru_cache(maxsize=None)
+def _impulse_norm_53(numres: int, resno: int, orient: int) -> float:
     from ..tile.geometry import Rect, band_rect
     from .dwt import inverse_dwt
 
@@ -69,6 +93,22 @@ def band_norm_53(numres: int, resno: int, orient: int) -> float:
     out = inverse_dwt({k: v.astype(np.int32) for k, v in bands.items()},
                       rect, numres, reversible=True)
     return float(np.sqrt((out.astype(np.float64) ** 2).sum())) / amp
+
+
+@functools.lru_cache(maxsize=None)
+def band_norm_53(numres: int, resno: int, orient: int) -> float:
+    """Same for the reversible 5/3 path (linearized), used only for PCRD
+    distortion weighting of lossless layered streams.  Depth-reduced and
+    extrapolated like band_norm."""
+    if resno >= 1:
+        eff, r_eff = numres - resno + 1, 1
+    else:
+        eff, r_eff = numres, 0
+    if eff <= _NORM_DEPTH_CAP:
+        return _impulse_norm_53(eff, r_eff, orient)
+    base = _impulse_norm_53(_NORM_DEPTH_CAP, r_eff, orient)
+    ratio = base / _impulse_norm_53(_NORM_DEPTH_CAP - 1, r_eff, orient)
+    return base * ratio ** (eff - _NORM_DEPTH_CAP)
 
 
 def encode_stepsize(stepsize: float, numbps: int) -> StepSize:

@@ -99,25 +99,30 @@ def sycc_to_rgb(img: GrkImage) -> None:
 
 
 def eycc_to_rgb(img: GrkImage) -> None:
-    """e-sYCC -> sRGB (JP2 EnumCS 24): same rotation as sYCC but with
-    extended-gamut chroma scaling (ITU-T T.801 amendment constants)."""
+    """e-sYCC -> sRGB (JP2 EnumCS 24): the extended-gamut inverse matrix
+    (ITU-T T.801 / OpenJPEG color_esycc_to_rgb constants), honoring
+    signed chroma components (common for e-sYCC)."""
     if img.numcomps < 3:
         return
     y, cb, cr = img.comps[0], img.comps[1], img.comps[2]
     if cb.dx != y.dx or cb.dy != y.dy:
         upsample_components(img)
         y, cb, cr = img.comps[0], img.comps[1], img.comps[2]
-    offset = 1 << (cb.prec - 1)
     yf = y.data.astype(np.float32)
-    cbf = cb.data.astype(np.float32) - offset
-    crf = cr.data.astype(np.float32) - offset
-    r = yf + 1.402 * crf
-    g = yf - 0.344136 * cbf - 0.714136 * crf
-    b = yf + 1.772 * cbf
+    cbf = cb.data.astype(np.float32)
+    crf = cr.data.astype(np.float32)
+    if not cb.sgnd:
+        cbf -= 1 << (cb.prec - 1)
+    if not cr.sgnd:
+        crf -= 1 << (cr.prec - 1)
+    r = 1.000000 * yf - 0.0000368 * cbf + 1.40199 * crf
+    g = 1.000300 * yf - 0.3441250 * cbf - 0.71411280 * crf
+    b = 0.999823 * yf + 1.7720400 * cbf + 0.00000410 * crf
     mx = (1 << y.prec) - 1
     for comp, vals in zip((y, cb, cr), (r, g, b)):
         comp.data = np.clip(np.round(vals), 0, mx).astype(np.int32)
         comp.prec = y.prec
+        comp.sgnd = False
     img.color_space = ColorSpace.SRGB
 
 
@@ -133,8 +138,16 @@ def cielab_to_srgb(img: GrkImage) -> None:
     prec = img.comps[0].prec
     mx = (1 << prec) - 1
     Lf = L / mx * 100.0
-    af = a / mx * 255.0 - 128.0
-    bf = b / mx * 255.0 - 128.0
+    # signed a/b components already carry their offset; unsigned ones
+    # are offset-encoded around 2^(prec-1)
+    if img.comps[1].sgnd:
+        af = a / (mx / 2.0) * 127.5
+    else:
+        af = a / mx * 255.0 - 128.0
+    if img.comps[2].sgnd:
+        bf = b / (mx / 2.0) * 127.5
+    else:
+        bf = b / mx * 255.0 - 128.0
     fy = (Lf + 16.0) / 116.0
     fx = fy + af / 500.0
     fz = fy - bf / 200.0
@@ -217,12 +230,14 @@ def apply_icc_profile(img: GrkImage) -> None:
         log.warning("ICC application failed: %s", e)
         return
     res = np.asarray(out).astype(np.int32)
+    ncolor = 3 if len(comps) >= 3 else 1  # color comps consumed above
     new_comps = []
     for i in range(3):
-        c = comps[i] if i < len(comps) else comps[0].copy()
+        c = comps[i] if i < ncolor else comps[0].copy()
         c.data = res[..., i]
         new_comps.append(c)
-    img.comps = new_comps + list(comps[3:])
+    # keep non-color channels (alpha of gray+alpha or RGB+alpha images)
+    img.comps = new_comps + list(comps[ncolor:])
     img.color_space = ColorSpace.SRGB
     img.meta.icc_profile = None
 

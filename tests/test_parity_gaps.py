@@ -135,3 +135,72 @@ def test_icc_application(rng):
     assert out.meta.icc_profile is None
     out2 = grok_tpu.decompress(data)
     assert out2.meta.icc_profile is not None
+
+
+def test_max_cs_size_total_across_tiles(rng):
+    """-W is a TOTAL codestream cap; multi-tile encodes must not give
+    every tile the full budget (regression)."""
+    import grok_tpu
+    from grok_tpu import CompressParams, GrkImage
+
+    arr = rng.integers(0, 256, (256, 256)).astype(np.int32)
+    cap = 20000
+    p = CompressParams(numresolution=4, tile_size=(128, 128),
+                       irreversible=True, max_cs_size=cap)
+    data = grok_tpu.compress(GrkImage.from_array(arr, prec=8), p)
+    assert len(data) <= cap, (len(data), cap)
+
+
+def test_precinct_size_one_rejected():
+    from grok_tpu import CompressParams
+    from grok_tpu.errors import ParamError
+
+    p = CompressParams(precincts=[(1, 1)])
+    with pytest.raises(ParamError):
+        p.validate()
+
+
+def test_16bit_rgba_png_downshifts_not_wraps(tmp_path, rng):
+    """16-bit 4-channel output must downshift (with a warning), never
+    wrap modulo 256 (regression)."""
+    from grok_tpu.image import GrkImage
+    from grok_tpu.io import formats
+    from PIL import Image
+
+    arr = rng.integers(0, 65536, (16, 16, 4)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=16)
+    p = str(tmp_path / "a.png")
+    formats.save_image(img, p)
+    back = np.asarray(Image.open(p)).astype(np.int32)
+    want = arr >> 8
+    assert np.array_equal(back, want)
+
+
+def test_eycc_honors_signed_chroma():
+    """eYCC chroma components are commonly SIGNED; the conversion must
+    not subtract a 2^(prec-1) offset from them (regression: eycc was a
+    copy of the unsigned-only sYCC path)."""
+    from grok_tpu.image import ColorSpace, GrkImage, ImageComponent
+    from grok_tpu.util import color
+
+    img = GrkImage(x0=0, y0=0, x1=8, y1=8, color_space=ColorSpace.EYCC)
+    for v, sgnd in ((128, False), (0, True), (0, True)):
+        c = ImageComponent(prec=8, sgnd=sgnd)
+        c.data = np.full((8, 8), v, dtype=np.int32)
+        c.h = c.w = 8
+        img.comps.append(c)
+    color.eycc_to_rgb(img)
+    # zero signed chroma = neutral gray: all three channels ~= y
+    r, g, b = (c.data[0, 0] for c in img.comps[:3])
+    assert abs(int(r) - 128) <= 1 and abs(int(g) - 128) <= 1 \
+        and abs(int(b) - 128) <= 1, (r, g, b)
+
+
+def test_deep_numresolution_lossy_does_not_blow_memory(rng):
+    """numresolution near the legal maximum must not allocate O(4^n)
+    impulse canvases for the PCRD band norms (regression)."""
+    from grok_tpu.transform.quant import band_norm
+
+    v = band_norm(14, 0, 0)      # would need a 65536^2 canvas before
+    assert v > band_norm(8, 0, 0)
+    assert np.isfinite(v)
