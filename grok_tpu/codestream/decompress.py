@@ -58,6 +58,7 @@ class CodestreamDecoder:
         self.tile_plt: dict[int, bytearray] = {}  # concatenated PLT varints
         self.tile_tcps: dict[int, TileCodingParams] = {}
         self.tile_ppt: dict[int, bytearray] = {}
+        self.tile_ppt_segs: dict[int, dict] = {}  # Zppt -> payload bytes
         self.tp_sequence: list[int] = []  # tile index per tile-part, in order
         # TLM fast path: tile-part spans discovered from the TLM index so
         # tile-part headers/bodies are only touched when a tile is decoded
@@ -69,6 +70,18 @@ class CodestreamDecoder:
         self._parsed = False
 
     # ------------------------------------------------------------- parsing
+
+    def _stream_id(self):
+        """Cheap digest identifying this codestream, so TileCache entries
+        from one stream never serve another (the public API invites
+        reusing one cache across decompress() calls)."""
+        sid = getattr(self, "_sid", None)
+        if sid is None:
+            d = self.data
+            head = bytes(d[:64])
+            tail = bytes(d[-64:]) if len(d) >= 64 else b""
+            sid = self._sid = (len(d), hash((head, tail)))
+        return sid
 
     def _err(self, msg: str):
         if self.strict:
@@ -172,7 +185,14 @@ class CodestreamDecoder:
             cp.tlm = [e for z in sorted(self._tlm_segs)
                       for e in self._tlm_segs[z]]
         elif code == mk.PPM:
-            cp.ppm_data = (cp.ppm_data or b"") + payload[1:]
+            # spec orders packed-header content by Zppm, not marker
+            # position (mirror of the TLM handling above)
+            segs = getattr(self, "_ppm_segs", None)
+            if segs is None:
+                segs = self._ppm_segs = {}
+            zppm = payload[0]
+            segs[zppm] = segs.get(zppm, b"") + payload[1:]
+            cp.ppm_data = b"".join(segs[z] for z in sorted(segs))
         elif code == mk.MCT:
             idx, at, et, arr = mk.read_mct(payload)
             for t in cp.tcps:
@@ -337,8 +357,14 @@ class CodestreamDecoder:
                         payload, len(self.hi.siz.comps))
                     tile_tcp.tccps[compno].roi_shift = shift
                 elif code == mk.PPT:
+                    # content is ordered by Zppt, not marker position
+                    segs = self.tile_ppt_segs.setdefault(isot, {})
+                    zppt = payload[0]
+                    segs[zppt] = segs.get(zppt, b"") + payload[1:]
                     buf = self.tile_ppt.setdefault(isot, bytearray())
-                    buf += payload[1:]
+                    buf.clear()
+                    for z in sorted(segs):
+                        buf += segs[z]
                 elif code == mk.PLT:
                     # packet-length index: drives O(region) packet skipping
                     # (SURVEY.md §3.3 "PLT ... make this O(region)").
@@ -421,8 +447,10 @@ class CodestreamDecoder:
             tiles = [p.tile_index]
 
         batched = {}
+        # reduce/window always fail per-tile device eligibility later, so
+        # gate here before paying the per-tile Tier-1 work twice
         if p.backend == "device" and cp.numtiles > 1 and \
-                p.tile_index is None and win is None:
+                p.tile_index is None and win is None and reduce_ == 0:
             batched = self._decode_tiles_device_batched(
                 list(tiles), p, img, reduce_)
 
@@ -547,7 +575,7 @@ class CodestreamDecoder:
             return None
         ckey = None
         if cache is not None and win is None:
-            ckey = cache.key(tidx, reduce_, p.max_layers)
+            ckey = cache.key(tidx, reduce_, p.max_layers, self._stream_id())
             hit = cache.get(ckey)
             if hit is not None:
                 return hit

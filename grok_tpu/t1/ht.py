@@ -211,12 +211,11 @@ def encode_cblk_ht_refined(coeffs: np.ndarray):
                        | sig[y + 1, x - 1] | sig[y + 1, x] | sig[y + 1, x + 1])
                 if not nbr:
                     continue
-                bit = int(lsb[y - 1, x - 1])
+                bit = int(lsb[y - 1, x - 1]) & 1
                 raw.put(bit)
                 if bit:
                     raw.put(int(sgn[y - 1, x - 1]))
                     sig[y, x] = True
-                lsb[y - 1, x - 1] |= 0x80  # visited marker
     # MagRef: refine samples significant after cleanup
     base_sig = (mags >> 1) > 0
     for sy in range(0, h, 4):
@@ -303,7 +302,9 @@ def encode_cblk_ht(coeffs: np.ndarray):
             rho = 0
             umax = 0
             for i, (y, x) in enumerate(samples):
-                m = int(mags[y, x])
+                # clamp the (contract-violating) INT32_MIN magnitude so
+                # umax stays <= 31 and the stream remains decodable
+                m = min(int(mags[y, x]), 0x7FFFFFFF)
                 if m:
                     rho |= 1 << i
                     umax = max(umax, m.bit_length())
@@ -320,7 +321,7 @@ def encode_cblk_ht(coeffs: np.ndarray):
             u_pred = umax
             for i, (y, x) in enumerate(samples):
                 if rho & (1 << i):
-                    m = int(mags[y, x])
+                    m = min(int(mags[y, x]), 0x7FFFFFFF)
                     magsgn.put_bits(m - 1, umax)
                     magsgn.put(int(signs[y, x]))
 
@@ -351,9 +352,6 @@ def decode_cblk_ht(data: bytes, h: int, w: int):
     suffix = data[len(data) - scup:len(data) - 2]
     ms = _BitReaderMSB(data[: len(data) - scup])
     mel = MELDecoder(bytes(suffix))
-    # VLC read backward from the suffix end: reverse once
-    vlc = None  # constructed lazily after MEL length is unknown
-
     # Because MEL and VLC share the suffix without an explicit boundary,
     # the decoder interleaves: MEL reads forward, VLC backward.  With byte
     # granularity unknown, we reconstruct the VLC reader over the reversed
@@ -375,7 +373,7 @@ def decode_cblk_ht(data: bytes, h: int, w: int):
             diff = (zz >> 1) if (zz & 1) == 0 else -((zz + 1) >> 1)
             umax = u_pred + diff
             u_pred = umax
-            if umax < 1 or umax > 30:
+            if umax < 1 or umax > 31:  # 31 = int32 magnitude limit
                 # >30 cannot be represented in the doubled int32 domain
                 return out  # tolerant: corrupt segment
             for i, (y, x) in enumerate(samples):

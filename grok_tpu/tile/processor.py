@@ -96,6 +96,21 @@ def build_tile(tile_idx: int, trect: Rect, image, tcp: TileCodingParams) -> Tile
     return tile
 
 
+
+def _uniform_quant(tcp) -> bool:
+    """Device pipelines apply ONE (resno, orient) -> stepsize table to the
+    whole component stack, so per-component quantization (QCC) must fall
+    back to the host path."""
+    t0 = tcp.tccps[0]
+    for tccp in tcp.tccps[1:]:
+        if (tccp.qnt_style != t0.qnt_style
+                or tccp.num_guard_bits != t0.num_guard_bits
+                or [(ss.expn, ss.mant) for ss in tccp.stepsizes]
+                != [(ss.expn, ss.mant) for ss in t0.stepsizes]):
+            return False
+    return True
+
+
 # ---------------------------------------------------------------------------
 # Compression
 # ---------------------------------------------------------------------------
@@ -135,7 +150,7 @@ class TileCompressor:
                 return False
             if tc.rect != tile.comps[0].rect:
                 return False
-        return tcp.mct in (0, 1)
+        return tcp.mct in (0, 1) and _uniform_quant(tcp)
 
     def run_transforms_device(self) -> bool:
         """Fused device analysis (SURVEY.md §7): DC shift + MCT + DWT +
@@ -666,6 +681,14 @@ class TileCompressor:
         return bytes(out), lengths, order, bytes(hdrs)
 
 
+def _tcp_device_key(tcp) -> tuple:
+    """Parameters the batched device pipelines share across tiles: tiles
+    whose tile-part headers override any of these must not batch."""
+    t0 = tcp.tccps[0]
+    return (t0.numresolutions, t0.qmfbid, t0.qnt_style, t0.num_guard_bits,
+            tcp.mct, tuple((ss.expn, ss.mant) for ss in t0.stepsizes))
+
+
 def run_transforms_device_batched(tcs: list["TileCompressor"]) -> bool:
     """Run the fused device analysis ONCE over a whole batch of uniform
     tiles — the tile-batch axis the multi-chip mesh shards over (SURVEY.md
@@ -679,6 +702,11 @@ def run_transforms_device_batched(tcs: list["TileCompressor"]) -> bool:
     shape = first.tile.comps[0].rect
     if not all(t.tile.comps[0].rect.w == shape.w
                and t.tile.comps[0].rect.h == shape.h for t in tcs):
+        return False
+    # the batch applies the FIRST tile's coding/quant params everywhere:
+    # per-tile COD/QCD overrides must drop to the per-tile path
+    key = _tcp_device_key(first.tcp)
+    if not all(_tcp_device_key(t.tcp) == key for t in tcs):
         return False
     t0 = first.tcp.tccps[0]
     reversible = t0.qmfbid == 1
@@ -730,6 +758,9 @@ def reconstruct_device_batched(tds: list["TileDecompressor"]):
     shape = first.tile.comps[0].rect
     if not all(t.tile.comps[0].rect.w == shape.w
                and t.tile.comps[0].rect.h == shape.h for t in tds):
+        return None
+    key = _tcp_device_key(first.tcp)
+    if not all(_tcp_device_key(t.tcp) == key for t in tds):
         return None
     import jax.numpy as jnp
 
@@ -1000,7 +1031,7 @@ class TileDecompressor:
                 return False
             if tc.rect != tile.comps[0].rect:
                 return False
-        return tcp.mct in (0, 1)
+        return tcp.mct in (0, 1) and _uniform_quant(tcp)
 
     def reconstruct_device(self) -> list[np.ndarray] | None:
         """Fused device synthesis (dequant + IDWT + MCT + unshift)."""

@@ -37,8 +37,12 @@ class TileCache:
         self.hits = 0
         self.misses = 0
 
-    def key(self, tile_index: int, reduce: int, max_layers: int):
-        return (tile_index, reduce, max_layers)
+    def key(self, tile_index: int, reduce: int, max_layers: int,
+            stream_id=None):
+        """stream_id ties entries to one codestream so a cache reused
+        across decompress() calls on different data cannot serve stale
+        tiles (decoders pass a digest of the stream)."""
+        return (stream_id, tile_index, reduce, max_layers)
 
     def get(self, key) -> list[np.ndarray] | None:
         if self.strategy == TileCacheStrategy.NONE:

@@ -259,6 +259,7 @@ static void ht_encode_one(GrkHTEncJob* j) {
       for (int i = 0; i < ns; i++) {
         uint32_t m = vals[i] < 0 ? (uint32_t)(-(int64_t)vals[i])
                                  : (uint32_t)vals[i];
+        if (m > 0x7FFFFFFFu) m = 0x7FFFFFFFu;  // INT32_MIN: keep umax <= 31
         mags[i] = m;
         if (m) {
           rho |= 1u << i;
@@ -341,7 +342,7 @@ static void ht_decode_one(GrkHTDecJob* j) {
       int diff = (zz & 1) ? -(int)((zz + 1) >> 1) : (int)(zz >> 1);
       int umax = (int)u_pred + diff;
       u_pred = (uint32_t)umax;
-      if (umax < 1 || umax > 32) return;  // tolerant bail-out
+      if (umax < 1 || umax > 31) return;  // tolerant bail-out
       int i = 0;
       for (int dx = 0; dx < nx; dx++) {
         for (int dy = 0; dy < ny; dy++, i++) {

@@ -204,3 +204,59 @@ def test_deep_numresolution_lossy_does_not_blow_memory(rng):
     v = band_norm(14, 0, 0)      # would need a 65536^2 canvas before
     assert v > band_norm(8, 0, 0)
     assert np.isfinite(v)
+
+
+def test_tile_cache_not_shared_across_streams(rng):
+    """One TileCache reused across decompress() calls on DIFFERENT data
+    must not serve stale tiles (regression: the key lacked any stream
+    identity)."""
+    import grok_tpu
+    from grok_tpu import CompressParams, GrkImage
+    from grok_tpu.util.caches import TileCache
+
+    a = rng.integers(0, 256, (64, 64)).astype(np.int32)
+    b = rng.integers(0, 256, (64, 64)).astype(np.int32)
+    da = grok_tpu.compress(GrkImage.from_array(a, prec=8),
+                           CompressParams(numresolution=3))
+    db = grok_tpu.compress(GrkImage.from_array(b, prec=8),
+                           CompressParams(numresolution=3))
+    cache = TileCache()
+    out_a = grok_tpu.decompress(da, cache=cache).comps[0].data
+    out_b = grok_tpu.decompress(db, cache=cache).comps[0].data
+    assert np.array_equal(out_a, a)
+    assert np.array_equal(out_b, b)
+
+
+def test_ppm_segments_ordered_by_zppm(rng):
+    """PPM packed-header content is ordered by Zppm, not marker position;
+    a stream with reordered PPM segments must still decode (regression)."""
+    import struct
+
+    import grok_tpu
+    from grok_tpu import CompressParams, GrkImage
+    from grok_tpu.codestream import markers as mk
+
+    arr = rng.integers(0, 256, (96, 96)).astype(np.int32)
+    p = CompressParams(numresolution=3, tile_size=(48, 48), ppm=True)
+    data = bytearray(grok_tpu.compress(GrkImage.from_array(arr, prec=8), p))
+    # locate PPM segments; if the encoder split into >= 2, swap them
+    segs = []
+    pos = 2
+    while pos + 4 <= len(data):
+        code = struct.unpack(">H", data[pos:pos + 2])[0]
+        if code in (mk.SOT,):
+            break
+        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if code == mk.PPM:
+            segs.append((pos, 2 + ln))
+        pos += 2 + ln
+    if len(segs) >= 2:
+        (p1, l1), (p2, l2) = segs[0], segs[1]
+        swapped = (bytes(data[:p1]) + bytes(data[p2:p2 + l2])
+                   + bytes(data[p1 + l1:p2]) + bytes(data[p1:p1 + l1])
+                   + bytes(data[p2 + l2:]))
+        out = grok_tpu.decompress(swapped).comps[0].data
+        assert np.array_equal(out, arr)
+    else:
+        out = grok_tpu.decompress(bytes(data)).comps[0].data
+        assert np.array_equal(out, arr)
