@@ -585,6 +585,14 @@ class CodestreamDecoder:
             self._err(f"no data for tile {tidx}")
             return None
         tcp = self.tile_tcps.get(tidx) or cp.tcps[0]
+        if reduce_ >= min(t.numresolutions for t in tcp.tccps):
+            # the global reduce clamp uses the main-header resolution
+            # count; a tile-part COD overriding it to fewer levels would
+            # produce planes on a coarser grid than the canvas — skip the
+            # tile rather than paste at the wrong scale
+            self._err(f"tile {tidx}: reduce {reduce_} exceeds the tile's "
+                      f"resolution count; tile skipped")
+            return None
         tcp.ppt_data = bytes(self.tile_ppt.get(tidx, b"")) or None
         tile = build_tile(tidx, trect, img, tcp)
         td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
