@@ -96,6 +96,15 @@ def _try_stream_strips(data: bytes, out_path: str, args, dp) -> bool:
     comps = hi.image.comps
     if len(comps) not in (1, 3) or hi.image.meta.palette is not None:
         return False
+    # The strip path bypasses codec._postprocess: any color conversion
+    # (sYCC/eYCC/CIELab) or cdef channel reordering it would apply must
+    # force the whole-image path, else raw planes leak into the PNM.
+    from ..image import ColorSpace
+    if hi.image.color_space not in (ColorSpace.SRGB, ColorSpace.GRAY,
+                                    ColorSpace.UNKNOWN):
+        return False
+    if hi.image.meta.channel_definitions:
+        return False
     if any(c.sgnd or c.prec > 16 or c.dx != 1 or c.dy != 1 for c in comps):
         return False
     if len({c.prec for c in comps}) != 1:

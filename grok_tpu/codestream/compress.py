@@ -231,6 +231,11 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
     raw_bytes = sum(c.data.shape[0] * c.data.shape[1] * c.prec
                     for c in image.comps) / 8.0
     p._raw_bytes_total = raw_bytes  # for -W per-tile share scaling
+    # -W is a TOTAL codestream cap: subtract the ACTUAL main-header bytes
+    # written so far (SIZ/COD/QCD/CAP/COM/...) plus per-tile SOT/SOD and
+    # EOC framing once, instead of a flat per-tile constant
+    p._cap_overhead = (len(out) + 2 + cp.numtiles * 14
+                       + (cp.numtiles * 6 + 6 if p.tlm else 0))
 
     cp._has_rate_targets = bool(p.layer_rates or p.layer_psnr
                                 or p.max_cs_size)
@@ -386,13 +391,16 @@ def _layer_targets(p: CompressParams, numlayers: int, raw_bytes: float):
         # thresholds calibrated against measured reconstruction error)
         return [None] * numlayers
     if p.max_cs_size:
-        # -W is a TOTAL codestream cap: scale each tile's share by its
-        # area fraction (tile_frac folded into raw_bytes by the caller)
-        # minus a small main-header allowance
-        share = p.max_cs_size * (raw_bytes / max(1.0, p._raw_bytes_total)
-                                 if getattr(p, "_raw_bytes_total", 0)
-                                 else 1.0)
-        share = max(64.0, share - 64.0)
+        # -W is a TOTAL codestream cap: scale each tile's share of the
+        # packet-byte budget (total minus the measured main-header +
+        # framing overhead) by its area fraction (tile_frac folded into
+        # raw_bytes by the caller)
+        budget = max(64.0, p.max_cs_size
+                     - getattr(p, "_cap_overhead", 64.0))
+        share = budget * (raw_bytes / max(1.0, p._raw_bytes_total)
+                          if getattr(p, "_raw_bytes_total", 0)
+                          else 1.0)
+        share = max(64.0, share)
         step = share / numlayers
         return [step * (i + 1) for i in range(numlayers - 1)] + [share]
     return [None] * numlayers

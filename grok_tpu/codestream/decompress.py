@@ -56,6 +56,7 @@ class CodestreamDecoder:
         self.hi = HeaderInfo()
         self.tile_parts: dict[int, list[bytes]] = {}
         self.tile_plt: dict[int, bytearray] = {}  # concatenated PLT varints
+        self.tile_plt_z: dict[int, int | None] = {}  # next expected Zplt
         self.tile_tcps: dict[int, TileCodingParams] = {}
         self.tile_ppt: dict[int, bytearray] = {}
         self.tile_ppt_segs: dict[int, dict] = {}  # Zppt -> payload bytes
@@ -77,10 +78,12 @@ class CodestreamDecoder:
         reusing one cache across decompress() calls)."""
         sid = getattr(self, "_sid", None)
         if sid is None:
-            d = self.data
-            head = bytes(d[:64])
-            tail = bytes(d[-64:]) if len(d) >= 64 else b""
-            sid = self._sid = (len(d), hash((head, tail)))
+            import hashlib
+            # full-buffer digest: equal-length streams that differ only in
+            # interior tile bytes must not collide (one decode dwarfs the
+            # cost of hashing the whole buffer once)
+            h = hashlib.blake2b(self.data, digest_size=16)
+            sid = self._sid = (len(self.data), h.digest())
         return sid
 
     def _err(self, msg: str):
@@ -370,9 +373,24 @@ class CodestreamDecoder:
                     # (SURVEY.md §3.3 "PLT ... make this O(region)").
                     # Varint bytes are concatenated across segments (a
                     # length may straddle a Zplt boundary in other
-                    # encoders' streams).
-                    self.tile_plt.setdefault(isot, bytearray()).extend(
-                        payload[1:])
+                    # encoders' streams), so segment ORDER matters: an
+                    # out-of-sequence Zplt poisons the tile's index and we
+                    # fall back to full packet-header parsing.
+                    zplt = payload[0]
+                    expect = self.tile_plt_z.get(isot, 0)
+                    if expect is None:
+                        pass  # index already dropped for this tile
+                    elif zplt != expect:
+                        log.warning(
+                            "PLT Zplt %d out of sequence (expected %d) in "
+                            "tile %d; dropping its packet-length index",
+                            zplt, expect, isot)
+                        self.tile_plt.pop(isot, None)
+                        self.tile_plt_z[isot] = None
+                    else:
+                        self.tile_plt_z[isot] = expect + 1
+                        self.tile_plt.setdefault(isot, bytearray()).extend(
+                            payload[1:])
                 elif code == mk.COM:
                     pass
                 else:

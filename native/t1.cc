@@ -77,6 +77,7 @@ struct MQEnc {
   // vector capacity check that showed up in the hot-loop profile.
   uint8_t* b0 = nullptr;
   uint8_t* bp = nullptr;
+  uint8_t* bend = nullptr;  // growth trigger: byteout writes <=2 bytes
   std::vector<uint8_t> arena;
   Ctx ctx[NCTX];
 
@@ -88,10 +89,22 @@ struct MQEnc {
   void restart() {
     a = 0x8000; c = 0; ct = 12;
     b0 = bp = arena.data();
+    bend = arena.data() + arena.size();
     *bp = 0;
+  }
+  // Out-of-line growth: the sizing bound below byteout() covers every
+  // legal input, but a worst-case aggregated cleanup pass can exceed the
+  // amortized estimate mid-pass — grow instead of smashing the heap.
+  __attribute__((noinline)) void grow() {
+    size_t off = (size_t)(bp - arena.data());  // b0 == arena.data() always
+    arena.resize(arena.size() * 2);
+    b0 = arena.data();
+    bp = b0 + off;
+    bend = b0 + arena.size();
   }
 
   void byteout() {
+    if (bp + 2 >= bend) grow();
     if (*bp == 0xFF) {
       *++bp = (c >> 20) & 0xFF; c &= 0xFFFFF; ct = 7;
     } else if (c < 0x8000000) {
@@ -785,13 +798,8 @@ static void encode_one(GrkT1EncJob* j) {
       j->pass_dists[passno] = dt.total;
       j->pass_terms[passno] = term;
       passno++;
-      // arena headroom guard: the sizing bound above covers every legal
-      // input (<=2.25 decisions/sample/plane), so this is insurance that
-      // turns a reasoning error into a clean failure, not a heap smash
-      if ((size_t)(mq.bp - mq.b0) + 64 > mq.arena.size()) {
-        j->status = 1;
-        return;
-      }
+      // no post-pass arena guard needed: byteout() grows the arena when
+      // within 2 bytes of the end, so a sizing shortfall can't overrun
     }
   }
   j->num_passes = passno;

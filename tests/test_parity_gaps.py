@@ -260,3 +260,60 @@ def test_ppm_segments_ordered_by_zppm(rng):
     else:
         out = grok_tpu.decompress(bytes(data)).comps[0].data
         assert np.array_equal(out, arr)
+
+
+def test_max_cs_size_small_single_tile(rng):
+    """-W on a single-tile image must account for the real main-header
+    size, not a flat 64-byte allowance (round-3 advisor fix)."""
+    arr = _content(rng, 256, 256)
+    for cap in (1200, 2500):
+        p = CompressParams(numresolution=4, irreversible=True,
+                           max_cs_size=cap, comment="overhead " * 4)
+        data = grok_tpu.compress(GrkImage.from_array(arr, prec=8), p)
+        assert len(data) <= cap, (len(data), cap)
+
+
+def test_plt_out_of_order_zplt_falls_back(rng):
+    """Out-of-sequence Zplt segments must poison the packet-length index
+    (falling back to full header parsing), not corrupt the skip offsets
+    (round-3 advisor fix)."""
+    import struct
+
+    arr = _content(rng, 128, 128)
+    data = grok_tpu.compress(GrkImage.from_array(arr, prec=8),
+                             CompressParams(numresolution=4, plt=True))
+    # locate the single PLT segment and split it into two with swapped Z
+    i = data.find(b"\xff\x58")
+    assert i >= 0
+    (lplt,) = struct.unpack(">H", data[i + 2:i + 4])
+    payload = data[i + 4:i + 2 + lplt]
+    zplt, body = payload[0], payload[1:]
+    assert zplt == 0 and len(body) >= 4
+    half = len(body) // 2
+    seg_a = bytes([1]) + body[:half]      # wrong: Z=1 arrives first
+    seg_b = bytes([0]) + body[half:]
+    spliced = (data[:i]
+               + b"\xff\x58" + struct.pack(">H", 2 + len(seg_a)) + seg_a
+               + b"\xff\x58" + struct.pack(">H", 2 + len(seg_b)) + seg_b
+               + data[i + 2 + lplt:])
+    out = grok_tpu.decompress(spliced, DecompressParams(
+        window=(32, 32, 96, 96)))
+    assert np.array_equal(out.to_array(), arr[32:96, 32:96])
+
+
+def test_strip_fastpath_rejects_color_converted(tmp_path, rng):
+    """The strip-streamed PNM fast path bypasses _postprocess, so any
+    image needing a color conversion (sYCC) or cdef reordering must be
+    rejected by its eligibility guard (round-3 advisor fix)."""
+    from grok_tpu.cli import grk_decompress as gd
+
+    arr = _content(rng, 64, 64, 3)
+    img = GrkImage.from_array(arr, color_space=ColorSpace.SYCC)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, cod_format="jp2", mct=0))
+
+    args = gd.build_parser().parse_args(
+        ["-i", "x.jp2", "-o", str(tmp_path / "y.ppm")])
+    dp = gd.params_from_args(args)
+    assert gd._try_stream_strips(data, str(tmp_path / "y.ppm"),
+                                 args, dp) is False
