@@ -260,13 +260,18 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                 tile, tcp, image, cp, backend=p.backend,
                 mct_norms_arr=mct_norms_arr,
                 num_threads=p.num_threads)))
-    if p.backend == "device" and len(compressors) > 1:
+    mesh = None
+    if p.mesh is not None:
+        from ..parallel.mesh import resolve_mesh
+
+        mesh = resolve_mesh(p.mesh)
+    if (p.backend == "device" or mesh is not None) and len(compressors) > 1:
         from ..tile.processor import run_transforms_device_batched
 
         full = [t for (_, _, tr, t) in compressors
                 if tr.w == cp.t_width and tr.h == cp.t_height]
         if len(full) > 1:
-            run_transforms_device_batched(full)
+            run_transforms_device_batched(full, mesh=mesh)
 
     tlm_entries = []
     for n, (tidx, tcp, trect, tc) in enumerate(compressors):

@@ -465,12 +465,18 @@ class CodestreamDecoder:
             tiles = [p.tile_index]
 
         batched = {}
+        mesh = None
+        if p.mesh is not None:
+            from ..parallel.mesh import resolve_mesh
+
+            mesh = resolve_mesh(p.mesh)
         # reduce/window always fail per-tile device eligibility later, so
         # gate here before paying the per-tile Tier-1 work twice
-        if p.backend == "device" and cp.numtiles > 1 and \
-                p.tile_index is None and win is None and reduce_ == 0:
+        if (p.backend == "device" or mesh is not None) \
+                and cp.numtiles > 1 and p.tile_index is None \
+                and win is None and reduce_ == 0:
             batched = self._decode_tiles_device_batched(
-                list(tiles), p, img, reduce_)
+                list(tiles), p, img, reduce_, mesh=mesh)
 
         for tidx in tiles:
             if tidx in batched:
@@ -520,7 +526,8 @@ class CodestreamDecoder:
             self.tile_ppt.setdefault(tidx, bytearray()).extend(chunk)
         cp.ppm_data = None  # consumed
 
-    def _decode_tiles_device_batched(self, tiles, p, img, reduce_):
+    def _decode_tiles_device_batched(self, tiles, p, img, reduce_,
+                                     mesh=None):
         """Batched device synthesis over all uniform full-size tiles
         (mirror of the encoder's batched analysis).  Returns
         {tidx: (planes, rects)} for the tiles it handled."""
@@ -559,7 +566,8 @@ class CodestreamDecoder:
             prepared.append((tidx, tcp, tile, td))
         if len(prepared) < 2:
             return {}
-        result = reconstruct_device_batched([td for (_, _, _, td) in prepared])
+        result = reconstruct_device_batched(
+            [td for (_, _, _, td) in prepared], mesh=mesh)
         if result is None:
             return {}
         out = {}

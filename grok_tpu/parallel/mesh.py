@@ -20,8 +20,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8 top-level API (check_rep renamed to check_vma)
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check_rep)
+    jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import dwt as ddwt
 from ..ops import pipeline as dpipe
@@ -38,6 +45,30 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None,
         sp = 1
     arr = np.array(devs).reshape(dp, sp)
     return Mesh(arr, axis_names=("dp", "sp"))
+
+
+def resolve_mesh(spec) -> Mesh | None:
+    """Resolve the public `mesh` parameter (CompressParams.mesh /
+    DecompressParams.mesh): a Mesh passes through, an int builds a dp mesh
+    over jax.devices().  Returns None when the spec describes a single
+    device (the single-chip path needs no shard_map)."""
+    if spec is None:
+        return None
+    if isinstance(spec, Mesh):
+        return spec if spec.devices.size > 1 else None
+    if isinstance(spec, int):
+        if spec <= 1:
+            return None
+        if spec > len(jax.devices()):
+            raise ValueError(
+                f"mesh={spec} devices requested but only "
+                f"{len(jax.devices())} visible")
+        return make_mesh(spec)
+    raise TypeError(f"mesh must be a Mesh or int, got {type(spec)!r}")
+
+
+def dp_size(mesh: Mesh) -> int:
+    return mesh.shape.get("dp", 1)
 
 
 # ---------------------------------------------------------------------------

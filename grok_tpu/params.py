@@ -165,6 +165,13 @@ class CompressParams:
     # which backend: "auto" | "native" (C++) | "python" | "device"
     backend: str = "auto"
 
+    # multi-chip: a jax.sharding.Mesh with a "dp" axis (tile-batch data
+    # parallel, SURVEY.md §2.3), or an int device count to build one over
+    # jax.devices().  None = single-device.  Uniform full-size tiles'
+    # transforms shard over the mesh; per-shard Tier-1/Tier-2 stay on the
+    # host.  Falls back transparently when tiles are not uniform.
+    mesh: object | None = None
+
     def validate(self) -> None:
         if self.layer_rates and self.layer_psnr:
             raise ParamError("layer_rates (-r) and layer_psnr (-q) are mutually exclusive")
@@ -219,6 +226,9 @@ class DecompressParams:
     apply_icc: bool = False
     num_threads: int = 0
     backend: str = "auto"
+    # multi-chip: Mesh with a "dp" axis or an int device count (see
+    # CompressParams.mesh); tile synthesis shards over it on full decodes
+    mesh: object | None = None
 
 
 # ----------------------------------------------------------------- internal

@@ -689,11 +689,17 @@ def _tcp_device_key(tcp) -> tuple:
             tcp.mct, tuple((ss.expn, ss.mant) for ss in t0.stepsizes))
 
 
-def run_transforms_device_batched(tcs: list["TileCompressor"]) -> bool:
+def run_transforms_device_batched(tcs: list["TileCompressor"],
+                                  mesh=None) -> bool:
     """Run the fused device analysis ONCE over a whole batch of uniform
     tiles — the tile-batch axis the multi-chip mesh shards over (SURVEY.md
     §2.3 "data-parallel tile sharding").  Returns False (no-op) unless every
-    tile is device-eligible with identical geometry."""
+    tile is device-eligible with identical geometry.
+
+    With `mesh`, the tile-batch axis shards over the mesh's "dp" axis via
+    shard_map (parallel.mesh.sharded_analysis); the batch is padded to a
+    dp multiple by repeating the last tile and the padding is dropped on
+    gather."""
     if len(tcs) < 2:
         return False
     first = tcs[0]
@@ -725,7 +731,7 @@ def run_transforms_device_batched(tcs: list["TileCompressor"]) -> bool:
                 comp.data[r.y0 - comp.y0:r.y1 - comp.y0,
                           r.x0 - comp.x0:r.x1 - comp.x0])
         planes.append(np.stack(comp_planes))
-    x = jnp.asarray(np.stack(planes))  # (C, B, H, W)
+    xb = np.stack(planes)  # (C, B, H, W)
     deltas = ()
     if not reversible:
         dl = []
@@ -733,11 +739,27 @@ def run_transforms_device_batched(tcs: list["TileCompressor"]) -> bool:
             for band in res.bands:
                 dl.append((res.resno, band.orient, float(band.stepsize)))
         deltas = tuple(dl)
-    bands = dpipe.analysis(
-        x, numres=t0.numresolutions, reversible=reversible,
-        mct=first.tcp.mct, prec=first.image.comps[0].prec,
-        sgnd=first.image.comps[0].sgnd, deltas=deltas)
-    host_bands = {k: np.asarray(v) for k, v in bands.items()}
+    nb = len(tcs)
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        dp = pmesh.dp_size(mesh)
+        pad = (-nb) % dp
+        if pad:
+            xb = np.concatenate([xb, np.repeat(xb[:, -1:], pad, axis=1)],
+                                axis=1)
+        bands, _energy = pmesh.sharded_analysis(
+            mesh, jnp.asarray(xb), numres=t0.numresolutions,
+            reversible=reversible, mct=first.tcp.mct,
+            prec=first.image.comps[0].prec,
+            sgnd=first.image.comps[0].sgnd, deltas=deltas)
+    else:
+        bands = dpipe.analysis(
+            jnp.asarray(xb), numres=t0.numresolutions,
+            reversible=reversible, mct=first.tcp.mct,
+            prec=first.image.comps[0].prec,
+            sgnd=first.image.comps[0].sgnd, deltas=deltas)
+    host_bands = {k: np.asarray(v)[:, :nb] for k, v in bands.items()}
     for bi, t in enumerate(tcs):
         for compno, tc in enumerate(t.tile.comps):
             tc.data = {k: v[compno, bi] for k, v in host_bands.items()}
@@ -746,10 +768,11 @@ def run_transforms_device_batched(tcs: list["TileCompressor"]) -> bool:
     return True
 
 
-def reconstruct_device_batched(tds: list["TileDecompressor"]):
+def reconstruct_device_batched(tds: list["TileDecompressor"], mesh=None):
     """Fused device synthesis over a batch of uniform tiles (mirror of
     run_transforms_device_batched).  Returns {id(td): planes} or None if
-    the batch is not eligible."""
+    the batch is not eligible.  With `mesh`, the tile batch shards over
+    its "dp" axis (padded to a dp multiple, padding dropped on gather)."""
     if len(tds) < 2:
         return None
     first = tds[0]
@@ -769,6 +792,12 @@ def reconstruct_device_batched(tds: list["TileDecompressor"]):
     t0 = first.tcp.tccps[0]
     reversible = t0.qmfbid == 1
     ncomp = len(first.tile.comps)
+    nb = len(tds)
+    pad = 0
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        pad = (-nb) % pmesh.dp_size(mesh)
     bands = {}
     deltas = []
     for res in first.tile.comps[0].resolutions:
@@ -777,13 +806,20 @@ def reconstruct_device_batched(tds: list["TileDecompressor"]):
                 np.stack([t._band_arrays[(c, res.resno, band.orient)]
                           for t in tds])
                 for c in range(ncomp)])
+            if pad:
+                stacked = np.concatenate(
+                    [stacked, np.repeat(stacked[:, -1:], pad, axis=1)],
+                    axis=1)
             bands[(res.resno, band.orient)] = jnp.asarray(stacked)
             deltas.append((res.resno, band.orient, float(band.stepsize)))
-    out = dpipe.synthesis(
-        bands, numres=t0.numresolutions, reversible=reversible,
-        mct=first.tcp.mct, prec=first.image.comps[0].prec,
-        sgnd=first.image.comps[0].sgnd, shape=(shape.h, shape.w),
-        deltas=tuple(deltas) if not reversible else ())
+    kw = dict(numres=t0.numresolutions, reversible=reversible,
+              mct=first.tcp.mct, prec=first.image.comps[0].prec,
+              sgnd=first.image.comps[0].sgnd, shape=(shape.h, shape.w),
+              deltas=tuple(deltas) if not reversible else ())
+    if mesh is not None:
+        out = pmesh.sharded_synthesis(mesh, bands, **kw)
+    else:
+        out = dpipe.synthesis(bands, **kw)
     out = np.asarray(out)
     return {id(t): [out[c, bi] for c in range(ncomp)]
             for bi, t in enumerate(tds)}
