@@ -239,6 +239,18 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
 
     cp._has_rate_targets = bool(p.layer_rates or p.layer_psnr
                                 or p.max_cs_size)
+    # rate-control simulation must see the per-packet framing (SOP/EPH)
+    # and tile-part overhead the real emission adds, or byte caps can
+    # overshoot by packets * framing bytes
+    cp._sim_pkt_overhead = (6 if p.sop else 0) + (2 if p.eph else 0)
+    ntp = 1
+    if p.new_tile_part_progression == "R":
+        ntp = p.numresolution
+    elif p.new_tile_part_progression == "L":
+        ntp = p.numlayers
+    elif p.new_tile_part_progression == "C":
+        ntp = image.numcomps
+    cp._sim_tile_parts = ntp
     mct_norms_arr = None
     if tcp0.mct == 1:
         mct_norms_arr = mct_mod.mct_norms(p.irreversible)

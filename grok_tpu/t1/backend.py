@@ -24,6 +24,55 @@ from ..params import CblkStyle
 from . import coder as pycoder
 
 
+class LazyPasses:
+    """Sequence of PassInfo materialized on demand from the native
+    coder's pooled (rates, dists, terms) arrays.
+
+    Building ~25 PassInfo objects per codeblock was ~15% of rate-targeted
+    encode wall time; the hot consumers (hulls, Tier-2 statics) read the
+    arrays directly and never materialize."""
+
+    __slots__ = ("rates", "dists", "terms", "numbps", "_mat")
+
+    def __init__(self, rates, dists, terms, numbps):
+        self.rates = rates
+        self.dists = dists
+        self.terms = terms
+        self.numbps = numbps
+        self._mat = None
+
+    def _list(self):
+        if self._mat is None:
+            from .coder import PassInfo
+
+            out = []
+            passno = 0
+            n = len(self.rates)
+            for bpno in range(self.numbps - 1, -1, -1):
+                for ptype in ((2,) if bpno == self.numbps - 1 else (0, 1, 2)):
+                    if passno >= n:
+                        break
+                    out.append(PassInfo(ptype, bpno,
+                                        bool(self.terms[passno]),
+                                        int(self.rates[passno]),
+                                        float(self.dists[passno])))
+                    passno += 1
+            self._mat = out
+        return self._mat
+
+    def __len__(self):
+        return len(self.rates)
+
+    def __bool__(self):
+        return len(self.rates) > 0
+
+    def __getitem__(self, k):
+        return self._list()[k]
+
+    def __iter__(self):
+        return iter(self._list())
+
+
 @dataclass
 class EncodeJob:
     coeffs: np.ndarray        # numpy, or a device (jax) array slice
@@ -38,6 +87,9 @@ class EncodeJob:
     data: bytes = b""
     numbps: int = 0
     passes: list = field(default_factory=list)
+    # native backend: e0 measured during coefficient ingest (sum m^2);
+    # None on backends that don't provide it
+    e0_out: float | None = None
 
 
 @dataclass

@@ -77,6 +77,8 @@ class _EncJob(ct.Structure):
         ("pass_dists", ct.c_uint64),
         ("pass_terms", ct.c_uint64),
         ("status", ct.c_int32),
+        ("_pad", ct.c_int32),
+        ("e0", ct.c_double),
     ]
 
 
@@ -93,7 +95,7 @@ class _DecJob(ct.Structure):
     ]
 
 
-_ABI_VERSION = 3  # job-struct layout (v3: enc + dec stride fields)
+_ABI_VERSION = 4  # job-struct layout (v4: EncJob e0 field)
 
 _lib = ct.CDLL(_LIB_PATH)
 if _lib.grk_t1_abi_version() != _ABI_VERSION:
@@ -126,8 +128,6 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
     if n == 0:
         return
     cjobs = (_EncJob * n)()
-    from ..t1.coder import PassInfo
-
     coeff_arrs = [_as_strided_int32(j.coeffs) for j in jobs]
     caps = [max(4096, a.shape[0] * a.shape[1] * 4 + 1024)
             for a in coeff_arrs]
@@ -166,22 +166,14 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
         j.data = out_pool[out_off: out_off + c.out_len].tobytes()
         out_off += caps[i]
         j.numbps = int(c.numbps)
-        np_ = int(c.num_passes)
-        rates = rates_pool[i * MAX_PASSES:]
-        dists = dists_pool[i * MAX_PASSES:]
-        terms = terms_pool[i * MAX_PASSES:]
-        passes = []
-        passno = 0
-        numbps = j.numbps
-        for bpno in range(numbps - 1, -1, -1):
-            for ptype in ((2,) if bpno == numbps - 1 else (0, 1, 2)):
-                if passno >= np_:
-                    break
-                passes.append(PassInfo(ptype, bpno, bool(terms[passno]),
-                                       int(rates[passno]),
-                                       float(dists[passno])))
-                passno += 1
-        j.passes = passes
+        np_ = c.num_passes
+        base = i * MAX_PASSES
+        # pooled-array views; PassInfo objects materialize lazily (hot
+        # consumers read the arrays, see backend.LazyPasses)
+        j.passes = bk.LazyPasses(rates_pool[base:base + np_],
+                                 dists_pool[base:base + np_],
+                                 terms_pool[base:base + np_], j.numbps)
+        j.e0_out = c.e0
 
 
 def decode_batch_native(jobs: list[bk.DecodeJob], num_threads: int = 0) -> None:

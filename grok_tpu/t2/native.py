@@ -148,6 +148,25 @@ class PrecinctHandle:
         hdr = ct.string_at(_lib.grk_t2_prc_hdr(self.ptr), n)
         return hdr, self.ranges
 
+    def size(self, layno: int, style: int, mixed: bool) -> int:
+        """Header + body bytes of this packet WITHOUT materializing them
+        (rate-control dry runs only need the length; the header copy and
+        body slicing were most of the simulate cost)."""
+        if not self.statics_built:
+            self._build_statics()
+        for i, c in enumerate(self.cblks):
+            npl = c.num_passes_by_layer
+            self.npasses[i] = npl[layno] if layno < len(npl) else 0
+        n = _lib.grk_t2_encode_packet(
+            self.ptr, layno, int(style), 1 if mixed else 0,
+            _addr(self.npasses), _addr(self.first_layer), _addr(self.zb),
+            _addr(self.numbps), _addr(self.is_ht),
+            _addr(self.rates), self.rates_stride, _addr(self.ranges))
+        r = self.ranges[:2 * self.ncb]
+        s, e = r[0::2], r[1::2]
+        inc = s >= 0
+        return int(n) + int((e[inc] - s[inc]).sum())
+
     # ------------------------------------------------------------ decoder
 
     def decode(self, layno: int, style: int, mixed: bool,

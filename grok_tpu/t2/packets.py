@@ -302,6 +302,17 @@ def encode_packet(
     return bytes(out)
 
 
+def packet_size(res, precno: int, layno: int, style: CblkStyle,
+                mixed: bool = False) -> int:
+    """Size in bytes of one packet (header + body) without materializing
+    it — the Tier-2 dry-run primitive for rate control."""
+    if _native is None:
+        return len(encode_packet_py(res, precno, layno, style,
+                                    mixed=mixed))
+    h = _native.get_handle(res.precincts[precno])
+    return h.size(layno, style, mixed)
+
+
 def encode_packet_py(
     res: Resolution,
     precno: int,

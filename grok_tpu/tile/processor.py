@@ -36,7 +36,8 @@ from .geometry import (
     build_resolutions,
     tile_comp_rect,
 )
-from .ratecontrol import candidate_slopes, convex_hull, passes_for_threshold
+from .ratecontrol import (HullIndex, candidate_slopes, convex_hull,
+                          passes_for_threshold)
 
 log = logging.getLogger("grok_tpu")
 
@@ -278,7 +279,11 @@ class TileCompressor:
                                 getattr(self, 'num_threads', 0))
         for job, (compno, resno, band, cblk) in zip(jobs, job_meta):
             cblk.data = job.data
-            cblk.pass_rates = [p.rate for p in job.passes]
+            lazy = isinstance(job.passes, t1_backend.LazyPasses)
+            if lazy:
+                cblk.pass_rates = job.passes.rates.tolist()
+            else:
+                cblk.pass_rates = [p.rate for p in job.passes]
             tccp = tcp.tccps[compno]
             if job.numbps > band.numbps:
                 log.warning("codeblock numbps %d exceeds band M_b %d",
@@ -300,7 +305,10 @@ class TileCompressor:
             if self.mct_norms is not None and compno < len(self.mct_norms):
                 mctw = float(self.mct_norms[compno])
             weight = (delta * norm * mctw) ** 2
-            cblk.pass_dists = [p.dist * weight for p in job.passes]
+            if lazy:
+                cblk.pass_dists = (job.passes.dists * weight).tolist()
+            else:
+                cblk.pass_dists = [p.dist * weight for p in job.passes]
             cblk._passes = job.passes  # kept for layer maths
             # kept for -q actual-error measurement (truncated re-decode)
             cblk._orient = band.orient
@@ -310,9 +318,12 @@ class TileCompressor:
             # mode — only when rate control needs it (avoids pulling
             # device-resident coefficients back to the host)
             if need_dist:
-                cblk._e0 = weight * float(
-                    (np.abs(np.asarray(job.coeffs)).astype(np.float64)
-                     ** 2).sum())
+                e0 = getattr(job, "e0_out", None)
+                if e0 is None:
+                    e0 = float(
+                        (np.abs(np.asarray(job.coeffs)).astype(np.float64)
+                         ** 2).sum())
+                cblk._e0 = weight * e0
 
     # ---- stage 2: rate control ----
 
@@ -336,6 +347,7 @@ class TileCompressor:
                                               cblk.pass_dists)))
 
         prev = {id(c): 0 for c, _ in entries}
+        self._hull_index = None  # rebuilt lazily against these entries
         hulls = [h for _, h in entries]
         slopes = candidate_slopes(hulls)
         for layno, target in enumerate(layer_targets):
@@ -537,22 +549,86 @@ class TileCompressor:
         return total_err
 
     def _bisect_layer(self, entries, prev, slopes, layno, target):
-        lo, hi = 0, len(slopes)
+        """Two-stage feasible-slope search (B.8 'feasible' PCRD).
+
+        Stage 1 bisects on BODY bytes only, fully vectorized over the
+        flattened hull index — no Tier-2 calls.  Since headers are
+        non-negative, any candidate whose bodies alone exceed the target
+        is infeasible, so stage 1 yields an upper bound on the feasible
+        slope index.  Stage 2 walks down from that bound with exact
+        Tier-2 dry runs (typically 1-3, vs log2(slopes) before) until the
+        full packet size fits."""
+        import numpy as np
+
+        hidx = getattr(self, "_hull_index", None)
+        if hidx is None:
+            hidx = self._hull_index = HullIndex(entries)
+        prev_counts = np.asarray([prev[id(c)] for c, _ in entries],
+                                 dtype=np.int64)
+        prev_rates = np.asarray(
+            [c.pass_rates[p - 1] if p > 0 else 0
+             for (c, _), p in zip(entries, prev_counts)], dtype=np.int64)
+
+        def cand_counts(lam):
+            counts, rates = hidx.counts_rates(lam)
+            counts = np.maximum(counts, prev_counts)
+            rates = np.maximum(rates, prev_rates)
+            return counts, int(rates.sum())
+
+        def body_bisect(eff_target):
+            # last index whose body total fits (body monotone in index)
+            lo, hi = 0, len(slopes)
+            best = None
+            while lo < hi:
+                mid = (lo + hi) // 2
+                _, body = cand_counts(slopes[mid])
+                if body <= eff_target:
+                    best = mid
+                    lo = mid + 1
+                else:
+                    hi = mid
+            return best
+
+        def exact(idx):
+            counts_v, body = cand_counts(slopes[idx])
+            counts = {id(c): int(n)
+                      for (c, _), n in zip(entries, counts_v)}
+            return counts, body, \
+                self._simulate_size(entries, prev, counts, layno)
+
+        # stage 2: fixed-point on the header+framing overhead.  One exact
+        # Tier-2 dry run per iteration measures overhead = size - body;
+        # re-bisecting bodies against (target - overhead) converges in
+        # 2-4 iterations because the overhead barely moves with the index.
+        # At the fixed point, body(idx) <= target - overhead(idx) implies
+        # size(idx) <= target, so convergence is feasibility.
+        overhead = 0
+        last_idx = None
         best = None
-        while lo < hi:
-            mid = (lo + hi) // 2
-            lam = slopes[mid]
-            counts = {}
-            for c, h in entries:
-                counts[id(c)] = max(prev[id(c)], passes_for_threshold(h, lam))
-            size = self._simulate_size(entries, prev, counts, layno)
+        for _ in range(10):
+            idx = body_bisect(target - overhead)
+            if idx is None:
+                return best if best is not None else dict(prev)
+            if idx == last_idx:
+                break
+            last_idx = idx
+            counts, body, size = exact(idx)
+            overhead = size - body
             if size <= target:
                 best = counts
-                lo = mid + 1
-            else:
-                hi = mid
         if best is None:
             return dict(prev)
+        # push-up probe: the overhead approximation may have landed a
+        # step or two short of the true maximum feasible index
+        idx = last_idx
+        for _ in range(3):
+            if idx + 1 >= len(slopes):
+                break
+            counts, _, size = exact(idx + 1)
+            if size > target:
+                break
+            best = counts
+            idx += 1
         return best
 
     def _simulate_size(self, entries, prev, counts, layno) -> int:
@@ -563,12 +639,31 @@ class TileCompressor:
         saved = self._snapshot_t2()
         try:
             total = 0
+            npkts = 0
             for layer in range(layno + 1):
-                total += len(self.write_layer_packets(layer))
+                sz, np_ = self._layer_packets_size(layer)
+                total += sz
+                npkts += np_
         finally:
             self._restore_t2(saved)
-        # headers: SOT+SOD fixed overhead per tile-part
-        return total + 14
+        # per-packet framing (SOP/EPH) + SOT+SOD per tile-part
+        total += npkts * getattr(self.cp, "_sim_pkt_overhead", 0)
+        return total + 14 * max(1, getattr(self.cp, "_sim_tile_parts", 1))
+
+    def _layer_packets_size(self, layno: int) -> tuple[int, int]:
+        """(total bytes, packet count) of one layer's packets (LRCP-local
+        order) without materializing headers or bodies (t2.packet_size)."""
+        total = 0
+        npkts = 0
+        for tc in self.tile.comps:
+            tccp = self.tcp.tccps[tc.compno]
+            mixed = tccp.ht and getattr(self.cp, "ht_mixed", False)
+            for res in tc.resolutions:
+                for precno in range(res.pw * res.ph):
+                    total += t2.packet_size(res, precno, layno,
+                                            tccp.cblk_style, mixed=mixed)
+                    npkts += 1
+        return total, npkts
 
     def _precinct_list(self):
         plist = getattr(self, "_t2_prc_cache", None)

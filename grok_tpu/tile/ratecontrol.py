@@ -64,3 +64,53 @@ def candidate_slopes(hulls: list[list[tuple]]) -> list[float]:
     """All distinct finite hull slopes, descending."""
     s = {pt[3] for hull in hulls for pt in hull if math.isfinite(pt[3])}
     return sorted(s, reverse=True)
+
+
+class HullIndex:
+    """Vectorized per-tile view of all codeblock hulls.
+
+    PCRD bisection evaluates O(log slopes) candidate thresholds; walking
+    every hull in Python per candidate was ~15% of rate-targeted encode
+    wall time.  This flattens all hulls into numpy arrays once so each
+    candidate costs three vector ops: a >=-mask, a segment-sum
+    (add.reduceat) and a gather."""
+
+    def __init__(self, entries):
+        import numpy as np
+
+        self._np = np
+        nslopes, npass, nrate = [], [], []
+        offsets = [0]
+        for _c, hull in entries:
+            for pt in hull:
+                npass.append(pt[0] + 1)   # passes included at this point
+                nrate.append(pt[1])
+                nslopes.append(pt[3])
+            offsets.append(len(nslopes))
+        self.slopes = np.asarray(nslopes, dtype=np.float64)
+        self.pass_at = np.asarray(npass, dtype=np.int64)
+        self.rate_at = np.asarray(nrate, dtype=np.int64)
+        self.off = np.asarray(offsets[:-1], dtype=np.int64)
+        self.sizes = np.diff(np.asarray(offsets, dtype=np.int64))
+        self.nonempty = self.sizes > 0
+
+    def counts_rates(self, lam: float):
+        """Per-entry (passes included, cumulative body bytes) for slope
+        threshold `lam` (hull slopes >= lam are kept)."""
+        np = self._np
+        nent = len(self.off)
+        counts = np.zeros(nent, dtype=np.int64)
+        rates = np.zeros(nent, dtype=np.int64)
+        if len(self.slopes) == 0:
+            return counts, rates
+        mask = (self.slopes >= lam).astype(np.int64)
+        ninc = np.zeros(nent, dtype=np.int64)
+        ne = self.nonempty
+        ninc[ne] = np.add.reduceat(mask, self.off[ne])
+        # hull slopes are strictly decreasing per entry, so the included
+        # points are a prefix: the last one is at off + ninc - 1
+        has = ninc > 0
+        idx = self.off[has] + ninc[has] - 1
+        counts[has] = self.pass_at[idx]
+        rates[has] = self.rate_at[idx]
+        return counts, rates

@@ -18,8 +18,23 @@
 #if defined(__BMI2__)
 #include <immintrin.h>
 #endif
+#if defined(__x86_64__)
+#include <x86intrin.h>
+#endif
 
 namespace {
+
+// pass-granularity cycle profiling (dev tool, ~nil overhead at pass
+// granularity; single-threaded accuracy only): [enc=0/dec=1][sig,ref,cln,setup]
+static uint64_t g_prof_cycles[2][4];
+static uint64_t g_prof_count[2][4];
+static inline uint64_t prof_tsc() {
+#if defined(__x86_64__)
+  return __rdtsc();
+#else
+  return 0;
+#endif
+}
 
 // ---------------------------------------------------------------- MQ coder
 
@@ -501,6 +516,9 @@ struct GrkT1EncJob {
   double* pass_dists;
   uint8_t* pass_terms;
   int32_t status;        // 0 ok, 1 output overflow
+  int32_t _pad;
+  double e0;             // sum of squared magnitudes (need_dist only):
+                         // the initial distortion PCRD -q mode starts from
 };
 
 struct GrkT1DecJob {
@@ -720,8 +738,11 @@ static void enc_clnpass(T1State& st, int bpno, int orient, bool vsc,
 static void encode_one(GrkT1EncJob* j) {
   int h = j->h, w = j->w;
   int cstride = j->stride > 0 ? j->stride : w;
+  uint64_t stsc = prof_tsc();
   T1State st(h, w);
   uint32_t maxmag = 0;
+  double e0 = 0.0;
+  bool want_e0 = j->need_dist != 0;
   for (int y = 0; y < h; y++) {
     for (int x = 0; x < w; x++) {
       int32_t v = j->coeffs[(size_t)y * cstride + x];
@@ -730,8 +751,12 @@ static void encode_one(GrkT1EncJob* j) {
       st.mag[i] = m;
       if (v < 0) st.flags[i] |= F_NEG;
       if (m > maxmag) maxmag = m;
+      if (want_e0) e0 += (double)m * (double)m;
     }
   }
+  j->e0 = e0;
+  g_prof_cycles[0][3] += prof_tsc() - stsc;
+  g_prof_count[0][3]++;
   int numbps = 0;
   while (maxmag >> numbps) numbps++;
   j->numbps = numbps;
@@ -759,6 +784,7 @@ static void encode_one(GrkT1EncJob* j) {
     for (int ptype = pt_first; ptype <= 2; ptype++) {
       bool rawp = is_raw_pass(ptype, bpno, numbps, style);
       if (rawp && !raw_active) { raw = RawEnc(); raw_active = true; }
+      uint64_t ptsc = prof_tsc();
       if (ptype == 0) {
         if (dt.enabled) enc_sigpass<true>(st, bpno, j->orient, vsc, mq,
                                           rawp ? &raw : nullptr, dt);
@@ -776,6 +802,8 @@ static void encode_one(GrkT1EncJob* j) {
                                 style & STY_SEGSYM);
         st.clear_visited();
       }
+      g_prof_cycles[0][ptype] += prof_tsc() - ptsc;
+      g_prof_count[0][ptype]++;
       bool last = passno == total_passes - 1;
       bool term = is_term_pass(ptype, bpno, numbps, style, last);
       int rate;
@@ -1027,6 +1055,7 @@ static void decode_one(GrkT1DecJob* j) {
         else mq.init_seg(j->data + s0, s1 - s0);
         cur_seg = si;
       }
+      uint64_t ptsc = prof_tsc();
       if (ptype == 0) dec_sigpass(st, bpno + 1, j->orient, vsc, mq,
                                   rawp ? &raw : nullptr);
       else if (ptype == 1) dec_refpass(st, bpno + 1, vsc, mq,
@@ -1035,10 +1064,13 @@ static void decode_one(GrkT1DecJob* j) {
         dec_clnpass(st, bpno + 1, j->orient, vsc, mq, style & STY_SEGSYM);
         st.clear_visited();
       }
+      g_prof_cycles[1][ptype] += prof_tsc() - ptsc;
+      g_prof_count[1][ptype]++;
       if (style & STY_RESET) init_ctxs(mq.ctx);
       passno++;
     }
   }
+  uint64_t wtsc = prof_tsc();
   for (int y = 0; y < h; y++) {
     for (int x = 0; x < w; x++) {
       size_t i = st.idx(y, x);
@@ -1046,6 +1078,8 @@ static void decode_one(GrkT1DecJob* j) {
       j->out[(size_t)y * ostride + x] = (st.flags[i] & F_NEG) ? -m : m;
     }
   }
+  g_prof_cycles[1][3] += prof_tsc() - wtsc;
+  g_prof_count[1][3]++;
 }
 
 template <typename Job, void (*Fn)(Job*)>
@@ -1076,6 +1110,17 @@ static void run_batch(Job* jobs, int n, int num_threads) {
 
 extern "C" {
 
+// profiling readout (dev tool): copies [enc/dec][sig,ref,cln,setup]
+// cycles then counts into out[16]; reset clears the accumulators.
+void grk_t1_prof_read(uint64_t* out) {
+  std::memcpy(out, g_prof_cycles, sizeof(g_prof_cycles));
+  std::memcpy(out + 8, g_prof_count, sizeof(g_prof_count));
+}
+void grk_t1_prof_reset() {
+  std::memset(g_prof_cycles, 0, sizeof(g_prof_cycles));
+  std::memset(g_prof_count, 0, sizeof(g_prof_count));
+}
+
 int grk_t1_encode_batch(GrkT1EncJob* jobs, int n, int num_threads) {
   run_batch<GrkT1EncJob, encode_one>(jobs, n, num_threads);
   for (int i = 0; i < n; i++)
@@ -1088,7 +1133,7 @@ int grk_t1_decode_batch(GrkT1DecJob* jobs, int n, int num_threads) {
   return 0;
 }
 
-int grk_t1_abi_version() { return 3; }
+int grk_t1_abi_version() { return 4; }  // v4: EncJob e0 field
 
 // Re-serialize an unstuffed MSB-first bit buffer with the HT bit-writer's
 // 0xFF stuffing (7-bit capacity after a 0xFF byte), zero-padded flush and
