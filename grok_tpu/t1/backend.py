@@ -83,6 +83,12 @@ class EncodeJob:
     # static magnitude-bitcount bound (band M_b); lets the device paths
     # pick a plane bucket without a device->host sync
     numbps_bound: int = 32
+    # deferred quantization: > 0 means coeffs is a float32 band view and
+    # the backend applies floor(|v|/delta) during ingest (the native
+    # coder fuses it; other backends materialize via _materialize_quant)
+    quant_delta: float = 0.0
+    # max-shift ROI upshift applied to magnitudes during ingest
+    roi_shift: int = 0
     # results
     data: bytes = b""
     numbps: int = 0
@@ -90,6 +96,19 @@ class EncodeJob:
     # native backend: e0 measured during coefficient ingest (sum m^2);
     # None on backends that don't provide it
     e0_out: float | None = None
+
+
+def _materialize_quant(j: EncodeJob) -> None:
+    """Apply deferred quantization/ROI for backends without fused ingest."""
+    if j.quant_delta > 0.0:
+        from ..transform.quant import quantize
+
+        j.coeffs = quantize(np.asarray(j.coeffs), j.quant_delta)
+        j.quant_delta = 0.0
+    if j.roi_shift:
+        j.coeffs = (np.asarray(j.coeffs).astype(np.int64)
+                    << j.roi_shift).astype(np.int32)
+        j.roi_shift = 0
 
 
 @dataclass
@@ -277,11 +296,17 @@ def encode_batch(jobs: list[EncodeJob], backend: str = "auto",
     ht_jobs = [j for j in jobs if j.ht]
     mq_jobs = [j for j in jobs if not j.ht]
     if mq_jobs and backend == "device":
+        for j in mq_jobs:
+            _materialize_quant(j)
         mq_jobs = _encode_mq_device(mq_jobs)
     if ht_jobs and backend == "device":
+        for j in ht_jobs:
+            _materialize_quant(j)
         ht_jobs = _encode_ht_device(ht_jobs)
     if ht_jobs:
         name = resolve(backend)
+        for j in ht_jobs:  # native HT ingest has no fused quantizer
+            _materialize_quant(j)
         if name == "native" and _HT_NATIVE is not None and \
                 backend != "python":
             _HT_NATIVE[0](ht_jobs, num_threads)
@@ -289,6 +314,9 @@ def encode_batch(jobs: list[EncodeJob], backend: str = "auto",
             _encode_ht(ht_jobs)
     if mq_jobs:
         name = resolve(backend)
+        if name != "native":  # the native MQ coder fuses quant/ROI
+            for j in mq_jobs:
+                _materialize_quant(j)
         _BACKENDS[name][0](mq_jobs, num_threads)
 
 

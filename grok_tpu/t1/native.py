@@ -79,6 +79,8 @@ class _EncJob(ct.Structure):
         ("status", ct.c_int32),
         ("_pad", ct.c_int32),
         ("e0", ct.c_double),
+        ("delta", ct.c_float),
+        ("roi_shift", ct.c_int32),
     ]
 
 
@@ -95,7 +97,7 @@ class _DecJob(ct.Structure):
     ]
 
 
-_ABI_VERSION = 4  # job-struct layout (v4: EncJob e0 field)
+_ABI_VERSION = 5  # job-struct layout (v5: EncJob e0/delta/roi fields)
 
 _lib = ct.CDLL(_LIB_PATH)
 if _lib.grk_t1_abi_version() != _ABI_VERSION:
@@ -123,12 +125,22 @@ def _as_strided_int32(a) -> np.ndarray:
     return np.ascontiguousarray(arr, dtype=np.int32)
 
 
+def _as_strided_f32(a) -> np.ndarray:
+    """float32 variant for fused-quantization inputs."""
+    arr = np.asarray(a)
+    if arr.dtype == np.float32 and arr.ndim == 2 and \
+            arr.strides[1] == 4 and arr.strides[0] >= 4 * arr.shape[1]:
+        return arr
+    return np.ascontiguousarray(arr, dtype=np.float32)
+
+
 def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
     n = len(jobs)
     if n == 0:
         return
     cjobs = (_EncJob * n)()
-    coeff_arrs = [_as_strided_int32(j.coeffs) for j in jobs]
+    coeff_arrs = [_as_strided_f32(j.coeffs) if j.quant_delta > 0.0
+                  else _as_strided_int32(j.coeffs) for j in jobs]
     caps = [max(4096, a.shape[0] * a.shape[1] * 4 + 1024)
             for a in coeff_arrs]
     out_pool = np.empty(sum(caps), dtype=np.uint8)
@@ -151,6 +163,8 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
         c.need_dist = 1 if j.need_dist else 0
         c.stride = coeffs.strides[0] // 4
         c.coeffs = _addr(coeffs)
+        c.delta = j.quant_delta
+        c.roi_shift = j.roi_shift
         c.out = out_base + out_off
         c.out_cap = caps[i]
         c.pass_rates = rates_base + i * MAX_PASSES * 4

@@ -246,13 +246,14 @@ class TileCompressor:
                     if band.rect.is_empty():
                         continue
                     coeffs = tc.data[(res.resno, band.orient)]
+                    # quantization + ROI upshift are deferred to the
+                    # backend layer: the native coder fuses them into its
+                    # coefficient ingest (one pass instead of two numpy
+                    # full-band passes); other backends materialize
+                    delta = 0.0
                     if not reversible and not getattr(
                             self, "_device_quantized", False):
-                        coeffs = quant_mod.quantize(coeffs, band.stepsize)
-                    if tccp.roi_shift:
-                        # max-shift ROI: upshift the quantizer indices
-                        coeffs = (coeffs.astype(np.int64)
-                                  << tccp.roi_shift).astype(np.int32)
+                        delta = float(band.stepsize)
                     mixed = tccp.ht and getattr(self.cp, "ht_mixed", False)
                     for prc in res.precincts:
                         pband = prc.pbands[bi]
@@ -273,7 +274,9 @@ class TileCompressor:
                                 sl, band.orient,
                                 tccp.cblk_style, ht=use_ht,
                                 need_dist=need_dist,
-                                numbps_bound=band.numbps))
+                                numbps_bound=band.numbps,
+                                quant_delta=delta,
+                                roi_shift=tccp.roi_shift))
                             job_meta.append((compno, res.resno, band, cblk))
         t1_backend.encode_batch(jobs, self.backend,
                                 getattr(self, 'num_threads', 0))

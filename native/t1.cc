@@ -10,6 +10,7 @@
 // differential-tested against it in tests/test_native_t1.py.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -519,6 +520,9 @@ struct GrkT1EncJob {
   int32_t _pad;
   double e0;             // sum of squared magnitudes (need_dist only):
                          // the initial distortion PCRD -q mode starts from
+  float delta;           // > 0: coeffs is float32 and ingest applies
+                         // dead-zone quantization floor(|v|/delta)
+  int32_t roi_shift;     // max-shift ROI upshift applied to magnitudes
 };
 
 struct GrkT1DecJob {
@@ -743,15 +747,36 @@ static void encode_one(GrkT1EncJob* j) {
   uint32_t maxmag = 0;
   double e0 = 0.0;
   bool want_e0 = j->need_dist != 0;
-  for (int y = 0; y < h; y++) {
-    for (int x = 0; x < w; x++) {
-      int32_t v = j->coeffs[(size_t)y * cstride + x];
-      size_t i = st.idx(y, x);
-      uint32_t m = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
-      st.mag[i] = m;
-      if (v < 0) st.flags[i] |= F_NEG;
-      if (m > maxmag) maxmag = m;
-      if (want_e0) e0 += (double)m * (double)m;
+  int shift = j->roi_shift;
+  if (j->delta > 0.0f) {
+    // fused dead-zone quantization (floor(|v|/delta), float32 division
+    // exactly as the numpy reference) — saves a full-band numpy pass
+    const float* cf = (const float*)j->coeffs;
+    float delta = j->delta;
+    for (int y = 0; y < h; y++) {
+      for (int x = 0; x < w; x++) {
+        float v = cf[(size_t)y * cstride + x];
+        size_t i = st.idx(y, x);
+        uint32_t m = (uint32_t)floorf(fabsf(v) / delta);
+        m <<= shift;
+        st.mag[i] = m;
+        if (v < 0.0f) st.flags[i] |= F_NEG;
+        if (m > maxmag) maxmag = m;
+        if (want_e0) e0 += (double)m * (double)m;
+      }
+    }
+  } else {
+    for (int y = 0; y < h; y++) {
+      for (int x = 0; x < w; x++) {
+        int32_t v = j->coeffs[(size_t)y * cstride + x];
+        size_t i = st.idx(y, x);
+        uint32_t m = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
+        m <<= shift;
+        st.mag[i] = m;
+        if (v < 0) st.flags[i] |= F_NEG;
+        if (m > maxmag) maxmag = m;
+        if (want_e0) e0 += (double)m * (double)m;
+      }
     }
   }
   j->e0 = e0;
@@ -1133,7 +1158,7 @@ int grk_t1_decode_batch(GrkT1DecJob* jobs, int n, int num_threads) {
   return 0;
 }
 
-int grk_t1_abi_version() { return 4; }  // v4: EncJob e0 field
+int grk_t1_abi_version() { return 5; }  // v5: EncJob e0/delta/roi fields
 
 // Re-serialize an unstuffed MSB-first bit buffer with the HT bit-writer's
 // 0xFF stuffing (7-bit capacity after a 0xFF byte), zero-padded flush and
