@@ -294,16 +294,28 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                 # device analysis now lets it execute while this tile's
                 # host entropy/Tier-2 stages run below
                 compressors[n + 1][3].run_transforms()
-            tc.run_t1()
             # layer budgets
             if p.layer_psnr:
+                tc.run_t1()
                 tc.assign_layers_quality(p.layer_psnr)
             else:
                 tile_frac = (trect.area / max(1, (img_rect.area))) if \
                     cp.numtiles > 1 else 1.0
                 targets = _layer_targets(p, tcp.numlayers,
                                          raw_bytes * tile_frac)
+                # all-finite byte budgets let Tier-1 early-stop each
+                # codeblock at ~3x its share (deep passes a cap provably
+                # discards); revalidate re-encodes the rare block whose
+                # truncated hull still bites at the final threshold
+                quota = (targets[-1] if p.rate_quota and targets
+                         and all(t is not None for t in targets) else None)
+                tc.run_t1(rate_quota=quota)
                 tc.assign_layers(targets)
+                if quota:
+                    for _ in range(3):
+                        if not tc.revalidate_rate_truncation(targets):
+                            break
+                        tc.assign_layers(targets)
             comp_info = [(c.dx, c.dy, tcp.tccps[i].numresolutions)
                          for i, c in enumerate(image.comps)]
             body, pkt_lens, coords, ppt_hdrs = tc.write_packets(

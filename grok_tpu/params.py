@@ -155,6 +155,14 @@ class CompressParams:
     # finer truncation points and everything else with HT for speed.
     ht_mixed: bool = False
 
+    # experimental: Tier-1 early-stops each codeblock at ~3x its
+    # area-proportional share of the byte target (passes a cap provably
+    # discards), with hull revalidation + re-encode of the tail.  Off by
+    # default: on the bench content the revalidation/reassignment
+    # overhead cancels the Tier-1 savings (see PERF_NOTES.md); useful
+    # when targets are very tight relative to content entropy.
+    rate_quota: bool = False
+
     # quantization override: explicit base step size (0 = derived default)
     quant_step: float = 0.0
     quant_style: QuantStyle | None = None

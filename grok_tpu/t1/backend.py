@@ -89,6 +89,9 @@ class EncodeJob:
     quant_delta: float = 0.0
     # max-shift ROI upshift applied to magnitudes during ingest
     roi_shift: int = 0
+    # > 0: stop after the first pass whose cumulative rate reaches this
+    # many bytes (rate-quota PCRD; see TileCompressor.run_t1)
+    rate_cap: int = 0
     # results
     data: bytes = b""
     numbps: int = 0
@@ -133,7 +136,7 @@ class DecodeJob:
 def _encode_python(jobs: list[EncodeJob], num_threads: int = 0) -> None:
     for j in jobs:
         j.data, j.numbps, j.passes = pycoder.encode_cblk(
-            j.coeffs, j.orient, j.style)
+            j.coeffs, j.orient, j.style, rate_cap=j.rate_cap)
 
 
 def _decode_python(jobs: list[DecodeJob], num_threads: int = 0) -> None:

@@ -220,13 +220,18 @@ def encode_cblk(
     coeffs: np.ndarray,
     orient: int,
     style: CblkStyle = CblkStyle.NONE,
+    rate_cap: int = 0,
 ):
     """Encode one codeblock of signed integer coefficients.
 
     Returns (data: bytes, numbps: int, passes: list[PassInfo]).
     PassInfo.dist is the cumulative reduction of sum((m - m_rec)^2) over
     magnitudes, unweighted — the caller scales by stepsize^2 and the band
-    synthesis L2 norm^2 for PCRD (SURVEY.md B.8)."""
+    synthesis L2 norm^2 for PCRD (SURVEY.md B.8).
+
+    rate_cap > 0 stops after the first pass whose cumulative rate reaches
+    it (flushed, so every prefix stays decodable) — the rate-quota PCRD
+    fast path; byte-identical to the native coder's early stop."""
     h, w = coeffs.shape
     mags = np.abs(coeffs.astype(np.int64))
     maxmag = int(mags.max()) if mags.size else 0
@@ -285,6 +290,16 @@ def encode_cblk(
                 cd.mq.reset_contexts()
             passes.append(PassInfo(passtype, bpno, term, rate, dist_acc[0]))
             passno += 1
+            if rate_cap and not is_last and rate >= rate_cap:
+                if not term:
+                    cd.terminate(is_raw)
+                    passes[-1].rate = len(cd.out)
+                total = len(cd.out)
+                for p in passes:
+                    p.rate = min(p.rate, total)
+                for i in range(len(passes) - 2, -1, -1):
+                    passes[i].rate = min(passes[i].rate, passes[i + 1].rate)
+                return bytes(cd.out), numbps, passes
 
     total = len(cd.out)
     for p in passes:

@@ -81,6 +81,7 @@ class _EncJob(ct.Structure):
         ("e0", ct.c_double),
         ("delta", ct.c_float),
         ("roi_shift", ct.c_int32),
+        ("rate_cap", ct.c_int32),
     ]
 
 
@@ -97,7 +98,7 @@ class _DecJob(ct.Structure):
     ]
 
 
-_ABI_VERSION = 5  # job-struct layout (v5: EncJob e0/delta/roi fields)
+_ABI_VERSION = 6  # job-struct layout (v6: EncJob rate_cap field)
 
 _lib = ct.CDLL(_LIB_PATH)
 if _lib.grk_t1_abi_version() != _ABI_VERSION:
@@ -165,6 +166,7 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
         c.coeffs = _addr(coeffs)
         c.delta = j.quant_delta
         c.roi_shift = j.roi_shift
+        c.rate_cap = j.rate_cap
         c.out = out_base + out_off
         c.out_cap = caps[i]
         c.pass_rates = rates_base + i * MAX_PASSES * 4

@@ -41,6 +41,11 @@ from .ratecontrol import (HullIndex, candidate_slopes, convex_hull,
 
 log = logging.getLogger("grok_tpu")
 
+# Rate-quota early-stop margin: each codeblock may emit up to this many
+# times its area-proportional share of the final byte target before
+# Tier-1 stops coding deeper passes (revalidation catches the tail).
+QUOTA_FACTOR = 3.0
+
 
 def band_stepsize_index(resno: int, orient: int) -> int:
     """Index into the QCD/QCC step-size list for band (resno, orient)."""
@@ -231,11 +236,22 @@ class TileCompressor:
                 data, tc.rect, tccp.numresolutions, tccp.qmfbid == 1)
             tc.data = bands
 
-    def run_t1(self) -> None:
+    def run_t1(self, rate_quota: float | None = None) -> None:
+        """rate_quota: total byte budget of the final layer (all-finite
+        targets only).  Each MQ codeblock then early-stops once its
+        cumulative rate reaches ~3x its area-proportional share — passes
+        a byte cap will provably discard.  revalidate_rate_truncation()
+        re-encodes the rare block whose hull still bites at the final
+        slope threshold."""
         tile, tcp = self.tile, self.tcp
         # distortion statistics only matter when rate control truncates
         need_dist = tcp.numlayers > 1 or bool(getattr(
             self.cp, "_has_rate_targets", False))
+        quota_scale = None
+        if rate_quota:
+            total_samples = sum(c.rect.area for c in tile.comps)
+            if total_samples > 0:
+                quota_scale = QUOTA_FACTOR * rate_quota / total_samples
         jobs = []
         job_meta = []
         for compno, tc in enumerate(tile.comps):
@@ -270,63 +286,75 @@ class TileCompressor:
                             # numpy views pass through (the native coders
                             # take strided input); device arrays convert
                             # in their own backend
+                            cap = 0
+                            if quota_scale is not None and not use_ht:
+                                cap = max(320,
+                                          int(quota_scale * cr.area) + 64)
                             jobs.append(t1_backend.EncodeJob(
                                 sl, band.orient,
                                 tccp.cblk_style, ht=use_ht,
                                 need_dist=need_dist,
                                 numbps_bound=band.numbps,
                                 quant_delta=delta,
-                                roi_shift=tccp.roi_shift))
+                                roi_shift=tccp.roi_shift,
+                                rate_cap=cap))
                             job_meta.append((compno, res.resno, band, cblk))
         t1_backend.encode_batch(jobs, self.backend,
                                 getattr(self, 'num_threads', 0))
-        for job, (compno, resno, band, cblk) in zip(jobs, job_meta):
-            cblk.data = job.data
-            lazy = isinstance(job.passes, t1_backend.LazyPasses)
-            if lazy:
-                cblk.pass_rates = job.passes.rates.tolist()
-            else:
-                cblk.pass_rates = [p.rate for p in job.passes]
-            tccp = tcp.tccps[compno]
-            if job.numbps > band.numbps:
-                log.warning("codeblock numbps %d exceeds band M_b %d",
-                            job.numbps, band.numbps)
-                job.numbps = band.numbps
-            cblk.zero_bitplanes = band.numbps - job.numbps
-            cblk.numbps = job.numbps
-            # weighted distortion for PCRD
-            reversible = tccp.qmfbid == 1
-            if reversible:
-                norm = quant_mod.band_norm_53(tccp.numresolutions, resno,
-                                              band.orient)
-                delta = 1.0
-            else:
-                norm = quant_mod.band_norm(tccp.numresolutions, resno,
-                                           band.orient)
-                delta = band.stepsize
-            mctw = 1.0
-            if self.mct_norms is not None and compno < len(self.mct_norms):
-                mctw = float(self.mct_norms[compno])
-            weight = (delta * norm * mctw) ** 2
-            if lazy:
-                cblk.pass_dists = (job.passes.dists * weight).tolist()
-            else:
-                cblk.pass_dists = [p.dist * weight for p in job.passes]
-            cblk._passes = job.passes  # kept for layer maths
-            # kept for -q actual-error measurement (truncated re-decode)
-            cblk._orient = band.orient
-            cblk._style = tccp.cblk_style
-            cblk._ht = cblk.is_ht if hasattr(cblk, "is_ht") else tccp.ht
-            # initial (nothing-decoded) weighted squared error, for -q
-            # mode — only when rate control needs it (avoids pulling
-            # device-resident coefficients back to the host)
-            if need_dist:
-                e0 = getattr(job, "e0_out", None)
-                if e0 is None:
-                    e0 = float(
-                        (np.abs(np.asarray(job.coeffs)).astype(np.float64)
-                         ** 2).sum())
-                cblk._e0 = weight * e0
+        self._t1_jobs = list(zip(jobs, job_meta))
+        self._t1_need_dist = need_dist
+        for job, meta in self._t1_jobs:
+            self._ingest_t1_job(job, meta, need_dist)
+
+    def _ingest_t1_job(self, job, meta, need_dist: bool) -> None:
+        compno, resno, band, cblk = meta
+        tcp = self.tcp
+        cblk.data = job.data
+        lazy = isinstance(job.passes, t1_backend.LazyPasses)
+        if lazy:
+            cblk.pass_rates = job.passes.rates.tolist()
+        else:
+            cblk.pass_rates = [p.rate for p in job.passes]
+        tccp = tcp.tccps[compno]
+        if job.numbps > band.numbps:
+            log.warning("codeblock numbps %d exceeds band M_b %d",
+                        job.numbps, band.numbps)
+            job.numbps = band.numbps
+        cblk.zero_bitplanes = band.numbps - job.numbps
+        cblk.numbps = job.numbps
+        # weighted distortion for PCRD
+        reversible = tccp.qmfbid == 1
+        if reversible:
+            norm = quant_mod.band_norm_53(tccp.numresolutions, resno,
+                                          band.orient)
+            delta = 1.0
+        else:
+            norm = quant_mod.band_norm(tccp.numresolutions, resno,
+                                       band.orient)
+            delta = band.stepsize
+        mctw = 1.0
+        if self.mct_norms is not None and compno < len(self.mct_norms):
+            mctw = float(self.mct_norms[compno])
+        weight = (delta * norm * mctw) ** 2
+        if lazy:
+            cblk.pass_dists = (job.passes.dists * weight).tolist()
+        else:
+            cblk.pass_dists = [p.dist * weight for p in job.passes]
+        cblk._passes = job.passes  # kept for layer maths
+        # kept for -q actual-error measurement (truncated re-decode)
+        cblk._orient = band.orient
+        cblk._style = tccp.cblk_style
+        cblk._ht = cblk.is_ht if hasattr(cblk, "is_ht") else tccp.ht
+        # initial (nothing-decoded) weighted squared error, for -q
+        # mode — only when rate control needs it (avoids pulling
+        # device-resident coefficients back to the host)
+        if need_dist:
+            e0 = getattr(job, "e0_out", None)
+            if e0 is None:
+                e0 = float(
+                    (np.abs(np.asarray(job.coeffs)).astype(np.float64)
+                     ** 2).sum())
+            cblk._e0 = weight * e0
 
     # ---- stage 2: rate control ----
 
@@ -351,6 +379,7 @@ class TileCompressor:
 
         prev = {id(c): 0 for c, _ in entries}
         self._hull_index = None  # rebuilt lazily against these entries
+        self._last_lambda = math.inf  # min applied threshold over layers
         hulls = [h for _, h in entries]
         slopes = candidate_slopes(hulls)
         for layno, target in enumerate(layer_targets):
@@ -365,6 +394,51 @@ class TileCompressor:
                 c.num_passes_by_layer[layno] = max(
                     0, counts[id(c)] - prev[id(c)])
             prev = {k: max(prev[k], counts[k]) for k in prev}
+
+    def revalidate_rate_truncation(self, layer_targets) -> bool:
+        """Rate-quota safety net: re-encode (without a cap) every early-
+        stopped codeblock whose truncated hull still bites at the applied
+        slope threshold — its missing deeper passes could have been
+        included.  Returns True when any block was re-encoded (the caller
+        must redo assign_layers).  The 0.5x safety margin covers hull
+        points that deeper passes might merge/pop."""
+        pairs = getattr(self, "_t1_jobs", None)
+        if not pairs:
+            return False
+        lam = getattr(self, "_last_lambda", None)
+        redo = []
+        for job, meta in pairs:
+            if not job.rate_cap:
+                continue
+            total = 3 * job.numbps - 2
+            if job.numbps <= 0 or len(job.passes) >= total:
+                continue  # not actually truncated
+            cblk = meta[3]
+            hull = convex_hull(cblk.pass_rates, cblk.pass_dists)
+            last_slope = hull[-1][3] if hull else 0.0
+            if lam is None or not math.isfinite(lam) \
+                    or last_slope >= lam * 0.5:
+                redo.append((job, meta))
+        if not redo:
+            return False
+        log.debug("rate quota: re-encoding %d/%d truncated codeblocks",
+                  len(redo), len(pairs))
+        for job, _ in redo:
+            job.rate_cap = 0
+            job.passes = []
+            job.data = b""
+        t1_backend.encode_batch([j for j, _ in redo], self.backend,
+                                getattr(self, 'num_threads', 0))
+        for job, meta in redo:
+            self._ingest_t1_job(job, meta, self._t1_need_dist)
+        # re-encoding changed pass rates/numbps: the native Tier-2
+        # handles cache those as "static after Tier-1" — invalidate
+        for prc in self._precinct_list():
+            h = getattr(prc, "_nt2", None)
+            if h is not None:
+                h.rates = None
+                h.statics_built = False
+        return True
 
     def assign_layers_quality(self, psnr_targets: list[float]) -> None:
         """-q mode (SURVEY.md B.8): per-layer distortion thresholds.
@@ -608,6 +682,7 @@ class TileCompressor:
         overhead = 0
         last_idx = None
         best = None
+        best_idx = None
         for _ in range(10):
             idx = body_bisect(target - overhead)
             if idx is None:
@@ -619,11 +694,12 @@ class TileCompressor:
             overhead = size - body
             if size <= target:
                 best = counts
+                best_idx = idx
         if best is None:
             return dict(prev)
         # push-up probe: the overhead approximation may have landed a
         # step or two short of the true maximum feasible index
-        idx = last_idx
+        idx = best_idx
         for _ in range(3):
             if idx + 1 >= len(slopes):
                 break
@@ -632,6 +708,10 @@ class TileCompressor:
                 break
             best = counts
             idx += 1
+        # the smallest slope threshold actually applied across layers
+        # (rate-quota revalidation compares truncated hulls against it)
+        self._last_lambda = min(getattr(self, "_last_lambda", math.inf),
+                                slopes[idx])
         return best
 
     def _simulate_size(self, entries, prev, counts, layno) -> int:

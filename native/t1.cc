@@ -523,6 +523,11 @@ struct GrkT1EncJob {
   float delta;           // > 0: coeffs is float32 and ingest applies
                          // dead-zone quantization floor(|v|/delta)
   int32_t roi_shift;     // max-shift ROI upshift applied to magnitudes
+  int32_t rate_cap;      // > 0: stop encoding after the first pass whose
+                         // cumulative rate reaches this many bytes (the
+                         // stream is flushed, so any prefix stays
+                         // decodable); rate-quota PCRD uses this to skip
+                         // deep passes a byte cap will provably discard
 };
 
 struct GrkT1DecJob {
@@ -853,8 +858,19 @@ static void encode_one(GrkT1EncJob* j) {
       passno++;
       // no post-pass arena guard needed: byteout() grows the arena when
       // within 2 bytes of the end, so a sizing shortfall can't overrun
+      if (j->rate_cap > 0 && !last && rate >= j->rate_cap) {
+        // rate-quota early stop: flush so every prefix stays decodable
+        // (equivalent to a block whose stream simply has fewer passes)
+        if (!term) {
+          if (rawp) { raw.flush(out); raw_active = false; }
+          else mq.flush(out);
+          j->pass_rates[passno - 1] = (int)out.size();
+        }
+        goto capped;
+      }
     }
   }
+capped:
   j->num_passes = passno;
   int total = (int)out.size();
   for (int i = 0; i < passno; i++)
@@ -1158,7 +1174,7 @@ int grk_t1_decode_batch(GrkT1DecJob* jobs, int n, int num_threads) {
   return 0;
 }
 
-int grk_t1_abi_version() { return 5; }  // v5: EncJob e0/delta/roi fields
+int grk_t1_abi_version() { return 6; }  // v6: EncJob rate_cap field
 
 // Re-serialize an unstuffed MSB-first bit buffer with the HT bit-writer's
 // 0xFF stuffing (7-bit capacity after a 0xFF byte), zero-padded flush and

@@ -317,3 +317,44 @@ def test_strip_fastpath_rejects_color_converted(tmp_path, rng):
     dp = gd.params_from_args(args)
     assert gd._try_stream_strips(data, str(tmp_path / "y.ppm"),
                                  args, dp) is False
+
+
+def test_rate_quota_early_stop(rng):
+    """Experimental rate-quota Tier-1 early stop: stream stays within the
+    cap, decodes, and quality matches the unquota'd encode closely."""
+    arr = _content(rng, 256, 256)
+    img = GrkImage.from_array(arr, prec=8)
+    base = CompressParams(numresolution=5, irreversible=True,
+                          max_cs_size=6000)
+    quota = CompressParams(numresolution=5, irreversible=True,
+                           max_cs_size=6000, rate_quota=True)
+    d0 = grok_tpu.compress(img, base)
+    d1 = grok_tpu.compress(img, quota)
+    assert len(d1) <= 6000
+    o0 = grok_tpu.decompress(d0).to_array().astype(float)
+    o1 = grok_tpu.decompress(d1).to_array().astype(float)
+    e0 = np.abs(o0 - arr).mean()
+    e1 = np.abs(o1 - arr).mean()
+    assert e1 <= e0 * 1.05 + 0.1, (e0, e1)
+
+
+def test_rate_cap_coder_prefix_identical(rng):
+    """A rate_cap'd encode is a byte-exact prefix (same pass stream) of
+    the uncapped encode in BOTH coders, and native == python."""
+    from grok_tpu.t1 import backend as bk
+    from grok_tpu.t1 import native as nat
+
+    coeffs = rng.integers(-500, 500, (64, 64)).astype(np.int32)
+    from grok_tpu.params import CblkStyle
+
+    for style in (CblkStyle.NONE, CblkStyle.LAZY):
+        jf = bk.EncodeJob(coeffs, 0, style)
+        jc = bk.EncodeJob(coeffs, 0, style, rate_cap=700)
+        nat.encode_batch_native([jf, jc])
+        jp = bk.EncodeJob(coeffs, 0, style, rate_cap=700)
+        bk._encode_python([jp])
+        assert jc.data == jp.data
+        assert len(jc.passes) == len(jp.passes) < len(jf.passes)
+        assert [p.rate for p in jc.passes] == [p.rate for p in jp.passes]
+        # the capped stream's shared passes decode identically
+        assert jc.data[:600] == jf.data[:600]
