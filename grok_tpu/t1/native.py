@@ -82,6 +82,9 @@ class _EncJob(ct.Structure):
         ("delta", ct.c_float),
         ("roi_shift", ct.c_int32),
         ("rate_cap", ct.c_int32),
+        ("hull_pass", ct.c_uint64),
+        ("hull_slope", ct.c_uint64),
+        ("hull_n", ct.c_int32),
     ]
 
 
@@ -98,7 +101,7 @@ class _DecJob(ct.Structure):
     ]
 
 
-_ABI_VERSION = 6  # job-struct layout (v6: EncJob rate_cap field)
+_ABI_VERSION = 7  # job-struct layout (v7: EncJob hull outputs)
 
 _lib = ct.CDLL(_LIB_PATH)
 if _lib.grk_t1_abi_version() != _ABI_VERSION:
@@ -148,10 +151,14 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
     rates_pool = np.zeros(n * MAX_PASSES, dtype=np.int32)
     dists_pool = np.zeros(n * MAX_PASSES, dtype=np.float64)
     terms_pool = np.zeros(n * MAX_PASSES, dtype=np.uint8)
+    hullp_pool = np.zeros(n * MAX_PASSES, dtype=np.int32)
+    hulls_pool = np.zeros(n * MAX_PASSES, dtype=np.float64)
     out_base = _addr(out_pool)
     rates_base = _addr(rates_pool)
     dists_base = _addr(dists_pool)
     terms_base = _addr(terms_pool)
+    hullp_base = _addr(hullp_pool)
+    hulls_base = _addr(hulls_pool)
 
     out_off = 0
     for i, j in enumerate(jobs):
@@ -172,6 +179,8 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
         c.pass_rates = rates_base + i * MAX_PASSES * 4
         c.pass_dists = dists_base + i * MAX_PASSES * 8
         c.pass_terms = terms_base + i * MAX_PASSES
+        c.hull_pass = hullp_base + i * MAX_PASSES * 4
+        c.hull_slope = hulls_base + i * MAX_PASSES * 8
         out_off += caps[i]
     rc = _lib.grk_t1_encode_batch(cjobs, n, num_threads)
     if rc != 0:
@@ -190,6 +199,9 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
                                  dists_pool[base:base + np_],
                                  terms_pool[base:base + np_], j.numbps)
         j.e0_out = c.e0
+        if c.hull_n >= 0:
+            j.hull_pass_arr = hullp_pool[base:base + c.hull_n]
+            j.hull_slope_arr = hulls_pool[base:base + c.hull_n]
 
 
 def decode_batch_native(jobs: list[bk.DecodeJob], num_threads: int = 0) -> None:

@@ -341,6 +341,12 @@ class TileCompressor:
         else:
             cblk.pass_dists = [p.dist * weight for p in job.passes]
         cblk._passes = job.passes  # kept for layer maths
+        # native PCRD acceleration: hull indices + raw slopes computed in
+        # the coder epilogue, rate array view (HullIndex consumes these)
+        cblk._hull_pass = getattr(job, "hull_pass_arr", None)
+        cblk._hull_slope_raw = getattr(job, "hull_slope_arr", None)
+        cblk._hull_weight = weight
+        cblk._rates_arr = job.passes.rates if lazy else None
         # kept for -q actual-error measurement (truncated re-decode)
         cblk._orient = band.orient
         cblk._style = tccp.cblk_style
@@ -374,14 +380,21 @@ class TileCompressor:
             cblk.num_passes_by_layer = [0] * numlayers
             if not cblk.pass_rates:
                 continue
-            entries.append((cblk, convex_hull(cblk.pass_rates,
-                                              cblk.pass_dists)))
+            # hull=None marks an array-backed entry: the native coder
+            # already computed the hull (HullIndex reads the arrays).
+            # The fallback hulls RAW distortions so both paths produce
+            # bit-identical slopes (raw slope x weight, applied in
+            # HullIndex) — hull selection is weight-invariant.
+            if getattr(cblk, "_hull_pass", None) is not None:
+                entries.append((cblk, None))
+            else:
+                draw = [p.dist for p in cblk._passes]
+                entries.append((cblk, convex_hull(cblk.pass_rates, draw)))
 
         prev = {id(c): 0 for c, _ in entries}
-        self._hull_index = None  # rebuilt lazily against these entries
         self._last_lambda = math.inf  # min applied threshold over layers
-        hulls = [h for _, h in entries]
-        slopes = candidate_slopes(hulls)
+        hidx = self._hull_index = HullIndex(entries)
+        slopes = hidx.distinct_slopes()
         for layno, target in enumerate(layer_targets):
             if target is None or not slopes:
                 # include-everything layer: all passes, independent of the
@@ -427,6 +440,8 @@ class TileCompressor:
             job.rate_cap = 0
             job.passes = []
             job.data = b""
+            job.hull_pass_arr = None
+            job.hull_slope_arr = None
         t1_backend.encode_batch([j for j, _ in redo], self.backend,
                                 getattr(self, 'num_threads', 0))
         for job, meta in redo:

@@ -79,20 +79,57 @@ class HullIndex:
         import numpy as np
 
         self._np = np
-        nslopes, npass, nrate = [], [], []
-        offsets = [0]
-        for _c, hull in entries:
-            for pt in hull:
-                npass.append(pt[0] + 1)   # passes included at this point
-                nrate.append(pt[1])
-                nslopes.append(pt[3])
-            offsets.append(len(nslopes))
-        self.slopes = np.asarray(nslopes, dtype=np.float64)
-        self.pass_at = np.asarray(npass, dtype=np.int64)
-        self.rate_at = np.asarray(nrate, dtype=np.int64)
-        self.off = np.asarray(offsets[:-1], dtype=np.int64)
-        self.sizes = np.diff(np.asarray(offsets, dtype=np.int64))
+        # entries mix two hull representations: tuples from convex_hull()
+        # and hull=None meaning the native coder's array outputs live on
+        # the codeblock (_hull_pass / _hull_slope_raw / _hull_weight)
+        pass_chunks, rate_chunks, slope_chunks = [], [], []
+        sizes = []
+        for c, hull in entries:
+            if hull is None:
+                hp = c._hull_pass
+                sizes.append(len(hp))
+                if len(hp):
+                    pass_chunks.append(hp.astype(np.int64) + 1)
+                    ra = c._rates_arr
+                    if ra is None:
+                        ra = np.asarray(c.pass_rates, dtype=np.int64)
+                    rate_chunks.append(ra[hp].astype(np.int64))
+                    slope_chunks.append(c._hull_slope_raw * c._hull_weight)
+            else:
+                # tuple hulls here carry RAW slopes (assign_layers hulls
+                # unweighted distortions); scale exactly like the native
+                # path: raw slope x weight
+                sizes.append(len(hull))
+                if hull:
+                    pass_chunks.append(np.asarray(
+                        [pt[0] + 1 for pt in hull], dtype=np.int64))
+                    rate_chunks.append(np.asarray(
+                        [pt[1] for pt in hull], dtype=np.int64))
+                    slope_chunks.append(np.asarray(
+                        [pt[3] for pt in hull], dtype=np.float64)
+                        * getattr(c, "_hull_weight", 1.0))
+        if pass_chunks:
+            self.pass_at = np.concatenate(pass_chunks)
+            self.rate_at = np.concatenate(rate_chunks)
+            self.slopes = np.concatenate(slope_chunks)
+        else:
+            self.pass_at = np.zeros(0, dtype=np.int64)
+            self.rate_at = np.zeros(0, dtype=np.int64)
+            self.slopes = np.zeros(0, dtype=np.float64)
+        sizes_arr = np.asarray(sizes, dtype=np.int64)
+        offsets = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes_arr, out=offsets[1:])
+        self.off = offsets[:-1]
+        self.sizes = sizes_arr
         self.nonempty = self.sizes > 0
+
+    def distinct_slopes(self) -> list[float]:
+        """All distinct finite hull slopes, descending (the candidate
+        thresholds PCRD bisects over)."""
+        np = self._np
+        s = self.slopes
+        u = np.unique(s[np.isfinite(s)])
+        return u[::-1].tolist()
 
     def counts_rates(self, lam: float):
         """Per-entry (passes included, cumulative body bytes) for slope

@@ -11,6 +11,7 @@
 
 #include <atomic>
 #include <cmath>
+#include <limits>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -528,6 +529,10 @@ struct GrkT1EncJob {
                          // stream is flushed, so any prefix stays
                          // decodable); rate-quota PCRD uses this to skip
                          // deep passes a byte cap will provably discard
+  int32_t* hull_pass;    // out (need_dist only): PCRD convex-hull pass
+  double* hull_slope;    // indices + raw (unweighted) slopes — hull
+  int32_t hull_n;        // SELECTION is invariant under the uniform
+                         // distortion weight Python applies afterwards
 };
 
 struct GrkT1DecJob {
@@ -878,6 +883,45 @@ capped:
   for (int i = passno - 2; i >= 0; i--)
     if (j->pass_rates[i] > j->pass_rates[i + 1])
       j->pass_rates[i] = j->pass_rates[i + 1];
+  j->hull_n = -1;
+  if (dt.enabled && j->hull_pass) {
+    // feasible truncation points with strictly decreasing slopes — the
+    // mirror of ratecontrol.convex_hull on the unweighted distortions
+    // (uniform weighting preserves both the dd<=0 and slope-dominance
+    // comparisons, so the selected point set is identical)
+    int hn = 0;
+    int64_t base_r = 0;
+    double base_d = 0.0;
+    for (int i = 0; i < passno; i++) {
+      int64_t rate = j->pass_rates[i];
+      double dist = j->pass_dists[i];
+      for (;;) {
+        int64_t dr = rate - base_r;
+        double dd = dist - base_d;
+        if (dd <= 0.0) break;
+        double slope = dr <= 0
+            ? std::numeric_limits<double>::infinity() : dd / (double)dr;
+        if (hn && j->hull_slope[hn - 1] <= slope) {
+          hn--;
+          if (hn) {
+            base_r = j->pass_rates[j->hull_pass[hn - 1]];
+            base_d = j->pass_dists[j->hull_pass[hn - 1]];
+          } else {
+            base_r = 0;
+            base_d = 0.0;
+          }
+          continue;
+        }
+        j->hull_pass[hn] = i;
+        j->hull_slope[hn] = slope;
+        hn++;
+        base_r = rate;
+        base_d = dist;
+        break;
+      }
+    }
+    j->hull_n = hn;
+  }
   if (total > j->out_cap) { j->status = 1; return; }
   std::memcpy(j->out, out.data(), total);
   j->out_len = total;
@@ -1174,7 +1218,7 @@ int grk_t1_decode_batch(GrkT1DecJob* jobs, int n, int num_threads) {
   return 0;
 }
 
-int grk_t1_abi_version() { return 6; }  // v6: EncJob rate_cap field
+int grk_t1_abi_version() { return 7; }  // v7: EncJob hull outputs
 
 // Re-serialize an unstuffed MSB-first bit buffer with the HT bit-writer's
 // 0xFF stuffing (7-bit capacity after a 0xFF byte), zero-padded flush and

@@ -358,3 +358,19 @@ def test_rate_cap_coder_prefix_identical(rng):
         assert [p.rate for p in jc.passes] == [p.rate for p in jp.passes]
         # the capped stream's shared passes decode identically
         assert jc.data[:600] == jf.data[:600]
+
+
+def test_rate_targeted_backend_identical(rng):
+    """PCRD layer assignment must be identical whether hulls come from
+    the native coder epilogue or the Python fallback (raw-slope x weight
+    arithmetic unified)."""
+    arr = _content(rng, 192, 192, 3)
+    for kw in (dict(irreversible=True, layer_rates=[30.0, 8.0],
+                    numlayers=2),
+               dict(irreversible=True, max_cs_size=9000),
+               dict(numresolution=4, layer_rates=[20.0])):
+        pn = CompressParams(backend="native", **kw)
+        pp = CompressParams(backend="python", **kw)
+        dn = grok_tpu.compress(GrkImage.from_array(arr), pn)
+        dp = grok_tpu.compress(GrkImage.from_array(arr), pp)
+        assert dn == dp, kw
