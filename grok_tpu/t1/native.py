@@ -85,6 +85,8 @@ class _EncJob(ct.Structure):
         ("hull_pass", ct.c_uint64),
         ("hull_slope", ct.c_uint64),
         ("hull_n", ct.c_int32),
+        ("_pad2", ct.c_int32),
+        ("hull_rate", ct.c_uint64),
     ]
 
 
@@ -101,7 +103,7 @@ class _DecJob(ct.Structure):
     ]
 
 
-_ABI_VERSION = 7  # job-struct layout (v7: EncJob hull outputs)
+_ABI_VERSION = 8  # job-struct layout (v8: EncJob hull_rate output)
 
 _lib = ct.CDLL(_LIB_PATH)
 if _lib.grk_t1_abi_version() != _ABI_VERSION:
@@ -153,12 +155,14 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
     terms_pool = np.zeros(n * MAX_PASSES, dtype=np.uint8)
     hullp_pool = np.zeros(n * MAX_PASSES, dtype=np.int32)
     hulls_pool = np.zeros(n * MAX_PASSES, dtype=np.float64)
+    hullr_pool = np.zeros(n * MAX_PASSES, dtype=np.int32)
     out_base = _addr(out_pool)
     rates_base = _addr(rates_pool)
     dists_base = _addr(dists_pool)
     terms_base = _addr(terms_pool)
     hullp_base = _addr(hullp_pool)
     hulls_base = _addr(hulls_pool)
+    hullr_base = _addr(hullr_pool)
 
     out_off = 0
     for i, j in enumerate(jobs):
@@ -181,6 +185,7 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
         c.pass_terms = terms_base + i * MAX_PASSES
         c.hull_pass = hullp_base + i * MAX_PASSES * 4
         c.hull_slope = hulls_base + i * MAX_PASSES * 8
+        c.hull_rate = hullr_base + i * MAX_PASSES * 4
         out_off += caps[i]
     rc = _lib.grk_t1_encode_batch(cjobs, n, num_threads)
     if rc != 0:
@@ -202,6 +207,7 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
         if c.hull_n >= 0:
             j.hull_pass_arr = hullp_pool[base:base + c.hull_n]
             j.hull_slope_arr = hulls_pool[base:base + c.hull_n]
+            j.hull_rate_arr = hullr_pool[base:base + c.hull_n]
 
 
 def decode_batch_native(jobs: list[bk.DecodeJob], num_threads: int = 0) -> None:

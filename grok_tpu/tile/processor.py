@@ -345,6 +345,7 @@ class TileCompressor:
         # the coder epilogue, rate array view (HullIndex consumes these)
         cblk._hull_pass = getattr(job, "hull_pass_arr", None)
         cblk._hull_slope_raw = getattr(job, "hull_slope_arr", None)
+        cblk._hull_rate = getattr(job, "hull_rate_arr", None)
         cblk._hull_weight = weight
         cblk._rates_arr = job.passes.rates if lazy else None
         # kept for -q actual-error measurement (truncated re-decode)
@@ -442,6 +443,7 @@ class TileCompressor:
             job.data = b""
             job.hull_pass_arr = None
             job.hull_slope_arr = None
+            job.hull_rate_arr = None
         t1_backend.encode_batch([j for j, _ in redo], self.backend,
                                 getattr(self, 'num_threads', 0))
         for job, meta in redo:

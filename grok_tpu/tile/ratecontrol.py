@@ -83,35 +83,37 @@ class HullIndex:
         # and hull=None meaning the native coder's array outputs live on
         # the codeblock (_hull_pass / _hull_slope_raw / _hull_weight)
         pass_chunks, rate_chunks, slope_chunks = [], [], []
+        weights = []
         sizes = []
         for c, hull in entries:
             if hull is None:
+                # native outputs: int32 pool views, raw slopes; the
+                # weight is applied once on the concatenated vector
                 hp = c._hull_pass
                 sizes.append(len(hp))
                 if len(hp):
-                    pass_chunks.append(hp.astype(np.int64) + 1)
-                    ra = c._rates_arr
-                    if ra is None:
-                        ra = np.asarray(c.pass_rates, dtype=np.int64)
-                    rate_chunks.append(ra[hp].astype(np.int64))
-                    slope_chunks.append(c._hull_slope_raw * c._hull_weight)
+                    pass_chunks.append(hp)
+                    rate_chunks.append(c._hull_rate)
+                    slope_chunks.append(c._hull_slope_raw)
+                    weights.append(c._hull_weight)
             else:
-                # tuple hulls here carry RAW slopes (assign_layers hulls
-                # unweighted distortions); scale exactly like the native
-                # path: raw slope x weight
+                # tuple hulls carry RAW slopes (assign_layers hulls
+                # unweighted distortions); same raw-slope x weight math
                 sizes.append(len(hull))
                 if hull:
                     pass_chunks.append(np.asarray(
-                        [pt[0] + 1 for pt in hull], dtype=np.int64))
+                        [pt[0] for pt in hull], dtype=np.int32))
                     rate_chunks.append(np.asarray(
-                        [pt[1] for pt in hull], dtype=np.int64))
+                        [pt[1] for pt in hull], dtype=np.int32))
                     slope_chunks.append(np.asarray(
-                        [pt[3] for pt in hull], dtype=np.float64)
-                        * getattr(c, "_hull_weight", 1.0))
+                        [pt[3] for pt in hull], dtype=np.float64))
+                    weights.append(getattr(c, "_hull_weight", 1.0))
         if pass_chunks:
-            self.pass_at = np.concatenate(pass_chunks)
-            self.rate_at = np.concatenate(rate_chunks)
-            self.slopes = np.concatenate(slope_chunks)
+            self.pass_at = np.concatenate(pass_chunks).astype(np.int64) + 1
+            self.rate_at = np.concatenate(rate_chunks).astype(np.int64)
+            wrep = np.repeat(np.asarray(weights, dtype=np.float64),
+                             [len(ch) for ch in slope_chunks])
+            self.slopes = np.concatenate(slope_chunks) * wrep
         else:
             self.pass_at = np.zeros(0, dtype=np.int64)
             self.rate_at = np.zeros(0, dtype=np.int64)

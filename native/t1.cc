@@ -533,6 +533,7 @@ struct GrkT1EncJob {
   double* hull_slope;    // indices + raw (unweighted) slopes — hull
   int32_t hull_n;        // SELECTION is invariant under the uniform
                          // distortion weight Python applies afterwards
+  int32_t* hull_rate;    // out: cumulative rate at each hull point
 };
 
 struct GrkT1DecJob {
@@ -914,6 +915,7 @@ capped:
         }
         j->hull_pass[hn] = i;
         j->hull_slope[hn] = slope;
+        j->hull_rate[hn] = (int32_t)rate;
         hn++;
         base_r = rate;
         base_d = dist;
@@ -1218,7 +1220,7 @@ int grk_t1_decode_batch(GrkT1DecJob* jobs, int n, int num_threads) {
   return 0;
 }
 
-int grk_t1_abi_version() { return 7; }  // v7: EncJob hull outputs
+int grk_t1_abi_version() { return 8; }  // v8: EncJob hull_rate output
 
 // Re-serialize an unstuffed MSB-first bit buffer with the HT bit-writer's
 // 0xFF stuffing (7-bit capacity after a 0xFF byte), zero-padded flush and
