@@ -26,7 +26,8 @@ from ..params import (
     TileComponentCodingParams,
 )
 from ..tile.geometry import Rect, tile_rect
-from ..tile.processor import TileCompressor, build_tile
+from ..tile.processor import (TileCompressor, acquire_tile,
+                              release_tile)
 from ..transform import mct as mct_mod
 from ..transform import quant as quant_mod
 from . import markers as mk
@@ -267,7 +268,7 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
             tcp = cp.tcps[tidx]
             trect = tile_rect(pt, q, cp.t_width, cp.t_height,
                               cp.tx0, cp.ty0, img_rect)
-            tile = build_tile(tidx, trect, image, tcp)
+            tile = acquire_tile(tidx, trect, image, tcp)
             compressors.append((tidx, tcp, trect, TileCompressor(
                 tile, tcp, image, cp, backend=p.backend,
                 mct_norms_arr=mct_norms_arr,
@@ -377,6 +378,8 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
             z += 1
     out += body_out
     out += mk.u16(mk.EOC)
+    for (_tidx, _tcp, _trect, tc) in compressors:
+        release_tile(tc.tile)  # geometry tree back to the pool, scrubbed
     return bytes(out)
 
 

@@ -21,7 +21,8 @@ from ..image import ColorSpace, GrkImage, ImageComponent
 from ..params import CodingParams, DecompressParams, TileCodingParams, \
     TileComponentCodingParams
 from ..tile.geometry import Rect, tile_rect
-from ..tile.processor import TileDecompressor, build_tile
+from ..tile.processor import (TileDecompressor, acquire_tile,
+                              release_tile)
 from . import markers as mk
 
 log = logging.getLogger("grok_tpu")
@@ -31,6 +32,26 @@ log = logging.getLogger("grok_tpu")
 class TilePartData:
     tile_index: int
     data: bytes
+
+
+class _PendingTile:
+    """In-flight tile decode: device synthesis issued but not yet
+    materialized (decode-side pipelining — the next tile's host entropy
+    runs while this one's synthesis executes on-device)."""
+
+    __slots__ = ("planes", "rects", "ckey", "cache")
+
+    def __init__(self, planes, rects, ckey, cache):
+        self.planes = planes
+        self.rects = rects
+        self.ckey = ckey
+        self.cache = cache
+
+    def finish(self):
+        result = (self.planes.materialize(), self.rects)
+        if self.ckey is not None:
+            self.cache.put(self.ckey, result)
+        return result
 
 
 @dataclass
@@ -550,7 +571,7 @@ class CodestreamDecoder:
                 continue
             tcp = self.tile_tcps.get(tidx) or cp.tcps[0]
             tcp.ppt_data = bytes(self.tile_ppt.get(tidx, b"")) or None
-            tile = build_tile(tidx, trect, img, tcp)
+            tile = acquire_tile(tidx, trect, img, tcp)
             td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
                                   reduce=reduce_, max_layers=p.max_layers,
                                   pkt_lens=self._tile_pkt_lens(tidx),
@@ -580,11 +601,13 @@ class CodestreamDecoder:
                 rects.append(
                     tile.comps[compno].resolutions[numres_used - 1].rect)
             out[tidx] = (planes, rects)
+            release_tile(tile)
         return out
 
     def decode_tile_planes(self, tidx: int, p: DecompressParams,
                            img: GrkImage, reduce_: int,
-                           win: Rect | None = None, cache=None):
+                           win: Rect | None = None, cache=None,
+                           defer: bool = False):
         """Decode one tile to per-component planes (+ their reduced-grid
         rects).  Returns None for empty / out-of-window / missing tiles.
         An optional TileCache (SURVEY.md §2.1 "Tile & strip caches") serves
@@ -620,7 +643,7 @@ class CodestreamDecoder:
                       f"resolution count; tile skipped")
             return None
         tcp.ppt_data = bytes(self.tile_ppt.get(tidx, b"")) or None
-        tile = build_tile(tidx, trect, img, tcp)
+        tile = acquire_tile(tidx, trect, img, tcp)
         td = TileDecompressor(tile, tcp, img, cp, backend=p.backend,
                               reduce=reduce_, max_layers=p.max_layers,
                               window=win, pkt_lens=self._tile_pkt_lens(tidx),
@@ -634,11 +657,14 @@ class CodestreamDecoder:
                 raise
             log.warning("tile %d: packet parse error: %s", tidx, e)
         td.run_t1()
-        planes = td.reconstruct()
-        rects = getattr(td, "_out_rects", None)
+        planes = td.reconstruct(defer=defer)
+        from ..tile.processor import DeferredPlanes
+
+        deferred = isinstance(planes, DeferredPlanes)
+        rects = None if deferred else getattr(td, "_out_rects", None)
         if not rects:
             rects = []
-            for compno in range(len(planes)):
+            for compno in range(len(tile.comps)):
                 tccp = tcp.tccps[compno]
                 numres_used = max(1, tccp.numresolutions - reduce_)
                 rects.append(
@@ -646,6 +672,9 @@ class CodestreamDecoder:
         # O(window) introspection for tests/observability
         self.last_band_bytes = sum(
             a.nbytes for a in getattr(td, "_band_arrays", {}).values())
+        release_tile(tile)  # planes/rects are independent of the tree
+        if deferred:
+            return _PendingTile(planes, rects, ckey, cache)
         result = (planes, rects)
         if ckey is not None:
             cache.put(ckey, result)
@@ -688,16 +717,31 @@ class CodestreamDecoder:
         for tq in range(cp.t_grid_h):
             row_planes: dict[int, list] = {}
             y0_out = None
-            for tp_ in range(cp.t_grid_w):
-                tidx = tq * cp.t_grid_w + tp_
-                result = self.decode_tile_planes(tidx, p, img, reduce_)
+            # depth-1 software pipeline (decode-side StripCache-overlap
+            # parity): with the device backend, tile tp's synthesis is
+            # issued asynchronously and materialized only after tile
+            # tp+1's host entropy stages have been dispatched
+            pending = None
+
+            def consume(result, row_planes=row_planes):
+                nonlocal y0_out
                 if result is None:
-                    continue
+                    return
+                if isinstance(result, _PendingTile):
+                    result = result.finish()
                 planes, rects = result
                 for compno, (plane, rr) in enumerate(zip(planes, rects)):
                     row_planes.setdefault(compno, []).append((rr, plane))
                     if y0_out is None:
                         y0_out = rects[0].y0
+
+            for tp_ in range(cp.t_grid_w):
+                tidx = tq * cp.t_grid_w + tp_
+                started = self.decode_tile_planes(
+                    tidx, p, img, reduce_, defer=p.backend == "device")
+                consume(pending)
+                pending = started
+            consume(pending)
             if not row_planes:
                 continue
             assembled = {}

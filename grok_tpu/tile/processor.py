@@ -103,6 +103,111 @@ def build_tile(tile_idx: int, trect: Rect, image, tcp: TileCodingParams) -> Tile
 
 
 
+# ---------------------------------------------------------------------------
+# Tile geometry pool: the resolution/precinct/codeblock tree for a given
+# (tile rect, coding geometry) is identical across images — video frames,
+# strip decodes and bench loops rebuild it constantly.  acquire_tile()
+# reuses a fully-reset tree from the pool; release_tile() scrubs all
+# per-image state (so no coefficient/byte references linger) and returns
+# it.  Quantization metadata (band numbps/stepsize) is refreshed on every
+# acquire since it depends on QCD/QCC/ROI, not geometry.
+# ---------------------------------------------------------------------------
+
+_TILE_POOL: dict = {}
+_TILE_POOL_CAP = 4  # trees kept per geometry key
+
+
+def _tile_geo_key(trect: Rect, image, tcp: TileCodingParams):
+    return (trect.x0, trect.y0, trect.x1, trect.y1,
+            tuple((c.dx, c.dy) for c in image.comps),
+            tuple((t.numresolutions,
+                   tuple(t.prcw[:t.numresolutions]),
+                   tuple(t.prch[:t.numresolutions]),
+                   t.cblkw, t.cblkh) for t in tcp.tccps))
+
+
+def _refresh_tile_quant(tile: Tile, image, tcp: TileCodingParams) -> None:
+    for compno, tc in enumerate(tile.comps):
+        tccp = tcp.tccps[compno]
+        comp = image.comps[compno]
+        for res in tc.resolutions:
+            for band in res.bands:
+                eps, mant = band_eps_mant(tccp, res.resno, band.orient,
+                                          tccp.numresolutions)
+                band.numbps = max(0, tccp.num_guard_bits + eps - 1
+                                  + tccp.roi_shift)
+                rb = comp.prec + BAND_GAIN[band.orient]
+                band.stepsize = (1.0 + mant / 2048.0) * (2.0 ** (rb - eps))
+
+
+_CBLK_KEEP = frozenset(("rect", "idx"))
+
+
+def _scrub_tile(tile: Tile) -> None:
+    """Clear every per-image field so a pooled tree holds no references
+    to coefficient arrays or coded bytes, and no stale ad-hoc state
+    (e.g. decode_pass_cap from a max_layers decode, is_ht from a MIXED
+    stream, hull/e0 caches from rate control)."""
+    for tc in tile.comps:
+        tc.data = None
+        for res in tc.resolutions:
+            for prc in res.precincts:
+                h = getattr(prc, "_nt2", None)
+                if h is not None:
+                    h.reset()
+                    h.rates = None  # statics are per-image
+                for pband in prc.pbands:
+                    pband.incl_tree = None
+                    pband.imsb_tree = None
+                    for cblk in pband.cblks:
+                        d = cblk.__dict__
+                        # drop EVERYTHING but the immutable geometry —
+                        # encoder, decoder and ad-hoc attrs alike
+                        for k in [k for k in d if k not in _CBLK_KEEP]:
+                            del d[k]
+                        cblk.data = b""
+                        cblk.numbps = 0
+                        cblk.pass_rates = []
+                        cblk.pass_dists = []
+                        cblk.pass_term = []
+                        cblk.num_passes_by_layer = []
+                        cblk.layer_start = []
+                        cblk.seg_data = []
+                        cblk.seg_passes = []
+                        cblk.included_in_layer = -1
+                        cblk.total_passes = 0
+                        cblk.lblock = 3
+                        cblk.zero_bitplanes = 0
+
+
+def acquire_tile(tile_idx: int, trect: Rect, image,
+                 tcp: TileCodingParams) -> Tile:
+    """build_tile() through the geometry pool (scrubbed + quant-refreshed
+    on reuse).  Pair with release_tile() when the tile's work is done."""
+    key = _tile_geo_key(trect, image, tcp)
+    pool = _TILE_POOL.get(key)
+    if pool:
+        tile = pool.pop()
+        tile.index = tile_idx
+        _refresh_tile_quant(tile, image, tcp)
+        tile._geo_key = key
+        return tile
+    tile = build_tile(tile_idx, trect, image, tcp)
+    tile._geo_key = key
+    return tile
+
+
+def release_tile(tile: Tile) -> None:
+    key = getattr(tile, "_geo_key", None)
+    if key is None:
+        return
+    pool = _TILE_POOL.setdefault(key, [])
+    if len(pool) < _TILE_POOL_CAP:
+        _scrub_tile(tile)
+        pool.append(tile)
+    tile._geo_key = None  # double-release is a no-op
+
+
 def _uniform_quant(tcp) -> bool:
     """Device pipelines apply ONE (resno, orient) -> stepsize table to the
     whole component stack, so per-component quantization (QCC) must fall
@@ -1024,6 +1129,23 @@ def reconstruct_device_batched(tds: list["TileDecompressor"], mesh=None):
 # Decompression
 # ---------------------------------------------------------------------------
 
+class DeferredPlanes:
+    """Un-materialized device synthesis result: holds the in-flight jax
+    array so host work can overlap the device computation; materialize()
+    blocks and returns the per-component numpy planes."""
+
+    __slots__ = ("_out", "_ncomp")
+
+    def __init__(self, out, ncomp: int):
+        self._out = out
+        self._ncomp = ncomp
+
+    def materialize(self) -> list[np.ndarray]:
+        out = np.asarray(self._out)
+        self._out = None
+        return [out[c, 0] for c in range(self._ncomp)]
+
+
 class TileDecompressor:
     def __init__(self, tile: Tile, tcp: TileCodingParams, image,
                  cp: CodingParams, backend: str = "auto", reduce: int = 0,
@@ -1264,8 +1386,14 @@ class TileDecompressor:
                 return False
         return tcp.mct in (0, 1) and _uniform_quant(tcp)
 
-    def reconstruct_device(self) -> list[np.ndarray] | None:
-        """Fused device synthesis (dequant + IDWT + MCT + unshift)."""
+    def reconstruct_device(self, defer: bool = False):
+        """Fused device synthesis (dequant + IDWT + MCT + unshift).
+
+        With defer=True the device dispatch is returned un-materialized
+        (DeferredPlanes): JAX dispatch is asynchronous, so the caller can
+        run the NEXT strip's host entropy stages while this tile's
+        synthesis executes on-device (decode-side StripCache-overlap
+        parity; the encode side has the same prefetch in compress.py)."""
         if not self._device_eligible():
             return None
         import jax.numpy as jnp
@@ -1290,16 +1418,18 @@ class TileDecompressor:
             mct=tcp.mct, prec=image.comps[0].prec,
             sgnd=image.comps[0].sgnd, shape=(r.h, r.w),
             deltas=tuple(deltas) if not reversible else ())
+        if defer:
+            return DeferredPlanes(out, len(tile.comps))
         out = np.asarray(out)
         return [out[c, 0] for c in range(len(tile.comps))]
 
-    def reconstruct(self) -> list[np.ndarray]:
+    def reconstruct(self, defer: bool = False):
         """Inverse DWT + MCT + DC shift; returns per-component planes at the
         reduced resolution.  With a decode window set, the synthesis is
         window-aware: only the produce-chain spans are lifted (SURVEY.md
         §3.3) and the planes cover just the window (self._out_rects)."""
         if self.backend == "device":
-            dev = self.reconstruct_device()
+            dev = self.reconstruct_device(defer=defer)
             if dev is not None:
                 return dev
         planes = []

@@ -339,3 +339,16 @@ def test_cross_feature_interactions(rng):
     check(CompressParams(numresolution=4, ht=True, ht_mixed=True,
                          tile_size=(64, 64), plt=True),
           win=(50, 30, 120, 90))
+
+
+def test_device_strips_pipelined_bit_exact(rng):
+    """Decode-side pipelining: device-backend strip decode (deferred
+    synthesis overlapping next tile's entropy) stays bit-exact."""
+    arr = rng.integers(0, 256, (192, 128)).astype(np.int32)
+    d = grok_tpu.compress(GrkImage.from_array(arr, prec=8),
+                          CompressParams(tile_size=(64, 64),
+                                         numresolution=3))
+    strips = list(grok_tpu.decompress_strips(
+        d, DecompressParams(backend="device")))
+    out = np.vstack([s[1][0] for s in strips])
+    assert np.array_equal(out, arr)
