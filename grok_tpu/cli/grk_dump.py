@@ -95,6 +95,8 @@ def dump(data: bytes, out) -> None:
         for c in hi.main_poc:
             w(f"  {c.res_s},{c.comp_s} -> {c.res_e},{c.comp_e} "
               f"layers<{c.lay_e} {c.prog.name}\n")
+    if hi.crg:
+        w("[crg] " + " ".join(f"({x},{y})" for (x, y) in hi.crg) + "\n")
     for cstr in hi.comments:
         w(f"[comment] {cstr}\n")
     from ..codestream.profiles import validate_decoded_profile

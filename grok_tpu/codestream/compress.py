@@ -220,6 +220,11 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
         comments = [comments]
     for c in comments or []:
         out += mk.write_com(c)
+    if p.comp_registration:
+        if len(p.comp_registration) != image.numcomps:
+            raise ParamError("comp_registration needs one (Xcrg, Ycrg) "
+                             "pair per component")
+        out += mk.write_crg(p.comp_registration)
 
     # TLM/PPM are assembled after all tile-parts are encoded and inserted
     # here (in-memory equivalent of the reference's seek-back rewrite,

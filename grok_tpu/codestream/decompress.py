@@ -66,6 +66,7 @@ class HeaderInfo:
     eph: bool = False
     main_poc: list = field(default_factory=list)
     roi_shifts: dict = field(default_factory=dict)
+    crg: list | None = None  # per-component registration offsets
 
 
 class CodestreamDecoder:
@@ -82,6 +83,7 @@ class CodestreamDecoder:
         self.tile_ppt: dict[int, bytearray] = {}
         self.tile_ppt_segs: dict[int, dict] = {}  # Zppt -> payload bytes
         self.tp_sequence: list[int] = []  # tile index per tile-part, in order
+        self._plm_segs: dict[int, bytes] = {}  # Zplm -> payload (main hdr)
         # TLM fast path: tile-part spans discovered from the TLM index so
         # tile-part headers/bodies are only touched when a tile is decoded
         # (SURVEY.md §2.1 "Packet-length / TLM caches": seek directly)
@@ -232,8 +234,14 @@ class CodestreamDecoder:
             for t in cp.tcps:
                 t.mco_order = order
             self._resolve_mct(cp)
-        elif code in (mk.PLM, mk.CRG, mk.PRF, mk.CPF):
-            pass  # informative / index markers
+        elif code == mk.PLM:
+            # main-header packet-length index: feeds the same O(region)
+            # packet-skip machinery PLT does when a tile has no PLT
+            self._plm_segs[payload[0]] = payload[1:]
+        elif code == mk.CRG:
+            hi.crg = mk.read_crg(payload)
+        elif code in (mk.PRF, mk.CPF):
+            pass  # informative markers
         else:
             self._err(f"unknown marker 0x{code:04X} in main header")
 
@@ -320,9 +328,61 @@ class CodestreamDecoder:
         the decode window / reduced resolutions / discarded layers without
         parsing their headers — the O(region) random-access path."""
         buf = self.tile_plt.get(tidx)
-        if not buf:
-            return None
-        return mk.read_plt(b"\x00" + bytes(buf))
+        if buf:
+            return mk.read_plt(b"\x00" + bytes(buf))
+        if self._plm_segs:
+            idx = self._plm_index()
+            if idx is not None:
+                return idx.get(tidx) or None
+        return None
+
+    def _plm_index(self):
+        """Partition the PLM main-header index into per-tile packet-length
+        lists.  PLM is ordered by tile-PART: the flat varint stream is
+        split by matching each tile-part's cumulative packet bytes against
+        its body length (known once the tile-part headers are parsed —
+        cheap; the per-packet header decode is what the index avoids)."""
+        cached = getattr(self, "_plm_idx_cache", "unset")
+        if cached != "unset":
+            return cached
+        # materialize every tile-part so tp_sequence/body lengths exist
+        for t in list(self._lazy_spans.keys()):
+            self._ensure_tile(t)
+        all_seg = b"".join(self._plm_segs[z]
+                           for z in sorted(self._plm_segs))
+        flat = bytearray()
+        pos = 0
+        while pos < len(all_seg):
+            n = all_seg[pos]
+            pos += 1
+            flat += all_seg[pos:pos + n]
+            pos += n
+        lengths = mk.read_plt(b"\x00" + bytes(flat))
+        per_tile: dict[int, list[int]] = {t: [] for t in self.tile_parts}
+        counters = {t: 0 for t in self.tile_parts}
+        li = 0
+        ok = True
+        for t in self.tp_sequence:
+            parts = self.tile_parts.get(t) or []
+            ci = counters.get(t, 0)
+            if ci >= len(parts):
+                ok = False
+                break
+            counters[t] = ci + 1
+            budget = len(parts[ci])
+            s = 0
+            while s < budget and li < len(lengths):
+                per_tile[t].append(lengths[li])
+                s += lengths[li]
+                li += 1
+            if s != budget:
+                ok = False
+                break
+        if not ok:
+            log.warning("PLM index inconsistent with tile-part bodies; "
+                        "falling back to packet-header parsing")
+        self._plm_idx_cache = per_tile if ok else None
+        return self._plm_idx_cache
 
     def _ensure_tile(self, tidx: int) -> None:
         """Parse the tile-parts of one tile on first use (TLM fast path)."""

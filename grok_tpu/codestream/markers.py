@@ -526,6 +526,12 @@ def write_ppm(zppm: int, data: bytes) -> bytes:
     return marker_segment(PPM, u8(zppm) + data)
 
 
+def read_crg(p: bytes) -> list[tuple[int, int]]:
+    """CRG: per-component registration offsets (Xcrg, Ycrg) in 1/65536
+    of the sample spacing."""
+    return [struct.unpack(">HH", p[i:i + 4]) for i in range(0, len(p) - 3, 4)]
+
+
 def write_crg(offsets: list[tuple[int, int]]) -> bytes:
     p = bytearray()
     for (xcrg, ycrg) in offsets:

@@ -133,6 +133,9 @@ class CompressParams:
     ppt: bool = False                             # packed packet headers (PPT)
     ppm: bool = False                             # packed headers in main (PPM)
     comment: str | list[str] | None = "Created by grok_tpu"  # -C
+    # CRG: per-component registration offsets (Xcrg, Ycrg) in 1/65536 of
+    # the sample spacing; informative marker in the main header
+    comp_registration: list[tuple[int, int]] | None = None
 
     # container
     cod_format: str = "j2k"                       # "j2k" (raw) or "jp2"
