@@ -290,6 +290,13 @@ class CodestreamDecoder:
         cp.t_width, cp.t_height = siz.xtsiz, siz.ytsiz
         cp.t_grid_w = -(-(siz.xsiz - siz.xtosiz) // siz.xtsiz)
         cp.t_grid_h = -(-(siz.ysiz - siz.ytosiz) // siz.ytsiz)
+        # ISO 15444-1 A.5.1: at most 65535 tiles.  A corrupt SIZ with a
+        # tiny tile size would otherwise make every per-tile loop O(10^8)
+        # (fuzz-found hang), so this is a hard error even in tolerant mode.
+        if cp.t_grid_w * cp.t_grid_h > 65535:
+            raise ValueError(
+                f"SIZ signals {cp.t_grid_w}x{cp.t_grid_h} tiles "
+                f"(> 65535, ISO A.5.1)")
         tcp = TileCodingParams()
         for _ in siz.comps:
             tcp.tccps.append(TileComponentCodingParams())

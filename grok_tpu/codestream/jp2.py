@@ -163,6 +163,16 @@ def unwrap_jp2(data: bytes) -> tuple[bytes, ImageMeta, ColorSpace | None]:
     return codestream, meta, cs
 
 
+def _h(fn, btype):
+    """Run a box parser, converting slicing/unpack errors on truncated
+    boxes (fuzz-found) into CodestreamError."""
+    try:
+        fn()
+    except (struct.error, IndexError) as e:
+        raise CodestreamError(f"malformed {btype.decode(errors='replace')} "
+                              f"box: {e}") from None
+
+
 def _parse_jp2h(data: bytes, meta: ImageMeta) -> ColorSpace | None:
     cs = None
     pos = 0
@@ -172,8 +182,14 @@ def _parse_jp2h(data: bytes, meta: ImageMeta) -> ColorSpace | None:
         btype = data[pos + 4:pos + 8]
         payload = data[pos + 8:pos + length]
         if btype == b"colr":
+            # truncated colr boxes (fuzz-found) must fail as a malformed
+            # stream, not an IndexError/struct.error from slicing
+            if len(payload) < 3:
+                raise CodestreamError("truncated colr box")
             meth = payload[0]
             if meth == 1:
+                if len(payload) < 7:
+                    raise CodestreamError("truncated colr box (EnumCS)")
                 enum = struct.unpack(">I", payload[3:7])[0]
                 try:
                     cs = ColorSpace(enum)
@@ -182,24 +198,29 @@ def _parse_jp2h(data: bytes, meta: ImageMeta) -> ColorSpace | None:
             elif meth == 2:
                 meta.icc_profile = payload[3:]
         elif btype == b"pclr":
-            meta.palette = _parse_pclr(payload, meta.palette)
+            _h(lambda: setattr(meta, "palette",
+                               _parse_pclr(payload, meta.palette)), btype)
         elif btype == b"cmap":
-            pal = meta.palette or PaletteEntry()
-            for off in range(0, len(payload) - 3, 4):
-                cmp_, typ, col = struct.unpack(
-                    ">HBB", payload[off:off + 4])
-                pal.component_mapping.append((cmp_, typ, col))
-            meta.palette = pal
+            def _cmap():
+                pal = meta.palette or PaletteEntry()
+                for off in range(0, len(payload) - 3, 4):
+                    cmp_, typ, col = struct.unpack(
+                        ">HBB", payload[off:off + 4])
+                    pal.component_mapping.append((cmp_, typ, col))
+                meta.palette = pal
+            _h(_cmap, btype)
         elif btype == b"cdef":
-            cnt = struct.unpack(">H", payload[:2])[0]
-            defs = []
-            for i in range(cnt):
-                cn, typ, asoc = struct.unpack(
-                    ">HHH", payload[2 + 6 * i:8 + 6 * i])
-                defs.append((cn, typ, asoc))
-            meta.channel_definitions = defs
+            def _cdef():
+                cnt = struct.unpack(">H", payload[:2])[0]
+                defs = []
+                for i in range(cnt):
+                    cn, typ, asoc = struct.unpack(
+                        ">HHH", payload[2 + 6 * i:8 + 6 * i])
+                    defs.append((cn, typ, asoc))
+                meta.channel_definitions = defs
+            _h(_cdef, btype)
         elif btype == b"res ":
-            _parse_res(payload, meta)
+            _h(lambda: _parse_res(payload, meta), btype)
         if length <= 0:
             break
         pos += length

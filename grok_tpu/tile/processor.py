@@ -1470,7 +1470,16 @@ class TileDecompressor:
                 self._out_rects.append(
                     tc.resolutions[numres_used - 1].rect)
             planes.append(out)
-        if tcp.mct == 1 and len(planes) >= 3:
+        mct_shapes_ok = (len(planes) >= 3 and
+                         planes[0].shape == planes[1].shape
+                         == planes[2].shape)
+        if tcp.mct == 1 and len(planes) >= 3 and not mct_shapes_ok:
+            # corrupt per-component COD/SIZ can leave the three planes on
+            # different grids (fuzz-found); skipping the MCT beats a
+            # broadcast crash in tolerant mode
+            log.warning("inverse MCT skipped: component planes differ "
+                        "in shape")
+        elif tcp.mct == 1 and len(planes) >= 3:
             if tcp.tccps[0].qmfbid == 1:
                 planes[0], planes[1], planes[2] = mct_mod.rct_inverse(
                     planes[0], planes[1], planes[2])
