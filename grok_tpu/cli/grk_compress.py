@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "[,mainlevel=X][,sublevel=Y]")
     p.add_argument("-A", "--tlm", action="store_true", help="write TLM")
     p.add_argument("-L", "--plt", action="store_true", help="write PLT")
+    p.add_argument("--plm", action="store_true",
+                   help="write PLM (main-header packet-length index)")
+    p.add_argument("--ppm", action="store_true",
+                   help="packed packet headers in the main header")
+    p.add_argument("--max-cs-size", type=int, default=0,
+                   help="total codestream byte cap (reference -W)")
     p.add_argument("--ppt", action="store_true",
                    help="pack packet headers into PPT marker segments")
     p.add_argument("--ht", action="store_true",
@@ -129,7 +135,10 @@ def params_from_args(args) -> CompressParams:
     cp.eph = args.eph
     cp.tlm = args.tlm
     cp.plt = args.plt
+    cp.plm = args.plm
+    cp.ppm = args.ppm
     cp.ppt = args.ppt
+    cp.max_cs_size = args.max_cs_size
     cp.ht = args.ht or args.ht_mixed
     cp.ht_mixed = args.ht_mixed
     cp.num_guard_bits = args.guard_bits

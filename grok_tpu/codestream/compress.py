@@ -291,6 +291,16 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
         if len(full) > 1:
             run_transforms_device_batched(full, mesh=mesh)
 
+    if (p.plt or p.plm) and p.max_cs_size:
+        # packet-length indexes are written after encoding, so reserve
+        # their worst-typical footprint in the byte budget now that the
+        # precinct grids (=> exact packet counts) are known
+        npkts = sum(res.pw * res.ph
+                    for (_ti, tcpx, _tr, tcx) in compressors
+                    for comp in tcx.tile.comps
+                    for res in comp.resolutions) * tcp0.numlayers
+        p._cap_overhead += 2 * npkts + 8 * (npkts // 8000 + 2)
+
     tlm_entries = []
     for n, (tidx, tcp, trect, tc) in enumerate(compressors):
             tc.run_transforms()

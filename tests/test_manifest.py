@@ -39,6 +39,9 @@ def inputs(tmp_path_factory):
 
     formats.write_pgx(GrkImage.from_array(g16, prec=16),
                       str(tmp / "gray16.pgx"))
+    g12 = (gray.astype(np.int32) * 16).clip(0, 4095)
+    formats.write_pgx(GrkImage.from_array(g12, prec=12),
+                      str(tmp / "gray12.pgx"))
     return tmp
 
 
@@ -59,6 +62,18 @@ def test_manifest(inputs):
             toks = [t.replace("@", str(tmp) + os.sep) if t.startswith("@")
                     else t for t in shlex.split(line)]
             cmd = toks[0]
+            if cmd == "expect-oracle":
+                # cross-decode OUR stream in the independent OpenJPEG
+                # decoder bundled with Pillow and compare bit-exactly
+                dec = np.asarray(Image.open(toks[1])).astype(np.int64)
+                ref = _load_any(toks[2])
+                assert np.array_equal(dec, ref), f"line {lineno}: {line}"
+                continue
+            if cmd == "expect-size":
+                sz = os.path.getsize(toks[1])
+                assert sz <= int(toks[2]), \
+                    f"line {lineno}: {sz} > {toks[2]} bytes"
+                continue
             if cmd == "expect-exact":
                 a = _load_any(toks[1])
                 b = _load_any(toks[2])
