@@ -82,7 +82,10 @@ def _decode_one(ms_bits, mel_bits, vlc_bits, qxs, qys, qh, qw):
 
         # ---- VLC quad parse when the event says "nonempty"
         win = _window(vlc_bits, vpos0, _VLC_WIN)
-        rho = win >> (_VLC_WIN - 4)
+        from ..t1 import ht_tables as _vt
+
+        dec_tbl = jnp.asarray(_vt.DEC_RHO[0], dtype=jnp.int32)
+        rho = dec_tbl[win >> (_VLC_WIN - 4)]
         u0 = (win >> (_VLC_WIN - 5)) & 1
         u1 = (win >> (_VLC_WIN - 6)) & 1
         u2 = (win >> (_VLC_WIN - 7)) & 1

@@ -156,7 +156,13 @@ def _encode_one(coeffs):
                   jnp.where(zz == 2, 0b110, (0b111 << 7) | (zz - 3))))
     ulen = jnp.where(
         zz == 0, 1, jnp.where(zz == 1, 2, jnp.where(zz == 2, 3, 10)))
-    vlc_vals = ((rho << ulen) | ucode).reshape(-1)
+    # quad significance through the CxtVLC table (t1/ht_tables.py swap
+    # point); the table is baked at trace time and the jit cache is
+    # cleared on set_tables()
+    from ..t1 import ht_tables as _vt
+
+    enc_tbl = jnp.asarray(_vt.ENC_CWD[0], dtype=jnp.int32)
+    vlc_vals = ((enc_tbl[rho] << ulen) | ucode).reshape(-1)
     vlc_lens = jnp.where(nonempty, 4 + ulen, 0).reshape(-1)
 
     # ---- MagSgn: ((m-1) << 1 | sign) in umax+1 bits per significant sample

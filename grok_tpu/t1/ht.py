@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import ht_tables
+
 # 13-state MEL exponent table (ITU-T T.814)
 MEL_E = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5]
 
@@ -311,10 +313,16 @@ def encode_cblk_ht(coeffs: np.ndarray):
             mel.encode(1 if rho else 0)
             if not rho:
                 continue
-            # self-consistent quad coding: raw rho nibble + zigzagged
-            # left-neighbor-predicted u (normative CxtVLC tables pending —
-            # see module docstring)
-            vlc.put_bits(rho, len(samples))
+            # quad significance through the CxtVLC table module (the
+            # single swap point, t1/ht_tables.py); partial edge quads
+            # (<4 samples) stay raw — their rho has fewer bits than a
+            # table codeword
+            ns = len(samples)
+            if ns == 4:
+                vlc.put_bits(int(ht_tables.ENC_CWD[0, rho]),
+                             int(ht_tables.ENC_LEN[0, rho]))
+            else:
+                vlc.put_bits(rho, ns)
             diff = umax - u_pred
             zz = (diff << 1) if diff >= 0 else ((-diff << 1) - 1)
             _put_u(vlc, zz)
@@ -368,7 +376,11 @@ def decode_cblk_ht(data: bytes, h: int, w: int):
             samples = [(y, x) for x in xs for y in ys]
             if not mel.decode():
                 continue
-            rho = vlc.get_bits(len(samples))
+            ns = len(samples)
+            if ns == 4:
+                rho = int(ht_tables.DEC_RHO[0, vlc.get_bits(4)])
+            else:
+                rho = vlc.get_bits(ns)
             zz = _get_u(vlc)
             diff = (zz >> 1) if (zz & 1) == 0 else -((zz + 1) >> 1)
             umax = u_pred + diff

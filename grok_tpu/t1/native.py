@@ -397,6 +397,21 @@ def destuff_bits_native(data: bytes) -> np.ndarray:
 bk.register_backend("native", encode_batch_native, decode_batch_native)
 bk.register_ht_backend(ht_encode_batch_native, ht_decode_batch_native)
 
+_lib.grk_ht_set_vlc.argtypes = [ct.c_uint64, ct.c_uint64]
+
+
+def _install_vlc_tables() -> None:
+    from . import ht_tables
+
+    enc = np.ascontiguousarray(ht_tables.ENC_CWD[0], dtype=np.uint8)
+    dec = np.ascontiguousarray(ht_tables.DEC_RHO[0], dtype=np.uint8)
+    _lib.grk_ht_set_vlc(_addr(enc), _addr(dec))
+
+
+from . import ht_tables as _ht_tables  # noqa: E402
+
+_ht_tables.on_swap(_install_vlc_tables)
+
 
 # ----------------------------------------------------------- native 5/3 DWT
 

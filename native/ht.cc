@@ -16,6 +16,13 @@ namespace {
 
 static const int MEL_E[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
 
+// CxtVLC quad-significance code (swap point: grok_tpu/t1/ht_tables.py
+// installs tables via grk_ht_set_vlc; default = identity stand-in)
+static uint8_t g_vlc_enc[16] = {0, 1, 2, 3, 4, 5, 6, 7,
+                                8, 9, 10, 11, 12, 13, 14, 15};
+static uint8_t g_vlc_dec[16] = {0, 1, 2, 3, 4, 5, 6, 7,
+                                8, 9, 10, 11, 12, 13, 14, 15};
+
 // Fast unstuffed MSB-first bit packer: a 64-bit accumulator drains four
 // bytes at a time with no per-byte stuffing checks; the stream is stuffed
 // once at assembly time (grk_stuff_bits), which is byte-identical to
@@ -192,6 +199,12 @@ static inline uint32_t get_u(FastBitR& br) {
 
 extern "C" {
 
+void grk_ht_set_vlc(const uint8_t* enc, const uint8_t* dec) {
+  std::memcpy(g_vlc_enc, enc, 16);
+  std::memcpy(g_vlc_dec, dec, 16);
+}
+
+
 struct GrkHTEncJob {
   int32_t h, w;
   int32_t stride;  // row stride of coeffs in elements (0 -> w)
@@ -269,7 +282,7 @@ static void ht_encode_one(GrkHTEncJob* j) {
       }
       mel.encode(rho ? 1 : 0);
       if (!rho) continue;
-      vlc.put_bits(rho, ns);
+      vlc.put_bits(ns == 4 ? g_vlc_enc[rho] : rho, ns);
       int diff = (int)umax - (int)u_pred;
       uint32_t zz = diff >= 0 ? ((uint32_t)diff << 1)
                               : (((uint32_t)(-diff) << 1) - 1);
@@ -338,6 +351,7 @@ static void ht_decode_one(GrkHTDecJob* j) {
       int ns = ny * nx;
       if (!mel.decode()) continue;
       uint32_t rho = vlc.get_bits(ns);
+      if (ns == 4) rho = g_vlc_dec[rho];
       uint32_t zz = get_u(vlc);
       int diff = (zz & 1) ? -(int)((zz + 1) >> 1) : (int)(zz >> 1);
       int umax = (int)u_pred + diff;

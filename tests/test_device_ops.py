@@ -370,3 +370,30 @@ def test_device_mq_codec_decode_end_to_end(rng):
         numresolution=2, cblk_width=16, cblk_height=16))
     out = grok_tpu.decompress(d, DecompressParams(backend="device"))
     assert np.array_equal(out.comps[0].data, arr.astype(np.int32))
+
+
+def test_device_ht_consumes_swapped_vlc_tables(rng):
+    """The device HT coder must bake the installed CxtVLC tables at
+    trace time and pick up a swap (jit caches are flushed by
+    set_tables); streams stay byte-identical to the host coder."""
+    from grok_tpu.t1 import ht, ht_tables
+    from grok_tpu.ops.ht_encode import encode_cblks_ht_device
+    from grok_tpu.ops.ht_decode import decode_cblks_ht_device
+
+    blocks = [rng.integers(-200, 200, (16, 16)).astype(np.int32)
+              for _ in range(3)]
+    enc = np.tile(np.arange(16, dtype=np.uint8) ^ 9,
+                  (ht_tables.NUM_CTX, 1))
+    ln = np.full((ht_tables.NUM_CTX, 16), 4, dtype=np.uint8)
+    try:
+        ht_tables.set_tables(enc, ln)
+        host = [ht.encode_cblk_ht(b) for b in blocks]
+        dev = encode_cblks_ht_device(np.stack(blocks))
+        for (hseg, hnb), (dseg, dnb) in zip(host, dev):
+            assert hseg == dseg and hnb == dnb
+        outs = decode_cblks_ht_device([(s, 16, 16) for (s, _) in host])
+        for b, o in zip(blocks, outs):
+            exp = np.where(b != 0, np.sign(b) * (2 * np.abs(b) + 1), 0)
+            assert np.array_equal(np.asarray(o), exp)
+    finally:
+        ht_tables.reset_tables()

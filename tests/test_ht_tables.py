@@ -1,0 +1,113 @@
+"""CxtVLC table module (VERDICT r2 #3): the HT quad-significance code is
+a swappable table set in t1/ht_tables.py; everything around it (MEL
+automaton, Scup framing, segment layout, MagSgn packing, u prediction)
+is pinned by frozen golden vectors so a table swap provably cannot move
+the layout, and a table-injection differential test proves all coder
+paths consume the installed tables."""
+
+import numpy as np
+import pytest
+
+import grok_tpu
+from grok_tpu import CompressParams, GrkImage
+from grok_tpu.t1 import ht, ht_tables
+
+# frozen segment bytes for fixed inputs (generated from the default
+# stand-in tables; regenerating them is ONLY legitimate when the table
+# module itself changes — any other diff means the MEL/Scup/segment
+# framing regressed)
+GOLDEN_8x8_SEED7 = bytes.fromhex(
+    "b0af304f48559c921ea26cc3826d7e9156746197c20b15f81e6807e7ab94020d"
+    "c471788872874e8c2e2a3f99c0b5157eb7328d170404ba5d0d01782fa4630000"
+    "f0de27fedefbc4dffb3ef1d7de27fe0301")
+GOLDEN_SPARSE_4x6 = bytes.fromhex("33e7807080c531f0100800")
+
+
+@pytest.fixture(autouse=True)
+def _restore_tables():
+    yield
+    ht_tables.reset_tables()
+
+
+def _permuted_tables():
+    enc = np.tile(np.arange(16, dtype=np.uint8) ^ 5, (ht_tables.NUM_CTX, 1))
+    ln = np.full((ht_tables.NUM_CTX, 16), 4, dtype=np.uint8)
+    return enc, ln
+
+
+def test_golden_layout_vectors():
+    rng = np.random.default_rng(7)
+    a = rng.integers(-99, 100, (8, 8)).astype(np.int32)
+    assert int(a.astype(np.int64).sum()) == 451  # input self-check
+    seg, nb = ht.encode_cblk_ht(a)
+    assert nb == 7
+    assert seg == GOLDEN_8x8_SEED7
+    b = np.zeros((4, 6), np.int32)
+    b[0, 0] = 1
+    b[3, 5] = -1000
+    b[2, 2] = 7
+    seg2, nb2 = ht.encode_cblk_ht(b)
+    assert (seg2, nb2) == (GOLDEN_SPARSE_4x6, 10)
+
+
+def test_table_injection_round_trip():
+    """A different (bijective) table set must round-trip in the Python
+    reference AND produce a different stream (proof the table is
+    actually consumed), with the layout bytes (Scup trailer) unmoved."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(-99, 100, (8, 8)).astype(np.int32)
+    exp = np.where(a != 0, np.sign(a) * (2 * np.abs(a) + 1), 0)
+    ht_tables.set_tables(*_permuted_tables())
+    seg, _ = ht.encode_cblk_ht(a)
+    assert seg != GOLDEN_8x8_SEED7
+    assert len(seg) == len(GOLDEN_8x8_SEED7)  # same framing footprint
+    assert seg[-2:] == GOLDEN_8x8_SEED7[-2:]  # Scup trailer identical
+    assert np.array_equal(ht.decode_cblk_ht(seg, 8, 8), exp)
+    ht_tables.reset_tables()
+    seg3, _ = ht.encode_cblk_ht(a)
+    assert seg3 == GOLDEN_8x8_SEED7
+
+
+def test_table_injection_native_matches_python(rng):
+    """The native coder consumes the installed tables and stays
+    byte-identical to the Python reference under a swap."""
+    from grok_tpu.t1 import backend as bk
+    from grok_tpu.t1 import native as nat
+
+    coeffs = rng.integers(-500, 500, (32, 32)).astype(np.int32)
+    for swap in (False, True):
+        if swap:
+            ht_tables.set_tables(*_permuted_tables())
+        seg_py, nb_py = ht.encode_cblk_ht(coeffs)
+        j = bk.EncodeJob(coeffs, 0, 0, ht=True, need_dist=False)
+        nat.ht_encode_batch_native([j])
+        assert j.data == seg_py, f"swap={swap}"
+        dj = bk.DecodeJob(seg_py, [len(seg_py)], 1, nb_py, 32, 32, 0, 0,
+                          ht=True)
+        nat.ht_decode_batch_native([dj])
+        assert np.array_equal(dj.out, ht.decode_cblk_ht(seg_py, 32, 32))
+
+
+def test_table_swap_full_codec_round_trip(rng):
+    """End-to-end: an HT encode under swapped tables decodes bit-exactly
+    through the public API, and differs on the wire from the default."""
+    arr = rng.integers(0, 256, (96, 96)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=8)
+    p = CompressParams(numresolution=3, ht=True)
+    d_default = grok_tpu.compress(img, p)
+    ht_tables.set_tables(*_permuted_tables())
+    d_swapped = grok_tpu.compress(img, p)
+    assert d_swapped != d_default
+    assert np.array_equal(grok_tpu.decompress(d_swapped).to_array(), arr)
+
+
+def test_table_validation():
+    enc, ln = _permuted_tables()
+    with pytest.raises(ValueError):
+        ht_tables.set_tables(enc[:, :8], ln[:, :8])
+    bad = enc.copy()
+    bad[0, 0] = bad[0, 1]  # not bijective
+    with pytest.raises(ValueError):
+        ht_tables.set_tables(bad, ln)
+    with pytest.raises(ValueError):
+        ht_tables.set_tables(enc, ln * 0 + 5)  # wrong codeword length
