@@ -153,8 +153,12 @@ def cielab_to_srgb(img: GrkImage) -> None:
     fz = fy - bf / 200.0
 
     def finv(t):
+        # exact CIE constants (eps = 216/24389, kappa = 24389/27): the
+        # legacy 0.008856/7.787 approximations leave a visible seam at
+        # the knee vs the lcms reference
         t3 = t ** 3
-        return np.where(t3 > 0.008856, t3, (t - 16.0 / 116.0) / 7.787)
+        return np.where(t3 > 216.0 / 24389.0, t3,
+                        (116.0 * t - 16.0) / (24389.0 / 27.0))
 
     # D50 white point
     X = finv(fx) * 0.9642
@@ -209,10 +213,32 @@ def apply_icc_profile(img: GrkImage) -> None:
         log.warning("Pillow ImageCms unavailable; ICC profile not applied")
         return
     comps = img.comps
-    if any(c.prec != 8 or c.sgnd for c in comps[:3]) or \
+    if any(c.sgnd for c in comps[:3]) or \
             len({c.data.shape for c in comps}) != 1:
-        log.warning("ICC application supported for 8-bit unsubsampled "
-                    "images only; profile left attached")
+        log.warning("ICC application needs unsigned, unsubsampled "
+                    "components; profile left attached")
+        return
+    if any(c.prec != 8 for c in comps[:3]):
+        # Pillow's ImageCms cannot build >8-bit transforms (every 16-bit
+        # mode fails with "cannot build transform" on Pillow 12.1), so
+        # high-precision images go through our own matrix/TRC evaluator
+        # (util/icc.py) at full float64 precision; LUT profiles fall back
+        # with the profile left attached.
+        from . import icc as icc_mod
+
+        ncolor = 3 if len(comps) >= 3 else 1
+        res = icc_mod.profile_to_srgb(
+            [c.data for c in comps], img.meta.icc_profile,
+            comps[0].prec)
+        if res is None:
+            log.warning("ICC profile outside the matrix/TRC class at "
+                        ">8-bit precision; profile left attached")
+            return
+        for c, plane in zip(comps, res):
+            c.data = plane
+        if ncolor == 3:
+            img.color_space = ColorSpace.SRGB
+        img.meta.icc_profile = None
         return
     if len(comps) >= 3:
         arr = np.stack([c.data for c in comps[:3]], axis=-1)
