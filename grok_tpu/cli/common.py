@@ -78,3 +78,19 @@ def run_repeated(fn, repetitions: int, duration: float | None = None,
             "profiler trace written to %s (open with Perfetto or "
             "TensorBoard)", profile_dir)
     return result, times
+
+
+def shard_pairs(pairs: list, num_hosts: int, host_id: int) -> list:
+    """Multi-host batch sharding (SURVEY.md §2.3 DCN row): slice the
+    batch for this host.  num_hosts == 0 defers to jax.distributed
+    (single-process runs keep the whole list)."""
+    from ..parallel import distributed as dist
+
+    if num_hosts and num_hosts > 1:
+        return dist.shard_batch(pairs, num_hosts, host_id)
+    if num_hosts == 0:
+        try:
+            return dist.auto_shard(pairs)
+        except Exception:  # jax without distributed context
+            return pairs
+    return pairs

@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="repeat for at least this many seconds (benchmark)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("-W", "--logfile", default=None)
+    p.add_argument("--num-hosts", type=int, default=0,
+                   help="multi-host batch: total hosts (0 = use "
+                        "jax.distributed when initialized)")
+    p.add_argument("--host-id", type=int, default=0,
+                   help="multi-host batch: this host's index")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "native", "python", "device"])
     return p
@@ -268,8 +273,10 @@ def main(argv=None) -> int:
             if not args.out_dir:
                 raise ParamError("batch mode requires -a out_dir")
             exts = formats.PIL_FORMATS | {".pgx", ".raw", ".rawl"}
-            for src, dst in common.batch_inputs(
-                    args.batch_src, args.out_dir, args.out_fmt, exts):
+            pairs = list(common.batch_inputs(
+                args.batch_src, args.out_dir, args.out_fmt, exts))
+            pairs = common.shard_pairs(pairs, args.num_hosts, args.host_id)
+            for src, dst in pairs:
                 compress_one(src, dst, args)
         else:
             if not args.in_file or not args.out_file:
