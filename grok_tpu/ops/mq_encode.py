@@ -49,6 +49,9 @@ _FLUSH1, _FLUSH2, _PAD = 240, 241, 255
 # smallest bucket covering the batch's max magnitude
 NUMBPS_BUCKETS = (8, 14, 22, 26)
 MAX_NUMBPS_DEVICE = NUMBPS_BUCKETS[-1]
+# distortion sums stay exact in float64 (every partial sum < 2^53) up to
+# this magnitude bit depth — the need_dist routing gate
+MAX_NUMBPS_DIST = 20
 
 
 def _build_luts():
@@ -318,8 +321,10 @@ def build_streams(mags, signs, orients, *, h: int, w: int, maxp: int,
 
     mags/signs: (B, h, w) int32; orients: (B,) int32.
     Returns (mq_ctx, mq_bit, mq_count, raw_bits, raw_count,
-    raw_plane_counts, numbps) with the streams compacted and padded to
-    their static layout sizes (kept on device)."""
+    raw_plane_counts, numbps, times) with the streams compacted and
+    padded to their static layout sizes (kept on device); `times` is the
+    final per-sample significance schedule (plane/pass encoded, _INF for
+    never-significant) that the distortion kernel consumes."""
 
     def one(mag, sign, orient):
         numbps = 32 - jax.lax.clz(jnp.max(mag))
@@ -331,9 +336,23 @@ def build_streams(mags, signs, orients, *, h: int, w: int, maxp: int,
                 mag, sign, numbps, i, times, orient, lazy, h, w)
             return times, (mq_ctx, mq_bit, raw_bit, raw_valid)
 
-        _, (mq_ctx, mq_bit, raw_bit, raw_valid) = jax.lax.scan(
+        times_f, (mq_ctx, mq_bit, raw_bit, raw_valid) = jax.lax.scan(
             plane, times0, jnp.arange(maxp, dtype=jnp.int32))
         raw_counts = jnp.sum(raw_valid.astype(jnp.int32), axis=-1)
+        # raw SPP/MRP split per plane (bypass pass-rate boundaries): the
+        # raw slot layout per plane is [spp (S*W*4*2)] then [mrp (S*W*4)]
+        stripes = (h + 3) // 4
+        rsplit = stripes * w * 8
+        raw_spp_counts = jnp.sum(
+            raw_valid[:, :rsplit].astype(jnp.int32), axis=-1)
+        # per-plane MQ section boundaries: [spp | mrp | cup+flush]
+        slen = stripes * w * 8
+        mlen = stripes * w * 4
+        mqv2 = mq_ctx != _PAD
+        sec = jnp.stack(
+            [jnp.sum(mqv2[:, :slen].astype(jnp.int32), -1),
+             jnp.sum(mqv2[:, slen:slen + mlen].astype(jnp.int32), -1),
+             jnp.sum(mqv2[:, slen + mlen:].astype(jnp.int32), -1)], -1)
         mq_ctx = mq_ctx.reshape(-1)
         mq_bit = mq_bit.reshape(-1)
         raw_bit = raw_bit.reshape(-1)
@@ -344,7 +363,8 @@ def build_streams(mags, signs, orients, *, h: int, w: int, maxp: int,
         mq_bit_c, _ = _compact(mq_bit, mqv, mq_ctx.shape[0])
         raw_c, raw_n = _compact(raw_bit, raw_valid, raw_bit.shape[0])
         return (mq_ctx_c.astype(jnp.uint8), mq_bit_c.astype(jnp.uint8),
-                mq_n, raw_c.astype(jnp.uint8), raw_n, raw_counts, numbps)
+                mq_n, raw_c.astype(jnp.uint8), raw_n, raw_counts, numbps,
+                times_f, sec, raw_spp_counts)
 
     # ZC tables differ per orient; vmap over blocks
     return jax.vmap(one)(mags, signs, orients)
@@ -368,7 +388,8 @@ def _byteout(c, ct, last):
 
 
 @functools.partial(jax.jit, static_argnames=("maxseg",))
-def mq_scan(ctx_stream, bit_stream, counts, *, maxseg: int):
+def mq_scan(ctx_stream, bit_stream, counts, boundaries=None, *,
+            maxseg: int):
     """Phase B: the MQ automaton over compacted (ctx, bit) streams,
     vmapped across blocks.  ctx 240/241 are flush steps (segment ends).
     Returns (bytes (B, L*3), per-step-validity-packed byte stream is
@@ -386,7 +407,7 @@ def mq_scan(ctx_stream, bit_stream, counts, *, maxseg: int):
     # body small — XLA compile time grows with the unroll on 1 core
     CHUNK = 8 if jax.default_backend() != "cpu" else 1
 
-    def one(ctxs, bits, n):
+    def one(ctxs, bits, n, bnd):
         L = ctxs.shape[0]
 
         ctx_ids = jnp.arange(19, dtype=jnp.int32)
@@ -514,9 +535,17 @@ def mq_scan(ctx_stream, bit_stream, counts, *, maxseg: int):
             (emit_v[:, None] & (seg_of[:, None]
                                 == jnp.arange(maxseg))).astype(jnp.int32),
             axis=0)
-        return byts, nbytes, seg_counts
+        # cumulative byteout count after each DECISION, gathered at the
+        # pass-boundary decision indices — the device equivalent of the
+        # host coder's bp - b0 (rates of non-terminated passes)
+        per_dec = jnp.sum(emit_v.reshape(-1, 3).astype(jnp.int32), -1)
+        cum = jnp.cumsum(per_dec)
+        bat = jnp.where(bnd > 0, cum[jnp.maximum(bnd - 1, 0)], 0)
+        return byts, nbytes, seg_counts, bat
 
-    return jax.vmap(one)(ctx_stream, bit_stream, counts)
+    if boundaries is None:
+        boundaries = jnp.zeros((ctx_stream.shape[0], 1), jnp.int32)
+    return jax.vmap(one)(ctx_stream, bit_stream, counts, boundaries)
 
 
 # ------------------------------------------------------------ host side
@@ -544,10 +573,85 @@ def _raw_payload(bits: np.ndarray) -> bytes:
     return payload.tobytes()
 
 
+_DISTS_JIT = None
+
+
+def _dists_fn():
+    """Build (lazily, under a scoped x64 context) the exact per-pass
+    distortion kernel: cumulative sum((m - m_rec)^2) decrease per coding
+    pass, derived in closed form from the significance schedule — the
+    reconstruction after refining to plane bp is trunc(m, bp) + 2^(bp-1)
+    (bp >= 1) or m (bp = 0), so no per-event tracking is needed.  All
+    deltas are integers; with the device numbps cap the sums stay below
+    2^53, so the result is EXACT and order-independent — byte-identical
+    PCRD decisions vs the host coder."""
+    global _DISTS_JIT
+    if _DISTS_JIT is None:
+        with jax.enable_x64(True):
+            @functools.partial(jax.jit, static_argnames=("maxp",))
+            def impl(mags, times, numbps, *, maxp: int):
+                def one(mag, t, nb):
+                    m = mag.astype(jnp.int64)
+                    evt = (t >> _POS_BITS).astype(jnp.int32)
+                    ever = t < _INF
+                    sig_i = evt // 3
+                    sig_cup = (evt % 3) == 2
+                    i = jnp.arange(maxp, dtype=jnp.int32)[:, None, None]
+                    bp = jnp.maximum(nb - 1 - i, 0).astype(jnp.int64)
+                    valid = (i < nb)
+                    one_ = jnp.int64(1) << bp
+                    nr = one_ | (one_ >> 1)
+                    dsig = (m * m - (m - nr) * (m - nr)).astype(jnp.float64)
+                    sig_here = ever & (sig_i[None] == i) & valid
+                    spp = jnp.sum(
+                        dsig * (sig_here & ~sig_cup[None]), axis=(1, 2))
+                    cup = jnp.sum(
+                        dsig * (sig_here & sig_cup[None]), axis=(1, 2))
+                    trunc_hi = (m >> (bp + 1)) << (bp + 1)
+                    old = trunc_hi + one_
+                    new = jnp.where(bp >= 1,
+                                    ((m >> bp) << bp) + (one_ >> 1), m)
+                    dref = ((m - old) * (m - old)
+                            - (m - new) * (m - new)).astype(jnp.float64)
+                    ref_here = ever & (sig_i[None] < i) & valid
+                    mrp = jnp.sum(dref * ref_here, axis=(1, 2))
+                    flat = jnp.stack([spp, mrp, cup], -1).reshape(-1)
+                    e0 = jnp.sum((m * m).astype(jnp.float64))
+                    return jnp.cumsum(flat), e0
+
+                return jax.vmap(one)(mags, times, numbps)
+            _DISTS_JIT = impl
+    return _DISTS_JIT
+
+
+def _raw_completed_bytes(bits: np.ndarray, nbits: int) -> int:
+    """Bytes fully emitted by the bypass writer after consuming `nbits`
+    of this segment's bit stream (stuffing-aware) — the host coder's
+    RawEnc.num_bytes() at a pass boundary."""
+    if nbits <= 0 or bits.shape[0] == 0:
+        return 0
+    from .ht_encode import stuff_bits
+
+    packed = np.packbits(bits.astype(np.uint8))
+    out = np.frombuffer(stuff_bits(packed, int(bits.shape[0])),
+                        dtype=np.uint8)
+    caps = np.full(out.shape, 8, dtype=np.int64)
+    caps[1:][out[:-1] == 0xFF] = 7
+    cum = np.cumsum(caps)
+    full = int(np.searchsorted(cum, nbits, side="right"))
+    consumed = int(cum[full - 1]) if full else 0
+    # the host RawEncoder counts a partially-filled accumulator as one
+    # more byte (num_bytes = len(bytes) + (1 if used))
+    return full + (1 if nbits > consumed else 0)
+
+
 def _assemble_one(byts, seg_counts, raw_bits, raw_plane_counts, numbps,
-                  lazy):
+                  lazy, bytes_at=None, raw_spp=None):
     """Splice one block's MQ segments and raw segments into the final
-    codeword stream; returns (data, passes) with term-pass rates exact."""
+    codeword stream; returns (data, passes).  Non-terminated pass rates
+    use the scan's per-boundary byteout counts (bytes_at) and the raw
+    SPP bit split (raw_spp) to reproduce the host coder's
+    out_bytes + pending estimates exactly."""
     from ..t1.coder import PassInfo
 
     nb = int(numbps)
@@ -558,9 +662,11 @@ def _assemble_one(byts, seg_counts, raw_bits, raw_plane_counts, numbps,
     # split the MQ byte stream into segments; drop each segment's fake
     # lead byte and any trailing 0xFF (the host flush conventions)
     mq_segs = []
+    seg_start_emit = []
     off = 0
     for k in range(len(terms)):
         cnt = int(seg_counts[k])
+        seg_start_emit.append(off)
         seg = bytes(byts[off + 1:off + cnt])
         off += cnt
         if seg and seg[-1] == 0xFF:
@@ -568,68 +674,69 @@ def _assemble_one(byts, seg_counts, raw_bits, raw_plane_counts, numbps,
         mq_segs.append(seg)
     # raw segments per plane (lazy, i >= 4), contiguous in plane order
     raw_segs = {}
+    raw_seg_bits = {}
     roff = 0
     for i in range(nb):
         c = int(raw_plane_counts[i])
         if c:
-            raw_segs[i] = _raw_payload(raw_bits[roff:roff + c])
+            raw_seg_bits[i] = raw_bits[roff:roff + c]
+            raw_segs[i] = _raw_payload(raw_seg_bits[i])
             roff += c
     data = bytearray()
     passes = []
     mq_k = 0
-    pending = []  # (ptype, bpno) of passes awaiting their segment end
-
-    def close_passes(term_rate):
-        for (pt, bp) in pending:
-            passes.append(PassInfo(pt, bp, False, term_rate, 0.0))
-        pending.clear()
-
     for i in range(nb):
         p = nb - 1 - i
         if i > 0:
             raw_i = lazy and i >= 4
             if raw_i:
-                seg = raw_segs.get(i, b"")
-                data += seg
-                close_passes(len(data))
-                passes.append(PassInfo(0, p, False, len(data), 0.0))
+                nspp = int(raw_spp[i]) if raw_spp is not None else 0
+                done = _raw_completed_bytes(
+                    raw_seg_bits.get(i, np.zeros(0, np.uint8)), nspp)
+                passes.append(PassInfo(0, p, False,
+                                       len(data) + done + 1, 0.0))
+                data += raw_segs.get(i, b"")
                 passes.append(PassInfo(1, p, True, len(data), 0.0))
             else:
-                pending.append((0, p))
-                pending.append((1, p))
+                base = seg_start_emit[mq_k] if mq_k < len(terms) else 0
+                for pt, k in ((0, 3 * i), (1, 3 * i + 1)):
+                    nbyt = (int(bytes_at[k]) - base
+                            if bytes_at is not None else 0)
+                    passes.append(PassInfo(pt, p, False,
+                                           len(data) + nbyt + 4, 0.0))
         if i in term_set:
             data += mq_segs[mq_k]
-            mq_k += 1
-            close_passes(len(data))
             passes.append(PassInfo(2, p, True, len(data), 0.0))
+            mq_k += 1
         else:
-            pending.append((2, p))
-    close_passes(len(data))
-    # order passes back into coding order (they were appended per event)
-    order = {(pt, bp): None for bp in range(nb - 1, -1, -1)
-             for pt in ((2,) if bp == nb - 1 else (0, 1, 2))}
-    by_key = {(pp.passtype, pp.bpno): pp for pp in passes}
-    seq = [by_key[k] for k in order if k in by_key]
+            base = seg_start_emit[mq_k] if mq_k < len(terms) else 0
+            nbyt = (int(bytes_at[3 * i + 2]) - base
+                    if bytes_at is not None else 0)
+            passes.append(PassInfo(2, p, False, len(data) + nbyt + 4, 0.0))
     # enforce monotone rates (host encoder does the same clamp)
     total = len(data)
-    rates = [min(pp.rate, total) for pp in seq]
+    rates = [min(pp.rate, total) for pp in passes]
     for j in range(len(rates) - 2, -1, -1):
         rates[j] = min(rates[j], rates[j + 1])
-    seq = [PassInfo(pp.passtype, pp.bpno, pp.term, r, 0.0)
-           for pp, r in zip(seq, rates)]
-    return bytes(data), seq
+    for pp, r in zip(passes, rates):
+        pp.rate = r
+    return bytes(data), passes
 
 
 def encode_cblks_mq_device(coeffs_batch, orients, lazy: bool,
-                           numbps_bound: int | None = None):
+                           numbps_bound: int | None = None,
+                           need_dist: bool = False):
     """End-to-end device MQ encode of a uniform-shape batch.
 
     coeffs_batch: (B, H, W) int32 — numpy, or a device array (transform
     outputs stay resident, no coefficient round trip); orients: (B,).
     numbps_bound: static magnitude bit bound (band M_b) so the plane
     bucket needs no device sync; derived from the data for numpy inputs.
-    Returns [(data, numbps, passes)] byte-identical to the host coder
-    with style NONE (lazy=False) or LAZY (lazy=True), need_dist off."""
+    Returns [(data, numbps, passes, e0)] byte-identical to the host
+    coder with style NONE (lazy=False) or LAZY (lazy=True); with
+    need_dist the per-pass distortions (and e0) are computed on-device
+    in exact integer-valued float64 (see _dists_fn), matching the host
+    accumulation bit for bit within the device numbps range."""
     b, h, w = coeffs_batch.shape
     if numbps_bound is None:
         if isinstance(coeffs_batch, np.ndarray):
@@ -646,12 +753,15 @@ def encode_cblks_mq_device(coeffs_batch, orients, lazy: bool,
     signs = (xb < 0).astype(jnp.int32)
     res = build_streams(mags, signs, jnp.asarray(orients, jnp.int32),
                         h=h, w=w, maxp=maxp, lazy=lazy)
-    mq_ctx, mq_bit, mq_n, raw_c, raw_n, raw_counts, numbps = res
+    (mq_ctx, mq_bit, mq_n, raw_c, raw_n, raw_counts, numbps,
+     times_f, sec_counts, raw_spp_counts) = res
     n_host = np.asarray(mq_n)
     lmax = int(n_host.max(initial=1))
     L = 1 << max(4, (lmax - 1).bit_length())
-    byts, nbytes, seg_counts = mq_scan(
-        mq_ctx[:, :L], mq_bit[:, :L], mq_n, maxseg=maxp + 1)
+    boundaries = jnp.cumsum(sec_counts.reshape(b, -1),
+                            axis=1).astype(jnp.int32)
+    byts, nbytes, seg_counts, bytes_at = mq_scan(
+        mq_ctx[:, :L], mq_bit[:, :L], mq_n, boundaries, maxseg=maxp + 1)
     # fetch the small metadata together, then slice the big padded
     # streams ON DEVICE before they cross the (slow) D2H link
     nbytes_h = np.asarray(nbytes)
@@ -662,10 +772,29 @@ def encode_cblks_mq_device(coeffs_batch, orients, lazy: bool,
     raw_c = np.asarray(raw_c[:, :rmax])
     seg_counts = np.asarray(seg_counts)
     raw_counts = np.asarray(raw_counts)
+    raw_spp_h = np.asarray(raw_spp_counts)
+    bytes_at_h = np.asarray(bytes_at)
     numbps_h = np.asarray(numbps)
+    dists_h = e0_h = None
+    if need_dist:
+        with jax.enable_x64(True):  # tracing happens on first call
+            dists, e0s = _dists_fn()(mags, times_f, numbps, maxp=maxp)
+        dists_h = np.asarray(dists)
+        e0_h = np.asarray(e0s)
     out = []
     for bi in range(b):
         data, passes = _assemble_one(byts[bi], seg_counts[bi], raw_c[bi],
-                                     raw_counts[bi], numbps_h[bi], lazy)
-        out.append((data, int(numbps_h[bi]), passes))
+                                     raw_counts[bi], numbps_h[bi], lazy,
+                                     bytes_at=bytes_at_h[bi],
+                                     raw_spp=raw_spp_h[bi])
+        if need_dist and passes:
+            nb = int(numbps_h[bi])
+            # flat kernel layout is (SPP, MRP, CUP) x plane; the pass
+            # sequence starts at plane 0's CUP (flat index 2)
+            idx = [2] + list(range(3, 3 * nb))
+            cum = dists_h[bi]
+            for pp, k in zip(passes, idx):
+                pp.dist = float(cum[k])
+        out.append((data, int(numbps_h[bi]), passes,
+                    float(e0_h[bi]) if need_dist else None))
     return out

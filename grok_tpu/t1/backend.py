@@ -252,13 +252,15 @@ def _encode_mq_device(jobs: list[EncodeJob]) -> list[EncodeJob]:
     rest: list[EncodeJob] = []
     for j in jobs:
         style = CblkStyle(j.style)
-        if j.need_dist or style not in (CblkStyle.NONE, CblkStyle.LAZY) \
-                or j.numbps_bound > dmq.MAX_NUMBPS_DEVICE:
+        cap = (dmq.MAX_NUMBPS_DIST if j.need_dist
+               else dmq.MAX_NUMBPS_DEVICE)
+        if style not in (CblkStyle.NONE, CblkStyle.LAZY) \
+                or j.numbps_bound > cap:
             rest.append(j)
             continue
         h, w = j.coeffs.shape
-        groups[(h, w, style == CblkStyle.LAZY)].append(j)
-    for (h, w, lazy), g in groups.items():
+        groups[(h, w, style == CblkStyle.LAZY, j.need_dist)].append(j)
+    for (h, w, lazy, need_dist), g in groups.items():
         batch = _stack_coeffs([j.coeffs for j in g])
         # pad the batch axis to a power of two to bound jit recompiles
         b = len(g)
@@ -272,9 +274,11 @@ def _encode_mq_device(jobs: list[EncodeJob]) -> list[EncodeJob]:
                 [batch, jnp.zeros((bpad - b, h, w), jnp.int32)])
         nb_bound = max(j.numbps_bound for j in g)
         res = dmq.encode_cblks_mq_device(batch, orients, lazy,
-                                         numbps_bound=nb_bound)[:b]
-        for j, (data, nb, passes) in zip(g, res):
+                                         numbps_bound=nb_bound,
+                                         need_dist=need_dist)[:b]
+        for j, (data, nb, passes, e0) in zip(g, res):
             j.data, j.numbps, j.passes = data, nb, passes
+            j.e0_out = e0
     return rest
 
 
