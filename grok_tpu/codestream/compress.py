@@ -238,9 +238,12 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                     for c in image.comps) / 8.0
     p._raw_bytes_total = raw_bytes  # for -W per-tile share scaling
     # -W is a TOTAL codestream cap: subtract the ACTUAL main-header bytes
-    # written so far (SIZ/COD/QCD/CAP/COM/...) plus per-tile SOT/SOD and
-    # EOC framing once, instead of a flat per-tile constant
-    p._cap_overhead = (len(out) + 2 + cp.numtiles * 14
+    # written so far (SIZ/COD/QCD/CAP/COM/...) plus EOC and the TLM
+    # index once.  Per-tile SOT/SOD framing is NOT counted here — each
+    # tile's rate-control simulation adds its own 14 * tile_parts
+    # (processor._simulate_size), and counting it twice shrank every
+    # tile's packet budget by ~14 bytes.
+    p._cap_overhead = (len(out) + 2
                        + (cp.numtiles * 6 + 6 if p.tlm else 0))
 
     cp._has_rate_targets = bool(p.layer_rates or p.layer_psnr
@@ -329,7 +332,7 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                 tc.assign_layers(targets)
                 if quota:
                     for _ in range(3):
-                        if not tc.revalidate_rate_truncation(targets):
+                        if not tc.revalidate_rate_truncation():
                             break
                         tc.assign_layers(targets)
             comp_info = [(c.dx, c.dy, tcp.tccps[i].numresolutions)

@@ -546,6 +546,13 @@ class CodestreamDecoder:
         except MemoryError:
             raise CodestreamError(
                 "image too large to allocate for decode") from None
+        out_px = sum(c.data.size for c in img.comps)
+        budget = p.max_pixels or self.MAX_DECODE_PIXELS
+        if out_px > budget:
+            raise CodestreamError(
+                f"decode output {out_px} px exceeds the "
+                f"{'caller' if p.max_pixels else 'library'} pixel budget "
+                f"{budget}")
 
         self._distribute_ppm()
         tiles = range(cp.numtiles)
@@ -648,7 +655,10 @@ class CodestreamDecoder:
                 td.decode_packets(b"".join(parts), sop=sop, eph=eph)
             except Exception as e:
                 if self.strict or p.strict:
-                    raise
+                    if isinstance(e, CodestreamError):
+                        raise
+                    raise CodestreamError(
+                        f"tile {tidx}: packet parse error: {e}") from e
                 log.warning("tile %d: packet parse error: %s", tidx, e)
             td.run_t1()
             prepared.append((tidx, tcp, tile, td))
@@ -721,7 +731,10 @@ class CodestreamDecoder:
             td.decode_packets(data, sop=sop, eph=eph)
         except Exception as e:  # tolerant decode
             if self.strict or p.strict:
-                raise
+                if isinstance(e, CodestreamError):
+                    raise
+                raise CodestreamError(
+                    f"tile {tidx}: packet parse error: {e}") from e
             log.warning("tile %d: packet parse error: %s", tidx, e)
         td.run_t1()
         planes = td.reconstruct(defer=defer)

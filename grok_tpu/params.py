@@ -240,6 +240,11 @@ class DecompressParams:
     # multi-chip: Mesh with a "dp" axis or an int device count (see
     # CompressParams.mesh); tile synthesis shards over it on full decodes
     mesh: object | None = None
+    # resource limit: refuse decodes whose (reduced, windowed) output
+    # exceeds this many pixels (0 = library default, 2^32).  A 30 KB
+    # stream can legally declare a multi-gigapixel canvas; services
+    # decoding untrusted data should set an application budget here.
+    max_pixels: int = 0
 
 
 # ----------------------------------------------------------------- internal

@@ -86,19 +86,13 @@ def build_tile(tile_idx: int, trect: Rect, image, tcp: TileCodingParams) -> Tile
         tc.resolutions = build_resolutions(
             tc_rect, tccp.numresolutions, tccp.prcw, tccp.prch,
             tccp.cblkw, tccp.cblkh)
-        # quantization metadata per band: R_b = prec + gain_b for both the
-        # reversible and irreversible paths (verified against the oracle).
-        # A max-shift ROI extends M_b by roi_shift on both sides without
-        # touching the signaled step sizes.
-        for res in tc.resolutions:
-            for band in res.bands:
-                eps, mant = band_eps_mant(tccp, res.resno, band.orient,
-                                          tccp.numresolutions)
-                band.numbps = max(0, tccp.num_guard_bits + eps - 1
-                                  + tccp.roi_shift)
-                rb = comp.prec + BAND_GAIN[band.orient]
-                band.stepsize = (1.0 + mant / 2048.0) * (2.0 ** (rb - eps))
         tile.comps.append(tc)
+    # quantization metadata per band: R_b = prec + gain_b for both the
+    # reversible and irreversible paths (verified against the oracle).
+    # A max-shift ROI extends M_b by roi_shift on both sides without
+    # touching the signaled step sizes.  Shared with the pooled-acquire
+    # path so the formula lives in exactly one place.
+    _refresh_tile_quant(tile, image, tcp)
     return tile
 
 
@@ -114,7 +108,10 @@ def build_tile(tile_idx: int, trect: Rect, image, tcp: TileCodingParams) -> Tile
 # ---------------------------------------------------------------------------
 
 _TILE_POOL: dict = {}
-_TILE_POOL_CAP = 4  # trees kept per geometry key
+_TILE_POOL_CAP = 4    # trees kept per geometry key
+_TILE_POOL_KEYS = 8   # distinct geometry keys kept (FIFO eviction) —
+                      # pooled trees hold native Tier-2 state, so the
+                      # pool must not grow with workload variety
 
 
 def _tile_geo_key(trect: Rect, image, tcp: TileCodingParams):
@@ -201,7 +198,11 @@ def release_tile(tile: Tile) -> None:
     key = getattr(tile, "_geo_key", None)
     if key is None:
         return
-    pool = _TILE_POOL.setdefault(key, [])
+    pool = _TILE_POOL.get(key)
+    if pool is None:
+        while len(_TILE_POOL) >= _TILE_POOL_KEYS:
+            _TILE_POOL.pop(next(iter(_TILE_POOL)))  # FIFO oldest key
+        pool = _TILE_POOL[key] = []
     if len(pool) < _TILE_POOL_CAP:
         _scrub_tile(tile)
         pool.append(tile)
@@ -514,13 +515,20 @@ class TileCompressor:
                     0, counts[id(c)] - prev[id(c)])
             prev = {k: max(prev[k], counts[k]) for k in prev}
 
-    def revalidate_rate_truncation(self, layer_targets) -> bool:
+    def revalidate_rate_truncation(self) -> bool:
         """Rate-quota safety net: re-encode (without a cap) every early-
         stopped codeblock whose truncated hull still bites at the applied
         slope threshold — its missing deeper passes could have been
         included.  Returns True when any block was re-encoded (the caller
-        must redo assign_layers).  The 0.5x safety margin covers hull
-        points that deeper passes might merge/pop."""
+        must redo assign_layers).
+
+        The 0.5x margin below the threshold is a HEURISTIC, not a proof:
+        hull merging can in principle pop a truncated tail into a point
+        whose slope exceeds the threshold even when the truncated hull's
+        last slope sat below half of it.  This (plus the measured
+        no-win, PERF_NOTES.md) is why rate_quota ships off by default —
+        it trades a bounded, usually-invisible R-D deviation for Tier-1
+        time on tight-target workloads."""
         pairs = getattr(self, "_t1_jobs", None)
         if not pairs:
             return False
@@ -757,8 +765,6 @@ class TileCompressor:
         slope index.  Stage 2 walks down from that bound with exact
         Tier-2 dry runs (typically 1-3, vs log2(slopes) before) until the
         full packet size fits."""
-        import numpy as np
-
         hidx = getattr(self, "_hull_index", None)
         if hidx is None:
             hidx = self._hull_index = HullIndex(entries)
@@ -801,6 +807,19 @@ class TileCompressor:
         # 2-4 iterations because the overhead barely moves with the index.
         # At the fixed point, body(idx) <= target - overhead(idx) implies
         # size(idx) <= target, so convergence is feasibility.
+        def exact_bisect(lo, hi, best, best_idx):
+            # last-resort exact search (the old algorithm): monotone in
+            # the index, O(log) Tier-2 dry runs
+            while lo < hi:
+                mid = (lo + hi) // 2
+                counts, _, size = exact(mid)
+                if size <= target:
+                    best, best_idx = counts, mid
+                    lo = mid + 1
+                else:
+                    hi = mid
+            return best, best_idx
+
         overhead = 0
         last_idx = None
         best = None
@@ -808,7 +827,7 @@ class TileCompressor:
         for _ in range(10):
             idx = body_bisect(target - overhead)
             if idx is None:
-                return best if best is not None else dict(prev)
+                break
             if idx == last_idx:
                 break
             last_idx = idx
@@ -818,18 +837,34 @@ class TileCompressor:
                 best = counts
                 best_idx = idx
         if best is None:
-            return dict(prev)
-        # push-up probe: the overhead approximation may have landed a
-        # step or two short of the true maximum feasible index
+            # overhead never stabilized on a feasible index: fall back to
+            # the exact bisection so a feasible smaller index (if any) is
+            # still found — the fixed point is an accelerator, not the
+            # correctness path
+            best, best_idx = exact_bisect(0, len(slopes), None, None)
+            if best is None:
+                self._last_lambda = min(
+                    getattr(self, "_last_lambda", math.inf), math.inf)
+                return dict(prev)
+        # push-up: the overhead approximation may land short of the true
+        # maximum feasible index; walk up a few steps, then finish with
+        # an exact bisection if the walk never hit an infeasible index
         idx = best_idx
+        exhausted = True
         for _ in range(3):
             if idx + 1 >= len(slopes):
+                exhausted = False
                 break
             counts, _, size = exact(idx + 1)
             if size > target:
+                exhausted = False
                 break
             best = counts
             idx += 1
+        if exhausted:
+            best2, idx2 = exact_bisect(idx + 1, len(slopes), None, None)
+            if best2 is not None:
+                best, idx = best2, idx2
         # the smallest slope threshold actually applied across layers
         # (rate-quota revalidation compares truncated hulls against it)
         self._last_lambda = min(getattr(self, "_last_lambda", math.inf),

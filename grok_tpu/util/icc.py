@@ -87,18 +87,22 @@ def _curve(tag: bytes):
                                + [0.0] * 7)[:7]
 
         def para(x, g=g, a=a, b=b, c=c, d=d, e=e, f=f, ftype=ftype):
+            # a == 0 or a*x+b < 0 would produce inf/NaN; clamp the power
+            # base at 0 (the ICC convention for out-of-domain input) and
+            # the caller's finite check catches anything else
             x = np.clip(x, 0.0, 1.0)
-            if ftype == 0:
-                return np.power(x, g)
-            if ftype == 1:
-                return np.where(x >= -b / a, np.power(a * x + b, g), 0.0)
-            if ftype == 2:
-                return np.where(x >= -b / a,
-                                np.power(a * x + b, g) + c, c)
-            if ftype == 3:
-                return np.where(x >= d, np.power(a * x + b, g), c * x)
-            return np.where(x >= d, np.power(a * x + b, g) + e,
-                            c * x + f)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                pw = np.power(np.maximum(a * x + b, 0.0), g)
+                knee = (-b / a) if a != 0.0 else np.inf
+                if ftype == 0:
+                    return np.power(x, g)
+                if ftype == 1:
+                    return np.where(x >= knee, pw, 0.0)
+                if ftype == 2:
+                    return np.where(x >= knee, pw + c, c)
+                if ftype == 3:
+                    return np.where(x >= d, pw, c * x)
+                return np.where(x >= d, pw + e, c * x + f)
         return para
     raise UnsupportedProfile("curve tag kind")
 
@@ -129,12 +133,18 @@ def profile_to_srgb(planes: list[np.ndarray], icc: bytes,
             xyz_d65 = np.einsum("ij,jhw->ihw", _D50_TO_D65, xyz_d50)
             srgb_lin = np.einsum("ij,jhw->ihw", _XYZ_TO_SRGB, xyz_d65)
             enc = _srgb_encode(srgb_lin)
+            if not np.isfinite(enc).all():
+                # degenerate curves/matrices: keep the profile attached
+                # rather than writing NaN-derived samples
+                return None
             out = np.rint(enc * peak).astype(np.int64)
             return [np.clip(out[i], 0, int(peak)).astype(np.int32)
                     for i in range(3)] + [p for p in planes[3:]]
         if len(planes) >= 1 and b"kTRC" in tags:
             y = _curve(tags[b"kTRC"])(
                 planes[0].astype(np.float64) / peak)
+            if not np.isfinite(y).all():
+                return None
             enc = _srgb_encode(y)
             out = np.clip(np.rint(enc * peak), 0, peak).astype(np.int32)
             return [out] + [p for p in planes[1:]]

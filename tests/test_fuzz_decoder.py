@@ -100,7 +100,11 @@ def test_decoder_mutation_fuzz():
         strict = trials % 3 == 0
         t_trial = time.perf_counter()
         try:
-            grok_tpu.decompress(data, DecompressParams(strict=strict))
+            # a 30 KB mutant can legally declare a huge canvas; the
+            # pixel budget keeps each trial bounded (and is itself part
+            # of the surface under test)
+            grok_tpu.decompress(data, DecompressParams(
+                strict=strict, max_pixels=1 << 22))
         except ALLOWED:
             pass
         except Exception as e:  # noqa: BLE001 - the point of the fuzz
