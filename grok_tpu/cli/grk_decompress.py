@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-W", "--logfile", default=None)
     p.add_argument("--backend", default="auto",
                    choices=["auto", "native", "python", "device"])
+    p.add_argument("--max-pixels", type=int, default=0,
+                   help="refuse decodes whose output exceeds this many "
+                        "pixels (resource limit for untrusted streams)")
     p.add_argument("--num-hosts", type=int, default=0,
                    help="multi-host batch: total hosts (0 = use "
                         "jax.distributed when initialized)")
@@ -79,6 +82,7 @@ def params_from_args(args) -> DecompressParams:
     dp.apply_icc = args.apply_icc
     dp.num_threads = args.num_threads
     dp.backend = args.backend
+    dp.max_pixels = args.max_pixels
     if args.precision:
         dp.precision = [int(x) for x in args.precision.split(",")]
     return dp

@@ -496,3 +496,21 @@ def test_cielab_to_srgb_roundtrip_accuracy(rng):
     color.cielab_to_srgb(img)
     d = np.abs(img.to_array() - rgb.astype(np.int64))
     assert d.mean() <= 1.5 and d.max() <= 16, (d.mean(), d.max())
+
+
+def test_decode_pixel_budget(rng):
+    """DecompressParams.max_pixels refuses oversized decodes up front
+    (resource limit for untrusted streams; fuzz-motivated)."""
+    arr = _content(rng, 64, 64)
+    data = grok_tpu.compress(GrkImage.from_array(arr, prec=8),
+                             CompressParams(numresolution=3))
+    from grok_tpu.errors import GrkError
+
+    with pytest.raises(GrkError):
+        grok_tpu.decompress(data, DecompressParams(max_pixels=1000))
+    out = grok_tpu.decompress(data, DecompressParams(max_pixels=4096))
+    assert np.array_equal(out.to_array(), arr)
+    # reduce shrinks the output below the budget
+    out2 = grok_tpu.decompress(data, DecompressParams(max_pixels=1100,
+                                                      reduce=1))
+    assert out2.comps[0].data.shape == (32, 32)
