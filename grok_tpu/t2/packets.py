@@ -93,9 +93,15 @@ def packet_order(
     tcp: TileCodingParams,
     comp_info,
     max_res_override: int | None = None,
+    max_packets: int | None = None,
 ) -> list[PacketCoord]:
     """Enumerate every packet of a tile in codestream order, honoring the
-    COD progression and any POC progression changes."""
+    COD progression and any POC progression changes.
+
+    max_packets bounds the enumeration for DECODERS: a corrupt COD can
+    legally signal 65535 layers, making the full order list millions of
+    entries for a tiny tile-part (fuzz-found slowdown); every real
+    packet costs stream bytes, so callers cap by the data size."""
     numcomps = len(tile.comps)
     numlayers = tcp.numlayers
     maxres = max(ci[2] for ci in comp_info)
@@ -164,6 +170,7 @@ def packet_order(
         else:  # pragma: no cover
             raise ValueError(prog)
 
+    cap = max_packets if max_packets is not None else float("inf")
     out: list[PacketCoord] = []
     if tcp.progression_changes:
         seen: set[PacketCoord] = set()
@@ -173,13 +180,20 @@ def packet_order(
                 if pc not in seen:
                     seen.add(pc)
                     out.append(pc)
+                    if len(out) >= cap:
+                        return out
         # remaining packets, if any, follow the COD progression
         for pc in volume(tcp.prog_order, 0, numlayers, 0, maxres, 0, numcomps):
             if pc not in seen:
                 seen.add(pc)
                 out.append(pc)
+                if len(out) >= cap:
+                    return out
     else:
-        out.extend(volume(tcp.prog_order, 0, numlayers, 0, maxres, 0, numcomps))
+        for pc in volume(tcp.prog_order, 0, numlayers, 0, maxres, 0, numcomps):
+            out.append(pc)
+            if len(out) >= cap:
+                return out
     return out
 
 

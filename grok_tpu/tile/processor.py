@@ -1227,10 +1227,16 @@ class TileDecompressor:
     def decode_packets(self, data: bytes, sop=False, eph=False) -> None:
         comp_info = [(c.dx, c.dy, self.tcp.tccps[i].numresolutions)
                      for i, c in enumerate(self.image.comps)]
-        order = t2.packet_order(self.tile, self.tcp, comp_info)
+        # every decodable packet costs >= 1 byte inline (>= 1 header bit
+        # under PPT), so the stream size bounds the packets worth
+        # enumerating — a corrupt COD signaling 65535 layers must not
+        # cost millions of coords for a tiny tile-part (fuzz-found)
+        ppt = self.tcp.ppt_data
+        cap = len(data) + 8 * len(ppt or b"") + 64
+        order = t2.packet_order(self.tile, self.tcp, comp_info,
+                                max_packets=cap)
         pos = 0
         hdr_pos = 0
-        ppt = self.tcp.ppt_data
         # PLT-guided packet skipping needs inline headers (with PPT the
         # header stream has no length index) and a plausible PLT
         plt = self.pkt_lens if ppt is None and self.pkt_lens and \
