@@ -526,33 +526,32 @@ class CodestreamDecoder:
         # canvas covers only the window (O(window) memory end to end)
         div = 1 << reduce_
         canvas_origin = []  # reduced-grid (ry0, rx0) per component
+        shapes = []
+        for c in img.comps:
+            if win is not None:
+                wx0 = max(-(-win.x0 // c.dx), c.x0)
+                wy0 = max(-(-win.y0 // c.dy), c.y0)
+                wx1 = min(-(-win.x1 // c.dx), c.x0 + c.w)
+                wy1 = min(-(-win.y1 // c.dy), c.y0 + c.h)
+            else:
+                wx0, wy0 = c.x0, c.y0
+                wx1, wy1 = c.x0 + c.w, c.y0 + c.h
+            rx0 = -(-wx0 // div)
+            ry0 = -(-wy0 // div)
+            rx1 = -(-wx1 // div)
+            ry1 = -(-wy1 // div)
+            shapes.append((max(0, ry1 - ry0), max(0, rx1 - rx0)))
+            canvas_origin.append((ry0, rx0))
+        # refuse BEFORE allocating: output pixels = the largest
+        # component plane (so an RGB image counts its dimensions once)
+        self._check_pixel_budget(
+            max((h0 * w0 for (h0, w0) in shapes), default=0), p)
         try:
-            for c in img.comps:
-                if win is not None:
-                    wx0 = max(-(-win.x0 // c.dx), c.x0)
-                    wy0 = max(-(-win.y0 // c.dy), c.y0)
-                    wx1 = min(-(-win.x1 // c.dx), c.x0 + c.w)
-                    wy1 = min(-(-win.y1 // c.dy), c.y0 + c.h)
-                else:
-                    wx0, wy0 = c.x0, c.y0
-                    wx1, wy1 = c.x0 + c.w, c.y0 + c.h
-                rx0 = -(-wx0 // div)
-                ry0 = -(-wy0 // div)
-                rx1 = -(-wx1 // div)
-                ry1 = -(-wy1 // div)
-                c.data = np.zeros((max(0, ry1 - ry0), max(0, rx1 - rx0)),
-                                  dtype=np.int32)
-                canvas_origin.append((ry0, rx0))
+            for c, shape in zip(img.comps, shapes):
+                c.data = np.zeros(shape, dtype=np.int32)
         except MemoryError:
             raise CodestreamError(
                 "image too large to allocate for decode") from None
-        out_px = sum(c.data.size for c in img.comps)
-        budget = p.max_pixels or self.MAX_DECODE_PIXELS
-        if out_px > budget:
-            raise CodestreamError(
-                f"decode output {out_px} px exceeds the "
-                f"{'caller' if p.max_pixels else 'library'} pixel budget "
-                f"{budget}")
 
         self._distribute_ppm()
         tiles = range(cp.numtiles)
@@ -620,6 +619,18 @@ class CodestreamDecoder:
             off += n
             self.tile_ppt.setdefault(tidx, bytearray()).extend(chunk)
         cp.ppm_data = None  # consumed
+
+    def _check_pixel_budget(self, out_px: int, p) -> None:
+        """Refuse decodes whose output exceeds the caller's (or the
+        library's) pixel budget — pixels = samples of the largest
+        component plane, so multi-component images count their
+        dimensions once."""
+        budget = p.max_pixels or self.MAX_DECODE_PIXELS
+        if out_px > budget:
+            raise CodestreamError(
+                f"decode output {out_px} px exceeds the "
+                f"{'caller' if p.max_pixels else 'library'} pixel "
+                f"budget {budget}")
 
     def _decode_tiles_device_batched(self, tiles, p, img, reduce_,
                                      mesh=None):
@@ -774,6 +785,17 @@ class CodestreamDecoder:
             self.parse()
         if strip_height is not None and strip_height <= 0:
             raise ValueError("strip_height must be positive")
+        # the pixel budget applies to the FULL (reduced) output even
+        # though strips bound memory — the CLI strip path would
+        # otherwise happily write a multi-gigabyte file for a tiny
+        # untrusted stream
+        red0 = min(p.reduce,
+                   min(t.numresolutions
+                       for t in self.hi.cp.tcps[0].tccps) - 1)
+        dv = 1 << red0
+        siz = self.hi.siz
+        full_px = ((-(-siz.xsiz // dv)) - (-(-siz.xosiz // dv))) *                   ((-(-siz.ysiz // dv)) - (-(-siz.yosiz // dv)))
+        self._check_pixel_budget(full_px, p)
         if strip_height is not None:
             hi = self.hi
             div0 = 1 << min(

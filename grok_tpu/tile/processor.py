@@ -837,14 +837,17 @@ class TileCompressor:
                 best = counts
                 best_idx = idx
         if best is None:
+            if last_idx is None:
+                # bodies alone exceed the target at every index (the
+                # first bisect failed with overhead 0) — exact sizes can
+                # only be larger, so skip the futile dry runs
+                return dict(prev)
             # overhead never stabilized on a feasible index: fall back to
             # the exact bisection so a feasible smaller index (if any) is
             # still found — the fixed point is an accelerator, not the
             # correctness path
             best, best_idx = exact_bisect(0, len(slopes), None, None)
             if best is None:
-                self._last_lambda = min(
-                    getattr(self, "_last_lambda", math.inf), math.inf)
                 return dict(prev)
         # push-up: the overhead approximation may land short of the true
         # maximum feasible index; walk up a few steps, then finish with

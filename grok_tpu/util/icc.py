@@ -93,7 +93,10 @@ def _curve(tag: bytes):
             x = np.clip(x, 0.0, 1.0)
             with np.errstate(invalid="ignore", divide="ignore"):
                 pw = np.power(np.maximum(a * x + b, 0.0), g)
-                knee = (-b / a) if a != 0.0 else np.inf
+                # a == 0: the domain condition a*x+b >= 0 is constant —
+                # always satisfied when b >= 0, never otherwise
+                knee = ((-b / a) if a != 0.0
+                        else (-np.inf if b >= 0.0 else np.inf))
                 if ftype == 0:
                     return np.power(x, g)
                 if ftype == 1:
@@ -132,11 +135,12 @@ def profile_to_srgb(planes: list[np.ndarray], icc: bytes,
             xyz_d50 = np.einsum("ij,jhw->ihw", mat, np.stack(lin))
             xyz_d65 = np.einsum("ij,jhw->ihw", _D50_TO_D65, xyz_d50)
             srgb_lin = np.einsum("ij,jhw->ihw", _XYZ_TO_SRGB, xyz_d65)
-            enc = _srgb_encode(srgb_lin)
-            if not np.isfinite(enc).all():
+            if not np.isfinite(srgb_lin).all():
                 # degenerate curves/matrices: keep the profile attached
-                # rather than writing NaN-derived samples
+                # rather than writing NaN/inf-derived samples (check
+                # BEFORE the encode clip maps inf to 1.0)
                 return None
+            enc = _srgb_encode(srgb_lin)
             out = np.rint(enc * peak).astype(np.int64)
             return [np.clip(out[i], 0, int(peak)).astype(np.int32)
                     for i in range(3)] + [p for p in planes[3:]]

@@ -514,3 +514,28 @@ def test_decode_pixel_budget(rng):
     out2 = grok_tpu.decompress(data, DecompressParams(max_pixels=1100,
                                                       reduce=1))
     assert out2.comps[0].data.shape == (32, 32)
+
+
+def test_pixel_budget_semantics_and_strips(rng):
+    """Budget = pixels of the LARGEST component plane (an RGB image
+    counts its dimensions once), and it also guards the strip-streaming
+    path (review findings)."""
+    arr = _content(rng, 64, 64, 3)
+    data = grok_tpu.compress(GrkImage.from_array(arr),
+                             CompressParams(numresolution=3,
+                                            tile_size=(32, 32)))
+    from grok_tpu.errors import GrkError
+
+    # 4096 px budget admits the 64x64x3 image (NOT refused at 3*4096)
+    out = grok_tpu.decompress(data, DecompressParams(max_pixels=4096))
+    assert np.array_equal(out.to_array(), arr)
+    with pytest.raises(GrkError):
+        grok_tpu.decompress(data, DecompressParams(max_pixels=4095))
+    # strip path enforces the budget too
+    with pytest.raises(GrkError):
+        list(grok_tpu.decompress_strips(
+            data, DecompressParams(max_pixels=1000)))
+    strips = list(grok_tpu.decompress_strips(
+        data, DecompressParams(max_pixels=4096)))
+    assert np.array_equal(np.vstack([s[1][0] for s in strips]),
+                          arr[:, :, 0])
