@@ -21,11 +21,13 @@ import numpy as np
 
 from . import backend as bk
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), os.pardir, "_native",
-                         "libgrk_t1.so")
+_LIB_PATH = os.environ.get("GROK_TPU_NATIVE_LIB") or os.path.join(
+    os.path.dirname(__file__), os.pardir, "_native", "libgrk_t1.so")
 
 
 def _ensure_built() -> None:
+    if os.environ.get("GROK_TPU_NATIVE_LIB"):
+        return  # explicit library (e.g. a sanitizer build): use as-is
     """Build the native library on first use when the checkout has none
     (or the sources are newer) — `./native/build.sh` semantics.  An
     exclusive file lock serializes concurrent importers (parallel test

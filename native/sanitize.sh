@@ -1,0 +1,19 @@
+#!/bin/sh
+# ASan+UBSan harness for the native coders (SURVEY.md §4 family 4: the
+# reference runs ASan/UBSan CI jobs).  Builds an instrumented
+# libgrk_t1.so, then runs the native differential tests and a decoder
+# fuzz pass against it (GROK_TPU_NATIVE_LIB overrides the library path;
+# libasan must be preloaded because python itself is uninstrumented).
+set -e
+cd "$(dirname "$0")"
+SAN_LIB=$(mktemp -d)/libgrk_t1_asan.so
+g++ -O1 -g -march=native -std=c++17 -fPIC -pthread -shared \
+    -fsanitize=address,undefined -fno-sanitize-recover=undefined \
+    amalgam.cc -o "$SAN_LIB"
+echo "built $SAN_LIB"
+ASAN_SO=$(g++ -print-file-name=libasan.so)
+cd ..
+env GROK_TPU_NATIVE_LIB="$SAN_LIB" LD_PRELOAD="$ASAN_SO" \
+    ASAN_OPTIONS=detect_leaks=0 \
+    python -m pytest tests/test_native_t1.py tests/test_native_t2.py \
+    tests/test_ht.py tests/test_fuzz_decoder.py -q -x "$@"

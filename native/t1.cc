@@ -925,7 +925,7 @@ capped:
     j->hull_n = hn;
   }
   if (total > j->out_cap) { j->status = 1; return; }
-  std::memcpy(j->out, out.data(), total);
+  if (total) std::memcpy(j->out, out.data(), total);  // empty vec: null .data()
   j->out_len = total;
 }
 
@@ -1162,7 +1162,10 @@ static void decode_one(GrkT1DecJob* j) {
     for (int x = 0; x < w; x++) {
       size_t i = st.idx(y, x);
       int32_t m = st.rec[i];
-      j->out[(size_t)y * ostride + x] = (st.flags[i] & F_NEG) ? -m : m;
+      // unsigned negation: a corrupt stream can drive rec to INT32_MIN,
+      // whose two's-complement negation is UB spelled as -m (UBSan)
+      j->out[(size_t)y * ostride + x] =
+          (st.flags[i] & F_NEG) ? (int32_t)(0u - (uint32_t)m) : m;
     }
   }
   g_prof_cycles[1][3] += prof_tsc() - wtsc;
