@@ -539,3 +539,16 @@ def test_pixel_budget_semantics_and_strips(rng):
         data, DecompressParams(max_pixels=4096)))
     assert np.array_equal(np.vstack([s[1][0] for s in strips]),
                           arr[:, :, 0])
+
+
+def test_byte_cap_fills_well(rng):
+    """The -W budget accounting must stay tight: the stream should land
+    close under the cap, not undershoot by the per-tile overhead
+    (regression for the SOT/SOD double-count)."""
+    arr = _content(rng, 160, 160, 3)
+    for cap, tiles in ((6000, None), (12000, (64, 64))):
+        p = CompressParams(irreversible=True, max_cs_size=cap,
+                           tile_size=tiles)
+        d = grok_tpu.compress(GrkImage.from_array(arr), p)
+        assert len(d) <= cap
+        assert len(d) >= 0.93 * cap, (len(d), cap)
