@@ -26,18 +26,18 @@ _LIB_PATH = os.environ.get("GROK_TPU_NATIVE_LIB") or os.path.join(
 
 
 def _ensure_built() -> None:
-    if os.environ.get("GROK_TPU_NATIVE_LIB"):
-        return  # explicit library (e.g. a sanitizer build): use as-is
     """Build the native library on first use when the checkout has none
     (or the sources are newer) — `./native/build.sh` semantics.  An
     exclusive file lock serializes concurrent importers (parallel test
     workers, bench + CLI); build.sh itself writes the .so atomically via
     a temp file + rename, so a dlopen never sees a half-written file."""
+    if os.environ.get("GROK_TPU_NATIVE_LIB"):
+        return  # explicit library (e.g. a sanitizer build): use as-is
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     srcs = [os.path.join(root, "native", n)
             for n in ("t1.cc", "ht.cc", "dwt.cc", "t2.cc", "amalgam.cc",
-                      "train.cc")]
+                      "train.cc", "util.h")]
     if not all(os.path.exists(s) for s in srcs):
         return  # installed layout without sources: use the shipped lib
 

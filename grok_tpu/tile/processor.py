@@ -738,15 +738,7 @@ class TileCompressor:
                 planes[:tcp.mct_matrix.shape[0]], tcp.mct_matrix)
         for compno, p in enumerate(planes):
             comp = image.comps[compno]
-            if p.dtype != np.int32:
-                # float planes fit int32 comfortably at normal precisions;
-                # rint->int32 keeps dc_shift_inverse on its fast path.
-                # Corrupt lossy streams can overflow the float32 domain to
-                # inf/NaN; tolerant decode clamps those casts silently
-                # (dc_shift_inverse clips to the precision range anyway).
-                with np.errstate(invalid="ignore"):
-                    p = np.rint(p).astype(
-                        np.int32 if comp.prec <= 28 else np.int64)
+            p = mct_mod.round_to_int(p, comp.prec)
             rec = mct_mod.dc_shift_inverse(p, comp.prec, comp.sgnd)
             tc = tile.comps[compno]
             r = tc.rect
@@ -1555,15 +1547,7 @@ class TileDecompressor:
         out_planes = []
         for compno, p in enumerate(planes):
             comp = self.image.comps[compno]
-            if p.dtype != np.int32:
-                # float planes fit int32 comfortably at normal precisions;
-                # rint->int32 keeps dc_shift_inverse on its fast path.
-                # Corrupt lossy streams can overflow the float32 domain to
-                # inf/NaN; tolerant decode clamps those casts silently
-                # (dc_shift_inverse clips to the precision range anyway).
-                with np.errstate(invalid="ignore"):
-                    p = np.rint(p).astype(
-                        np.int32 if comp.prec <= 28 else np.int64)
+            p = mct_mod.round_to_int(p, comp.prec)
             out_planes.append(
                 mct_mod.dc_shift_inverse(p, comp.prec, comp.sgnd))
         return out_planes

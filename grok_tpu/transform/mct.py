@@ -89,6 +89,17 @@ def dc_shift_forward(x: np.ndarray, prec: int, sgnd: bool) -> np.ndarray:
     return (x.astype(np.int64) - (1 << (prec - 1))).astype(np.int32)
 
 
+def round_to_int(p: np.ndarray, prec: int) -> np.ndarray:
+    """rint -> int32 (int64 above 28 bits) so dc_shift_inverse stays on
+    its integer fast path.  Corrupt lossy streams can overflow the
+    float32 synthesis domain to inf/NaN; the cast is silenced —
+    dc_shift_inverse clips to the precision range either way."""
+    if p.dtype == np.int32:
+        return p
+    with np.errstate(invalid="ignore"):
+        return np.rint(p).astype(np.int32 if prec <= 28 else np.int64)
+
+
 def dc_shift_inverse(x: np.ndarray, prec: int, sgnd: bool) -> np.ndarray:
     if sgnd:
         lo, hi = -(1 << (prec - 1)), (1 << (prec - 1)) - 1

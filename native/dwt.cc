@@ -11,14 +11,9 @@
 #include <cstring>
 #include <vector>
 
-namespace {
+#include "util.h"
 
-// memcpy with a NULL source/destination is UB even for n == 0
-// (UBSan-found on zero-width bands: numpy hands the C ABI a null data
-// pointer for empty arrays) — every band copy below goes through this.
-static inline void copy32(void* dst, const void* src, size_t n) {
-  if (n) std::memcpy(dst, src, n);
-}
+namespace {
 
 // Vertical (column) lifting over a (h x w) plane with row stride `w`.
 // Even-parity origin: lows at even rows.  In-place into lo/hi halves of
@@ -29,7 +24,7 @@ static void fwd53_vertical(const int32_t* x, int h, int w, int32_t* out) {
   int32_t* lo = out;
   int32_t* hi = out + (size_t)ne * w;
   if (h == 1) {
-    copy32(lo, x, sizeof(int32_t) * w);
+    grk_copy_bytes(lo, x, sizeof(int32_t) * w);
     return;
   }
   // d[j] = x[2j+1] - ((x[2j] + x[2j+2]) >> 1), mirror at the bottom
@@ -54,7 +49,7 @@ static void inv53_vertical(const int32_t* lo, const int32_t* hi, int h,
                            int w, int32_t* out) {
   int ne = (h + 1) / 2, no = h / 2;
   if (h == 1) {
-    copy32(out, lo, sizeof(int32_t) * w);
+    grk_copy_bytes(out, lo, sizeof(int32_t) * w);
     return;
   }
   // x[2j] = s[j] - ((d[j-1] + d[j] + 2) >> 2)
@@ -132,14 +127,14 @@ void grk_fwd53_level(const int32_t* x, int h, int w, int32_t* ll,
   std::vector<int32_t> row(w);
   for (int y = 0; y < eh; y++) {
     fwd53_row(scratch + (size_t)y * w, w, row.data());
-    copy32(ll + (size_t)y * ew, row.data(), sizeof(int32_t) * ew);
-    copy32(hl + (size_t)y * ow, row.data() + ew, sizeof(int32_t) * ow);
+    grk_copy_bytes(ll + (size_t)y * ew, row.data(), sizeof(int32_t) * ew);
+    grk_copy_bytes(hl + (size_t)y * ow, row.data() + ew, sizeof(int32_t) * ow);
   }
   int oh = h / 2;
   for (int y = 0; y < oh; y++) {
     fwd53_row(scratch + (size_t)(eh + y) * w, w, row.data());
-    copy32(lh + (size_t)y * ew, row.data(), sizeof(int32_t) * ew);
-    copy32(hh + (size_t)y * ow, row.data() + ew, sizeof(int32_t) * ow);
+    grk_copy_bytes(lh + (size_t)y * ew, row.data(), sizeof(int32_t) * ew);
+    grk_copy_bytes(hh + (size_t)y * ow, row.data() + ew, sizeof(int32_t) * ow);
   }
 }
 
@@ -151,13 +146,13 @@ void grk_inv53_level(const int32_t* ll, const int32_t* hl,
   // horizontal inverses into the (lo rows | hi rows) scratch layout
   std::vector<int32_t> lo(ew), hi(ow > 0 ? ow : 1);
   for (int y = 0; y < eh; y++) {
-    copy32(lo.data(), ll + (size_t)y * ew, sizeof(int32_t) * ew);
-    copy32(hi.data(), hl + (size_t)y * ow, sizeof(int32_t) * ow);
+    grk_copy_bytes(lo.data(), ll + (size_t)y * ew, sizeof(int32_t) * ew);
+    grk_copy_bytes(hi.data(), hl + (size_t)y * ow, sizeof(int32_t) * ow);
     inv53_row(lo.data(), hi.data(), w, scratch + (size_t)y * w);
   }
   for (int y = 0; y < oh; y++) {
-    copy32(lo.data(), lh + (size_t)y * ew, sizeof(int32_t) * ew);
-    copy32(hi.data(), hh + (size_t)y * ow, sizeof(int32_t) * ow);
+    grk_copy_bytes(lo.data(), lh + (size_t)y * ew, sizeof(int32_t) * ew);
+    grk_copy_bytes(hi.data(), hh + (size_t)y * ow, sizeof(int32_t) * ow);
     inv53_row(lo.data(), hi.data(), w, scratch + (size_t)(eh + y) * w);
   }
   inv53_vertical(scratch, scratch + (size_t)eh * w, h, w, out);
@@ -209,10 +204,10 @@ static void fwd97_vertical(const float* x, int h, int w, float* out) {
     return;
   }
   for (int j = 0; j < ne; j++)
-    copy32(lo + (size_t)j * w, x + (size_t)(2 * j) * w,
+    grk_copy_bytes(lo + (size_t)j * w, x + (size_t)(2 * j) * w,
                 sizeof(float) * w);
   for (int j = 0; j < no; j++)
-    copy32(hi + (size_t)j * w, x + (size_t)(2 * j + 1) * w,
+    grk_copy_bytes(hi + (size_t)j * w, x + (size_t)(2 * j + 1) * w,
                 sizeof(float) * w);
   lift_odd_v(hi, lo, ne, no, w, ALPHA);
   lift_even_v(lo, hi, ne, no, w, BETA);
@@ -238,10 +233,10 @@ static void inv97_vertical(const float* lo_in, const float* hi_in, int h,
   lift_even_v(lo, hi, ne, no, w, -BETA);
   lift_odd_v(hi, lo, ne, no, w, -ALPHA);
   for (int j = 0; j < ne; j++)
-    copy32(out + (size_t)(2 * j) * w, lo + (size_t)j * w,
+    grk_copy_bytes(out + (size_t)(2 * j) * w, lo + (size_t)j * w,
                 sizeof(float) * w);
   for (int j = 0; j < no; j++)
-    copy32(out + (size_t)(2 * j + 1) * w, hi + (size_t)j * w,
+    grk_copy_bytes(out + (size_t)(2 * j + 1) * w, hi + (size_t)j * w,
                 sizeof(float) * w);
 }
 
@@ -301,13 +296,13 @@ void grk_fwd97_level(const float* x, int h, int w, float* ll, float* hl,
   std::vector<float> row(w);
   for (int y = 0; y < eh; y++) {
     fwd97_row(scratch + (size_t)y * w, w, row.data());
-    copy32(ll + (size_t)y * ew, row.data(), sizeof(float) * ew);
-    copy32(hl + (size_t)y * ow, row.data() + ew, sizeof(float) * ow);
+    grk_copy_bytes(ll + (size_t)y * ew, row.data(), sizeof(float) * ew);
+    grk_copy_bytes(hl + (size_t)y * ow, row.data() + ew, sizeof(float) * ow);
   }
   for (int y = 0; y < oh; y++) {
     fwd97_row(scratch + (size_t)(eh + y) * w, w, row.data());
-    copy32(lh + (size_t)y * ew, row.data(), sizeof(float) * ew);
-    copy32(hh + (size_t)y * ow, row.data() + ew, sizeof(float) * ow);
+    grk_copy_bytes(lh + (size_t)y * ew, row.data(), sizeof(float) * ew);
+    grk_copy_bytes(hh + (size_t)y * ow, row.data() + ew, sizeof(float) * ow);
   }
 }
 
@@ -318,13 +313,13 @@ void grk_inv97_level(const float* ll, const float* hl, const float* lh,
   // horizontal inverses into (lo rows | hi rows) of scratch
   std::vector<float> lo(ew), hi(ow > 0 ? ow : 1), tmp(w);
   for (int y = 0; y < eh; y++) {
-    copy32(lo.data(), ll + (size_t)y * ew, sizeof(float) * ew);
-    copy32(hi.data(), hl + (size_t)y * ow, sizeof(float) * ow);
+    grk_copy_bytes(lo.data(), ll + (size_t)y * ew, sizeof(float) * ew);
+    grk_copy_bytes(hi.data(), hl + (size_t)y * ow, sizeof(float) * ow);
     inv97_row(lo.data(), hi.data(), w, scratch + (size_t)y * w, tmp.data());
   }
   for (int y = 0; y < oh; y++) {
-    copy32(lo.data(), lh + (size_t)y * ew, sizeof(float) * ew);
-    copy32(hi.data(), hh + (size_t)y * ow, sizeof(float) * ow);
+    grk_copy_bytes(lo.data(), lh + (size_t)y * ew, sizeof(float) * ew);
+    grk_copy_bytes(hi.data(), hh + (size_t)y * ow, sizeof(float) * ow);
     inv97_row(lo.data(), hi.data(), w,
               scratch + (size_t)(eh + y) * w, tmp.data());
   }

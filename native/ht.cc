@@ -12,6 +12,8 @@
 #include <thread>
 #include <vector>
 
+#include "util.h"
+
 namespace {
 
 static const int MEL_E[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
@@ -310,9 +312,9 @@ static void ht_encode_one(GrkHTEncJob* j) {
   size_t total = ms_s.size() + scup;
   if ((int)total > j->out_cap) { j->status = 1; return; }
   uint8_t* o = j->out;
-  if (!ms_s.empty()) std::memcpy(o, ms_s.data(), ms_s.size());
+  grk_copy_bytes(o, ms_s.data(), ms_s.size());
   o += ms_s.size();
-  if (!mel_s.empty()) std::memcpy(o, mel_s.data(), mel_s.size());
+  grk_copy_bytes(o, mel_s.data(), mel_s.size());
   o += mel_s.size();
   for (size_t i = vlc_s.size(); i-- > 0;) *o++ = vlc_s[i];
   *o++ = (uint8_t)(scup & 0x0F);

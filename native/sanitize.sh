@@ -6,12 +6,18 @@
 # libasan must be preloaded because python itself is uninstrumented).
 set -e
 cd "$(dirname "$0")"
-SAN_LIB=$(mktemp -d)/libgrk_t1_asan.so
+SAN_DIR=$(mktemp -d)
+trap 'rm -rf "$SAN_DIR"' EXIT
+SAN_LIB="$SAN_DIR/libgrk_t1_asan.so"
 g++ -O1 -g -march=native -std=c++17 -fPIC -pthread -shared \
     -fsanitize=address,undefined -fno-sanitize-recover=undefined \
     amalgam.cc -o "$SAN_LIB"
 echo "built $SAN_LIB"
 ASAN_SO=$(g++ -print-file-name=libasan.so)
+if [ ! -f "$ASAN_SO" ]; then
+    echo "error: libasan.so not found (g++ returned '$ASAN_SO')" >&2
+    exit 1
+fi
 cd ..
 env GROK_TPU_NATIVE_LIB="$SAN_LIB" LD_PRELOAD="$ASAN_SO" \
     ASAN_OPTIONS=detect_leaks=0 \

@@ -17,6 +17,8 @@
 #include <thread>
 #include <vector>
 
+#include "util.h"
+
 #if defined(__BMI2__)
 #include <immintrin.h>
 #endif
@@ -925,7 +927,7 @@ capped:
     j->hull_n = hn;
   }
   if (total > j->out_cap) { j->status = 1; return; }
-  if (total) std::memcpy(j->out, out.data(), total);  // empty vec: null .data()
+  grk_copy_bytes(j->out, out.data(), total);  // empty vec: null .data()
   j->out_len = total;
 }
 
