@@ -13,10 +13,8 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
-from ..errors import CodestreamError
 from ..params import (
     CblkStyle,
-    CodingParams,
     Progression,
     ProgressionChange,
     QuantStyle,

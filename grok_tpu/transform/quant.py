@@ -21,7 +21,7 @@ import math
 
 import numpy as np
 
-from ..params import QuantStyle, StepSize
+from ..params import StepSize
 from ..tile.geometry import BAND_GAIN, HH, HL, LH, LL
 
 
