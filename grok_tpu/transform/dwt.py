@@ -464,7 +464,14 @@ def inverse_dwt_window(bands: dict, band_offsets: dict, tc_rect,
     for r in range(1, max_res + 1):
         rr = res_rect(tc_rect, numres, r)
         p = produce[r - 1]
-        o = Rect(max(2 * p.x0, rr.x0), max(2 * p.y0, rr.y0),
+        # reconstructable span: even positions need lows [p.x0, p.x1);
+        # odd positions need highs, whose crops follow the floor-based
+        # rule (index p.x0 - 1 on the left, see produce_high) — so the
+        # span may START one odd position before 2*p.x0.  Clipping that
+        # column away breaks tiles whose low resolutions are EMPTY
+        # (odd-origin width-1 columns: the only sample is odd and comes
+        # entirely from the high band).
+        o = Rect(max(2 * p.x0 - 1, rr.x0), max(2 * p.y0 - 1, rr.y0),
                  min(2 * p.x1, rr.x1), min(2 * p.y1, rr.y1))
         # even/odd index spans of the output rect in the level-below grids
         ex0, ey0 = -(-o.x0 // 2), -(-o.y0 // 2)
