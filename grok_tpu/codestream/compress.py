@@ -87,6 +87,30 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
     reversible = not p.irreversible
     guard = p.num_guard_bits if p.num_guard_bits is not None else 2
 
+    # Adaptive base step for byte-targeted irreversible encodes: at
+    # ratios >= ~8:1 the PCRD truncation point sits far above the
+    # quantizer floor, so the ecosystem-default fine steps only generate
+    # deep coding passes the cap immediately discards (measured: PSNR at
+    # 10:1..80:1 is IDENTICAL with 2-4x coarser steps, while Tier-1 does
+    # ~2x the work with fine ones).  Explicit quant_step/quant_style and
+    # -q quality targets keep the fine default untouched.
+    quant_step = p.quant_step
+    if (p.irreversible and quant_step == 0.0 and p.quant_style is None
+            and not p.layer_psnr):
+        min_ratio = 0.0
+        if p.layer_rates:
+            finite = [r for r in p.layer_rates if r > 1.0]
+            min_ratio = min(finite) if finite else 0.0
+        elif p.max_cs_size > 0:
+            raw = sum((-(-(image.x1 - image.x0) // c.dx))
+                      * (-(-(image.y1 - image.y0) // c.dy)) * c.prec
+                      for c in image.comps) / 8.0
+            min_ratio = raw / p.max_cs_size
+        if min_ratio >= 24.0:
+            quant_step = 4.0
+        elif min_ratio >= 6.0:
+            quant_step = 2.0  # 6:1 measured identical, 8:1 within 0.02 dB
+
     for _ in range(cp.numtiles):
         tcp = TileCodingParams()
         tcp.prog_order = p.prog_order
@@ -151,7 +175,7 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
                 tccp.qnt_style = p.quant_style
             tccp.stepsizes = quant_mod.default_stepsizes(
                 comp.prec, tccp.numresolutions, reversible, guard,
-                p.quant_step)
+                quant_step)
             if (p.roi_comp == compno or p.roi_comp == -2) and p.roi_shift:
                 # upshifted magnitudes must stay inside the int32 T1
                 # domain: prec + band gain (<=2) + shift + guard headroom

@@ -146,9 +146,13 @@ def default_stepsizes(
 
     Both paths use R_b = prec + gain_b.  Reversible: expn = prec + gain
     (verified against oracle QCD values, SURVEY.md Appendix A.1).
-    Irreversible: stepsize_b = 2^gain / norm_b scaled by base_step
-    (verified against oracle QCD (eps, mant) pairs: e.g. HL level-1 of an
-    8-bit image signals Delta = 2^1/3.989 with eps=10)."""
+    Irreversible: stepsize_b = 1 / norm_b scaled by base_step — the
+    image-domain-uniform default (Delta_b * norm_b == 1 for every band),
+    matching the oracle encoder's signaled QCD byte-for-byte at 8 and
+    16 bits (tests/test_parity_gaps.py::test_default_qcd_matches_oracle).
+    The earlier 2^gain/norm_b default double-counted the band gain
+    (already inside R_b), quantizing HL/LH 2x and HH 4x coarser than the
+    ecosystem default and costing 0.3-0.7 dB at matched rates."""
     out: list[StepSize] = []
     for resno in range(numres):
         orients = [LL] if resno == 0 else [HL, LH, HH]
@@ -158,7 +162,7 @@ def default_stepsizes(
                 out.append(StepSize(prec + gain, 0))
             else:
                 norm = band_norm(numres, resno, o)
-                step = (1 << gain) / norm
+                step = 1.0 / norm
                 if base_step > 0:
                     step *= base_step
                 out.append(encode_stepsize(step, prec + gain))

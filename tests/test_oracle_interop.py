@@ -164,3 +164,64 @@ def test_oracle_decodes_ours_multilayer(rng):
     ours = grok_tpu.compress(
         img, CompressParams(numresolution=3, layer_rates=[10, 1]))
     assert np.array_equal(oracle_decode(ours), arr)
+
+
+def test_rd_parity_with_oracle_encoder(rng):
+    """R-D parity with the independent OpenJPEG encoder at matched MCT
+    settings: lossless within 1% of its size, rate-targeted lossy within
+    0.15 dB at matched bytes (round-3 quantization-default fix — the
+    old 2^gain/norm steps cost 0.3-0.7 dB)."""
+    import io
+    import math
+
+    yy, xx = np.mgrid[0:384, 0:384].astype(float)
+    rgb = np.stack([128 + 90 * np.sin(xx / 23) * np.cos(yy / 17),
+                    128 + 80 * np.sin(xx / 15),
+                    128 + 80 * np.cos(yy / 19)], -1)
+    rgb = (rgb + rng.normal(0, 3, rgb.shape)).clip(0, 255).astype(np.uint8)
+
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG2000", irreversible=False)
+    ours_ll = grok_tpu.compress(GrkImage.from_array(rgb.astype(np.int32)),
+                                CompressParams(mct=0))
+    assert len(ours_ll) <= 1.01 * len(buf.getvalue()), \
+        (len(ours_ll), len(buf.getvalue()))
+
+    def psnr(a):
+        mse = ((a.astype(float) - rgb.astype(float)) ** 2).mean()
+        return 10 * math.log10(255 ** 2 / mse)
+
+    for ratio in (10, 40):
+        b2 = io.BytesIO()
+        Image.fromarray(rgb).save(b2, "JPEG2000", irreversible=True,
+                                  quality_mode="rates",
+                                  quality_layers=[ratio])
+        p_oracle = psnr(np.asarray(Image.open(io.BytesIO(b2.getvalue()))))
+        ours = grok_tpu.compress(
+            GrkImage.from_array(rgb.astype(np.int32)),
+            CompressParams(irreversible=True, mct=0,
+                           layer_rates=[float(ratio)]))
+        assert len(ours) <= 1.03 * len(b2.getvalue())
+        p_ours = psnr(np.asarray(Image.open(io.BytesIO(ours))))
+        assert p_ours >= p_oracle - 0.15, (ratio, p_ours, p_oracle)
+
+
+def test_default_qcd_matches_oracle(rng):
+    """The default irreversible step exponents match the oracle
+    encoder's signaled QCD (image-domain-uniform Delta_b ~ 1/norm_b);
+    mantissas may differ by <0.5% (their truncated norm tables)."""
+    import io
+
+    arr = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG2000", irreversible=True)
+    hi_o = grok_tpu.read_header(buf.getvalue())
+    ours = grok_tpu.compress(GrkImage.from_array(arr.astype(np.int32),
+                                                 prec=8),
+                             CompressParams(irreversible=True))
+    hi_m = grok_tpu.read_header(ours)
+    so = hi_o.cp.tcps[0].tccps[0].stepsizes
+    sm = hi_m.cp.tcps[0].tccps[0].stepsizes
+    assert [s.expn for s in so] == [s.expn for s in sm]
+    for a, b in zip(so, sm):
+        assert abs(a.mant - b.mant) <= 12, (a.mant, b.mant)
