@@ -99,11 +99,15 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
             and not p.layer_psnr):
         min_ratio = 0.0
         if p.layer_rates:
-            finite = [r for r in p.layer_rates if r > 1.0]
-            min_ratio = min(finite) if finite else 0.0
+            # a rate <= 1.0 means "no truncation" (params.py): that
+            # layer's quality is bounded by the quantizer alone, so the
+            # fine default must stay
+            if all(r > 1.0 for r in p.layer_rates):
+                min_ratio = min(p.layer_rates)
         elif p.max_cs_size > 0:
-            raw = sum((-(-(image.x1 - image.x0) // c.dx))
-                      * (-(-(image.y1 - image.y0) // c.dy)) * c.prec
+            # same raw-size definition as the rate-control budget below
+            # (actual component plane shapes, not image-rect division)
+            raw = sum(c.data.shape[0] * c.data.shape[1] * c.prec
                       for c in image.comps) / 8.0
             min_ratio = raw / p.max_cs_size
         if min_ratio >= 24.0:
@@ -178,11 +182,17 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
                 quant_step)
             if (p.roi_comp == compno or p.roi_comp == -2) and p.roi_shift:
                 # upshifted magnitudes must stay inside the int32 T1
-                # domain: prec + band gain (<=2) + shift + guard headroom
-                if comp.prec + 2 + p.roi_shift > 30:
+                # domain (doubled-domain decode adds one more bit): bound
+                # by the ACTUAL signaled band depth Mb = guard + expn - 1,
+                # which for irreversible steps exceeds prec + gain by
+                # ceil(log2(norm_b))
+                max_expn = max(ss.expn for ss in tccp.stepsizes)
+                mb = max(0, guard + max_expn - 1)
+                if mb + p.roi_shift + 1 > 31:
                     raise ParamError(
                         f"roi_shift {p.roi_shift} overflows the 32-bit "
-                        f"coefficient range at precision {comp.prec}")
+                        f"coefficient range (band depth {mb} bits at "
+                        f"precision {comp.prec})")
             if p.roi_comp == compno or p.roi_comp == -2:
                 # max-shift ROI: QCD/QCC stay untouched; both encoder and
                 # decoder extend M_b by roi_shift internally (the decoder

@@ -148,8 +148,9 @@ def default_stepsizes(
     (verified against oracle QCD values, SURVEY.md Appendix A.1).
     Irreversible: stepsize_b = 1 / norm_b scaled by base_step — the
     image-domain-uniform default (Delta_b * norm_b == 1 for every band),
-    matching the oracle encoder's signaled QCD byte-for-byte at 8 and
-    16 bits (tests/test_parity_gaps.py::test_default_qcd_matches_oracle).
+    matching the oracle encoder's signaled QCD exponents exactly, with
+    mantissas within 0.5% of its truncated norm tables
+    (tests/test_oracle_interop.py::test_default_qcd_matches_oracle).
     The earlier 2^gain/norm_b default double-counted the band gain
     (already inside R_b), quantizing HL/LH 2x and HH 4x coarser than the
     ecosystem default and costing 0.3-0.7 dB at matched rates."""

@@ -180,28 +180,24 @@ def test_rd_parity_with_oracle_encoder(rng):
                     128 + 80 * np.cos(yy / 19)], -1)
     rgb = (rgb + rng.normal(0, 3, rgb.shape)).clip(0, 255).astype(np.uint8)
 
-    buf = io.BytesIO()
-    Image.fromarray(rgb).save(buf, "JPEG2000", irreversible=False)
+    oj_ll = oracle_encode(rgb, irreversible=False)
     ours_ll = grok_tpu.compress(GrkImage.from_array(rgb.astype(np.int32)),
                                 CompressParams(mct=0))
-    assert len(ours_ll) <= 1.01 * len(buf.getvalue()), \
-        (len(ours_ll), len(buf.getvalue()))
+    assert len(ours_ll) <= 1.01 * len(oj_ll), (len(ours_ll), len(oj_ll))
 
     def psnr(a):
         mse = ((a.astype(float) - rgb.astype(float)) ** 2).mean()
         return 10 * math.log10(255 ** 2 / mse)
 
     for ratio in (10, 40):
-        b2 = io.BytesIO()
-        Image.fromarray(rgb).save(b2, "JPEG2000", irreversible=True,
-                                  quality_mode="rates",
-                                  quality_layers=[ratio])
-        p_oracle = psnr(np.asarray(Image.open(io.BytesIO(b2.getvalue()))))
+        oj = oracle_encode(rgb, irreversible=True, quality_mode="rates",
+                           quality_layers=[ratio])
+        p_oracle = psnr(np.asarray(Image.open(io.BytesIO(oj))))
         ours = grok_tpu.compress(
             GrkImage.from_array(rgb.astype(np.int32)),
             CompressParams(irreversible=True, mct=0,
                            layer_rates=[float(ratio)]))
-        assert len(ours) <= 1.03 * len(b2.getvalue())
+        assert len(ours) <= 1.03 * len(oj)
         p_ours = psnr(np.asarray(Image.open(io.BytesIO(ours))))
         assert p_ours >= p_oracle - 0.15, (ratio, p_ours, p_oracle)
 
@@ -213,9 +209,7 @@ def test_default_qcd_matches_oracle(rng):
     import io
 
     arr = rng.integers(0, 256, (64, 64)).astype(np.uint8)
-    buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, "JPEG2000", irreversible=True)
-    hi_o = grok_tpu.read_header(buf.getvalue())
+    hi_o = grok_tpu.read_header(oracle_encode(arr, irreversible=True))
     ours = grok_tpu.compress(GrkImage.from_array(arr.astype(np.int32),
                                                  prec=8),
                              CompressParams(irreversible=True))
@@ -225,3 +219,20 @@ def test_default_qcd_matches_oracle(rng):
     assert [s.expn for s in so] == [s.expn for s in sm]
     for a, b in zip(so, sm):
         assert abs(a.mant - b.mant) <= 12, (a.mant, b.mant)
+
+
+def test_no_truncation_layer_keeps_fine_quant(rng):
+    """-r N,1 (progressive to the no-truncation cap): the final layer's
+    quality is quantizer-bound, so the adaptive step coarsening must NOT
+    apply (review regression: -r 40,1 lost 13 dB on the last layer)."""
+    import io
+    import math
+
+    arr = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    d = grok_tpu.compress(GrkImage.from_array(arr.astype(np.int32), prec=8),
+                          CompressParams(irreversible=True,
+                                         layer_rates=[40.0, 1.0]))
+    dec = np.asarray(Image.open(io.BytesIO(d))).astype(float)
+    mse = ((dec - arr) ** 2).mean()
+    psnr = 10 * math.log10(255 ** 2 / mse)
+    assert psnr > 50, psnr  # near-lossless final layer
