@@ -185,3 +185,90 @@ def test_corruption_with_indexes_and_window_never_crashes(rng):
             grok_tpu.decompress(bytes(ba), dp)
         except GrkError:
             pass  # clean codec error is acceptable
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_random_subsampled_roundtrip(trial):
+    """Randomized subsampled-component configs (dx/dy in {1,2}) with
+    window decodes — the axis the main sweep never varies.  A 120-trial
+    offline run of this generator was clean at round-3 close."""
+    from grok_tpu.image import ImageComponent
+
+    rng = np.random.default_rng(5000 + trial)
+    h = int(rng.integers(16, 120))
+    w = int(rng.integers(16, 120))
+    dxy = [(1, 1)] + [(int(rng.choice([1, 2])), int(rng.choice([1, 2])))
+                      for _ in range(2)]
+    img = GrkImage(x0=0, y0=0, x1=w, y1=h)
+    planes = []
+    for (dx, dy) in dxy:
+        ch, cw = -(-h // dy), -(-w // dx)
+        pl = rng.integers(0, 256, (ch, cw)).astype(np.int32)
+        c = ImageComponent(dx=dx, dy=dy, prec=8, sgnd=False)
+        c.data = pl
+        c.h, c.w = ch, cw
+        c.x0 = c.y0 = 0
+        img.comps.append(c)
+        planes.append(pl)
+    kw = {"numresolution": int(rng.integers(1, 6)), "mct": 0,
+          "prog_order": Progression(int(rng.integers(0, 5)))}
+    if rng.random() < 0.4:
+        kw["tile_size"] = (int(rng.choice([32, 48, 64])),) * 2
+    if rng.random() < 0.3:
+        kw["plt"] = True
+    data = grok_tpu.compress(img, CompressParams(**kw))
+    out = grok_tpu.decompress(data)
+    for c, pl in zip(out.comps, planes):
+        assert np.array_equal(c.data, pl)
+    if rng.random() < 0.5:
+        dp = grok_tpu.DecompressParams(
+            window=(w // 4, h // 4, 3 * w // 4, 3 * h // 4))
+        wout = grok_tpu.decompress(data, dp)
+        for c, pl in zip(wout.comps, planes):
+            wx0 = -(-(w // 4) // c.dx)
+            wy0 = -(-(h // 4) // c.dy)
+            wx1 = min(-(-(3 * w // 4) // c.dx), pl.shape[1])
+            wy1 = min(-(-(3 * h // 4) // c.dy), pl.shape[0])
+            assert np.array_equal(c.data, pl[wy0:wy1, wx0:wx1])
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_random_signed_deep_precision(trial):
+    """Randomized signed and deep-precision (up to 24-bit) configs with
+    tiles/windows (100-trial offline run clean at round-3 close)."""
+    from grok_tpu.image import ImageComponent
+
+    rng = np.random.default_rng(7000 + trial)
+    h = int(rng.integers(16, 100))
+    w = int(rng.integers(16, 100))
+    prec = int(rng.choice([8, 12, 16, 20, 24]))
+    sgnd = bool(rng.random() < 0.5)
+    lo, hi = ((-(1 << (prec - 1)), 1 << (prec - 1)) if sgnd
+              else (0, 1 << prec))
+    arr = rng.integers(lo, hi, (h, w)).astype(np.int32)
+    img = GrkImage(x0=0, y0=0, x1=w, y1=h)
+    c = ImageComponent(dx=1, dy=1, prec=prec, sgnd=sgnd)
+    c.data = arr
+    c.h, c.w = h, w
+    c.x0 = c.y0 = 0
+    img.comps.append(c)
+    kw = {"numresolution": int(rng.integers(1, 6)),
+          "prog_order": Progression(int(rng.integers(0, 5)))}
+    if rng.random() < 0.3:
+        kw["tile_size"] = (int(rng.choice([32, 48])),) * 2
+    if rng.random() < 0.3:
+        kw["irreversible"] = True
+    data = grok_tpu.compress(img, CompressParams(**kw))
+    out = grok_tpu.decompress(data)
+    if kw.get("irreversible"):
+        err = np.abs(out.comps[0].data.astype(np.int64) - arr)
+        assert err.mean() < (hi - lo) * 0.01
+    else:
+        assert np.array_equal(out.comps[0].data, arr)
+        if rng.random() < 0.4:
+            dp = grok_tpu.DecompressParams(
+                window=(w // 4, h // 4, 3 * w // 4, 3 * h // 4))
+            wo = grok_tpu.decompress(data, dp)
+            assert np.array_equal(
+                wo.comps[0].data,
+                arr[h // 4:3 * h // 4, w // 4:3 * w // 4])
