@@ -369,3 +369,18 @@ def test_window_decode_empty_low_resolution(rng):
     dp = DecompressParams(window=(30, 11, 66, 30))
     out = grok_tpu.decompress(data, dp)
     assert np.array_equal(out.to_array(), arr[11:30, 30:66])
+
+
+def test_jph_container_brand(rng):
+    """HTJ2K streams wrapped as JP2 carry the 'jph ' brand (ITU-T T.814)
+    and round-trip through the container path."""
+    arr = rng.integers(0, 256, (64, 64, 3)).astype(np.int32)
+    d = grok_tpu.compress(GrkImage.from_array(arr),
+                          CompressParams(numresolution=3, ht=True,
+                                         cod_format="jp2"))
+    assert b"jph " in d[:64]
+    assert np.array_equal(grok_tpu.decompress(d).to_array(), arr)
+    d2 = grok_tpu.compress(GrkImage.from_array(arr),
+                           CompressParams(numresolution=3,
+                                          cod_format="jp2"))
+    assert b"jp2 " in d2[:64] and b"jph " not in d2[:64]
