@@ -1,26 +1,57 @@
-"""Benchmark harness: BASELINE.json config 1 on real hardware.
+"""Benchmark harness: BASELINE.json workload ladder on real hardware.
 
-Measures full-codec encode+decode throughput (512x512 8-bit grayscale,
-single tile, lossless 5/3 — BASELINE.json configs[0]) with the device
-(TPU) transform pipeline + native host T1, and prints ONE JSON line:
+Measures full-codec encode+decode throughput for the BASELINE.md configs
+(the scored metric is config 1: 512x512 8-bit grayscale, single tile,
+lossless 5/3) with the native host Tier-1 coder, and prints ONE JSON line:
 
   {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
 
 vs_baseline compares against the OpenJPEG single-thread CPU proxy measured
 in BASELINE.md (encode 1.7 + decode 4.8 MP/s -> combined
 1/(1/1.7 + 1/4.8) = 1.256 MP/s for an encode+decode round trip).
+
+Hang hardening (round 4): the experimental axon TPU relay can wedge so
+that a trivial jnp op never returns (round 3's bench timed out there and
+scored nothing).  The main process therefore NEVER touches the TPU:
+
+  * jax is forced to CPU immediately after import (the axon sitecustomize
+    registers the TPU in every interpreter; env vars alone are too late);
+  * TPU health is checked by a SUBPROCESS (`bench.py --probe`) with a hard
+    deadline — a hung relay is indistinguishable from a dead one, so the
+    probe is killed rather than awaited;
+  * the device Tier-1 kernel metrics run in a SUBPROCESS
+    (`bench.py --device-metrics`) with its own deadline, only when the
+    probe passed;
+  * every ladder section is independently guarded, and the JSON line is
+    printed UNCONDITIONALLY at the end (missing sections report null and
+    the error is noted in "errors").
+
+Reference analog: the reference CLI's `-e` repetition benchmarking
+(src/bin/jp2/ [P], SURVEY.md §2.2).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_COMBINED_MPS = 1.0 / (1.0 / 1.7 + 1.0 / 4.8)
+
+PROBE_TIMEOUT = float(os.environ.get("GROK_TPU_BENCH_PROBE_TIMEOUT", "45"))
+DEVICE_TIMEOUT = float(os.environ.get("GROK_TPU_BENCH_DEVICE_TIMEOUT", "240"))
+
+
+def _force_cpu():
+    """Pin this interpreter's jax to CPU (axon gotcha: must happen via
+    jax.config after import, not env vars)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def make_image(h=512, w=512, seed=0):
@@ -31,12 +62,91 @@ def make_image(h=512, w=512, seed=0):
     return arr
 
 
+def best_of(fn, n=5):
+    """Best-of-N timing: this box shares a noisy core, a single timed
+    iteration regularly wobbles by +-20%."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Subprocess modes
+# ---------------------------------------------------------------------------
+
+def probe_main():
+    """Touch the TPU with a tiny op; exit 0 iff it completes.
+
+    Run in a subprocess with a deadline: a degraded relay HANGS (it does
+    not crash), so the parent kills us rather than waiting.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    if not devs:
+        print("no accelerator")
+        sys.exit(3)
+    val = jax.device_get(jnp.ones((8, 8)).sum())
+    assert int(val) == 64
+    print("ok")
+    sys.exit(0)
+
+
+def device_metrics_main():
+    """Device Tier-1 kernel throughput at a 64-block batch (byte-identical
+    streams; see PERF_NOTES.md for the relay economics — scan cost is
+    ~constant in batch size, so these scale with B on production-attached
+    TPUs).  Prints one JSON line; run under a parent-enforced deadline."""
+    from grok_tpu.ops.ht_encode import encode_cblks_ht_device
+    from grok_tpu.ops.mq_encode import encode_cblks_mq_device
+
+    rng = np.random.default_rng(7)
+    blocks = rng.integers(-8192, 8192, size=(64, 64, 64)).astype(np.int32)
+    blocks[rng.random(blocks.shape) < 0.3] = 0
+    orients = (np.arange(64) % 4).astype(np.int32)
+    out = {}
+    encode_cblks_mq_device(blocks, orients, True, numbps_bound=14)
+    t = best_of(lambda: encode_cblks_mq_device(
+        blocks, orients, True, numbps_bound=14), 3)
+    out["device_mq_t1_mps"] = round(64 * 64 * 64 / t / 1e6, 3)
+    encode_cblks_ht_device(blocks)
+    t = best_of(lambda: encode_cblks_ht_device(blocks), 3)
+    out["device_ht_t1_mps"] = round(64 * 64 * 64 / t / 1e6, 3)
+    print(json.dumps(out))
+    sys.exit(0)
+
+
+def _run_sub(mode: str, timeout: float):
+    """Run `bench.py <mode>` in a subprocess; return (rc, last_line).
+    rc is None on timeout (process killed)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode],
+            capture_output=True, text=True, timeout=timeout,
+            env=dict(os.environ))
+        lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+        return r.returncode, (lines[-1] if lines else "")
+    except subprocess.TimeoutExpired:
+        return None, ""
+    except Exception as e:  # pragma: no cover - subprocess plumbing
+        return -1, str(e)
+
+
+# ---------------------------------------------------------------------------
+# Scored ladder (host-only: native backend, jax pinned to CPU)
+# ---------------------------------------------------------------------------
+
 def main():
+    _force_cpu()
+
     import grok_tpu
     from grok_tpu import CompressParams, DecompressParams, GrkImage
+    from grok_tpu.params import Profile
 
-    arr = make_image()
-    img = GrkImage.from_array(arr)
     # Backend choice, measured on this machine (see PERF_NOTES.md):
     # device Tier-1 is byte-identical and keeps bands device-resident,
     # but this box's relay charges ~60 ms per host sync and ~40 us of
@@ -45,163 +155,175 @@ def main():
     # on production-attached chips.  The scored end-to-end path stays
     # native; device kernel throughput is reported separately below.
     backend = os.environ.get("GROK_TPU_BENCH_BACKEND", "native")
-
-    cp = CompressParams(numresolution=6, backend=backend)
     dp = DecompressParams(backend=backend)
+    errors = {}
+    result = {
+        "metric": "512x512 gray lossless 5/3 encode+decode round-trip "
+                  "throughput (config 1)",
+        "value": None,
+        "unit": "MP/s",
+        "vs_baseline": None,
+        "backend": backend,
+    }
 
-    # warm-up (jit compile + native lib load)
-    data = grok_tpu.compress(img, cp)
-    out = grok_tpu.decompress(data, dp)
-    assert np.array_equal(out.comps[0].data, arr.astype(np.int32)), \
-        "bench round-trip not bit-exact"
-
-    # best-of-N timing: the box shares a noisy core, a single timed
-    # iteration regularly wobbles by +-20%
-    def best_of(fn, n=5):
-        best = float("inf")
-        for _ in range(n):
-            t0 = time.perf_counter()
+    def section(name, fn):
+        try:
             fn()
-            best = min(best, time.perf_counter() - t0)
-        return best
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"
 
     # CPU-speed canary: this box's shared core has multi-minute slow
     # phases (+-25%); a fixed scalar workload timed alongside lets the
     # recorded numbers be normalized for machine state
     canary = np.arange(1 << 21, dtype=np.int64)
     tc_ = best_of(lambda: int((canary * canary % 1000003).sum()), 5)
-    canary_mops = (1 << 21) / tc_ / 1e6
+    result["cpu_canary_mops"] = round((1 << 21) / tc_ / 1e6, 1)
 
-    reps = 8
-    te = best_of(lambda: grok_tpu.compress(img, cp), reps)
-    td = best_of(lambda: grok_tpu.decompress(data, dp), reps)
+    def config1():
+        arr = make_image()
+        img = GrkImage.from_array(arr)
+        cp = CompressParams(numresolution=6, backend=backend)
+        data = grok_tpu.compress(img, cp)  # warm-up (native lib load)
+        out = grok_tpu.decompress(data, dp)
+        assert np.array_equal(out.comps[0].data, arr.astype(np.int32)), \
+            "bench round-trip not bit-exact"
+        te = best_of(lambda: grok_tpu.compress(img, cp), 8)
+        td = best_of(lambda: grok_tpu.decompress(data, dp), 8)
+        mp = arr.size / 1e6
+        result["value"] = round(2 * mp / (te + td), 3)
+        result["vs_baseline"] = round(
+            2 * mp / (te + td) / BASELINE_COMBINED_MPS, 3)
+        result["encode_mps"] = round(mp / te, 3)
+        result["decode_mps"] = round(mp / td, 3)
+        result["bytes"] = len(data)
 
-    mp = arr.size / 1e6
-    enc = mp / te
-    dec = mp / td
-    combined = 2 * mp / (te + td)  # enc+dec round trip
+        # secondary: the HTJ2K fast block coder
+        cph = CompressParams(numresolution=6, backend=backend, ht=True)
+        datah = grok_tpu.compress(img, cph)
+        outh = grok_tpu.decompress(datah, dp)
+        assert np.array_equal(outh.comps[0].data, arr.astype(np.int32))
+        the = best_of(lambda: grok_tpu.compress(img, cph), 8)
+        thd = best_of(lambda: grok_tpu.decompress(datah, dp), 8)
+        result["ht_combined_mps"] = round(2 * mp / (the + thd), 3)
+        result["ht_encode_mps"] = round(mp / the, 3)
+        result["ht_decode_mps"] = round(mp / thd, 3)
 
-    # secondary: the HTJ2K fast block coder (BASELINE config 5 family)
-    cph = CompressParams(numresolution=6, backend=backend, ht=True)
-    datah = grok_tpu.compress(img, cph)
-    outh = grok_tpu.decompress(datah, dp)
-    assert np.array_equal(outh.comps[0].data, arr.astype(np.int32))
-    the = best_of(lambda: grok_tpu.compress(img, cph), reps)
-    thd = best_of(lambda: grok_tpu.decompress(datah, dp), reps)
-    ht_combined = 2 * mp / (the + thd)
+    section("config1", config1)
 
-    # config 2: RGB lossy 9/7 rate-targeted (proxy 1.3 / 5.5 MP/s)
     rng2 = np.random.default_rng(1)
-    yy, xx = np.mgrid[0:768, 0:768].astype(float)
-    rgb = np.stack([128 + 90 * np.sin(xx / 23) * np.cos(yy / 17),
-                    128 + 80 * np.sin(xx / 15),
-                    128 + 80 * np.cos(yy / 19)], -1)
-    rgb = (rgb + rng2.normal(0, 3, rgb.shape)).clip(0, 255).astype(np.int32)
-    img2 = GrkImage.from_array(rgb)
-    cp2 = CompressParams(numresolution=5, irreversible=True,
-                         layer_rates=[20], backend=backend)
-    d2 = grok_tpu.compress(img2, cp2)
-    t2e = best_of(lambda: grok_tpu.compress(img2, cp2), 5)
-    t2d = best_of(lambda: grok_tpu.decompress(d2, dp), 5)
-    mp2 = rgb.size / 3 / 1e6
 
-    # config 3: tiled 16-bit lossless (proxy 2.2 / 2.6 MP/s on noise)
-    g16 = rng2.integers(0, 65536, size=(512, 512)).astype(np.int32)
-    img3 = GrkImage.from_array(g16, prec=16)
-    cp3 = CompressParams(numresolution=5, tile_size=(256, 256),
-                         backend=backend)
-    d3 = grok_tpu.compress(img3, cp3)
-    t3e = best_of(lambda: grok_tpu.compress(img3, cp3), 5)
-    out3 = grok_tpu.decompress(d3, dp)
-    t3d = best_of(lambda: grok_tpu.decompress(d3, dp), 5)
-    assert np.array_equal(out3.comps[0].data, g16)
-    mp3 = g16.size / 1e6
+    def config2():
+        # RGB lossy 9/7 rate-targeted (proxy 1.3 / 5.5 MP/s)
+        yy, xx = np.mgrid[0:768, 0:768].astype(float)
+        rgb = np.stack([128 + 90 * np.sin(xx / 23) * np.cos(yy / 17),
+                        128 + 80 * np.sin(xx / 15),
+                        128 + 80 * np.cos(yy / 19)], -1)
+        rgb = (rgb + rng2.normal(0, 3, rgb.shape)).clip(0, 255).astype(
+            np.int32)
+        img2 = GrkImage.from_array(rgb)
+        cp2 = CompressParams(numresolution=5, irreversible=True,
+                             layer_rates=[20], backend=backend)
+        d2 = grok_tpu.compress(img2, cp2)
+        t2e = best_of(lambda: grok_tpu.compress(img2, cp2), 5)
+        t2d = best_of(lambda: grok_tpu.decompress(d2, dp), 5)
+        mp2 = rgb.size / 3 / 1e6
+        result["lossy_encode_mps"] = round(mp2 / t2e, 3)
+        result["lossy_decode_mps"] = round(mp2 / t2d, 3)
 
-    # config 4: DCI cinema 2K (XYZ 12-bit, CPRL, DCI rate caps)
-    from grok_tpu.params import Profile
+    section("config2", config2)
 
-    yy, xx = np.mgrid[0:1080, 0:2048].astype(float)
-    xyz = np.stack([2048 + 1500 * np.sin(xx / 37) * np.cos(yy / 23),
-                    xx * 4095 / 2048, yy * 4095 / 1080], -1)
-    xyz = (xyz + rng2.normal(0, 20, xyz.shape)).clip(0, 4095).astype(np.int32)
-    img4 = GrkImage.from_array(xyz, prec=12)
-    cp4 = CompressParams(profile=Profile.CINEMA_2K, framerate=24,
-                         numresolution=6, backend=backend)
-    d4 = grok_tpu.compress(img4, cp4)
-    t4e = best_of(lambda: grok_tpu.compress(img4, cp4), 3)
-    t4d = best_of(lambda: grok_tpu.decompress(d4, dp), 3)
-    mp4 = xyz.size / 3 / 1e6
+    def config3():
+        # tiled 16-bit lossless (proxy 2.2 / 2.6 MP/s on noise)
+        g16 = rng2.integers(0, 65536, size=(512, 512)).astype(np.int32)
+        img3 = GrkImage.from_array(g16, prec=16)
+        cp3 = CompressParams(numresolution=5, tile_size=(256, 256),
+                             backend=backend)
+        d3 = grok_tpu.compress(img3, cp3)
+        t3e = best_of(lambda: grok_tpu.compress(img3, cp3), 5)
+        out3 = grok_tpu.decompress(d3, dp)
+        t3d = best_of(lambda: grok_tpu.decompress(d3, dp), 5)
+        assert np.array_equal(out3.comps[0].data, g16)
+        mp3 = g16.size / 1e6
+        result["tiled16_encode_mps"] = round(mp3 / t3e, 3)
+        result["tiled16_decode_mps"] = round(mp3 / t3d, 3)
 
-    # config 5 family: tiled HTJ2K image, O(window) region decode
-    g5 = rng2.integers(0, 256, size=(2048, 2048)).astype(np.int32)
-    img5 = GrkImage.from_array(g5, prec=8)
-    cp5 = CompressParams(numresolution=6, tile_size=(512, 512), ht=True,
-                         tlm=True, plt=True, backend=backend)
-    d5 = grok_tpu.compress(img5, cp5)
-    dp5 = DecompressParams(backend=backend)
-    dp5.window = (700, 900, 956, 1156)  # 256x256 ROI crossing a tile seam
-    out5 = grok_tpu.decompress(d5, dp5)  # window-sized canvas
-    assert np.array_equal(out5.comps[0].data, g5[900:1156, 700:956])
-    t5d = best_of(lambda: grok_tpu.decompress(d5, dp5), 5)
-    roi_mp = 256 * 256 / 1e6
+    section("config3", config3)
 
-    # device Tier-1 kernel throughput (guarded: the experimental axon
-    # relay worker can crash on large programs; never fail the bench)
-    device_mq = device_ht = None
-    try:
-        import jax
+    def _cinema(w, h, profile, key, reps):
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        xyz = np.stack([2048 + 1500 * np.sin(xx / 37) * np.cos(yy / 23),
+                        xx * 4095 / w, yy * 4095 / h], -1)
+        xyz = (xyz + rng2.normal(0, 20, xyz.shape)).clip(0, 4095).astype(
+            np.int32)
+        img4 = GrkImage.from_array(xyz, prec=12)
+        cp4 = CompressParams(profile=profile, framerate=24,
+                             numresolution=6, backend=backend)
+        d4 = grok_tpu.compress(img4, cp4)
+        t4e = best_of(lambda: grok_tpu.compress(img4, cp4), reps)
+        t4d = best_of(lambda: grok_tpu.decompress(d4, dp), reps)
+        mp4 = xyz.size / 3 / 1e6
+        result[f"{key}_encode_mps"] = round(mp4 / t4e, 3)
+        result[f"{key}_decode_mps"] = round(mp4 / t4d, 3)
 
-        if any(d.platform != "cpu" for d in jax.devices()):
-            from grok_tpu.ops.ht_encode import encode_cblks_ht_device
-            from grok_tpu.ops.mq_encode import encode_cblks_mq_device
+    # config 4: DCI cinema (XYZ 12-bit, CPRL, DCI rate caps) at 2K and 4K
+    section("cinema2k",
+            lambda: _cinema(2048, 1080, Profile.CINEMA_2K, "cinema2k", 3))
+    section("cinema4k",
+            lambda: _cinema(4096, 2160, Profile.CINEMA_4K, "cinema4k", 2))
 
-            rng3 = np.random.default_rng(7)
-            blocks = rng3.integers(-8192, 8192, size=(64, 64, 64)).astype(
-                np.int32)
-            blocks[rng3.random(blocks.shape) < 0.3] = 0
-            orients = (np.arange(64) % 4).astype(np.int32)
-            encode_cblks_mq_device(blocks, orients, True, numbps_bound=14)
-            t = best_of(lambda: encode_cblks_mq_device(
-                blocks, orients, True, numbps_bound=14), 3)
-            device_mq = round(64 * 64 * 64 / t / 1e6, 3)
-            encode_cblks_ht_device(blocks)
-            t = best_of(lambda: encode_cblks_ht_device(blocks), 3)
-            device_ht = round(64 * 64 * 64 / t / 1e6, 3)
-    except Exception as e:  # pragma: no cover - relay instability
-        sys.stderr.write(f"device T1 bench skipped: {e}\n")
+    def config5():
+        # tiled HTJ2K image, O(window) region decode
+        g5 = rng2.integers(0, 256, size=(2048, 2048)).astype(np.int32)
+        img5 = GrkImage.from_array(g5, prec=8)
+        cp5 = CompressParams(numresolution=6, tile_size=(512, 512), ht=True,
+                             tlm=True, plt=True, backend=backend)
+        d5 = grok_tpu.compress(img5, cp5)
+        dp5 = DecompressParams(backend=backend)
+        dp5.window = (700, 900, 956, 1156)  # 256x256 ROI over a tile seam
+        out5 = grok_tpu.decompress(d5, dp5)  # window-sized canvas
+        assert np.array_equal(out5.comps[0].data, g5[900:1156, 700:956])
+        t5d = best_of(lambda: grok_tpu.decompress(d5, dp5), 5)
+        result["roi_window_decode_mps"] = round(256 * 256 / 1e6 / t5d, 3)
 
-    result = {
-        "metric": "512x512 gray lossless 5/3 encode+decode round-trip "
-                  "throughput (config 1)",
-        "value": round(combined, 3),
-        "unit": "MP/s",
-        "vs_baseline": round(combined / BASELINE_COMBINED_MPS, 3),
-        "encode_mps": round(enc, 3),
-        "decode_mps": round(dec, 3),
-        "ht_combined_mps": round(ht_combined, 3),
-        "ht_encode_mps": round(mp / the, 3),
-        "ht_decode_mps": round(mp / thd, 3),
-        "lossy_encode_mps": round(mp2 / t2e, 3),
-        "lossy_decode_mps": round(mp2 / t2d, 3),
-        "tiled16_encode_mps": round(mp3 / t3e, 3),
-        "tiled16_decode_mps": round(mp3 / t3d, 3),
-        "cinema2k_encode_mps": round(mp4 / t4e, 3),
-        "cinema2k_decode_mps": round(mp4 / t4d, 3),
-        "roi_window_decode_mps": round(roi_mp / t5d, 3),
-        # on-device Tier-1 kernel throughput at a 64-block batch (byte-
-        # identical streams; see PERF_NOTES.md for the relay economics —
-        # scan cost is ~constant in batch size, so these scale with B on
-        # production-attached TPUs)
-        "device_mq_t1_mps": device_mq,
-        "device_ht_t1_mps": device_ht,
-        "backend": backend,
-        "bytes": len(data),
-        # fixed-workload canary (Mops): compare across bench runs to see
-        # whether this shared core was in a slow phase
-        "cpu_canary_mops": round(canary_mops, 1),
-    }
+    section("config5", config5)
+
+    # Device Tier-1 kernel metrics: probe the relay first with a hard
+    # deadline (a degraded relay hangs rather than erroring), then run
+    # the metrics in their own killable subprocess.  Never block the
+    # scored JSON on the relay.
+    result["device_mq_t1_mps"] = result["device_ht_t1_mps"] = None
+    if os.environ.get("GROK_TPU_BENCH_NO_DEVICE") == "1":
+        result["relay"] = "skipped"
+    else:
+        rc, _line = _run_sub("--probe", PROBE_TIMEOUT)
+        if rc == 0:
+            result["relay"] = "ok"
+            rc, line = _run_sub("--device-metrics", DEVICE_TIMEOUT)
+            if rc == 0 and line:
+                try:
+                    result.update(json.loads(line))
+                except ValueError:
+                    errors["device_metrics"] = f"unparseable: {line[:120]}"
+            elif rc is None:
+                errors["device_metrics"] = \
+                    f"timeout after {DEVICE_TIMEOUT:.0f}s (killed)"
+            else:
+                errors["device_metrics"] = f"exit {rc}"
+        elif rc is None:
+            result["relay"] = "degraded"  # relay hung; probe killed
+        else:
+            result["relay"] = "absent"
+
+    if errors:
+        result["errors"] = errors
+    # The one JSON line the driver parses — printed unconditionally.
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if "--probe" in sys.argv:
+        probe_main()
+    elif "--device-metrics" in sys.argv:
+        device_metrics_main()
+    else:
+        main()
