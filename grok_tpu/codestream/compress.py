@@ -279,6 +279,12 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
     # tile's packet budget by ~14 bytes.
     p._cap_overhead = (len(out) + 2
                        + (cp.numtiles * 6 + 6 if p.tlm else 0))
+    if p.ppm and p.max_cs_size:
+        # PPM assembly framing is written after rate control: 4 bytes of
+        # Nppm per tile chunk plus 5 bytes (marker+Lppm+Zppm) per 65528-
+        # byte marker segment; segment count is bounded by the cap itself
+        p._cap_overhead += (4 * cp.numtiles
+                            + 5 * (p.max_cs_size // 65528 + 1))
 
     cp._has_rate_targets = bool(p.layer_rates or p.layer_psnr
                                 or p.max_cs_size)
@@ -336,7 +342,13 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                     for (_ti, tcpx, _tr, tcx) in compressors
                     for comp in tcx.tile.comps
                     for res in comp.resolutions) * tcp0.numlayers
-        p._cap_overhead += 2 * npkts + 8 * (npkts // 8000 + 2)
+        # Iplt/Iplm varints: 2 bytes cover packets < 16384 bytes; a
+        # packet of >= 2^s bytes costs one extra byte per 7-bit step, and
+        # at most cap >> s packets can be that large since the packet
+        # bytes themselves fit the cap — so this reservation cannot be
+        # overshot by any packet-size distribution
+        big = sum(min(npkts, p.max_cs_size >> s) for s in (14, 21, 28))
+        p._cap_overhead += 2 * npkts + big + 8 * (npkts // 8000 + 2)
 
     tlm_entries = []
     for n, (tidx, tcp, trect, tc) in enumerate(compressors):

@@ -23,7 +23,7 @@ import numpy as np
 from ..t1.ht import MEL_E, _BitReaderMSB
 
 _MS_WIN = 31        # umax (<=30) + sign
-_VLC_WIN = 14       # 4 rho + '111' + 7-bit escape
+_VLC_WIN = 17       # max 7-bit CxtVLC cwd + '111' + 7-bit escape
 _MEL_RUN_WIN = 5    # max run-length field width
 _PAD = 64           # cursor overrun guard
 
@@ -80,16 +80,24 @@ def _decode_one(ms_bits, mel_bits, vlc_bits, qxs, qys, qh, qw):
             jnp.where((bit == 0) & (run > 0), True, False))
         mpos = mpos0 + consumed
 
-        # ---- VLC quad parse when the event says "nonempty"
+        # ---- VLC quad parse when the event says "nonempty": prefix-code
+        # window read — peek the max-width codeword window, look up
+        # (rho, consumed length) in the CxtVLC decode LUT baked at trace
+        # time (t1/ht_tables.py; the jit cache is cleared on set_tables)
         win = _window(vlc_bits, vpos0, _VLC_WIN)
         from ..t1 import ht_tables as _vt
 
-        dec_tbl = jnp.asarray(_vt.DEC_RHO[0], dtype=jnp.int32)
-        rho = dec_tbl[win >> (_VLC_WIN - 4)]
-        u0 = (win >> (_VLC_WIN - 5)) & 1
-        u1 = (win >> (_VLC_WIN - 6)) & 1
-        u2 = (win >> (_VLC_WIN - 7)) & 1
-        esc = win & 0x7F
+        maxc = _vt.MAX_CWD_LEN
+        lut_rho = jnp.asarray(_vt.DEC_LUT_RHO[0], dtype=jnp.int32)
+        lut_len = jnp.asarray(_vt.DEC_LUT_LEN[0], dtype=jnp.int32)
+        cw = win >> (_VLC_WIN - maxc)
+        rho = lut_rho[cw]
+        clen = lut_len[cw]
+        uw = (win >> (_VLC_WIN - clen - 10)) & 0x3FF  # 10-bit u window
+        u0 = (uw >> 9) & 1
+        u1 = (uw >> 8) & 1
+        u2 = (uw >> 7) & 1
+        esc = uw & 0x7F
         zz = jnp.where(u0 == 0, 0,
                        jnp.where(u1 == 0, 1,
                                  jnp.where(u2 == 0, 2, 3 + esc)))
@@ -98,7 +106,7 @@ def _decode_one(ms_bits, mel_bits, vlc_bits, qxs, qys, qh, qw):
         diff = jnp.where(zz & 1, -((zz + 1) >> 1), zz >> 1)
         umax = upred0 + diff
         rho = jnp.where(ev == 1, rho, 0)
-        vpos = vpos0 + jnp.where(ev == 1, 4 + ulen, 0)
+        vpos = vpos0 + jnp.where(ev == 1, clen + ulen, 0)
         upred = jnp.where(ev == 1, umax, upred0)
 
         # ---- MagSgn: four sequential variable-width reads

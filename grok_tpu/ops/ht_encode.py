@@ -38,7 +38,7 @@ from ..t1.ht import MEL_E, _BitWriterMSB
 # host coder above that
 MAX_NUMBPS_DEVICE = 25
 _MS_MAXLEN = MAX_NUMBPS_DEVICE + 1   # (m-1) in umax bits + sign
-_VLC_MAXLEN = 4 + 10                 # rho nibble + '111' + 7-bit escape
+_VLC_MAXLEN = 7 + 10                 # max CxtVLC cwd + '111' + 7-bit escape
 _MEL_MAXLEN = 6                      # '0' + up to 5 run bits
 
 _MEL_E_ARR = np.asarray(MEL_E, dtype=np.int32)
@@ -162,8 +162,9 @@ def _encode_one(coeffs):
     from ..t1 import ht_tables as _vt
 
     enc_tbl = jnp.asarray(_vt.ENC_CWD[0], dtype=jnp.int32)
+    len_tbl = jnp.asarray(_vt.ENC_LEN[0], dtype=jnp.int32)
     vlc_vals = ((enc_tbl[rho] << ulen) | ucode).reshape(-1)
-    vlc_lens = jnp.where(nonempty, 4 + ulen, 0).reshape(-1)
+    vlc_lens = jnp.where(nonempty, len_tbl[rho] + ulen, 0).reshape(-1)
 
     # ---- MagSgn: ((m-1) << 1 | sign) in umax+1 bits per significant sample
     ms_vals = (((qm - 1) << 1) | qs).reshape(-1)

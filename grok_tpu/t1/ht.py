@@ -13,11 +13,13 @@ magnitude-sign packing for significant samples.
 
 **Conformance status (SURVEY.md B.9):** no HT oracle exists in this
 environment and the normative CxtVLC code tables cannot be reproduced from
-local sources, so the quad significance-pattern coding below uses a
-self-consistent code (4-bit raw rho + Elias-style u prefix) instead of the
-spec's context-dependent VLC tables.  The segment layout, MEL coder and
-MagSgn packing follow the spec structure, so swapping in the normative
-tables is a local change.  Interop is gated on self round-trip tests
+local sources, so the quad significance-pattern coding below defaults to a
+self-consistent stand-in table (identity 4-bit rho code + Elias-style u
+prefix) instead of the spec's context-dependent VLC tables.  The tables
+live in t1/ht_tables.py and support variable-length prefix codes up to
+the T.814 7-bit maximum, so installing the normative tables is a
+set_tables() call; the segment layout, MEL coder and MagSgn packing
+follow the spec structure.  Interop is gated on self round-trip tests
 (tests/test_ht.py) as SURVEY.md §4 prescribes.
 """
 
@@ -72,8 +74,13 @@ class _BitReaderMSB:
         self.acc = 0
         self.avail = 0
         self.prev_ff = False
+        self.pushed = 0
+        self.npushed = 0
 
     def get(self) -> int:
+        if self.npushed:
+            self.npushed -= 1
+            return (self.pushed >> self.npushed) & 1
         if self.avail == 0:
             b = self.data[self.pos] if self.pos < len(self.data) else 0
             self.pos += 1
@@ -88,6 +95,17 @@ class _BitReaderMSB:
         for _ in range(n):
             v = (v << 1) | self.get()
         return v
+
+    def unget(self, v: int, n: int):
+        """Push back the last n bits read (low n bits of v, stream
+        order): they are re-served before anything else.  Lets the VLC
+        decoder window-read MAX_CWD_LEN bits and return the unconsumed
+        tail of a shorter codeword."""
+        if n:
+            # mask off already-served bits still sitting above npushed
+            live = self.pushed & ((1 << self.npushed) - 1)
+            self.pushed = ((v & ((1 << n) - 1)) << self.npushed) | live
+            self.npushed += n
 
 
 class MELEncoder:
@@ -378,7 +396,13 @@ def decode_cblk_ht(data: bytes, h: int, w: int):
                 continue
             ns = len(samples)
             if ns == 4:
-                rho = int(ht_tables.DEC_RHO[0, vlc.get_bits(4)])
+                # prefix-code window read through the CxtVLC decode LUT
+                # (t1/ht_tables.py): peek MAX_CWD_LEN bits, consume the
+                # matched codeword's length
+                win = vlc.get_bits(ht_tables.MAX_CWD_LEN)
+                rho = int(ht_tables.DEC_LUT_RHO[0, win])
+                vlc.unget(win, ht_tables.MAX_CWD_LEN
+                          - int(ht_tables.DEC_LUT_LEN[0, win]))
             else:
                 rho = vlc.get_bits(ns)
             zz = _get_u(vlc)

@@ -22,10 +22,14 @@ swapping in the normative tables is a change to THIS module only:
     set_tables(enc_cwd, enc_len) -> all three coder paths (Python
     reference, native C++, device/XLA) pick up the new code.
 
-Current constraint carried by the three decoders: codewords must be a
-fixed length of 4 bits per context (bijective nibble mapping).  The
-interface is already (context, rho) -> (codeword, length) so lifting to
-variable-length prefix codes is localized to the decoders' window reads.
+Variable-length prefix codes up to MAX_CWD_LEN (= 7, the T.814 maximum)
+bits are supported: every context's 16 (rho -> codeword, length) entries
+must form a prefix-free code, and set_tables builds a 2**MAX_CWD_LEN
+decode LUT per context that all three decoders consume via a fixed-width
+window read (peek MAX_CWD_LEN bits, look up (rho, consumed-length),
+advance by the consumed length).  Windows that match no codeword — only
+reachable on corrupt streams — decode as (rho=0, MAX_CWD_LEN) in every
+path so the implementations stay byte-identical even there.
 """
 
 from __future__ import annotations
@@ -33,7 +37,8 @@ from __future__ import annotations
 import numpy as np
 
 NUM_CTX = 8        # context slots (the stand-in uses only ctx 0)
-CWD_LEN = 4        # fixed codeword length all decoders currently assume
+CWD_LEN = 4        # codeword length of the default stand-in tables
+MAX_CWD_LEN = 7    # longest supported codeword (T.814 table maximum)
 
 
 def _identity_tables():
@@ -42,15 +47,24 @@ def _identity_tables():
     return enc_cwd, enc_len
 
 
-def _invert(enc_cwd: np.ndarray) -> np.ndarray:
-    dec = np.zeros_like(enc_cwd)
-    for c in range(enc_cwd.shape[0]):
-        dec[c, enc_cwd[c]] = np.arange(16, dtype=np.uint8)
-    return dec
+def _build_dec_lut(enc_cwd: np.ndarray, enc_len: np.ndarray):
+    """Per context: LUT over every MAX_CWD_LEN-bit window -> (rho, bits
+    consumed).  Uncovered windows (corrupt streams) -> (0, MAX_CWD_LEN)."""
+    size = 1 << MAX_CWD_LEN
+    lut_rho = np.zeros((NUM_CTX, size), dtype=np.uint8)
+    lut_len = np.full((NUM_CTX, size), MAX_CWD_LEN, dtype=np.uint8)
+    for c in range(NUM_CTX):
+        for rho in range(16):
+            ln = int(enc_len[c, rho])
+            base = int(enc_cwd[c, rho]) << (MAX_CWD_LEN - ln)
+            span = 1 << (MAX_CWD_LEN - ln)
+            lut_rho[c, base:base + span] = rho
+            lut_len[c, base:base + span] = ln
+    return lut_rho, lut_len
 
 
 ENC_CWD, ENC_LEN = _identity_tables()
-DEC_RHO = _invert(ENC_CWD)
+DEC_LUT_RHO, DEC_LUT_LEN = _build_dec_lut(ENC_CWD, ENC_LEN)
 
 # callbacks run on table swap (native installer, device jit-cache flush)
 _listeners: list = []
@@ -76,21 +90,34 @@ def _flush_device_caches() -> None:
 
 
 def set_tables(enc_cwd, enc_len) -> None:
-    """Install a CxtVLC table set (shape (NUM_CTX, 16)); codewords must
-    be a bijective nibble mapping per context (see module docstring)."""
-    global ENC_CWD, ENC_LEN, DEC_RHO
+    """Install a CxtVLC table set (shape (NUM_CTX, 16)): per context a
+    prefix-free code over the 16 quad patterns, codeword lengths in
+    [1, MAX_CWD_LEN] (see module docstring)."""
+    global ENC_CWD, ENC_LEN, DEC_LUT_RHO, DEC_LUT_LEN
     enc_cwd = np.asarray(enc_cwd, dtype=np.uint8)
     enc_len = np.asarray(enc_len, dtype=np.uint8)
     if enc_cwd.shape != (NUM_CTX, 16) or enc_len.shape != (NUM_CTX, 16):
         raise ValueError(f"tables must be ({NUM_CTX}, 16)")
-    if (enc_len != CWD_LEN).any():
-        raise ValueError(f"decoders currently require {CWD_LEN}-bit "
-                         f"codewords")
+    if (enc_len < 1).any() or (enc_len > MAX_CWD_LEN).any():
+        raise ValueError(f"codeword lengths must be 1..{MAX_CWD_LEN}")
     for c in range(NUM_CTX):
-        if len(set(enc_cwd[c].tolist())) != 16:
-            raise ValueError(f"context {c}: codewords are not bijective")
+        for r in range(16):
+            if int(enc_cwd[c, r]) >> int(enc_len[c, r]):
+                raise ValueError(
+                    f"context {c}: codeword {r} wider than its length")
+        # prefix-freeness (implies uniqueness): no codeword may be a
+        # prefix of another in the same context
+        for a in range(16):
+            la, ca = int(enc_len[c, a]), int(enc_cwd[c, a])
+            for b in range(a + 1, 16):
+                lb, cb = int(enc_len[c, b]), int(enc_cwd[c, b])
+                lo, hi = (ca, cb) if la <= lb else (cb, ca)
+                if (hi >> abs(lb - la)) == lo:
+                    raise ValueError(
+                        f"context {c}: codewords {a} and {b} are not "
+                        f"prefix-free")
     ENC_CWD, ENC_LEN = enc_cwd, enc_len
-    DEC_RHO = _invert(enc_cwd)
+    DEC_LUT_RHO, DEC_LUT_LEN = _build_dec_lut(enc_cwd, enc_len)
     _flush_device_caches()
     for fn in _listeners:
         fn()

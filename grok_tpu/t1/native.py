@@ -105,7 +105,7 @@ class _DecJob(ct.Structure):
     ]
 
 
-_ABI_VERSION = 8  # job-struct layout (v8: EncJob hull_rate output)
+_ABI_VERSION = 9  # job-struct layout (v9: grk_ht_set_vlc VLC LUTs)
 
 _lib = ct.CDLL(_LIB_PATH)
 if _lib.grk_t1_abi_version() != _ABI_VERSION:
@@ -399,15 +399,18 @@ def destuff_bits_native(data: bytes) -> np.ndarray:
 bk.register_backend("native", encode_batch_native, decode_batch_native)
 bk.register_ht_backend(ht_encode_batch_native, ht_decode_batch_native)
 
-_lib.grk_ht_set_vlc.argtypes = [ct.c_uint64, ct.c_uint64]
+_lib.grk_ht_set_vlc.argtypes = [ct.c_uint64] * 4
 
 
 def _install_vlc_tables() -> None:
     from . import ht_tables
 
     enc = np.ascontiguousarray(ht_tables.ENC_CWD[0], dtype=np.uint8)
-    dec = np.ascontiguousarray(ht_tables.DEC_RHO[0], dtype=np.uint8)
-    _lib.grk_ht_set_vlc(_addr(enc), _addr(dec))
+    ln = np.ascontiguousarray(ht_tables.ENC_LEN[0], dtype=np.uint8)
+    lut_rho = np.ascontiguousarray(ht_tables.DEC_LUT_RHO[0], dtype=np.uint8)
+    lut_len = np.ascontiguousarray(ht_tables.DEC_LUT_LEN[0], dtype=np.uint8)
+    _lib.grk_ht_set_vlc(_addr(enc), _addr(ln), _addr(lut_rho),
+                        _addr(lut_len))
 
 
 from . import ht_tables as _ht_tables  # noqa: E402

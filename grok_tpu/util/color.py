@@ -224,6 +224,13 @@ def apply_icc_profile(img: GrkImage) -> None:
         # high-precision images go through our own matrix/TRC evaluator
         # (util/icc.py) at full float64 precision; LUT profiles fall back
         # with the profile left attached.
+        if len({c.prec for c in comps[:3]}) != 1:
+            # the evaluator normalizes every plane by comps[0].prec, so
+            # mixed-precision color (e.g. 16/12/12) would mis-scale
+            # channels 1-2
+            log.warning("ICC application needs uniform component "
+                        "precision; profile left attached")
+            return
         from . import icc as icc_mod
 
         ncolor = 3 if len(comps) >= 3 else 1

@@ -19,11 +19,24 @@ namespace {
 static const int MEL_E[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
 
 // CxtVLC quad-significance code (swap point: grok_tpu/t1/ht_tables.py
-// installs tables via grk_ht_set_vlc; default = identity stand-in)
+// installs tables via grk_ht_set_vlc; default = identity stand-in).
+// Variable-length prefix codes up to GRK_HT_MAX_CWD bits: the decoder
+// peeks a GRK_HT_MAX_CWD-bit window and consumes g_vlc_lut_len bits.
+#define GRK_HT_MAX_CWD 7
 static uint8_t g_vlc_enc[16] = {0, 1, 2, 3, 4, 5, 6, 7,
                                 8, 9, 10, 11, 12, 13, 14, 15};
-static uint8_t g_vlc_dec[16] = {0, 1, 2, 3, 4, 5, 6, 7,
-                                8, 9, 10, 11, 12, 13, 14, 15};
+static uint8_t g_vlc_len[16] = {4, 4, 4, 4, 4, 4, 4, 4,
+                                4, 4, 4, 4, 4, 4, 4, 4};
+static uint8_t g_vlc_lut_rho[1 << GRK_HT_MAX_CWD];
+static uint8_t g_vlc_lut_len[1 << GRK_HT_MAX_CWD];
+static bool g_vlc_init = []() {
+  for (int n = 0; n < 16; n++)
+    for (int k = 0; k < (1 << (GRK_HT_MAX_CWD - 4)); k++) {
+      g_vlc_lut_rho[(n << (GRK_HT_MAX_CWD - 4)) | k] = (uint8_t)n;
+      g_vlc_lut_len[(n << (GRK_HT_MAX_CWD - 4)) | k] = 4;
+    }
+  return true;
+}();
 
 // Fast unstuffed MSB-first bit packer: a 64-bit accumulator drains four
 // bytes at a time with no per-byte stuffing checks; the stream is stuffed
@@ -201,9 +214,12 @@ static inline uint32_t get_u(FastBitR& br) {
 
 extern "C" {
 
-void grk_ht_set_vlc(const uint8_t* enc, const uint8_t* dec) {
-  std::memcpy(g_vlc_enc, enc, 16);
-  std::memcpy(g_vlc_dec, dec, 16);
+void grk_ht_set_vlc(const uint8_t* enc_cwd, const uint8_t* enc_len,
+                    const uint8_t* lut_rho, const uint8_t* lut_len) {
+  std::memcpy(g_vlc_enc, enc_cwd, 16);
+  std::memcpy(g_vlc_len, enc_len, 16);
+  std::memcpy(g_vlc_lut_rho, lut_rho, 1 << GRK_HT_MAX_CWD);
+  std::memcpy(g_vlc_lut_len, lut_len, 1 << GRK_HT_MAX_CWD);
 }
 
 
@@ -284,7 +300,10 @@ static void ht_encode_one(GrkHTEncJob* j) {
       }
       mel.encode(rho ? 1 : 0);
       if (!rho) continue;
-      vlc.put_bits(ns == 4 ? g_vlc_enc[rho] : rho, ns);
+      if (ns == 4)
+        vlc.put_bits(g_vlc_enc[rho], g_vlc_len[rho]);
+      else
+        vlc.put_bits(rho, ns);
       int diff = (int)umax - (int)u_pred;
       uint32_t zz = diff >= 0 ? ((uint32_t)diff << 1)
                               : (((uint32_t)(-diff) << 1) - 1);
@@ -352,8 +371,16 @@ static void ht_decode_one(GrkHTDecJob* j) {
       int ny = std::min(2, h - y0), nx = std::min(2, w - x0);
       int ns = ny * nx;
       if (!mel.decode()) continue;
-      uint32_t rho = vlc.get_bits(ns);
-      if (ns == 4) rho = g_vlc_dec[rho];
+      uint32_t rho;
+      if (ns == 4) {
+        // prefix-code window read: peek the max-width window, consume
+        // the matched codeword's length (LUT built by t1/ht_tables.py)
+        uint32_t win = vlc.get_bits(GRK_HT_MAX_CWD);
+        rho = g_vlc_lut_rho[win];
+        vlc.bitpos -= (size_t)(GRK_HT_MAX_CWD - g_vlc_lut_len[win]);
+      } else {
+        rho = vlc.get_bits(ns);
+      }
       uint32_t zz = get_u(vlc);
       int diff = (zz & 1) ? -(int)((zz + 1) >> 1) : (int)(zz >> 1);
       int umax = (int)u_pred + diff;

@@ -399,6 +399,41 @@ def test_device_ht_consumes_swapped_vlc_tables(rng):
         ht_tables.reset_tables()
 
 
+def test_device_ht_variable_length_vlc_tables(rng):
+    """VERDICT r3 #2: the device coder pair consumes true VARIABLE-LENGTH
+    prefix codes (window read + consumed-length advance), byte-identical
+    to the host under a synthetic 2..7-bit canonical prefix table."""
+    from grok_tpu.t1 import ht, ht_tables
+    from grok_tpu.ops.ht_encode import encode_cblks_ht_device
+    from grok_tpu.ops.ht_decode import decode_cblks_ht_device
+
+    lens = [2, 7, 3, 5, 4, 6, 3, 5, 4, 7, 3, 5, 4, 6, 5, 7]
+    order = sorted(range(16), key=lambda r: (lens[r], r))
+    cwds = [0] * 16
+    code, prev = 0, lens[order[0]]
+    for r in order[1:]:
+        code = (code + 1) << (lens[r] - prev)
+        cwds[r] = code
+        prev = lens[r]
+    enc = np.tile(np.asarray(cwds, np.uint8), (ht_tables.NUM_CTX, 1))
+    ln = np.tile(np.asarray(lens, np.uint8), (ht_tables.NUM_CTX, 1))
+    blocks = [rng.integers(-900, 900, (16, 16)).astype(np.int32)
+              for _ in range(3)]
+    blocks[1][rng.random((16, 16)) < 0.7] = 0
+    try:
+        ht_tables.set_tables(enc, ln)
+        host = [ht.encode_cblk_ht(b) for b in blocks]
+        dev = encode_cblks_ht_device(np.stack(blocks))
+        for (hseg, hnb), (dseg, dnb) in zip(host, dev):
+            assert hseg == dseg and hnb == dnb
+        outs = decode_cblks_ht_device([(s, 16, 16) for (s, _) in host])
+        for b, o in zip(blocks, outs):
+            exp = np.where(b != 0, np.sign(b) * (2 * np.abs(b) + 1), 0)
+            assert np.array_equal(np.asarray(o), exp)
+    finally:
+        ht_tables.reset_tables()
+
+
 def test_device_mq_encode_with_distortion_tracking(rng):
     """Rate-targeted (multi-layer PCRD) encodes can now run on the
     device MQ path: the significance schedule drives a closed-form

@@ -35,6 +35,25 @@ def _permuted_tables():
     return enc, ln
 
 
+# a synthetic VARIABLE-LENGTH prefix code (canonical construction,
+# lengths 2..7 = the T.814 range, Kraft sum 127/128): proves the decoders
+# window-read true prefix codes, not fixed-width nibbles
+VL_LENS = [2, 7, 3, 5, 4, 6, 3, 5, 4, 7, 3, 5, 4, 6, 5, 7]
+
+
+def _vl_tables():
+    order = sorted(range(16), key=lambda r: (VL_LENS[r], r))
+    cwds = [0] * 16
+    code, prev = 0, VL_LENS[order[0]]
+    for r in order[1:]:
+        code = (code + 1) << (VL_LENS[r] - prev)
+        cwds[r] = code
+        prev = VL_LENS[r]
+    enc = np.tile(np.asarray(cwds, np.uint8), (ht_tables.NUM_CTX, 1))
+    ln = np.tile(np.asarray(VL_LENS, np.uint8), (ht_tables.NUM_CTX, 1))
+    return enc, ln
+
+
 def test_golden_layout_vectors():
     rng = np.random.default_rng(7)
     a = rng.integers(-99, 100, (8, 8)).astype(np.int32)
@@ -106,8 +125,59 @@ def test_table_validation():
     with pytest.raises(ValueError):
         ht_tables.set_tables(enc[:, :8], ln[:, :8])
     bad = enc.copy()
-    bad[0, 0] = bad[0, 1]  # not bijective
+    bad[0, 0] = bad[0, 1]  # duplicate codeword = prefix violation
     with pytest.raises(ValueError):
         ht_tables.set_tables(bad, ln)
     with pytest.raises(ValueError):
-        ht_tables.set_tables(enc, ln * 0 + 5)  # wrong codeword length
+        ht_tables.set_tables(enc, ln * 0 + 8)  # beyond MAX_CWD_LEN
+    with pytest.raises(ValueError):
+        ht_tables.set_tables(enc, ln * 0)  # zero length
+    vle, vll = _vl_tables()
+    bad = vll.copy()
+    bad[0, 1] = 3  # rho-1's code becomes a prefix of a longer codeword
+    with pytest.raises(ValueError):
+        ht_tables.set_tables(vle, bad)
+    wide = vle.copy()
+    wide[0, 0] = 0x7F  # 7-bit codeword declared 2 bits long
+    with pytest.raises(ValueError):
+        ht_tables.set_tables(wide, vll)
+
+
+def test_variable_length_tables_round_trip(rng):
+    """Variable-length prefix codes flow through the Python reference AND
+    the native coder byte-identically, and round-trip (VERDICT r3 #2)."""
+    from grok_tpu.t1 import backend as bk
+    from grok_tpu.t1 import native as nat
+
+    ht_tables.set_tables(*_vl_tables())
+    for shape in ((8, 8), (32, 32), (64, 52)):
+        coeffs = rng.integers(-500, 500, shape).astype(np.int32)
+        coeffs[rng.random(shape) < 0.5] = 0
+        seg_py, nb_py = ht.encode_cblk_ht(coeffs)
+        exp = np.where(coeffs != 0,
+                       np.sign(coeffs) * (2 * np.abs(coeffs) + 1), 0)
+        assert np.array_equal(ht.decode_cblk_ht(seg_py, *shape), exp)
+        j = bk.EncodeJob(coeffs, 0, 0, ht=True, need_dist=False)
+        nat.ht_encode_batch_native([j])
+        assert j.data == seg_py
+        dj = bk.DecodeJob(seg_py, [len(seg_py)], 1, nb_py, shape[0],
+                          shape[1], 0, 0, ht=True)
+        nat.ht_decode_batch_native([dj])
+        assert np.array_equal(dj.out, exp)
+    # the 8x8 golden input produces a DIFFERENT stream under the VL code
+    a = np.random.default_rng(7).integers(-99, 100, (8, 8)).astype(np.int32)
+    seg, _ = ht.encode_cblk_ht(a)
+    assert seg != GOLDEN_8x8_SEED7
+    ht_tables.reset_tables()
+    seg2, _ = ht.encode_cblk_ht(a)
+    assert seg2 == GOLDEN_8x8_SEED7
+
+
+def test_variable_length_full_codec(rng):
+    """End-to-end public-API HT round trip under variable-length tables."""
+    arr = rng.integers(0, 256, (96, 96)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=8)
+    p = CompressParams(numresolution=3, ht=True)
+    ht_tables.set_tables(*_vl_tables())
+    d = grok_tpu.compress(img, p)
+    assert np.array_equal(grok_tpu.decompress(d).to_array(), arr)
