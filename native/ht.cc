@@ -38,14 +38,22 @@ static bool g_vlc_init = []() {
   return true;
 }();
 
-// Fast unstuffed MSB-first bit packer: a 64-bit accumulator drains four
-// bytes at a time with no per-byte stuffing checks; the stream is stuffed
-// once at assembly time (grk_stuff_bits), which is byte-identical to
-// streaming through the stuffing-aware writer.
+// Fast unstuffed MSB-first bit packer over a caller-provided raw buffer
+// (no growth checks in the hot path — the caller sizes the scratch to
+// the worst case): a 64-bit accumulator drains four bytes at a time via
+// one bswap32 store.  The stream is stuffed once at assembly time
+// (stuff_stream), which is byte-identical to streaming the bits through
+// a stuffing-aware writer.
 struct FastBitW {
-  std::vector<uint8_t> bytes;
+  uint8_t* base = nullptr;
+  uint8_t* p = nullptr;
   uint64_t acc = 0;
   uint32_t used = 0;
+  void init(uint8_t* buf) {
+    base = p = buf;
+    acc = 0;
+    used = 0;
+  }
   inline void put(int bit) { put_bits((uint32_t)(bit & 1), 1); }
   inline void put_bits(uint32_t v, int n) {
     acc = (acc << n) | (uint64_t)(v & ((n >= 32) ? 0xFFFFFFFFu
@@ -53,23 +61,19 @@ struct FastBitW {
     used += (uint32_t)n;
     if (used >= 32) {
       used -= 32;
-      uint32_t out = (uint32_t)(acc >> used);
-      size_t o = bytes.size();
-      bytes.resize(o + 4);
-      bytes[o] = (uint8_t)(out >> 24);
-      bytes[o + 1] = (uint8_t)(out >> 16);
-      bytes[o + 2] = (uint8_t)(out >> 8);
-      bytes[o + 3] = (uint8_t)out;
+      uint32_t out = __builtin_bswap32((uint32_t)(acc >> used));
+      std::memcpy(p, &out, 4);
+      p += 4;
     }
   }
-  long nbits() const { return (long)bytes.size() * 8 + used; }
+  long nbits() const { return (long)(p - base) * 8 + used; }
   // close the packed byte buffer (zero-pad the final partial byte)
   void finalize() {
     uint32_t rem = used;
     if (rem) {
       uint64_t tail = acc << (8 * ((rem + 7) / 8) - rem);
       for (int k = (int)((rem + 7) / 8) - 1; k >= 0; k--)
-        bytes.push_back((uint8_t)(tail >> (8 * k)));
+        *p++ = (uint8_t)(tail >> (8 * k));
     }
   }
 };
@@ -77,11 +81,11 @@ struct FastBitW {
 // Byte-wise 0xFF stuffer: same output as streaming the bits through a
 // stuffing-aware writer with zero-pad flush and trailing-0xFF guard
 // (grk_stuff_bits semantics), but ~1 loop iteration per byte.
-static void stuff_stream(FastBitW& bw, long nbits,
+static void stuff_stream(const FastBitW& bw, long nbits,
                          std::vector<uint8_t>& out) {
   out.clear();
   out.reserve((size_t)(nbits / 7 + 16));
-  const uint8_t* in = bw.bytes.data();
+  const uint8_t* in = bw.base;
   long nbytes = (nbits + 7) / 8;
   uint32_t acc = 0, used = 0, width = 8;
   for (long i = 0; i < nbytes; i++) {
@@ -147,6 +151,7 @@ struct FastBitR {
 struct MELEnc {
   int k = 0, run = 0;
   FastBitW bw;
+  void init(uint8_t* buf) { bw.init(buf); }
   inline void encode(int e) {
     int t = 1 << MEL_E[k];
     if (e == 0) {
@@ -249,6 +254,26 @@ struct GrkHTDecJob {
 
 namespace {
 
+static inline uint32_t ht_mag(int32_t v) {
+  uint32_t m = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
+  return m > 0x7FFFFFFFu ? 0x7FFFFFFFu : m;  // INT32_MIN: keep umax <= 31
+}
+
+// Shared per-quad VLC emission: rho codeword + zigzagged u residual.
+static inline void ht_put_quad_vlc(FastBitW& vlc, uint32_t rho,
+                                   uint32_t umax, uint32_t& u_pred) {
+  // fuse the codeword and the u prefix into one put_bits when possible
+  int diff = (int)umax - (int)u_pred;
+  uint32_t zz = diff >= 0 ? ((uint32_t)diff << 1)
+                          : (((uint32_t)(-diff) << 1) - 1);
+  u_pred = umax;
+  uint32_t cw = g_vlc_enc[rho], cl = g_vlc_len[rho];
+  if (zz == 0) vlc.put_bits(cw << 1, cl + 1);
+  else if (zz == 1) vlc.put_bits((cw << 2) | 0b10, cl + 2);
+  else if (zz == 2) vlc.put_bits((cw << 3) | 0b110, cl + 3);
+  else vlc.put_bits((cw << 10) | (0b111 << 7) | (zz - 3), cl + 10);
+}
+
 static void ht_encode_one(GrkHTEncJob* j) {
   int h = j->h, w = j->w;
   int cstride = j->stride > 0 ? j->stride : w;
@@ -257,62 +282,103 @@ static void ht_encode_one(GrkHTEncJob* j) {
   uint32_t maxmag = 0;
   const int32_t* cf = j->coeffs;
   for (int y = 0; y < h; y++) {
-    for (int x = 0; x < w; x++) {
-      int32_t v = cf[(size_t)y * cstride + x];
-      uint32_t m = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
-      if (m > maxmag) maxmag = m;
+    const int32_t* row = cf + (size_t)y * cstride;
+    uint32_t rm = 0;
+    for (int x = 0; x < w; x++) {  // vectorizable: or-reduce of |v|
+      int32_t v = row[x];
+      rm |= v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
     }
+    maxmag |= rm;
   }
+  // numbps only needs the bit LENGTH, and bitlen(OR of |v|) ==
+  // bitlen(max |v|); unclamped so INT32_MIN still reports 32 like the
+  // Python oracle (the per-quad clamp keeps the stream decodable)
   int numbps = 0;
   while (maxmag >> numbps) numbps++;
   j->numbps = numbps;
   if (numbps == 0) return;
 
+  // thread-local scratch sized to the worst case so the bit writers can
+  // run unchecked: MagSgn <= 33 bits/sample, VLC <= 17 bits/quad,
+  // MEL <= 6 bits/quad (+ flush)
+  thread_local std::vector<uint8_t> ms_raw, mel_raw, vlc_raw;
+  size_t np = (size_t)h * w;
+  if (ms_raw.size() < np * 5 + 64) ms_raw.resize(np * 5 + 64);
+  if (vlc_raw.size() < np * 3 + 64) vlc_raw.resize(np * 3 + 64);
+  if (mel_raw.size() < np + 64) mel_raw.resize(np + 64);
   FastBitW magsgn;
   MELEnc mel;
   FastBitW vlc;
-  magsgn.bytes.reserve((size_t)h * w * 5);
-  vlc.bytes.reserve((size_t)h * w);
+  magsgn.init(ms_raw.data());
+  mel.init(mel_raw.data());
+  vlc.init(vlc_raw.data());
   int qh = (h + 1) / 2, qw = (w + 1) / 2;
-  for (int qy = 0; qy < qh; qy++) {
-    uint32_t u_pred = 1;
-    for (int qx = 0; qx < qw; qx++) {
-      int y0 = 2 * qy, x0 = 2 * qx;
-      int ny = std::min(2, h - y0), nx = std::min(2, w - x0);
-      // sample order: x-major then y (matches ht.py: for x in xs for y in ys)
-      int32_t vals[4];
-      int ns = 0;
-      for (int dx = 0; dx < nx; dx++)
-        for (int dy = 0; dy < ny; dy++)
-          vals[ns++] = cf[(size_t)(y0 + dy) * cstride + (x0 + dx)];
-      uint32_t rho = 0, umax = 0;
-      uint32_t mags[4];
-      for (int i = 0; i < ns; i++) {
-        uint32_t m = vals[i] < 0 ? (uint32_t)(-(int64_t)vals[i])
-                                 : (uint32_t)vals[i];
-        if (m > 0x7FFFFFFFu) m = 0x7FFFFFFFu;  // INT32_MIN: keep umax <= 31
-        mags[i] = m;
-        if (m) {
-          rho |= 1u << i;
-          uint32_t e = 32u - (uint32_t)__builtin_clz(m);
-          if (e > umax) umax = e;
-        }
+  if ((h & 1) == 0 && (w & 1) == 0) {
+    // fast path: every quad is full (the production codeblock shape),
+    // branch-lean with two row pointers and one clz per quad
+    for (int qy = 0; qy < qh; qy++) {
+      uint32_t u_pred = 1;
+      const int32_t* a = cf + (size_t)(2 * qy) * cstride;
+      const int32_t* b = a + cstride;
+      for (int qx = 0; qx < qw; qx++, a += 2, b += 2) {
+        // sample order TL, BL, TR, BR (matches ht.py x-major-then-y)
+        int32_t v0 = a[0], v1 = b[0], v2 = a[1], v3 = b[1];
+        uint32_t m0 = ht_mag(v0), m1 = ht_mag(v1);
+        uint32_t m2 = ht_mag(v2), m3 = ht_mag(v3);
+        uint32_t rho = (m0 ? 1u : 0u) | (m1 ? 2u : 0u) | (m2 ? 4u : 0u)
+                       | (m3 ? 8u : 0u);
+        mel.encode(rho ? 1 : 0);
+        if (!rho) continue;
+        uint32_t umax = 32u - (uint32_t)__builtin_clz(m0 | m1 | m2 | m3);
+        ht_put_quad_vlc(vlc, rho, umax, u_pred);
+        int nb = (int)umax + 1;
+        if (m0) magsgn.put_bits(((m0 - 1) << 1) | (v0 < 0 ? 1u : 0u), nb);
+        if (m1) magsgn.put_bits(((m1 - 1) << 1) | (v1 < 0 ? 1u : 0u), nb);
+        if (m2) magsgn.put_bits(((m2 - 1) << 1) | (v2 < 0 ? 1u : 0u), nb);
+        if (m3) magsgn.put_bits(((m3 - 1) << 1) | (v3 < 0 ? 1u : 0u), nb);
       }
-      mel.encode(rho ? 1 : 0);
-      if (!rho) continue;
-      if (ns == 4)
-        vlc.put_bits(g_vlc_enc[rho], g_vlc_len[rho]);
-      else
-        vlc.put_bits(rho, ns);
-      int diff = (int)umax - (int)u_pred;
-      uint32_t zz = diff >= 0 ? ((uint32_t)diff << 1)
-                              : (((uint32_t)(-diff) << 1) - 1);
-      put_u(vlc, zz);
-      u_pred = umax;
-      for (int i = 0; i < ns; i++) {
-        if (rho & (1u << i)) {
-          magsgn.put_bits(((mags[i] - 1) << 1) | (vals[i] < 0 ? 1u : 0u),
-                          (int)umax + 1);
+    }
+  } else {
+    for (int qy = 0; qy < qh; qy++) {
+      uint32_t u_pred = 1;
+      for (int qx = 0; qx < qw; qx++) {
+        int y0 = 2 * qy, x0 = 2 * qx;
+        int ny = std::min(2, h - y0), nx = std::min(2, w - x0);
+        // sample order: x-major then y (matches ht.py: for x in xs
+        // for y in ys)
+        int32_t vals[4];
+        int ns = 0;
+        for (int dx = 0; dx < nx; dx++)
+          for (int dy = 0; dy < ny; dy++)
+            vals[ns++] = cf[(size_t)(y0 + dy) * cstride + (x0 + dx)];
+        uint32_t rho = 0, umax = 0;
+        uint32_t mags[4];
+        for (int i = 0; i < ns; i++) {
+          uint32_t m = ht_mag(vals[i]);
+          mags[i] = m;
+          if (m) {
+            rho |= 1u << i;
+            uint32_t e = 32u - (uint32_t)__builtin_clz(m);
+            if (e > umax) umax = e;
+          }
+        }
+        mel.encode(rho ? 1 : 0);
+        if (!rho) continue;
+        if (ns == 4) {
+          ht_put_quad_vlc(vlc, rho, umax, u_pred);
+        } else {
+          vlc.put_bits(rho, ns);
+          int diff = (int)umax - (int)u_pred;
+          uint32_t zz = diff >= 0 ? ((uint32_t)diff << 1)
+                                  : (((uint32_t)(-diff) << 1) - 1);
+          put_u(vlc, zz);
+          u_pred = umax;
+        }
+        for (int i = 0; i < ns; i++) {
+          if (rho & (1u << i)) {
+            magsgn.put_bits(((mags[i] - 1) << 1) | (vals[i] < 0 ? 1u : 0u),
+                            (int)umax + 1);
+          }
         }
       }
     }
@@ -364,6 +430,58 @@ static void ht_decode_one(GrkHTDecJob* j) {
   vlc.init(rev.data(), suf_len);
 
   int qh = (h + 1) / 2, qw = (w + 1) / 2;
+  if ((h & 1) == 0 && (w & 1) == 0) {
+    // fast path (every quad full): ONE 17-bit window read covers the
+    // max-width codeword plus the whole u code (prefix LUT from
+    // t1/ht_tables.py), and each significant sample is one fused
+    // (mag-1)<<1|sign read
+    for (int qy = 0; qy < qh; qy++) {
+      uint32_t u_pred = 1;
+      int32_t* o0 = j->out + (size_t)(2 * qy) * ostride;
+      int32_t* o1 = o0 + ostride;
+      for (int qx = 0; qx < qw; qx++, o0 += 2, o1 += 2) {
+        if (!mel.decode()) continue;
+        uint32_t win = vlc.get_bits(GRK_HT_MAX_CWD + 10);
+        uint32_t cw = win >> 10;
+        uint32_t rho = g_vlc_lut_rho[cw];
+        uint32_t clen = g_vlc_lut_len[cw];
+        uint32_t uw = (win >> (GRK_HT_MAX_CWD - clen)) & 0x3FF;
+        uint32_t zz, ulen;
+        if (!(uw >> 9)) { zz = 0; ulen = 1; }
+        else if (!((uw >> 8) & 1)) { zz = 1; ulen = 2; }
+        else if (!((uw >> 7) & 1)) { zz = 2; ulen = 3; }
+        else { zz = 3 + (uw & 0x7F); ulen = 10; }
+        vlc.bitpos -= (size_t)(GRK_HT_MAX_CWD + 10 - clen - ulen);
+        int diff = (zz & 1) ? -(int)((zz + 1) >> 1) : (int)(zz >> 1);
+        int umax = (int)u_pred + diff;
+        u_pred = (uint32_t)umax;
+        if (umax < 1 || umax > 31) return;  // tolerant bail-out
+        int nb = umax + 1;
+        // sample order TL, BL, TR, BR
+        if (rho & 1u) {
+          uint32_t v = ms.get_bits(nb);
+          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+          o0[0] = (v & 1) ? -val : val;
+        }
+        if (rho & 2u) {
+          uint32_t v = ms.get_bits(nb);
+          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+          o1[0] = (v & 1) ? -val : val;
+        }
+        if (rho & 4u) {
+          uint32_t v = ms.get_bits(nb);
+          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+          o0[1] = (v & 1) ? -val : val;
+        }
+        if (rho & 8u) {
+          uint32_t v = ms.get_bits(nb);
+          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+          o1[1] = (v & 1) ? -val : val;
+        }
+      }
+    }
+    return;
+  }
   for (int qy = 0; qy < qh; qy++) {
     uint32_t u_pred = 1;
     for (int qx = 0; qx < qw; qx++) {
