@@ -9,10 +9,15 @@ evaluates the common matrix/TRC profile class directly in float64:
     device RGB --rTRC/gTRC/bTRC--> linear RGB --rXYZ/gXYZ/bXYZ--> XYZ(D50)
               --Bradford D50->D65--> XYZ(D65) --sRGB matrix + EOTF--> sRGB
 
-Monochrome profiles use kTRC -> Y -> sRGB gray.  LUT-based profiles
-(A2B0 et al.) are out of scope and fall back to the caller's warning
-path.  Curve types handled: 'curv' (identity / u8.8 gamma / sampled
-table) and 'para' (types 0-4, ICC.1 §10.18).
+Monochrome profiles use kTRC -> Y -> sRGB gray.  LUT-based A2B0
+profiles of the lut8Type/lut16Type class ('mft1'/'mft2', ICC.1 §10.8-9)
+evaluate the full pipeline — 3x3 matrix, input curves, multi-dimensional
+CLUT with lcms-matching TETRAHEDRAL interpolation, output curves — into
+the PCS (XYZ u1.15 or legacy 16-bit/8-bit Lab encoding), then share the
+Bradford + sRGB tail with the matrix/TRC path.  v4 'mAB ' pipelines and
+CMYK device spaces still fall back to the caller's warning path.  Curve
+types handled: 'curv' (identity / u8.8 gamma / sampled table) and 'para'
+(types 0-4, ICC.1 §10.18).
 """
 
 from __future__ import annotations
@@ -116,14 +121,183 @@ def _srgb_encode(lin: np.ndarray) -> np.ndarray:
                     1.055 * np.power(lin, 1 / 2.4) - 0.055)
 
 
+# ---------------------------------------------------------- LUT (A2B0)
+
+# D50 PCS white point (ICC.1 Annex A)
+_D50 = np.array([0.9642, 1.0, 0.8249])
+
+
+def _parse_mft(tag: bytes):
+    """Parse an 'mft1' (lut8) / 'mft2' (lut16) tag.  Returns (matrix,
+    input_tables, clut, output_tables, in_ch, out_ch, grid) with every
+    table normalized to float64 in [0, 1]."""
+    kind = tag[:4]
+    if kind not in (b"mft1", b"mft2") or len(tag) < 48:
+        raise UnsupportedProfile("not an mft LUT")
+    in_ch, out_ch, grid = tag[8], tag[9], tag[10]
+    if not (1 <= in_ch <= 4) or not (1 <= out_ch <= 4) or grid < 2:
+        raise UnsupportedProfile("LUT channel/grid out of range")
+    mat = np.array(struct.unpack(">9i", tag[12:48]),
+                   dtype=np.float64).reshape(3, 3) / 65536.0
+    if kind == b"mft2":
+        n_in, n_out = struct.unpack(">HH", tag[48:52])
+        off = 52
+        width, scale, dt = 2, 65535.0, ">u2"
+    else:
+        n_in = n_out = 256
+        off = 48
+        width, scale, dt = 1, 255.0, ">u1"
+    need = off + width * (in_ch * n_in + (grid ** in_ch) * out_ch
+                          + out_ch * n_out)
+    if n_in < 2 or n_out < 2 or need > len(tag):
+        raise UnsupportedProfile("LUT tables out of bounds")
+
+    def read(count):
+        nonlocal off
+        arr = np.frombuffer(tag[off:off + width * count],
+                            dtype=dt).astype(np.float64) / scale
+        off += width * count
+        return arr
+
+    in_tabs = [read(n_in) for _ in range(in_ch)]
+    clut = read((grid ** in_ch) * out_ch).reshape((grid,) * in_ch
+                                                  + (out_ch,))
+    out_tabs = [read(n_out) for _ in range(out_ch)]
+    return mat, in_tabs, clut, out_tabs, in_ch, out_ch, grid
+
+
+def _interp1d(table: np.ndarray, x: np.ndarray) -> np.ndarray:
+    xs = np.linspace(0.0, 1.0, len(table))
+    return np.interp(np.clip(x, 0.0, 1.0), xs, table)
+
+
+def _tetrahedral3(clut: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Tetrahedral interpolation of a (g, g, g, out_ch) CLUT at
+    x: (3, ...) in [0, 1] — the interpolant lcms2 uses for 3-input
+    CLUTs, so 8-bit results track ImageCms within an LSB."""
+    g = clut.shape[0]
+    p = np.clip(x, 0.0, 1.0) * (g - 1)
+    i = np.minimum(p.astype(np.int64), g - 2)
+    r = p - i
+    ix, iy, iz = i[0], i[1], i[2]
+    rx, ry, rz = r[0], r[1], r[2]
+
+    def c(dx, dy, dz):
+        return clut[ix + dx, iy + dy, iz + dz]
+
+    c000 = c(0, 0, 0)
+    c100, c010, c001 = c(1, 0, 0), c(0, 1, 0), c(0, 0, 1)
+    c110, c101, c011 = c(1, 1, 0), c(1, 0, 1), c(0, 1, 1)
+    c111 = c(1, 1, 1)
+    rx_, ry_, rz_ = rx[..., None], ry[..., None], rz[..., None]
+    # the six tetrahedra, in lcms2's comparison order
+    m1 = (rx >= ry) & (ry >= rz)
+    m2 = (rx >= rz) & (rz >= ry)
+    m3 = (rz >= rx) & (rx >= ry)
+    m4 = (ry >= rx) & (rx >= rz)
+    m5 = (ry >= rz) & (rz >= rx)
+    t1 = c000 + rx_ * (c100 - c000) + ry_ * (c110 - c100) \
+        + rz_ * (c111 - c110)
+    t2 = c000 + rx_ * (c100 - c000) + rz_ * (c101 - c100) \
+        + ry_ * (c111 - c101)
+    t3 = c000 + rz_ * (c001 - c000) + rx_ * (c101 - c001) \
+        + ry_ * (c111 - c101)
+    t4 = c000 + ry_ * (c010 - c000) + rx_ * (c110 - c010) \
+        + rz_ * (c111 - c110)
+    t5 = c000 + ry_ * (c010 - c000) + rz_ * (c011 - c010) \
+        + rx_ * (c111 - c011)
+    t6 = c000 + rz_ * (c001 - c000) + ry_ * (c011 - c001) \
+        + rx_ * (c111 - c011)
+    m = np.broadcast_to
+    sel = np.where(m(m1[..., None], t1.shape), t1,
+                   np.where(m(m2[..., None], t1.shape), t2,
+                            np.where(m(m3[..., None], t1.shape), t3,
+                                     np.where(m(m4[..., None], t1.shape),
+                                              t4,
+                                              np.where(m(m5[..., None],
+                                                         t1.shape),
+                                                       t5, t6)))))
+    return sel
+
+
+def _lab_to_xyz_d50(L, a, b):
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def finv(t):
+        d = 6.0 / 29.0
+        return np.where(t > d, t ** 3, 3.0 * d * d * (t - 4.0 / 29.0))
+
+    return np.stack([finv(fx) * _D50[0], finv(fy) * _D50[1],
+                     finv(fz) * _D50[2]])
+
+
+def _apply_a2b_lut(planes3, a2b: bytes, pcs: bytes,
+                   peak: float) -> np.ndarray:
+    """Run three device planes through an mft1/mft2 A2B0 pipeline;
+    returns XYZ(D50) stacked (3, h, w)."""
+    mat, in_tabs, clut, out_tabs, in_ch, out_ch, _g = _parse_mft(a2b)
+    if in_ch != 3 or out_ch != 3:
+        raise UnsupportedProfile("only 3->3 LUT pipelines")
+    x = np.stack([p.astype(np.float64) / peak for p in planes3])
+    if not np.allclose(mat, np.eye(3)):
+        # per ICC.1 the matrix is only meaningful for XYZ input data;
+        # lcms applies it unconditionally, so follow lcms
+        x = np.einsum("ij,jhw->ihw", mat, x)
+    x = np.stack([_interp1d(in_tabs[i], x[i]) for i in range(3)])
+    out = _tetrahedral3(clut, x)           # (h, w, 3)
+    out = np.stack([_interp1d(out_tabs[i], out[..., i])
+                    for i in range(3)])
+    is16 = a2b[:4] == b"mft2"
+    if pcs == b"XYZ ":
+        # PCS XYZ: u1.15 encoding (0x8000 = 1.0)
+        return out * (65535.0 / 32768.0)
+    if pcs == b"Lab ":
+        if is16:
+            # legacy 16-bit Lab: L on 0..0xFF00, a/b offset 0x8000
+            raw = out * 65535.0
+            L = raw[0] * 100.0 / 65280.0
+            a = raw[1] / 256.0 - 128.0
+            b = raw[2] / 256.0 - 128.0
+        else:
+            raw = out * 255.0
+            L = raw[0] * 100.0 / 255.0
+            a = raw[1] - 128.0
+            b = raw[2] - 128.0
+        return _lab_to_xyz_d50(L, a, b)
+    raise UnsupportedProfile("PCS")
+
+
 def profile_to_srgb(planes: list[np.ndarray], icc: bytes,
                     prec: int) -> list[np.ndarray] | None:
     """Convert device planes (len 1 or 3, unsigned, `prec` bits) to sRGB
     at the same precision.  Returns None for profiles outside the
     matrix/TRC class (the caller warns and keeps the profile attached)."""
+    def xyz_tail(xyz_d50):
+        xyz_d65 = np.einsum("ij,jhw->ihw", _D50_TO_D65, xyz_d50)
+        srgb_lin = np.einsum("ij,jhw->ihw", _XYZ_TO_SRGB, xyz_d65)
+        if not np.isfinite(srgb_lin).all():
+            # degenerate curves/matrices: keep the profile attached
+            # rather than writing NaN/inf-derived samples (check
+            # BEFORE the encode clip maps inf to 1.0)
+            return None
+        enc = _srgb_encode(srgb_lin)
+        out = np.rint(enc * peak).astype(np.int64)
+        return [np.clip(out[i], 0, int(peak)).astype(np.int32)
+                for i in range(3)] + [p for p in planes[3:]]
+
     try:
         tags = _tags(icc)
         peak = float((1 << prec) - 1)
+        a2b = tags.get(b"A2B0")
+        if len(planes) >= 3 and a2b is not None \
+                and a2b[:4] in (b"mft1", b"mft2") \
+                and icc[16:20] == b"RGB ":
+            # lcms prefers the A2B pipeline over matrix/TRC when both
+            # are present, so mirror that order
+            xyz_d50 = _apply_a2b_lut(planes[:3], a2b, icc[20:24], peak)
+            return xyz_tail(xyz_d50)
         if len(planes) >= 3 and all(
                 t in tags for t in (b"rXYZ", b"gXYZ", b"bXYZ",
                                     b"rTRC", b"gTRC", b"bTRC")):
@@ -133,17 +307,7 @@ def profile_to_srgb(planes: list[np.ndarray], icc: bytes,
                 _curve(tags[t])(planes[i].astype(np.float64) / peak)
                 for i, t in enumerate((b"rTRC", b"gTRC", b"bTRC"))]
             xyz_d50 = np.einsum("ij,jhw->ihw", mat, np.stack(lin))
-            xyz_d65 = np.einsum("ij,jhw->ihw", _D50_TO_D65, xyz_d50)
-            srgb_lin = np.einsum("ij,jhw->ihw", _XYZ_TO_SRGB, xyz_d65)
-            if not np.isfinite(srgb_lin).all():
-                # degenerate curves/matrices: keep the profile attached
-                # rather than writing NaN/inf-derived samples (check
-                # BEFORE the encode clip maps inf to 1.0)
-                return None
-            enc = _srgb_encode(srgb_lin)
-            out = np.rint(enc * peak).astype(np.int64)
-            return [np.clip(out[i], 0, int(peak)).astype(np.int32)
-                    for i in range(3)] + [p for p in planes[3:]]
+            return xyz_tail(xyz_d50)
         if len(planes) >= 1 and b"kTRC" in tags:
             y = _curve(tags[b"kTRC"])(
                 planes[0].astype(np.float64) / peak)
