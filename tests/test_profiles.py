@@ -156,3 +156,47 @@ def test_broadcast_full_constraints(rng):
     with pytest.raises(ParamError):
         grok_tpu.compress(img, CompressParams(
             profile=Profile.BC_SINGLE, profile_level=12))
+
+
+def test_cinema4k_full_scale_conformance(rng):
+    """BASELINE config 4 at its stated scale (VERDICT r3 #5): a full
+    4096x2160 DCI 4K encode honors the 24 fps codestream cap, carries the
+    4K Rsiz, the two-volume POC (2K sub-resolutions first), CPRL
+    ordering, per-component tile-parts, and passes the decoder-side
+    profile conformance report."""
+    arr = _xyz12(rng, 4096, 2160)
+    img = GrkImage.from_array(arr, prec=12)
+    p = CompressParams(profile=Profile.CINEMA_4K, framerate=24,
+                       numresolution=7)
+    data = grok_tpu.compress(img, p)
+    assert len(data) <= profiles.CINEMA_24_CS
+    hi = grok_tpu.read_header(data)
+    assert hi.siz.rsiz == int(Profile.CINEMA_4K)
+    tcp = hi.cp.tcps[0]
+    assert tcp.prog_order == Progression.CPRL
+    assert tcp.tccps[0].cblkw == 5 and tcp.tccps[0].cblkh == 5  # 32x32
+    assert len(tcp.progression_changes) == 2
+    assert tcp.progression_changes[0].res_e == 6  # 2K volume first
+    assert tcp.progression_changes[1].res_s == 6
+    assert not profiles.validate_decoded_profile(hi.siz.rsiz, hi)
+    # single tile; -u C splits at component changes in CPRL order, and
+    # the two POC volumes each cycle the 3 components: 6 tile-parts, so
+    # the 2K volume is extractable as whole tile-parts (DCI 4K layout)
+    # (walk the marker stream — a byte scan would hit FF90 in packet data)
+    assert hi.cp.numtiles == 1
+    pos, sots = 2, 0
+    while pos < len(data) - 3:
+        assert data[pos] == 0xFF
+        m = data[pos + 1]
+        if m == 0xD9:
+            break
+        if m == 0x90:
+            sots += 1
+            pos += int.from_bytes(data[pos + 6:pos + 10], "big")
+        else:
+            pos += 2 + int.from_bytes(data[pos + 2:pos + 4], "big")
+    assert sots == 6
+    out = grok_tpu.decompress(data)
+    err = out.to_array().astype(float) - arr
+    psnr = 10 * np.log10(4095 ** 2 / max((err ** 2).mean(), 1e-9))
+    assert psnr > 32, psnr
