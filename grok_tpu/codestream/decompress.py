@@ -284,6 +284,12 @@ class CodestreamDecoder:
                     or not 1 <= dy <= 255:
                 raise ValueError(
                     f"invalid SIZ component (prec={prec} dx={dx} dy={dy})")
+            if prec > 31:
+                # legal to SIGNAL (Ssiz <= 38) but outside our int32
+                # sample pipeline: fail cleanly instead of overflowing
+                # the DC-unshift bounds downstream (fuzz-found)
+                raise ValueError(
+                    f"unsupported component precision {prec} (> 31)")
         cp = CodingParams()
         cp.rsiz = siz.rsiz
         cp.tx0, cp.ty0 = siz.xtosiz, siz.ytosiz
@@ -402,6 +408,9 @@ class CodestreamDecoder:
             self._err("truncated SOT marker")
             return len(d)
         seglen = struct.unpack(">H", d[pos + 2:pos + 4])[0]
+        if seglen < 10:  # Lsot is exactly 10; a shorter payload cannot
+            self._err("malformed SOT marker")  # hold Isot/Psot/TPsot/TNsot
+            return len(d)
         isot, psot, tpsot, tnsot = mk.read_sot(d[pos + 4:pos + 2 + seglen])
         self.hi.marker_log.append((f"SOT(t={isot},tp={tpsot})", pos, seglen + 2))
         tp_start = pos

@@ -24,10 +24,13 @@ stripe scan), but almost everything about them is decidable in parallel:
 - raw (selective-bypass) passes bypass MQ into packed bit streams
   (host applies the 0xFF stuffing, as in the device HT path).
 
-Byte-identical to t1/coder.py / native/t1.cc for styles NONE and LAZY
-without distortion tracking (the default single-layer encode path);
-other styles and rate-targeted encodes fall back to the host coder.
-Only compressed bytes cross the device-to-host link.
+Byte-identical to t1/coder.py / native/t1.cc for styles NONE and LAZY.
+Rate-targeted (multi-layer PCRD) encodes are device-eligible too: with
+`need_dist=True` the significance schedule drives a closed-form
+on-device distortion kernel whose per-pass sums match the host coder
+exactly (MAX_NUMBPS_DIST bounds the magnitude range where the float64
+accumulation stays integer-exact).  Other styles fall back to the host
+coder.  Only compressed bytes cross the device-to-host link.
 """
 
 from __future__ import annotations

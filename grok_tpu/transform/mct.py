@@ -102,6 +102,10 @@ def round_to_int(p: np.ndarray, prec: int) -> np.ndarray:
 
 def dc_shift_inverse(x: np.ndarray, prec: int, sgnd: bool) -> np.ndarray:
     if sgnd:
+        if prec >= 32 and x.dtype == np.int32:
+            # bounds exceed the dtype: clip is a no-op, and numpy 2.x
+            # raises OverflowError on out-of-dtype python-int limits
+            return x
         lo, hi = -(1 << (prec - 1)), (1 << (prec - 1)) - 1
         return np.clip(x, lo, hi).astype(np.int32, copy=False)
     if prec <= 24 and x.dtype == np.int32:

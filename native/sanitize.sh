@@ -19,7 +19,13 @@ if [ ! -f "$ASAN_SO" ]; then
     exit 1
 fi
 cd ..
+# deep fuzz under the instrumented library (VERDICT r3 #9): >= 5000
+# mutations, seed rotated per round via the commit count (reproducible
+# for a given checkout, fresh coverage every round)
+FUZZ_SEED=$(git rev-list --count HEAD 2>/dev/null || echo 61474)
 env GROK_TPU_NATIVE_LIB="$SAN_LIB" LD_PRELOAD="$ASAN_SO" \
     ASAN_OPTIONS=detect_leaks=0 \
+    GROK_TPU_FUZZ_TRIALS=5000 GROK_TPU_FUZZ_BUDGET=900 \
+    GROK_TPU_FUZZ_SEED="$FUZZ_SEED" \
     python -m pytest tests/test_native_t1.py tests/test_native_t2.py \
     tests/test_ht.py tests/test_fuzz_decoder.py -q -x "$@"

@@ -12,11 +12,15 @@ decoder's error discipline:
 - strict decode may additionally raise GrkError (it must not be more
   permissive in failure type).
 
-A fixed RNG seed keeps the corpus reproducible; the trial count adapts
-to a wall-clock budget with a hard minimum of 500 mutations.
+The RNG seed is fixed by default (reproducible corpus) and rotated per
+round by the sanitizer harness via GROK_TPU_FUZZ_SEED (native/sanitize.sh
+derives it from the commit count).  GROK_TPU_FUZZ_TRIALS raises the
+minimum trial count for deep runs (VERDICT r3 #9: >= 5000 mutations
+under ASan); the default keeps the quick suite fast.
 """
 
 import io
+import os
 import time
 
 import numpy as np
@@ -25,11 +29,26 @@ import pytest
 import grok_tpu
 from grok_tpu import CompressParams, DecompressParams, GrkImage
 from grok_tpu.errors import GrkError
+from grok_tpu.params import Progression, ProgressionChange
 
 ALLOWED = (GrkError,)
-BUDGET_SECONDS = 45.0
-MIN_TRIALS = 500
-MAX_TRIALS = 1500
+MIN_TRIALS = int(os.environ.get("GROK_TPU_FUZZ_TRIALS", "500"))
+MAX_TRIALS = MIN_TRIALS * 3
+BUDGET_SECONDS = float(os.environ.get("GROK_TPU_FUZZ_BUDGET", "45"))
+FUZZ_SEED = int(os.environ.get("GROK_TPU_FUZZ_SEED", "61474"))
+
+
+def _subsampled(rng, w, h):
+    from grok_tpu.image import ImageComponent
+
+    img = GrkImage(x0=0, y0=0, x1=w, y1=h)
+    for dx, dy in ((1, 1), (2, 2), (2, 2)):
+        c = ImageComponent(dx=dx, dy=dy, prec=12, sgnd=False)
+        cw, ch = -(-w // dx), -(-h // dy)
+        c.data = rng.integers(0, 4096, size=(ch, cw)).astype(np.int32)
+        c.w, c.h = cw, ch
+        img.comps.append(c)
+    return img
 
 
 def _seed_corpus():
@@ -54,6 +73,23 @@ def _seed_corpus():
                           CompressParams(numresolution=3, plm=True,
                                          precincts=[(32, 32)],
                                          new_tile_part_progression="R")),
+        # MIXED set: per-block MQ/HT dispatch + CAP Part-15 bits
+        grok_tpu.compress(GrkImage.from_array(arr3),
+                          CompressParams(numresolution=3, ht=True,
+                                         ht_mixed=True,
+                                         tile_size=(64, 64))),
+        # POC with two progression volumes + PPT packed headers
+        grok_tpu.compress(GrkImage.from_array(arr3),
+                          CompressParams(
+                              numresolution=4, ppt=True,
+                              progression_changes=[
+                                  ProgressionChange(0, 0, 1, 2, 3,
+                                                    Progression.RLCP),
+                                  ProgressionChange(2, 0, 1, 4, 3,
+                                                    Progression.CPRL)])),
+        # subsampled chroma (4:2:0-style SIZ) + 12-bit precision
+        grok_tpu.compress(_subsampled(rng, 64, 48),
+                          CompressParams(numresolution=3)),
     ]
     # oracle-produced stream (independent encoder's marker layout)
     from PIL import Image
@@ -89,7 +125,7 @@ def _mutate(rng, data: bytes) -> bytes:
 
 def test_decoder_mutation_fuzz():
     seeds = _seed_corpus()
-    rng = np.random.default_rng(0xF022)
+    rng = np.random.default_rng(FUZZ_SEED)
     t0 = time.perf_counter()
     trials = 0
     failures = []
@@ -98,13 +134,21 @@ def test_decoder_mutation_fuzz():
             break
         data = _mutate(rng, seeds[trials % len(seeds)])
         strict = trials % 3 == 0
+        # a 30 KB mutant can legally declare a huge canvas; the pixel
+        # budget keeps each trial bounded (and is itself part of the
+        # surface under test)
+        dp = DecompressParams(strict=strict, max_pixels=1 << 22)
+        if trials % 5 == 4:
+            # window/reduce decode paths see the same mutations (the
+            # TLM/PLT-guided skipping and produce-chain cropping have
+            # their own failure modes on corrupt indexes)
+            dp.window = (
+                int(rng.integers(0, 32)), int(rng.integers(0, 32)),
+                int(rng.integers(33, 96)), int(rng.integers(33, 96)))
+            dp.reduce = int(rng.integers(0, 3))
         t_trial = time.perf_counter()
         try:
-            # a 30 KB mutant can legally declare a huge canvas; the
-            # pixel budget keeps each trial bounded (and is itself part
-            # of the surface under test)
-            grok_tpu.decompress(data, DecompressParams(
-                strict=strict, max_pixels=1 << 22))
+            grok_tpu.decompress(data, dp)
         except ALLOWED:
             pass
         except Exception as e:  # noqa: BLE001 - the point of the fuzz

@@ -1,0 +1,81 @@
+"""Opt-in gigapixel-scale run (VERDICT r3 #6, BASELINE config 5: tiled
+geospatial imagery at gigapixel scale): a >= 1 GP tiled HTJ2K encode,
+full strip-streamed decode in bounded memory, and an O(window) ROI
+decode through the TLM/PLT indexes.
+
+Slow (several minutes) and memory-hungry (the encode API holds the
+full-image int32 canvas, ~4.3 GB at 32768^2): runs only when
+GROK_TPU_SLOW=1.  Measured numbers are recorded in PERF_NOTES.md
+("Gigapixel run").
+"""
+
+import os
+import resource
+import time
+
+import numpy as np
+import pytest
+
+import grok_tpu
+from grok_tpu import CompressParams, DecompressParams, GrkImage
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("GROK_TPU_SLOW") != "1",
+    reason="gigapixel run is opt-in: set GROK_TPU_SLOW=1")
+
+N = 32768  # 32768^2 = 1.074 GP
+
+
+def _content(y0, y1):
+    """Deterministic rows [y0, y1): smooth texture + structure, cheap to
+    regenerate per strip so verification never needs a second canvas."""
+    y = np.arange(y0, y1, dtype=np.int64)[:, None]
+    x = np.arange(N, dtype=np.int64)[None, :]
+    return (((x * 7 + y * 13) >> 5) ^ ((x >> 8) * (y >> 8))).astype(
+        np.int32) & 0xFF
+
+
+def test_gigapixel_ht_encode_strip_decode_roi():
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    arr = _content(0, N)
+    img = GrkImage.from_array(arr, prec=8)
+    cp = CompressParams(numresolution=6, tile_size=(1024, 1024), ht=True,
+                        tlm=True, plt=True)
+    t0 = time.perf_counter()
+    data = grok_tpu.compress(img, cp)
+    t_enc = time.perf_counter() - t0
+    mp = N * N / 1e6
+    del img, arr
+
+    # O(window) ROI decode through TLM/PLT: a 512x512 window crossing
+    # tile seams deep in the image must be fast and exact
+    dpw = DecompressParams()
+    dpw.window = (20000 - 256, 28000 - 256, 20000 + 256, 28000 + 256)
+    t0 = time.perf_counter()
+    out = grok_tpu.decompress(data, dpw)
+    t_roi = time.perf_counter() - t0
+    assert np.array_equal(out.comps[0].data,
+                          _content(28000 - 256, 28000 + 256)
+                          [:, 20000 - 256:20000 + 256])
+    assert t_roi < 0.05 * t_enc  # O(window), not O(image)
+
+    # full strip-streamed decode: bounded memory, bit-exact everywhere
+    t0 = time.perf_counter()
+    rows = 0
+    for y0, planes in grok_tpu.decompress_strips(data, DecompressParams()):
+        strip = planes[0]
+        assert np.array_equal(strip, _content(y0, y0 + strip.shape[0]))
+        rows += strip.shape[0]
+    t_dec = time.perf_counter() - t0
+    assert rows == N
+
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    peak_gb = rss1 / 1e6
+    # bounded: strip decode must not materialize a second full canvas on
+    # top of the encode-side peak (canvas 4.3 GB + bands; give 4x slack)
+    assert peak_gb < 40, peak_gb
+    print(f"\nGIGAPIXEL {mp:.0f} MP: encode {mp / t_enc:.1f} MP/s "
+          f"({t_enc:.0f}s), strip-decode {mp / t_dec:.1f} MP/s "
+          f"({t_dec:.0f}s), 512^2 ROI {t_roi * 1e3:.0f} ms, "
+          f"stream {len(data) / 1e6:.0f} MB, peak RSS {peak_gb:.1f} GB "
+          f"(baseline {rss0 / 1e6:.1f} GB)")
