@@ -38,23 +38,34 @@ def _window(bits, pos, n):
     return jnp.sum(w * weights)
 
 
-def _decode_one(ms_bits, mel_bits, vlc_bits, qxs, qys, qh, qw):
+def _decode_one(ms_bits, mel_bits, vlc_bits, qxs, qys, qh, qw, cqw):
     """Scan-decode one block's quad sequence on a canonical padded grid.
 
     qxs/qys: (NQ,) int32 quad coordinates of the canonical grid in scan
     order (qx == 0 resets the u predictor); qh/qw: the block's REAL quad
-    dims (traced scalars).  Quads outside the real grid are masked: they
-    consume no bits and change no state, so a single compilation serves
-    every block shape that fits the canonical grid (VERDICT round-1:
-    gigapixel tilings must not recompile per ragged shape).
+    dims (traced scalars); cqw: the canonical grid width (static).
+    Quads outside the real grid are masked: they consume no bits and
+    change no state, so a single compilation serves every block shape
+    that fits the canonical grid (VERDICT round-1: gigapixel tilings
+    must not recompile per ragged shape).  The carry holds the previous
+    quad row's rho values (plus left/upleft scalars) for the CxtVLC
+    neighbor-significance context — on decode the context chain is
+    inherently sequential, so it rides the same scan as the bit cursors.
     Returns (NQ, 4) doubled-domain signed samples in TL,BL,TR,BR order."""
     e_tab = jnp.asarray(_MEL_E_ARR)
 
     def step(carry, qc):
-        (k0, pz0, pone0, mpos0, vpos0, spos0, upred0) = carry
+        (k0, pz0, pone0, mpos0, vpos0, spos0, upred0,
+         rrow0, left0, pup0) = carry
         qx, qy = qc
         valid = (qx < qw) & (qy < qh)
         upred0 = jnp.where((qx == 0) & valid, jnp.int32(1), upred0)
+        # ---- CxtVLC context from neighbor-quad significance
+        up = rrow0[qx]
+        left = jnp.where(qx == 0, 0, left0)
+        upleft = jnp.where(qx == 0, 0, pup0)
+        ctx = ((left > 0) + 2 * (up > 0) + 4 * (upleft > 0)).astype(
+            jnp.int32)
 
         # ---- one MEL event (mirrors t1.ht.MELDecoder)
         fresh = (pz0 == 0) & (~pone0)
@@ -88,11 +99,11 @@ def _decode_one(ms_bits, mel_bits, vlc_bits, qxs, qys, qh, qw):
         from ..t1 import ht_tables as _vt
 
         maxc = _vt.MAX_CWD_LEN
-        lut_rho = jnp.asarray(_vt.DEC_LUT_RHO[0], dtype=jnp.int32)
-        lut_len = jnp.asarray(_vt.DEC_LUT_LEN[0], dtype=jnp.int32)
+        lut_rho = jnp.asarray(_vt.DEC_LUT_RHO, dtype=jnp.int32)
+        lut_len = jnp.asarray(_vt.DEC_LUT_LEN, dtype=jnp.int32)
         cw = win >> (_VLC_WIN - maxc)
-        rho = lut_rho[cw]
-        clen = lut_len[cw]
+        rho = lut_rho[ctx, cw]
+        clen = lut_len[ctx, cw]
         uw = (win >> (_VLC_WIN - clen - 10)) & 0x3FF  # 10-bit u window
         u0 = (uw >> 9) & 1
         u1 = (uw >> 8) & 1
@@ -129,12 +140,16 @@ def _decode_one(ms_bits, mel_bits, vlc_bits, qxs, qys, qh, qw):
                      jnp.where(valid, mpos, mpos0),
                      jnp.where(valid, vpos, vpos0),
                      jnp.where(valid, spos, spos0),
-                     jnp.where(valid, upred, upred0))
+                     jnp.where(valid, upred, upred0),
+                     rrow0.at[qx].set(jnp.where(valid, rho, up)),
+                     jnp.where(valid, rho, left0),
+                     jnp.where(valid, up, pup0))
         out = jnp.where(valid, jnp.stack(vals), 0)
         return carry_new, out
 
     init = (jnp.int32(0), jnp.int32(0), jnp.bool_(False),
-            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1))
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1),
+            jnp.zeros((cqw,), jnp.int32), jnp.int32(0), jnp.int32(0))
     _, out = jax.lax.scan(step, init, (qxs, qys))
     return out
 
@@ -147,7 +162,8 @@ def decode_batch_device(ms_bits, mel_bits, vlc_bits, qhs, qws, *,
     qxs = jnp.tile(jnp.arange(cqw, dtype=jnp.int32), cqh)
     qys = jnp.repeat(jnp.arange(cqh, dtype=jnp.int32), cqw)
     out = jax.vmap(
-        lambda a, b, c, qh, qw: _decode_one(a, b, c, qxs, qys, qh, qw))(
+        lambda a, b, c, qh, qw: _decode_one(a, b, c, qxs, qys, qh, qw,
+                                            cqw))(
         ms_bits, mel_bits, vlc_bits, qhs, qws)
     # (B, NQ, 4) TL,BL,TR,BR -> (B, 2cqh, 2cqw)
     b = out.shape[0]

@@ -158,13 +158,19 @@ def _encode_one(coeffs):
         zz == 0, 1, jnp.where(zz == 1, 2, jnp.where(zz == 2, 3, 10)))
     # quad significance through the CxtVLC table (t1/ht_tables.py swap
     # point); the table is baked at trace time and the jit cache is
-    # cleared on set_tables()
+    # cleared on set_tables().  The neighbor-significance CONTEXT chain
+    # is fully data-parallel on encode — every quad's rho is known up
+    # front, so the left/up/upleft selectors are plain shifted views.
     from ..t1 import ht_tables as _vt
 
-    enc_tbl = jnp.asarray(_vt.ENC_CWD[0], dtype=jnp.int32)
-    len_tbl = jnp.asarray(_vt.ENC_LEN[0], dtype=jnp.int32)
-    vlc_vals = ((enc_tbl[rho] << ulen) | ucode).reshape(-1)
-    vlc_lens = jnp.where(nonempty, len_tbl[rho] + ulen, 0).reshape(-1)
+    enc_tbl = jnp.asarray(_vt.ENC_CWD, dtype=jnp.int32)   # (NUM_CTX, 16)
+    len_tbl = jnp.asarray(_vt.ENC_LEN, dtype=jnp.int32)
+    left = jnp.pad(rho[:, :-1], ((0, 0), (1, 0)))
+    up = jnp.pad(rho[:-1, :], ((1, 0), (0, 0)))
+    upleft = jnp.pad(rho[:-1, :-1], ((1, 0), (1, 0)))
+    ctx = ((left > 0) + 2 * (up > 0) + 4 * (upleft > 0)).astype(jnp.int32)
+    vlc_vals = ((enc_tbl[ctx, rho] << ulen) | ucode).reshape(-1)
+    vlc_lens = jnp.where(nonempty, len_tbl[ctx, rho] + ulen, 0).reshape(-1)
 
     # ---- MagSgn: ((m-1) << 1 | sign) in umax+1 bits per significant sample
     ms_vals = (((qm - 1) << 1) | qs).reshape(-1)

@@ -313,8 +313,11 @@ def encode_cblk_ht(coeffs: np.ndarray):
     mel = MELEncoder()
     vlc = _BitWriterMSB()
 
+    prev_rho = [0] * qw  # previous quad row's rho (context formation)
     for qy in range(qh):
         u_pred = 1  # predictor resets per quad row
+        row_rho = [0] * qw
+        left_rho = 0
         for qx in range(qw):
             ys = range(2 * qy, min(2 * qy + 2, h))
             xs = range(2 * qx, min(2 * qx + 2, w))
@@ -329,16 +332,21 @@ def encode_cblk_ht(coeffs: np.ndarray):
                     rho |= 1 << i
                     umax = max(umax, m.bit_length())
             mel.encode(1 if rho else 0)
+            row_rho[qx] = rho
+            ctx = ht_tables.quad_context(
+                left_rho, prev_rho[qx], prev_rho[qx - 1] if qx else 0)
+            left_rho = rho
             if not rho:
                 continue
             # quad significance through the CxtVLC table module (the
-            # single swap point, t1/ht_tables.py); partial edge quads
+            # single swap point, t1/ht_tables.py), selected by the
+            # neighbor-significance context; partial edge quads
             # (<4 samples) stay raw — their rho has fewer bits than a
             # table codeword
             ns = len(samples)
             if ns == 4:
-                vlc.put_bits(int(ht_tables.ENC_CWD[0, rho]),
-                             int(ht_tables.ENC_LEN[0, rho]))
+                vlc.put_bits(int(ht_tables.ENC_CWD[ctx, rho]),
+                             int(ht_tables.ENC_LEN[ctx, rho]))
             else:
                 vlc.put_bits(rho, ns)
             diff = umax - u_pred
@@ -350,6 +358,7 @@ def encode_cblk_ht(coeffs: np.ndarray):
                     m = min(int(mags[y, x]), 0x7FFFFFFF)
                     magsgn.put_bits(m - 1, umax)
                     magsgn.put(int(signs[y, x]))
+        prev_rho = row_rho
 
     ms_bytes = magsgn.flush()
     mel_bytes = mel.flush()
@@ -386,13 +395,19 @@ def decode_cblk_ht(data: bytes, h: int, w: int):
 
     qh = (h + 1) // 2
     qw = (w + 1) // 2
+    prev_rho = [0] * qw
     for qy in range(qh):
         u_pred = 1
+        row_rho = [0] * qw
+        left_rho = 0
         for qx in range(qw):
             ys = range(2 * qy, min(2 * qy + 2, h))
             xs = range(2 * qx, min(2 * qx + 2, w))
             samples = [(y, x) for x in xs for y in ys]
+            ctx = ht_tables.quad_context(
+                left_rho, prev_rho[qx], prev_rho[qx - 1] if qx else 0)
             if not mel.decode():
+                left_rho = 0
                 continue
             ns = len(samples)
             if ns == 4:
@@ -400,11 +415,13 @@ def decode_cblk_ht(data: bytes, h: int, w: int):
                 # (t1/ht_tables.py): peek MAX_CWD_LEN bits, consume the
                 # matched codeword's length
                 win = vlc.get_bits(ht_tables.MAX_CWD_LEN)
-                rho = int(ht_tables.DEC_LUT_RHO[0, win])
+                rho = int(ht_tables.DEC_LUT_RHO[ctx, win])
                 vlc.unget(win, ht_tables.MAX_CWD_LEN
-                          - int(ht_tables.DEC_LUT_LEN[0, win]))
+                          - int(ht_tables.DEC_LUT_LEN[ctx, win]))
             else:
                 rho = vlc.get_bits(ns)
+            row_rho[qx] = rho
+            left_rho = rho
             zz = _get_u(vlc)
             diff = (zz >> 1) if (zz & 1) == 0 else -((zz + 1) >> 1)
             umax = u_pred + diff
@@ -418,4 +435,5 @@ def decode_cblk_ht(data: bytes, h: int, w: int):
                     sgn = ms.get()
                     val = 2 * m + 1
                     out[y, x] = -val if sgn else val
+        prev_rho = row_rho
     return out

@@ -719,8 +719,9 @@ class TileCompressor:
                             arr[y0:y0 + cblk.rect.h,
                                 x0:x0 + cblk.rect.w] = out
                     if reversible:
-                        vals = (np.sign(arr) * (np.abs(arr) >> 1)).astype(
-                            np.int32)
+                        # doubled -> value: (v + (v < 0)) >> 1 halves
+                        # sign*(2m+1) toward zero without sign/abs temps
+                        vals = (arr - (arr >> 31)) >> 1
                     else:
                         vals = quant_mod.dequantize(arr, band.stepsize)
                     bands[(res.resno, band.orient)] = vals
@@ -1485,8 +1486,8 @@ class TileDecompressor:
                     doubled = self._band_arrays[
                         (tc.compno, res.resno, band.orient)]
                     if reversible:
-                        vals = np.sign(doubled) * (np.abs(doubled) >> 1)
-                        vals = vals.astype(np.int32)
+                        # doubled -> value without sign/abs temporaries
+                        vals = (doubled - (doubled >> 31)) >> 1
                     else:
                         vals = quant_mod.dequantize(
                             doubled, band.stepsize)

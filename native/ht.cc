@@ -20,23 +20,36 @@ static const int MEL_E[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
 
 // CxtVLC quad-significance code (swap point: grok_tpu/t1/ht_tables.py
 // installs tables via grk_ht_set_vlc; default = identity stand-in).
-// Variable-length prefix codes up to GRK_HT_MAX_CWD bits: the decoder
-// peeks a GRK_HT_MAX_CWD-bit window and consumes g_vlc_lut_len bits.
+// Per-context (GRK_HT_NUM_CTX slots, selected by neighbor-quad
+// significance) variable-length prefix codes up to GRK_HT_MAX_CWD bits:
+// the decoder peeks a GRK_HT_MAX_CWD-bit window in the selected
+// context's LUT and consumes g_vlc_lut_len bits.
 #define GRK_HT_MAX_CWD 7
-static uint8_t g_vlc_enc[16] = {0, 1, 2, 3, 4, 5, 6, 7,
-                                8, 9, 10, 11, 12, 13, 14, 15};
-static uint8_t g_vlc_len[16] = {4, 4, 4, 4, 4, 4, 4, 4,
-                                4, 4, 4, 4, 4, 4, 4, 4};
-static uint8_t g_vlc_lut_rho[1 << GRK_HT_MAX_CWD];
-static uint8_t g_vlc_lut_len[1 << GRK_HT_MAX_CWD];
+#define GRK_HT_NUM_CTX 8
+static uint8_t g_vlc_enc[GRK_HT_NUM_CTX * 16];
+static uint8_t g_vlc_len[GRK_HT_NUM_CTX * 16];
+static uint8_t g_vlc_lut_rho[GRK_HT_NUM_CTX << GRK_HT_MAX_CWD];
+static uint8_t g_vlc_lut_len[GRK_HT_NUM_CTX << GRK_HT_MAX_CWD];
 static bool g_vlc_init = []() {
-  for (int n = 0; n < 16; n++)
-    for (int k = 0; k < (1 << (GRK_HT_MAX_CWD - 4)); k++) {
-      g_vlc_lut_rho[(n << (GRK_HT_MAX_CWD - 4)) | k] = (uint8_t)n;
-      g_vlc_lut_len[(n << (GRK_HT_MAX_CWD - 4)) | k] = 4;
+  for (int c = 0; c < GRK_HT_NUM_CTX; c++)
+    for (int n = 0; n < 16; n++) {
+      g_vlc_enc[c * 16 + n] = (uint8_t)n;
+      g_vlc_len[c * 16 + n] = 4;
+      for (int k = 0; k < (1 << (GRK_HT_MAX_CWD - 4)); k++) {
+        int w = (c << GRK_HT_MAX_CWD) | (n << (GRK_HT_MAX_CWD - 4)) | k;
+        g_vlc_lut_rho[w] = (uint8_t)n;
+        g_vlc_lut_len[w] = 4;
+      }
     }
   return true;
 }();
+
+// quad coding context from neighbor significance (mirrors
+// t1/ht_tables.py::quad_context)
+static inline uint32_t ht_quad_ctx(uint32_t left, uint32_t up,
+                                   uint32_t upleft) {
+  return (left ? 1u : 0u) | (up ? 2u : 0u) | (upleft ? 4u : 0u);
+}
 
 // Fast unstuffed MSB-first bit packer over a caller-provided raw buffer
 // (no growth checks in the hot path — the caller sizes the scratch to
@@ -221,10 +234,10 @@ extern "C" {
 
 void grk_ht_set_vlc(const uint8_t* enc_cwd, const uint8_t* enc_len,
                     const uint8_t* lut_rho, const uint8_t* lut_len) {
-  std::memcpy(g_vlc_enc, enc_cwd, 16);
-  std::memcpy(g_vlc_len, enc_len, 16);
-  std::memcpy(g_vlc_lut_rho, lut_rho, 1 << GRK_HT_MAX_CWD);
-  std::memcpy(g_vlc_lut_len, lut_len, 1 << GRK_HT_MAX_CWD);
+  std::memcpy(g_vlc_enc, enc_cwd, GRK_HT_NUM_CTX * 16);
+  std::memcpy(g_vlc_len, enc_len, GRK_HT_NUM_CTX * 16);
+  std::memcpy(g_vlc_lut_rho, lut_rho, GRK_HT_NUM_CTX << GRK_HT_MAX_CWD);
+  std::memcpy(g_vlc_lut_len, lut_len, GRK_HT_NUM_CTX << GRK_HT_MAX_CWD);
 }
 
 
@@ -259,15 +272,17 @@ static inline uint32_t ht_mag(int32_t v) {
   return m > 0x7FFFFFFFu ? 0x7FFFFFFFu : m;  // INT32_MIN: keep umax <= 31
 }
 
-// Shared per-quad VLC emission: rho codeword + zigzagged u residual.
-static inline void ht_put_quad_vlc(FastBitW& vlc, uint32_t rho,
-                                   uint32_t umax, uint32_t& u_pred) {
+// Shared per-quad VLC emission: rho codeword (context-selected) +
+// zigzagged u residual.
+static inline void ht_put_quad_vlc(FastBitW& vlc, uint32_t ctx,
+                                   uint32_t rho, uint32_t umax,
+                                   uint32_t& u_pred) {
   // fuse the codeword and the u prefix into one put_bits when possible
   int diff = (int)umax - (int)u_pred;
   uint32_t zz = diff >= 0 ? ((uint32_t)diff << 1)
                           : (((uint32_t)(-diff) << 1) - 1);
   u_pred = umax;
-  uint32_t cw = g_vlc_enc[rho], cl = g_vlc_len[rho];
+  uint32_t cw = g_vlc_enc[ctx * 16 + rho], cl = g_vlc_len[ctx * 16 + rho];
   if (zz == 0) vlc.put_bits(cw << 1, cl + 1);
   else if (zz == 1) vlc.put_bits((cw << 2) | 0b10, cl + 2);
   else if (zz == 2) vlc.put_bits((cw << 3) | 0b110, cl + 3);
@@ -313,11 +328,16 @@ static void ht_encode_one(GrkHTEncJob* j) {
   mel.init(mel_raw.data());
   vlc.init(vlc_raw.data());
   int qh = (h + 1) / 2, qw = (w + 1) / 2;
+  // neighbor-significance context rows (previous / current quad row)
+  thread_local std::vector<uint8_t> rho_prev, rho_cur;
+  rho_prev.assign((size_t)qw, 0);
+  rho_cur.assign((size_t)qw, 0);
   if ((h & 1) == 0 && (w & 1) == 0) {
     // fast path: every quad is full (the production codeblock shape),
     // branch-lean with two row pointers and one clz per quad
     for (int qy = 0; qy < qh; qy++) {
       uint32_t u_pred = 1;
+      uint32_t left = 0;
       const int32_t* a = cf + (size_t)(2 * qy) * cstride;
       const int32_t* b = a + cstride;
       for (int qx = 0; qx < qw; qx++, a += 2, b += 2) {
@@ -328,19 +348,25 @@ static void ht_encode_one(GrkHTEncJob* j) {
         uint32_t rho = (m0 ? 1u : 0u) | (m1 ? 2u : 0u) | (m2 ? 4u : 0u)
                        | (m3 ? 8u : 0u);
         mel.encode(rho ? 1 : 0);
+        uint32_t ctx = ht_quad_ctx(left, rho_prev[qx],
+                                   qx ? rho_prev[qx - 1] : 0);
+        rho_cur[qx] = (uint8_t)rho;
+        left = rho;
         if (!rho) continue;
         uint32_t umax = 32u - (uint32_t)__builtin_clz(m0 | m1 | m2 | m3);
-        ht_put_quad_vlc(vlc, rho, umax, u_pred);
+        ht_put_quad_vlc(vlc, ctx, rho, umax, u_pred);
         int nb = (int)umax + 1;
         if (m0) magsgn.put_bits(((m0 - 1) << 1) | (v0 < 0 ? 1u : 0u), nb);
         if (m1) magsgn.put_bits(((m1 - 1) << 1) | (v1 < 0 ? 1u : 0u), nb);
         if (m2) magsgn.put_bits(((m2 - 1) << 1) | (v2 < 0 ? 1u : 0u), nb);
         if (m3) magsgn.put_bits(((m3 - 1) << 1) | (v3 < 0 ? 1u : 0u), nb);
       }
+      std::swap(rho_prev, rho_cur);
     }
   } else {
     for (int qy = 0; qy < qh; qy++) {
       uint32_t u_pred = 1;
+      uint32_t left = 0;
       for (int qx = 0; qx < qw; qx++) {
         int y0 = 2 * qy, x0 = 2 * qx;
         int ny = std::min(2, h - y0), nx = std::min(2, w - x0);
@@ -363,9 +389,13 @@ static void ht_encode_one(GrkHTEncJob* j) {
           }
         }
         mel.encode(rho ? 1 : 0);
+        uint32_t ctx = ht_quad_ctx(left, rho_prev[qx],
+                                   qx ? rho_prev[qx - 1] : 0);
+        rho_cur[qx] = (uint8_t)rho;
+        left = rho;
         if (!rho) continue;
         if (ns == 4) {
-          ht_put_quad_vlc(vlc, rho, umax, u_pred);
+          ht_put_quad_vlc(vlc, ctx, rho, umax, u_pred);
         } else {
           vlc.put_bits(rho, ns);
           int diff = (int)umax - (int)u_pred;
@@ -381,6 +411,7 @@ static void ht_encode_one(GrkHTEncJob* j) {
           }
         }
       }
+      std::swap(rho_prev, rho_cur);
     }
   }
   long ms_bits = magsgn.nbits();
@@ -430,21 +461,34 @@ static void ht_decode_one(GrkHTDecJob* j) {
   vlc.init(rev.data(), suf_len);
 
   int qh = (h + 1) / 2, qw = (w + 1) / 2;
+  // neighbor-significance context rows (previous / current quad row)
+  thread_local std::vector<uint8_t> rho_prev, rho_cur;
+  rho_prev.assign((size_t)qw, 0);
+  rho_cur.assign((size_t)qw, 0);
   if ((h & 1) == 0 && (w & 1) == 0) {
     // fast path (every quad full): ONE 17-bit window read covers the
     // max-width codeword plus the whole u code (prefix LUT from
-    // t1/ht_tables.py), and each significant sample is one fused
-    // (mag-1)<<1|sign read
+    // t1/ht_tables.py, context-selected), and each significant sample
+    // is one fused (mag-1)<<1|sign read
     for (int qy = 0; qy < qh; qy++) {
       uint32_t u_pred = 1;
+      uint32_t left = 0;
       int32_t* o0 = j->out + (size_t)(2 * qy) * ostride;
       int32_t* o1 = o0 + ostride;
       for (int qx = 0; qx < qw; qx++, o0 += 2, o1 += 2) {
-        if (!mel.decode()) continue;
+        uint32_t ctx = ht_quad_ctx(left, rho_prev[qx],
+                                   qx ? rho_prev[qx - 1] : 0);
+        if (!mel.decode()) {
+          rho_cur[qx] = 0;
+          left = 0;
+          continue;
+        }
         uint32_t win = vlc.get_bits(GRK_HT_MAX_CWD + 10);
-        uint32_t cw = win >> 10;
+        uint32_t cw = (ctx << GRK_HT_MAX_CWD) | (win >> 10);
         uint32_t rho = g_vlc_lut_rho[cw];
         uint32_t clen = g_vlc_lut_len[cw];
+        rho_cur[qx] = (uint8_t)rho;
+        left = rho;
         uint32_t uw = (win >> (GRK_HT_MAX_CWD - clen)) & 0x3FF;
         uint32_t zz, ulen;
         if (!(uw >> 9)) { zz = 0; ulen = 1; }
@@ -479,26 +523,38 @@ static void ht_decode_one(GrkHTDecJob* j) {
           o1[1] = (v & 1) ? -val : val;
         }
       }
+      std::swap(rho_prev, rho_cur);
     }
     return;
   }
   for (int qy = 0; qy < qh; qy++) {
     uint32_t u_pred = 1;
+    uint32_t left = 0;
     for (int qx = 0; qx < qw; qx++) {
       int y0 = 2 * qy, x0 = 2 * qx;
       int ny = std::min(2, h - y0), nx = std::min(2, w - x0);
       int ns = ny * nx;
-      if (!mel.decode()) continue;
+      uint32_t ctx = ht_quad_ctx(left, rho_prev[qx],
+                                 qx ? rho_prev[qx - 1] : 0);
+      if (!mel.decode()) {
+        rho_cur[qx] = 0;
+        left = 0;
+        continue;
+      }
       uint32_t rho;
       if (ns == 4) {
         // prefix-code window read: peek the max-width window, consume
-        // the matched codeword's length (LUT built by t1/ht_tables.py)
+        // the matched codeword's length (LUT built by t1/ht_tables.py,
+        // context-selected)
         uint32_t win = vlc.get_bits(GRK_HT_MAX_CWD);
-        rho = g_vlc_lut_rho[win];
-        vlc.bitpos -= (size_t)(GRK_HT_MAX_CWD - g_vlc_lut_len[win]);
+        uint32_t cw = (ctx << GRK_HT_MAX_CWD) | win;
+        rho = g_vlc_lut_rho[cw];
+        vlc.bitpos -= (size_t)(GRK_HT_MAX_CWD - g_vlc_lut_len[cw]);
       } else {
         rho = vlc.get_bits(ns);
       }
+      rho_cur[qx] = (uint8_t)rho;
+      left = rho;
       uint32_t zz = get_u(vlc);
       int diff = (zz & 1) ? -(int)((zz + 1) >> 1) : (int)(zz >> 1);
       int umax = (int)u_pred + diff;
@@ -517,6 +573,7 @@ static void ht_decode_one(GrkHTDecJob* j) {
         }
       }
     }
+    std::swap(rho_prev, rho_cur);
   }
 }
 

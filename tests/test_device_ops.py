@@ -434,6 +434,33 @@ def test_device_ht_variable_length_vlc_tables(rng):
         ht_tables.reset_tables()
 
 
+def test_device_ht_context_varying_tables(rng):
+    """The device HT coder pair forms the neighbor-significance quad
+    context: under a table set where every context carries a DIFFERENT
+    prefix code (decoding with the wrong context yields the wrong rho),
+    streams stay byte-identical to the host coder and round-trip."""
+    from grok_tpu.t1 import ht, ht_tables
+    from grok_tpu.ops.ht_encode import encode_cblks_ht_device
+    from grok_tpu.ops.ht_decode import decode_cblks_ht_device
+    from test_ht_tables import ctx_varying_tables
+
+    blocks = [rng.integers(-900, 900, (16, 16)).astype(np.int32)
+              for _ in range(3)]
+    blocks[1][rng.random((16, 16)) < 0.7] = 0
+    try:
+        ht_tables.set_tables(*ctx_varying_tables())
+        host = [ht.encode_cblk_ht(b) for b in blocks]
+        dev = encode_cblks_ht_device(np.stack(blocks))
+        for (hseg, hnb), (dseg, dnb) in zip(host, dev):
+            assert hseg == dseg and hnb == dnb
+        outs = decode_cblks_ht_device([(s, 16, 16) for (s, _) in host])
+        for b, o in zip(blocks, outs):
+            exp = np.where(b != 0, np.sign(b) * (2 * np.abs(b) + 1), 0)
+            assert np.array_equal(np.asarray(o), exp)
+    finally:
+        ht_tables.reset_tables()
+
+
 def test_device_mq_encode_with_distortion_tracking(rng):
     """Rate-targeted (multi-layer PCRD) encodes can now run on the
     device MQ path: the significance schedule drives a closed-form

@@ -41,16 +41,35 @@ def _permuted_tables():
 VL_LENS = [2, 7, 3, 5, 4, 6, 3, 5, 4, 7, 3, 5, 4, 6, 5, 7]
 
 
-def _vl_tables():
-    order = sorted(range(16), key=lambda r: (VL_LENS[r], r))
+def _canonical_code(lens):
+    order = sorted(range(16), key=lambda r: (lens[r], r))
     cwds = [0] * 16
-    code, prev = 0, VL_LENS[order[0]]
+    code, prev = 0, lens[order[0]]
     for r in order[1:]:
-        code = (code + 1) << (VL_LENS[r] - prev)
+        code = (code + 1) << (lens[r] - prev)
         cwds[r] = code
-        prev = VL_LENS[r]
+        prev = lens[r]
+    return cwds
+
+
+def _vl_tables():
+    cwds = _canonical_code(VL_LENS)
     enc = np.tile(np.asarray(cwds, np.uint8), (ht_tables.NUM_CTX, 1))
     ln = np.tile(np.asarray(VL_LENS, np.uint8), (ht_tables.NUM_CTX, 1))
+    return enc, ln
+
+
+def ctx_varying_tables():
+    """A table set where every CONTEXT carries a DIFFERENT prefix code
+    (VL_LENS rotated by the context index): decoding with the wrong
+    context yields the wrong rho, so byte-parity under this set proves
+    each coder path forms the neighbor-significance context."""
+    enc = np.zeros((ht_tables.NUM_CTX, 16), np.uint8)
+    ln = np.zeros((ht_tables.NUM_CTX, 16), np.uint8)
+    for c in range(ht_tables.NUM_CTX):
+        lens = VL_LENS[c:] + VL_LENS[:c]
+        enc[c] = _canonical_code(lens)
+        ln[c] = lens
     return enc, ln
 
 
@@ -179,5 +198,51 @@ def test_variable_length_full_codec(rng):
     img = GrkImage.from_array(arr, prec=8)
     p = CompressParams(numresolution=3, ht=True)
     ht_tables.set_tables(*_vl_tables())
+    d = grok_tpu.compress(img, p)
+    assert np.array_equal(grok_tpu.decompress(d).to_array(), arr)
+
+
+def test_context_varying_tables_round_trip(rng):
+    """Under a table set where every context carries a DIFFERENT prefix
+    code, the Python reference and the native coder stay byte-identical
+    and round-trip — proof both paths form the T.814-shaped
+    neighbor-significance quad context (left/up/up-left rho)."""
+    from grok_tpu.t1 import backend as bk
+    from grok_tpu.t1 import native as nat
+
+    ht_tables.set_tables(*ctx_varying_tables())
+    for shape in ((8, 8), (32, 32), (64, 52)):
+        coeffs = rng.integers(-500, 500, shape).astype(np.int32)
+        coeffs[rng.random(shape) < 0.5] = 0
+        seg_py, nb_py = ht.encode_cblk_ht(coeffs)
+        exp = np.where(coeffs != 0,
+                       np.sign(coeffs) * (2 * np.abs(coeffs) + 1), 0)
+        assert np.array_equal(ht.decode_cblk_ht(seg_py, *shape), exp)
+        j = bk.EncodeJob(coeffs, 0, 0, ht=True, need_dist=False)
+        nat.ht_encode_batch_native([j])
+        assert j.data == seg_py, f"native/python mismatch at {shape}"
+        dj = bk.DecodeJob(seg_py, [len(seg_py)], 1, nb_py, shape[0],
+                          shape[1], 0, 0, ht=True)
+        nat.ht_decode_batch_native([dj])
+        assert np.array_equal(dj.out, exp)
+    # the context dimension is genuinely consumed: a dense block (many
+    # significant neighbors) must code differently than under a
+    # context-0-everywhere copy of the same tables
+    dense = rng.integers(1, 500, (16, 16)).astype(np.int32)
+    seg_ctx, _ = ht.encode_cblk_ht(dense)
+    enc, ln = ctx_varying_tables()
+    flat = np.tile(enc[0], (ht_tables.NUM_CTX, 1))
+    flat_ln = np.tile(ln[0], (ht_tables.NUM_CTX, 1))
+    ht_tables.set_tables(flat, flat_ln)
+    seg_flat, _ = ht.encode_cblk_ht(dense)
+    assert seg_ctx != seg_flat
+
+
+def test_context_varying_full_codec(rng):
+    """End-to-end public-API HT round trip under context-varying tables."""
+    arr = rng.integers(0, 256, (96, 96)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=8)
+    p = CompressParams(numresolution=3, ht=True)
+    ht_tables.set_tables(*ctx_varying_tables())
     d = grok_tpu.compress(img, p)
     assert np.array_equal(grok_tpu.decompress(d).to_array(), arr)
