@@ -3,8 +3,13 @@
 // Parity: WaveletFwd / WaveletReverse (SURVEY.md §2.1 "Wavelet") — the
 // host-side production path for even-parity tile-components (tiles at
 // even canvas origins; odd-parity rects keep the numpy reference).
-// Row-major int32 planes; vertical lifting runs row-at-a-time so the
-// compiler vectorizes across the width (AVX2/AVX-512 via -march=native).
+// Row-major int32 planes.  Vertical lifting runs row-at-a-time so the
+// compiler vectorizes across the width (AVX2/AVX-512 via -march=native);
+// horizontal lifting works in the PLANAR (deinterleaved even/odd)
+// domain — one vectorized split, lifting as contiguous affine loops
+// with the symmetric-extension edges peeled off, then a vectorized
+// interleave on the inverse — so every inner loop is branch-free and
+// SIMD.  Band rows are written directly (no staging copies).
 // Bit-identical to grok_tpu/transform/dwt.py (differential-tested).
 
 #include <cstdint>
@@ -15,100 +20,146 @@
 
 namespace {
 
+// thread-local planar scratch shared by the row passes (grown on demand)
+template <typename T>
+static T* row_scratch(int n) {
+  thread_local std::vector<T> buf;
+  if ((int)buf.size() < n) buf.resize(n);
+  return buf.data();
+}
+
 // Vertical (column) lifting over a (h x w) plane with row stride `w`.
-// Even-parity origin: lows at even rows.  In-place into lo/hi halves of
-// a scratch buffer laid out as ceil(h/2) low rows then floor(h/2) high
-// rows (still width w).
+// Even-parity origin: lows at even rows.  Streams d then s with lag 1
+// (s[j] needs d[j-1], d[j]) so x and the detail rows stay cache-hot.
+// Output layout: ceil(h/2) low rows then floor(h/2) high rows, width w.
 static void fwd53_vertical(const int32_t* x, int h, int w, int32_t* out) {
   int ne = (h + 1) / 2, no = h / 2;
+  if (h == 0) return;
   int32_t* lo = out;
   int32_t* hi = out + (size_t)ne * w;
   if (h == 1) {
     grk_copy_bytes(lo, x, sizeof(int32_t) * w);
     return;
   }
-  // d[j] = x[2j+1] - ((x[2j] + x[2j+2]) >> 1), mirror at the bottom
+  // d[j] = x[2j+1] - ((x[2j] + x[2j+2]) >> 1), mirror at the bottom;
+  // s[j] = x[2j] + ((d[j-1] + d[j] + 2) >> 2), mirrors at both ends
   for (int j = 0; j < no; j++) {
     const int32_t* a = x + (size_t)(2 * j) * w;
-    const int32_t* b = x + (size_t)(2 * j + 1) * w;
-    const int32_t* c = (2 * j + 2 < h) ? x + (size_t)(2 * j + 2) * w : a;
+    const int32_t* b = a + w;
+    const int32_t* c = (2 * j + 2 < h) ? b + w : a;
     int32_t* d = hi + (size_t)j * w;
     for (int i = 0; i < w; i++) d[i] = b[i] - ((a[i] + c[i]) >> 1);
-  }
-  // s[j] = x[2j] + ((d[j-1] + d[j] + 2) >> 2), mirrors at both ends
-  for (int j = 0; j < ne; j++) {
-    const int32_t* a = x + (size_t)(2 * j) * w;
-    const int32_t* dl = hi + (size_t)(j > 0 ? j - 1 : 0) * w;
-    const int32_t* dr = hi + (size_t)(j < no ? j : no - 1) * w;
+    const int32_t* dl = (j > 0) ? d - w : d;
     int32_t* s = lo + (size_t)j * w;
-    for (int i = 0; i < w; i++) s[i] = a[i] + ((dl[i] + dr[i] + 2) >> 2);
+    for (int i = 0; i < w; i++) s[i] = a[i] + ((dl[i] + d[i] + 2) >> 2);
+  }
+  if (ne > no) {  // odd h: last low row mirrors the final detail row
+    const int32_t* a = x + (size_t)(2 * (ne - 1)) * w;
+    const int32_t* d = hi + (size_t)(no - 1) * w;
+    int32_t* s = lo + (size_t)(ne - 1) * w;
+    for (int i = 0; i < w; i++) s[i] = a[i] + ((2 * d[i] + 2) >> 2);
   }
 }
 
 static void inv53_vertical(const int32_t* lo, const int32_t* hi, int h,
                            int w, int32_t* out) {
   int ne = (h + 1) / 2, no = h / 2;
+  if (h == 0) return;
   if (h == 1) {
     grk_copy_bytes(out, lo, sizeof(int32_t) * w);
     return;
   }
-  // x[2j] = s[j] - ((d[j-1] + d[j] + 2) >> 2)
-  for (int j = 0; j < ne; j++) {
+  // x[2j] = s[j] - ((d[j-1] + d[j] + 2) >> 2), then
+  // x[2j+1] = d[j] + ((x[2j] + x[2j+2]) >> 1): stream evens one row
+  // ahead of the odd that consumes them
+  {
+    const int32_t* s = lo;
+    int32_t* e = out;
+    for (int i = 0; i < w; i++) e[i] = s[i] - ((2 * hi[i] + 2) >> 2);
+  }
+  for (int j = 1; j < ne; j++) {
     const int32_t* s = lo + (size_t)j * w;
-    const int32_t* dl = hi + (size_t)(j > 0 ? j - 1 : 0) * w;
-    const int32_t* dr = hi + (size_t)(j < no ? j : no - 1) * w;
+    const int32_t* dl = hi + (size_t)(j - 1) * w;
+    const int32_t* dr = (j < no) ? dl + w : dl;
     int32_t* e = out + (size_t)(2 * j) * w;
     for (int i = 0; i < w; i++) e[i] = s[i] - ((dl[i] + dr[i] + 2) >> 2);
+    const int32_t* d = hi + (size_t)(j - 1) * w;
+    const int32_t* a = e - 2 * (size_t)w;
+    int32_t* o = out + (size_t)(2 * j - 1) * w;
+    for (int i = 0; i < w; i++) o[i] = d[i] + ((a[i] + e[i]) >> 1);
   }
-  // x[2j+1] = d[j] + ((x[2j] + x[2j+2]) >> 1)
-  for (int j = 0; j < no; j++) {
-    const int32_t* d = hi + (size_t)j * w;
-    const int32_t* a = out + (size_t)(2 * j) * w;
-    const int32_t* c =
-        (2 * j + 2 < h) ? out + (size_t)(2 * j + 2) * w : a;
-    int32_t* o = out + (size_t)(2 * j + 1) * w;
-    for (int i = 0; i < w; i++) o[i] = d[i] + ((a[i] + c[i]) >> 1);
+  if (2 * no == h) {  // even h: trailing odd row mirrors upward
+    const int32_t* d = hi + (size_t)(no - 1) * w;
+    const int32_t* a = out + (size_t)(h - 2) * w;
+    int32_t* o = out + (size_t)(h - 1) * w;
+    for (int i = 0; i < w; i++) o[i] = d[i] + ((a[i] + a[i]) >> 1);
   }
 }
 
-// Horizontal lifting of one row into (lo | hi) halves of `out`.
-static inline void fwd53_row(const int32_t* x, int n, int32_t* out) {
+// Horizontal lifting of one row into planar lo[ne] / hi[no] outputs.
+// ev/od are caller scratch (>= ne ints each).
+static inline void fwd53_row(const int32_t* x, int n, int32_t* lo,
+                             int32_t* hi, int32_t* ev, int32_t* od) {
   int ne = (n + 1) / 2, no = n / 2;
-  int32_t* lo = out;
-  int32_t* hi = out + ne;
+  if (n == 0) return;
   if (n == 1) {
     lo[0] = x[0];
     return;
   }
   for (int j = 0; j < no; j++) {
-    int32_t a = x[2 * j];
-    int32_t c = (2 * j + 2 < n) ? x[2 * j + 2] : a;
-    hi[j] = x[2 * j + 1] - ((a + c) >> 1);
+    ev[j] = x[2 * j];
+    od[j] = x[2 * j + 1];
   }
-  for (int j = 0; j < ne; j++) {
-    int32_t dl = hi[j > 0 ? j - 1 : 0];
-    int32_t dr = hi[j < no ? j : no - 1];
-    lo[j] = x[2 * j] + ((dl + dr + 2) >> 2);
+  if (n & 1) ev[ne - 1] = x[n - 1];
+  for (int j = 0; j < no - 1; j++)
+    hi[j] = od[j] - ((ev[j] + ev[j + 1]) >> 1);
+  {
+    int j = no - 1;
+    int32_t c = (2 * j + 2 < n) ? ev[j + 1] : ev[j];
+    hi[j] = od[j] - ((ev[j] + c) >> 1);
+  }
+  lo[0] = ev[0] + ((hi[0] + hi[0] + 2) >> 2);
+  int jm = (ne < no) ? ne : no;  // hi[j] valid for the main body
+  for (int j = 1; j < jm; j++)
+    lo[j] = ev[j] + ((hi[j - 1] + hi[j] + 2) >> 2);
+  for (int j = jm; j < ne; j++) {  // at most one tail element
+    if (j == 0) continue;
+    int32_t dl = hi[j - 1];
+    int32_t dr = hi[(j < no) ? j : no - 1];
+    lo[j] = ev[j] + ((dl + dr + 2) >> 2);
   }
 }
 
 static inline void inv53_row(const int32_t* lo, const int32_t* hi, int n,
-                             int32_t* out) {
+                             int32_t* out, int32_t* ev, int32_t* od) {
   int ne = (n + 1) / 2, no = n / 2;
+  if (n == 0) return;
   if (n == 1) {
     out[0] = lo[0];
     return;
   }
-  for (int j = 0; j < ne; j++) {
-    int32_t dl = hi[j > 0 ? j - 1 : 0];
-    int32_t dr = hi[j < no ? j : no - 1];
-    out[2 * j] = lo[j] - ((dl + dr + 2) >> 2);
+  ev[0] = lo[0] - ((hi[0] + hi[0] + 2) >> 2);
+  int jm = (ne < no) ? ne : no;
+  for (int j = 1; j < jm; j++)
+    ev[j] = lo[j] - ((hi[j - 1] + hi[j] + 2) >> 2);
+  for (int j = jm; j < ne; j++) {
+    if (j == 0) continue;
+    int32_t dl = hi[j - 1];
+    int32_t dr = hi[(j < no) ? j : no - 1];
+    ev[j] = lo[j] - ((dl + dr + 2) >> 2);
+  }
+  for (int j = 0; j < no - 1; j++)
+    od[j] = hi[j] + ((ev[j] + ev[j + 1]) >> 1);
+  {
+    int j = no - 1;
+    int32_t c = (2 * j + 2 < n) ? ev[j + 1] : ev[j];
+    od[j] = hi[j] + ((ev[j] + c) >> 1);
   }
   for (int j = 0; j < no; j++) {
-    int32_t a = out[2 * j];
-    int32_t c = (2 * j + 2 < n) ? out[2 * j + 2] : a;
-    out[2 * j + 1] = hi[j] + ((a + c) >> 1);
+    out[2 * j] = ev[j];
+    out[2 * j + 1] = od[j];
   }
+  if (n & 1) out[n - 1] = ev[ne - 1];
 }
 
 }  // namespace
@@ -122,20 +173,16 @@ extern "C" {
 void grk_fwd53_level(const int32_t* x, int h, int w, int32_t* ll,
                      int32_t* hl, int32_t* lh, int32_t* hh,
                      int32_t* scratch) {
-  int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2;
+  int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
   fwd53_vertical(x, h, w, scratch);  // scratch: lo rows then hi rows
-  std::vector<int32_t> row(w);
-  for (int y = 0; y < eh; y++) {
-    fwd53_row(scratch + (size_t)y * w, w, row.data());
-    grk_copy_bytes(ll + (size_t)y * ew, row.data(), sizeof(int32_t) * ew);
-    grk_copy_bytes(hl + (size_t)y * ow, row.data() + ew, sizeof(int32_t) * ow);
-  }
-  int oh = h / 2;
-  for (int y = 0; y < oh; y++) {
-    fwd53_row(scratch + (size_t)(eh + y) * w, w, row.data());
-    grk_copy_bytes(lh + (size_t)y * ew, row.data(), sizeof(int32_t) * ew);
-    grk_copy_bytes(hh + (size_t)y * ow, row.data() + ew, sizeof(int32_t) * ow);
-  }
+  int32_t* ev = row_scratch<int32_t>(2 * (ew + 1));
+  int32_t* od = ev + ew + 1;
+  for (int y = 0; y < eh; y++)
+    fwd53_row(scratch + (size_t)y * w, w, ll + (size_t)y * ew,
+              hl + (size_t)y * ow, ev, od);
+  for (int y = 0; y < oh; y++)
+    fwd53_row(scratch + (size_t)(eh + y) * w, w, lh + (size_t)y * ew,
+              hh + (size_t)y * ow, ev, od);
 }
 
 // One inverse 5/3 level -> (h x w) plane `out`.
@@ -143,18 +190,15 @@ void grk_inv53_level(const int32_t* ll, const int32_t* hl,
                      const int32_t* lh, const int32_t* hh, int h, int w,
                      int32_t* out, int32_t* scratch) {
   int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
+  int32_t* ev = row_scratch<int32_t>(2 * (ew + 1));
+  int32_t* od = ev + ew + 1;
   // horizontal inverses into the (lo rows | hi rows) scratch layout
-  std::vector<int32_t> lo(ew), hi(ow > 0 ? ow : 1);
-  for (int y = 0; y < eh; y++) {
-    grk_copy_bytes(lo.data(), ll + (size_t)y * ew, sizeof(int32_t) * ew);
-    grk_copy_bytes(hi.data(), hl + (size_t)y * ow, sizeof(int32_t) * ow);
-    inv53_row(lo.data(), hi.data(), w, scratch + (size_t)y * w);
-  }
-  for (int y = 0; y < oh; y++) {
-    grk_copy_bytes(lo.data(), lh + (size_t)y * ew, sizeof(int32_t) * ew);
-    grk_copy_bytes(hi.data(), hh + (size_t)y * ow, sizeof(int32_t) * ow);
-    inv53_row(lo.data(), hi.data(), w, scratch + (size_t)(eh + y) * w);
-  }
+  for (int y = 0; y < eh; y++)
+    inv53_row(ll + (size_t)y * ew, hl + (size_t)y * ow, w,
+              scratch + (size_t)y * w, ev, od);
+  for (int y = 0; y < oh; y++)
+    inv53_row(lh + (size_t)y * ew, hh + (size_t)y * ow, w,
+              scratch + (size_t)(eh + y) * w, ev, od);
   inv53_vertical(scratch, scratch + (size_t)eh * w, h, w, out);
 }
 
@@ -162,8 +206,9 @@ void grk_inv53_level(const int32_t* ll, const int32_t* hl,
 
 // ------------------------------------------------------------ 9/7 (float)
 // Irreversible lifting mirroring transform/dwt.py::_fwd_97_even /
-// _inv_97_even: same step order and float32 arithmetic, even-parity
-// origins (odd-parity rects keep the numpy path).
+// _inv_97_even: same step order and float32 arithmetic (per-element
+// expressions unchanged so the compiler's contraction choices match the
+// scalar build), even-parity origins (odd-parity rects keep numpy).
 
 namespace {
 
@@ -197,6 +242,7 @@ static inline void lift_even_v(float* ev, const float* od, int ne, int no,
 
 static void fwd97_vertical(const float* x, int h, int w, float* out) {
   int ne = (h + 1) / 2, no = h / 2;
+  if (h == 0) return;
   float* lo = out;
   float* hi = out + (size_t)ne * w;
   if (h == 1) {
@@ -220,6 +266,7 @@ static void fwd97_vertical(const float* x, int h, int w, float* out) {
 static void inv97_vertical(const float* lo_in, const float* hi_in, int h,
                            int w, float* out, float* tmp) {
   int ne = (h + 1) / 2, no = h / 2;
+  if (h == 0) return;
   float* lo = tmp;
   float* hi = tmp + (size_t)ne * w;
   if (h == 1) {
@@ -240,49 +287,72 @@ static void inv97_vertical(const float* lo_in, const float* hi_in, int h,
                 sizeof(float) * w);
 }
 
-static inline void fwd97_row(const float* x, int n, float* out) {
+// planar horizontal lifting: ev[ne]/od[no] in place, edges peeled so the
+// main bodies are contiguous SIMD loops with the same per-element
+// arithmetic as the vertical lifts
+static inline void lift_odd_h(float* od, const float* ev, int ne, int no,
+                              float cf) {
+  for (int j = 0; j < no - 1; j++) od[j] += cf * (ev[j] + ev[j + 1]);
+  if (no > 0) {
+    int j = no - 1;
+    float b = (j + 1 < ne) ? ev[j + 1] : ev[j];
+    od[j] += cf * (ev[j] + b);
+  }
+}
+
+static inline void lift_even_h(float* ev, const float* od, int ne, int no,
+                               float cf) {
+  ev[0] += cf * (od[0] + od[0]);
+  int jm = (ne < no) ? ne : no;
+  for (int j = 1; j < jm; j++) ev[j] += cf * (od[j - 1] + od[j]);
+  for (int j = jm; j < ne; j++) {
+    if (j == 0) continue;
+    float dl = od[j - 1];
+    float dr = od[(j < no) ? j : no - 1];
+    ev[j] += cf * (dl + dr);
+  }
+}
+
+static inline void fwd97_row(const float* x, int n, float* lo, float* hi,
+                             float* ev, float* od) {
   int ne = (n + 1) / 2, no = n / 2;
-  float* lo = out;
-  float* hi = out + ne;
+  if (n == 0) return;
   if (n == 1) {
     lo[0] = x[0] * (1.0f / KK);
     return;
   }
-  for (int j = 0; j < ne; j++) lo[j] = x[2 * j];
-  for (int j = 0; j < no; j++) hi[j] = x[2 * j + 1];
-  for (int j = 0; j < no; j++)
-    hi[j] += ALPHA * (lo[j] + lo[j + 1 < ne ? j + 1 : j]);
-  for (int j = 0; j < ne; j++)
-    lo[j] += BETA * (hi[j > 0 ? j - 1 : 0] + hi[j < no ? j : no - 1]);
-  for (int j = 0; j < no; j++)
-    hi[j] += GAMMA * (lo[j] + lo[j + 1 < ne ? j + 1 : j]);
-  for (int j = 0; j < ne; j++)
-    lo[j] += DELTA * (hi[j > 0 ? j - 1 : 0] + hi[j < no ? j : no - 1]);
-  for (int j = 0; j < ne; j++) lo[j] *= (1.0f / KK);
-  for (int j = 0; j < no; j++) hi[j] *= KK;
+  for (int j = 0; j < no; j++) {
+    ev[j] = x[2 * j];
+    od[j] = x[2 * j + 1];
+  }
+  if (n & 1) ev[ne - 1] = x[n - 1];
+  lift_odd_h(od, ev, ne, no, ALPHA);
+  lift_even_h(ev, od, ne, no, BETA);
+  lift_odd_h(od, ev, ne, no, GAMMA);
+  lift_even_h(ev, od, ne, no, DELTA);
+  for (int j = 0; j < ne; j++) lo[j] = ev[j] * (1.0f / KK);
+  for (int j = 0; j < no; j++) hi[j] = od[j] * KK;
 }
 
 static inline void inv97_row(const float* lo_in, const float* hi_in,
-                             int n, float* out, float* tmp) {
+                             int n, float* out, float* ev, float* od) {
   int ne = (n + 1) / 2, no = n / 2;
-  float* lo = tmp;
-  float* hi = tmp + ne;
+  if (n == 0) return;
   if (n == 1) {
     out[0] = lo_in[0] * KK;
     return;
   }
-  for (int j = 0; j < ne; j++) lo[j] = lo_in[j] * KK;
-  for (int j = 0; j < no; j++) hi[j] = hi_in[j] * (1.0f / KK);
-  for (int j = 0; j < ne; j++)
-    lo[j] -= DELTA * (hi[j > 0 ? j - 1 : 0] + hi[j < no ? j : no - 1]);
-  for (int j = 0; j < no; j++)
-    hi[j] -= GAMMA * (lo[j] + lo[j + 1 < ne ? j + 1 : j]);
-  for (int j = 0; j < ne; j++)
-    lo[j] -= BETA * (hi[j > 0 ? j - 1 : 0] + hi[j < no ? j : no - 1]);
-  for (int j = 0; j < no; j++)
-    hi[j] -= ALPHA * (lo[j] + lo[j + 1 < ne ? j + 1 : j]);
-  for (int j = 0; j < ne; j++) out[2 * j] = lo[j];
-  for (int j = 0; j < no; j++) out[2 * j + 1] = hi[j];
+  for (int j = 0; j < ne; j++) ev[j] = lo_in[j] * KK;
+  for (int j = 0; j < no; j++) od[j] = hi_in[j] * (1.0f / KK);
+  lift_even_h(ev, od, ne, no, -DELTA);
+  lift_odd_h(od, ev, ne, no, -GAMMA);
+  lift_even_h(ev, od, ne, no, -BETA);
+  lift_odd_h(od, ev, ne, no, -ALPHA);
+  for (int j = 0; j < no; j++) {
+    out[2 * j] = ev[j];
+    out[2 * j + 1] = od[j];
+  }
+  if (n & 1) out[n - 1] = ev[ne - 1];
 }
 
 }  // namespace
@@ -293,36 +363,29 @@ void grk_fwd97_level(const float* x, int h, int w, float* ll, float* hl,
                      float* lh, float* hh, float* scratch) {
   int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
   fwd97_vertical(x, h, w, scratch);
-  std::vector<float> row(w);
-  for (int y = 0; y < eh; y++) {
-    fwd97_row(scratch + (size_t)y * w, w, row.data());
-    grk_copy_bytes(ll + (size_t)y * ew, row.data(), sizeof(float) * ew);
-    grk_copy_bytes(hl + (size_t)y * ow, row.data() + ew, sizeof(float) * ow);
-  }
-  for (int y = 0; y < oh; y++) {
-    fwd97_row(scratch + (size_t)(eh + y) * w, w, row.data());
-    grk_copy_bytes(lh + (size_t)y * ew, row.data(), sizeof(float) * ew);
-    grk_copy_bytes(hh + (size_t)y * ow, row.data() + ew, sizeof(float) * ow);
-  }
+  float* ev = row_scratch<float>(2 * (ew + 1));
+  float* od = ev + ew + 1;
+  for (int y = 0; y < eh; y++)
+    fwd97_row(scratch + (size_t)y * w, w, ll + (size_t)y * ew,
+              hl + (size_t)y * ow, ev, od);
+  for (int y = 0; y < oh; y++)
+    fwd97_row(scratch + (size_t)(eh + y) * w, w, lh + (size_t)y * ew,
+              hh + (size_t)y * ow, ev, od);
 }
 
 void grk_inv97_level(const float* ll, const float* hl, const float* lh,
                      const float* hh, int h, int w, float* out,
                      float* scratch) {
   int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
+  float* ev = row_scratch<float>(2 * (ew + 1));
+  float* od = ev + ew + 1;
   // horizontal inverses into (lo rows | hi rows) of scratch
-  std::vector<float> lo(ew), hi(ow > 0 ? ow : 1), tmp(w);
-  for (int y = 0; y < eh; y++) {
-    grk_copy_bytes(lo.data(), ll + (size_t)y * ew, sizeof(float) * ew);
-    grk_copy_bytes(hi.data(), hl + (size_t)y * ow, sizeof(float) * ow);
-    inv97_row(lo.data(), hi.data(), w, scratch + (size_t)y * w, tmp.data());
-  }
-  for (int y = 0; y < oh; y++) {
-    grk_copy_bytes(lo.data(), lh + (size_t)y * ew, sizeof(float) * ew);
-    grk_copy_bytes(hi.data(), hh + (size_t)y * ow, sizeof(float) * ow);
-    inv97_row(lo.data(), hi.data(), w,
-              scratch + (size_t)(eh + y) * w, tmp.data());
-  }
+  for (int y = 0; y < eh; y++)
+    inv97_row(ll + (size_t)y * ew, hl + (size_t)y * ow, w,
+              scratch + (size_t)y * w, ev, od);
+  for (int y = 0; y < oh; y++)
+    inv97_row(lh + (size_t)y * ew, hh + (size_t)y * ow, w,
+              scratch + (size_t)(eh + y) * w, ev, od);
   std::vector<float> vtmp((size_t)h * w);
   inv97_vertical(scratch, scratch + (size_t)eh * w, h, w, out, vtmp.data());
 }
