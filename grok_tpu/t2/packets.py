@@ -612,6 +612,14 @@ def decode_packet_py(
 def collect_seg_lengths(cblk: Codeblock, style: CblkStyle):
     """Convert the decoder's received chunks into (data, seg_lengths, total
     passes) for t1.decode_cblk: chunk boundaries inside one segment merge."""
+    npasses = min(cblk.total_passes,
+                  getattr(cblk, "decode_pass_cap", cblk.total_passes))
+    if len(cblk.seg_data) == 1:
+        # single received chunk: every pass starts in segment 0, so the
+        # general path below reduces to one length — skip the layout walk
+        # and the bytes join (the common single-layer case)
+        data = cblk.seg_data[0]
+        return data, [len(data)], npasses
     segs = segment_layout(style, cblk.numbps)
     seg_of_pass = {}
     for si, (plist, _) in enumerate(segs):
@@ -625,6 +633,4 @@ def collect_seg_lengths(cblk: Codeblock, style: CblkStyle):
         seg_lens[si] = seg_lens.get(si, 0) + len(chunk)
         p += np_
     ordered = [seg_lens[k] for k in sorted(seg_lens)]
-    npasses = min(cblk.total_passes,
-                  getattr(cblk, "decode_pass_cap", cblk.total_passes))
     return data, ordered, npasses

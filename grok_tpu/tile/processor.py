@@ -482,6 +482,17 @@ class TileCompressor:
     def assign_layers(self, layer_targets: list[float | None]) -> None:
         """layer_targets: cumulative byte budgets (None = all passes)."""
         numlayers = len(layer_targets)
+        if all(t is None for t in layer_targets):
+            # untargeted layers take every pass in layer 0 — no hulls,
+            # no slope index (the common single-layer default; on the HT
+            # path each block has a single pass, so this is pure setup)
+            for cblk in self.all_cblks():
+                cblk.num_passes_by_layer = [0] * numlayers
+                if cblk.pass_rates:
+                    cblk.num_passes_by_layer[0] = len(cblk.pass_rates)
+            self._last_lambda = math.inf
+            self._hull_index = None
+            return
         entries = []
         for cblk in self.all_cblks():
             cblk.num_passes_by_layer = [0] * numlayers
@@ -1322,6 +1333,7 @@ class TileDecompressor:
         self._alloc_band_arrays()
         jobs = []
         meta = []
+        mixed = getattr(self.cp, "ht_mixed", False)
         for tc in self.tile.comps:
             tccp = self.tcp.tccps[tc.compno]
             numres_used = max(1, tccp.numresolutions - self.reduce)
@@ -1333,6 +1345,9 @@ class TileDecompressor:
                     arr = self._band_arrays[key]
                     crop = self._band_offsets[key]
                     direct_ok = not tccp.roi_shift
+                    style = tccp.cblk_style
+                    band_ht = tccp.ht
+                    orient = band.orient
                     for prc in res.precincts:
                         for cblk in prc.pbands[bi].cblks:
                             if cblk.total_passes <= 0 or cblk.rect.is_empty():
@@ -1341,15 +1356,14 @@ class TileDecompressor:
                                     cblk.rect.intersect(wrect).is_empty():
                                 continue  # outside decode window: skip T1
                             data, seg_lens, npasses = t2.collect_seg_lengths(
-                                cblk, tccp.cblk_style)
-                            block_ht = tccp.ht and (
+                                cblk, style)
+                            block_ht = band_ht and (
                                 getattr(cblk, "is_ht", True)
-                                if getattr(self.cp, "ht_mixed", False)
-                                else True)
+                                if mixed else True)
                             job = t1_backend.DecodeJob(
                                 data, seg_lens, npasses, cblk.numbps,
-                                cblk.rect.h, cblk.rect.w, band.orient,
-                                tccp.cblk_style, ht=block_ht)
+                                cblk.rect.h, cblk.rect.w, orient,
+                                style, ht=block_ht)
                             if direct_ok and crop.contains(cblk.rect):
                                 job.out_dest = arr[
                                     cblk.rect.y0 - crop.y0:
