@@ -12,6 +12,7 @@ LRCP, one layer, reversible 5/3, no precincts (implicit 2^15), 2 guard bits.
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 import enum
 from dataclasses import dataclass, field
@@ -275,11 +276,14 @@ class TileComponentCodingParams:
 
     def clone(self) -> "TileComponentCodingParams":
         """Independent copy (cheaper than deepcopy on the decode hot path:
-        one clone per tile seeds the per-tile TCP from the main header)."""
-        c = dataclasses.replace(self)
+        one clone per tile seeds the per-tile TCP from the main header).
+        copy.copy skips __init__/default factories; StepSize leaves are
+        immutable once parsed (QCC overrides install new lists) and stay
+        shared."""
+        c = copy.copy(self)
         c.prcw = list(self.prcw)
         c.prch = list(self.prch)
-        c.stepsizes = [dataclasses.replace(s) for s in self.stepsizes]
+        c.stepsizes = list(self.stepsizes)
         return c
 
 
@@ -310,7 +314,7 @@ class TileCodingParams:
         """Independent per-tile copy of the main-header TCP.  Containers
         are copied one level deep; leaf records (MCT arrays, progression
         change entries) are read-only once parsed and stay shared."""
-        c = dataclasses.replace(self)
+        c = copy.copy(self)
         c.tccps = [t.clone() for t in self.tccps]
         c.progression_changes = list(self.progression_changes)
         c.mct_records = dict(self.mct_records)

@@ -446,6 +446,9 @@ _lib.grk_fwd53_level.argtypes = [ct.c_uint64, ct.c_int, ct.c_int,
 _lib.grk_inv53_level.argtypes = [ct.c_uint64, ct.c_uint64, ct.c_uint64,
                                  ct.c_uint64, ct.c_int, ct.c_int,
                                  ct.c_uint64, ct.c_uint64]
+_lib.grk_inv53_level_h.argtypes = [ct.c_uint64, ct.c_uint64, ct.c_uint64,
+                                   ct.c_uint64, ct.c_int, ct.c_int,
+                                   ct.c_uint64, ct.c_uint64, ct.c_int]
 
 
 def fwd53_level_native(x: np.ndarray):
@@ -464,15 +467,20 @@ def fwd53_level_native(x: np.ndarray):
     return ll, hl, lh, hh
 
 
-def inv53_level_native(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
+def inv53_level_native(ll, hl, lh, hh, h: int, w: int,
+                       halve: int = 0) -> np.ndarray:
+    """One inverse 5/3 level.  `halve` fuses the T1 doubled-domain ->
+    value conversion ((v - (v<0)) >> 1) into the band loads: bit0 halves
+    ll, bit1 halves hl/lh/hh — saves a full-plane numpy pass per band on
+    the lossless decode path."""
     ll = np.ascontiguousarray(ll, dtype=np.int32)
     hl = np.ascontiguousarray(hl, dtype=np.int32)
     lh = np.ascontiguousarray(lh, dtype=np.int32)
     hh = np.ascontiguousarray(hh, dtype=np.int32)
     out = np.empty((h, w), np.int32)
     scratch = np.empty((h, w), np.int32)
-    _lib.grk_inv53_level(_addr(ll), _addr(hl), _addr(lh), _addr(hh), h, w,
-                         _addr(out), _addr(scratch))
+    _lib.grk_inv53_level_h(_addr(ll), _addr(hl), _addr(lh), _addr(hh), h, w,
+                           _addr(out), _addr(scratch), halve)
     return out
 
 

@@ -1494,12 +1494,19 @@ class TileDecompressor:
             tccp = tcp.tccps[tc.compno]
             reversible = tccp.qmfbid == 1
             numres_used = max(1, tccp.numresolutions - self.reduce)
+            # Reversible whole-image decodes hand inverse_dwt the raw
+            # doubled-domain band arrays: the (v - (v<0)) >> 1 halving is
+            # fused into the native lifting's band loads (window decodes
+            # crop through _merge_2d, which needs value-domain inputs).
+            fuse_halve = reversible and self.window is None
             bands = {}
             for res in tc.resolutions[:numres_used]:
                 for band in res.bands:
                     doubled = self._band_arrays[
                         (tc.compno, res.resno, band.orient)]
-                    if reversible:
+                    if fuse_halve:
+                        vals = doubled
+                    elif reversible:
                         # doubled -> value without sign/abs temporaries
                         vals = (doubled - (doubled >> 31)) >> 1
                     else:
@@ -1521,7 +1528,8 @@ class TileDecompressor:
             else:
                 out = dwt_mod.inverse_dwt(
                     bands, tc.rect, tccp.numresolutions,
-                    reversible, max_res=numres_used - 1)
+                    reversible, max_res=numres_used - 1,
+                    doubled=fuse_halve)
                 self._out_rects.append(
                     tc.resolutions[numres_used - 1].rect)
             planes.append(out)

@@ -500,24 +500,51 @@ def inverse_dwt_window(bands: dict, band_offsets: dict, tc_rect,
     return cur
 
 
+def _halve_doubled(a: np.ndarray) -> np.ndarray:
+    """T1 doubled-domain sign*(2q+1) -> value sign*q (truncate toward 0)."""
+    a = a.astype(np.int32, copy=False)
+    return (a - (a >> 31)) >> 1
+
+
 def inverse_dwt(bands: dict, tc_rect, numres: int, reversible: bool,
-                max_res: int | None = None) -> np.ndarray:
+                max_res: int | None = None,
+                doubled: bool = False) -> np.ndarray:
     """Full inverse multi-level DWT from a band dict.  If max_res is given,
-    stop after reconstructing that resolution (resolution-reduced decode)."""
+    stop after reconstructing that resolution (resolution-reduced decode).
+
+    With ``doubled=True`` (reversible only) the band arrays are still in
+    the T1 doubled domain (sign * (2q+1)); the halving is fused into the
+    native band loads (one full-plane pass saved per band) and applied
+    lazily on any fallback level."""
     from ..tile.geometry import Rect, res_rect
 
     nl = numres - 1
     if max_res is None:
         max_res = numres - 1
     nat = _native53() if reversible else _native97()
+    doubled = doubled and reversible
     cur = bands[(0, 0)]
+    cur_doubled = doubled
     for resno in range(1, max_res + 1):
         rect = res_rect(tc_rect, numres, resno)
         if nat is not None and (rect.x0 & 1) == 0 and (rect.y0 & 1) == 0 \
                 and isinstance(cur, np.ndarray):
-            cur = nat[1](cur, bands[(resno, 1)], bands[(resno, 2)],
-                         bands[(resno, 3)], rect.h, rect.w)
+            if doubled:
+                halve = (1 if cur_doubled else 0) | 2
+                cur = nat[1](cur, bands[(resno, 1)], bands[(resno, 2)],
+                             bands[(resno, 3)], rect.h, rect.w, halve)
+            else:
+                cur = nat[1](cur, bands[(resno, 1)], bands[(resno, 2)],
+                             bands[(resno, 3)], rect.h, rect.w)
         else:
-            cur = _merge_2d(cur, bands[(resno, 1)], bands[(resno, 2)],
-                            bands[(resno, 3)], rect, reversible)
+            if cur_doubled:
+                cur = _halve_doubled(cur)
+            hl, lh, hh = (bands[(resno, 1)], bands[(resno, 2)],
+                          bands[(resno, 3)])
+            if doubled:
+                hl, lh, hh = map(_halve_doubled, (hl, lh, hh))
+            cur = _merge_2d(cur, hl, lh, hh, rect, reversible)
+        cur_doubled = False
+    if cur_doubled:
+        cur = _halve_doubled(cur)
     return cur

@@ -130,36 +130,59 @@ static inline void fwd53_row(const int32_t* x, int n, int32_t* lo,
   }
 }
 
-static inline void inv53_row(const int32_t* lo, const int32_t* hi, int n,
-                             int32_t* out, int32_t* ev, int32_t* od) {
+// T1 decoders emit DOUBLED-domain values (sign * (2q+1)); fusing the
+// value = (v - (v < 0)) >> 1 halving into the band loads here removes a
+// full-plane numpy pass per band on the lossless decode path.
+template <bool HLO, bool HHI>
+static inline int32_t load_lo(const int32_t* p, int j) {
+  int32_t v = p[j];
+  return HLO ? (v - (v >> 31)) >> 1 : v;
+}
+template <bool HLO, bool HHI>
+static inline int32_t load_hi(const int32_t* p, int j) {
+  int32_t v = p[j];
+  return HHI ? (v - (v >> 31)) >> 1 : v;
+}
+
+template <bool HLO, bool HHI>
+static inline void inv53_row_t(const int32_t* lo, const int32_t* hi, int n,
+                               int32_t* out, int32_t* ev, int32_t* od) {
   int ne = (n + 1) / 2, no = n / 2;
   if (n == 0) return;
   if (n == 1) {
-    out[0] = lo[0];
+    out[0] = load_lo<HLO, HHI>(lo, 0);
     return;
   }
-  ev[0] = lo[0] - ((hi[0] + hi[0] + 2) >> 2);
+  ev[0] = load_lo<HLO, HHI>(lo, 0) -
+          ((2 * load_hi<HLO, HHI>(hi, 0) + 2) >> 2);
   int jm = (ne < no) ? ne : no;
   for (int j = 1; j < jm; j++)
-    ev[j] = lo[j] - ((hi[j - 1] + hi[j] + 2) >> 2);
+    ev[j] = load_lo<HLO, HHI>(lo, j) -
+            ((load_hi<HLO, HHI>(hi, j - 1) + load_hi<HLO, HHI>(hi, j) + 2)
+             >> 2);
   for (int j = jm; j < ne; j++) {
     if (j == 0) continue;
-    int32_t dl = hi[j - 1];
-    int32_t dr = hi[(j < no) ? j : no - 1];
-    ev[j] = lo[j] - ((dl + dr + 2) >> 2);
+    int32_t dl = load_hi<HLO, HHI>(hi, j - 1);
+    int32_t dr = load_hi<HLO, HHI>(hi, (j < no) ? j : no - 1);
+    ev[j] = load_lo<HLO, HHI>(lo, j) - ((dl + dr + 2) >> 2);
   }
   for (int j = 0; j < no - 1; j++)
-    od[j] = hi[j] + ((ev[j] + ev[j + 1]) >> 1);
+    od[j] = load_hi<HLO, HHI>(hi, j) + ((ev[j] + ev[j + 1]) >> 1);
   {
     int j = no - 1;
     int32_t c = (2 * j + 2 < n) ? ev[j + 1] : ev[j];
-    od[j] = hi[j] + ((ev[j] + c) >> 1);
+    od[j] = load_hi<HLO, HHI>(hi, j) + ((ev[j] + c) >> 1);
   }
   for (int j = 0; j < no; j++) {
     out[2 * j] = ev[j];
     out[2 * j + 1] = od[j];
   }
   if (n & 1) out[n - 1] = ev[ne - 1];
+}
+
+static inline void inv53_row(const int32_t* lo, const int32_t* hi, int n,
+                             int32_t* out, int32_t* ev, int32_t* od) {
+  inv53_row_t<false, false>(lo, hi, n, out, ev, od);
 }
 
 }  // namespace
@@ -185,21 +208,40 @@ void grk_fwd53_level(const int32_t* x, int h, int w, int32_t* ll,
               hh + (size_t)y * ow, ev, od);
 }
 
-// One inverse 5/3 level -> (h x w) plane `out`.
-void grk_inv53_level(const int32_t* ll, const int32_t* hl,
-                     const int32_t* lh, const int32_t* hh, int h, int w,
-                     int32_t* out, int32_t* scratch) {
+// One inverse 5/3 level -> (h x w) plane `out`.  `halve` fuses the T1
+// doubled-domain -> value conversion into the band loads: bit0 halves
+// ll, bit1 halves hl/lh/hh (level 1 of a decode passes 3 — every input
+// is a coded band; deeper levels pass 2 — ll is the previous level's
+// value-domain output).
+void grk_inv53_level_h(const int32_t* ll, const int32_t* hl,
+                       const int32_t* lh, const int32_t* hh, int h, int w,
+                       int32_t* out, int32_t* scratch, int halve) {
   int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
   int32_t* ev = row_scratch<int32_t>(2 * (ew + 1));
   int32_t* od = ev + ew + 1;
+  void (*row_lo)(const int32_t*, const int32_t*, int, int32_t*, int32_t*,
+                 int32_t*) =
+      (halve & 1) ? ((halve & 2) ? inv53_row_t<true, true>
+                                 : inv53_row_t<true, false>)
+                  : ((halve & 2) ? inv53_row_t<false, true>
+                                 : inv53_row_t<false, false>);
+  void (*row_hi)(const int32_t*, const int32_t*, int, int32_t*, int32_t*,
+                 int32_t*) =
+      (halve & 2) ? inv53_row_t<true, true> : inv53_row_t<false, false>;
   // horizontal inverses into the (lo rows | hi rows) scratch layout
   for (int y = 0; y < eh; y++)
-    inv53_row(ll + (size_t)y * ew, hl + (size_t)y * ow, w,
-              scratch + (size_t)y * w, ev, od);
+    row_lo(ll + (size_t)y * ew, hl + (size_t)y * ow, w,
+           scratch + (size_t)y * w, ev, od);
   for (int y = 0; y < oh; y++)
-    inv53_row(lh + (size_t)y * ew, hh + (size_t)y * ow, w,
-              scratch + (size_t)(eh + y) * w, ev, od);
+    row_hi(lh + (size_t)y * ew, hh + (size_t)y * ow, w,
+           scratch + (size_t)(eh + y) * w, ev, od);
   inv53_vertical(scratch, scratch + (size_t)eh * w, h, w, out);
+}
+
+void grk_inv53_level(const int32_t* ll, const int32_t* hl,
+                     const int32_t* lh, const int32_t* hh, int h, int w,
+                     int32_t* out, int32_t* scratch) {
+  grk_inv53_level_h(ll, hl, lh, hh, h, w, out, scratch, 0);
 }
 
 }  // extern "C"
