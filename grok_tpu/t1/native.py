@@ -36,8 +36,8 @@ def _ensure_built() -> None:
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     srcs = [os.path.join(root, "native", n)
-            for n in ("t1.cc", "ht.cc", "dwt.cc", "t2.cc", "amalgam.cc",
-                      "train.cc", "util.h")]
+            for n in ("t1.cc", "ht.cc", "dwt.cc", "mct.cc", "t2.cc",
+                      "amalgam.cc", "train.cc", "util.h")]
     if not all(os.path.exists(s) for s in srcs):
         return  # installed layout without sources: use the shipped lib
 
@@ -105,7 +105,7 @@ class _DecJob(ct.Structure):
     ]
 
 
-_ABI_VERSION = 10  # job-struct layout (v10: per-context VLC tables)
+_ABI_VERSION = 11  # job-struct layout (v11: fused MCT/shift + dq-97)
 
 _lib = ct.CDLL(_LIB_PATH)
 if _lib.grk_t1_abi_version() != _ABI_VERSION:
@@ -517,4 +517,112 @@ def inv97_level_native(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
     scratch = np.empty((h, w), np.float32)
     _lib.grk_inv97_level(_addr(ll), _addr(hl), _addr(lh), _addr(hh), h, w,
                          _addr(out), _addr(scratch))
+    return out
+
+
+_lib.grk_inv97_level_dq.argtypes = [ct.c_uint64, ct.c_uint64, ct.c_uint64,
+                                    ct.c_uint64, ct.c_int, ct.c_int,
+                                    ct.c_uint64, ct.c_uint64, ct.c_int,
+                                    ct.c_float, ct.c_float, ct.c_float,
+                                    ct.c_float]
+
+
+def inv97_level_dq_native(ll, hl, lh, hh, h: int, w: int,
+                          dll, dhl, dlh, dhh) -> np.ndarray:
+    """One inverse 9/7 level with dequantization (value = doubled *
+    np.float32(0.5 * Delta_b), transform/quant.py) fused into the band
+    loads.  hl/lh/hh are int32 doubled-domain planes; ll is int32 when
+    dll is not None (level 1) else the previous level's float32 output."""
+    dq_ll = dll is not None
+    ll = np.ascontiguousarray(ll, dtype=np.int32 if dq_ll else np.float32)
+    hl = np.ascontiguousarray(hl, dtype=np.int32)
+    lh = np.ascontiguousarray(lh, dtype=np.int32)
+    hh = np.ascontiguousarray(hh, dtype=np.int32)
+    out = np.empty((h, w), np.float32)
+    scratch = np.empty((h, w), np.float32)
+    _lib.grk_inv97_level_dq(_addr(ll), _addr(hl), _addr(lh), _addr(hh),
+                            h, w, _addr(out), _addr(scratch),
+                            1 if dq_ll else 0,
+                            float(dll or 0.0), float(dhl), float(dlh),
+                            float(dhh))
+    return out
+
+
+# ------------------------------------------------- fused MCT / DC shift
+
+_lib.grk_ict_inv_shift.argtypes = [ct.c_uint64] * 3 + [ct.c_int64] + \
+    [ct.c_int] * 6 + [ct.c_uint64] * 3
+_lib.grk_rct_inv_shift.argtypes = [ct.c_uint64] * 3 + [ct.c_int64] + \
+    [ct.c_int] * 6 + [ct.c_uint64] * 3
+_lib.grk_ict_fwd_shift.argtypes = [ct.c_uint64] * 3 + [ct.c_int64] + \
+    [ct.c_int32] * 3 + [ct.c_uint64] * 3
+_lib.grk_rct_fwd_shift.argtypes = [ct.c_uint64] * 3 + [ct.c_int64] + \
+    [ct.c_int32] * 3 + [ct.c_uint64] * 3
+_lib.grk_f32_shift_i32.argtypes = [ct.c_uint64, ct.c_int64, ct.c_int,
+                                   ct.c_int, ct.c_uint64]
+_lib.grk_i32_shift_i32.argtypes = [ct.c_uint64, ct.c_int64, ct.c_int,
+                                   ct.c_int, ct.c_uint64]
+_lib.grk_i32_shift_f32.argtypes = [ct.c_uint64, ct.c_int64, ct.c_int32,
+                                   ct.c_uint64]
+
+
+def _c3(a, b, c, dtype):
+    return (np.ascontiguousarray(a, dtype=dtype),
+            np.ascontiguousarray(b, dtype=dtype),
+            np.ascontiguousarray(c, dtype=dtype))
+
+
+def ict_inv_shift_native(y, cb, cr, precs, sgnds):
+    """Fused inverse ICT + rint + DC unshift + clip (prec <= 24)."""
+    y, cb, cr = _c3(y, cb, cr, np.float32)
+    outs = [np.empty(y.shape, np.int32) for _ in range(3)]
+    _lib.grk_ict_inv_shift(_addr(y), _addr(cb), _addr(cr), y.size,
+                           precs[0], sgnds[0], precs[1], sgnds[1],
+                           precs[2], sgnds[2], *(map(_addr, outs)))
+    return outs
+
+
+def rct_inv_shift_native(y, cb, cr, precs, sgnds):
+    y, cb, cr = _c3(y, cb, cr, np.int32)
+    outs = [np.empty(y.shape, np.int32) for _ in range(3)]
+    _lib.grk_rct_inv_shift(_addr(y), _addr(cb), _addr(cr), y.size,
+                           precs[0], sgnds[0], precs[1], sgnds[1],
+                           precs[2], sgnds[2], *(map(_addr, outs)))
+    return outs
+
+
+def ict_fwd_shift_native(r, g, b, dcs):
+    r, g, b = _c3(r, g, b, np.int32)
+    outs = [np.empty(r.shape, np.float32) for _ in range(3)]
+    _lib.grk_ict_fwd_shift(_addr(r), _addr(g), _addr(b), r.size,
+                           dcs[0], dcs[1], dcs[2], *(map(_addr, outs)))
+    return outs
+
+
+def rct_fwd_shift_native(r, g, b, dcs):
+    r, g, b = _c3(r, g, b, np.int32)
+    outs = [np.empty(r.shape, np.int32) for _ in range(3)]
+    _lib.grk_rct_fwd_shift(_addr(r), _addr(g), _addr(b), r.size,
+                           dcs[0], dcs[1], dcs[2], *(map(_addr, outs)))
+    return outs
+
+
+def f32_shift_i32_native(x, prec, sgnd):
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.empty(x.shape, np.int32)
+    _lib.grk_f32_shift_i32(_addr(x), x.size, prec, sgnd, _addr(out))
+    return out
+
+
+def i32_shift_i32_native(x, prec, sgnd):
+    x = np.ascontiguousarray(x, dtype=np.int32)
+    out = np.empty(x.shape, np.int32)
+    _lib.grk_i32_shift_i32(_addr(x), x.size, prec, sgnd, _addr(out))
+    return out
+
+
+def i32_shift_f32_native(x, dc):
+    x = np.ascontiguousarray(x, dtype=np.int32)
+    out = np.empty(x.shape, np.float32)
+    _lib.grk_i32_shift_f32(_addr(x), x.size, dc, _addr(out))
     return out

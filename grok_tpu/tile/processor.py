@@ -312,24 +312,37 @@ class TileCompressor:
         self._device_quantized = False
         tile, tcp, image = self.tile, self.tcp, self.image
         reversible = tcp.tccps[0].qmfbid == 1
-        planes = []
+        raw = []
         for compno, tc in enumerate(tile.comps):
             comp = image.comps[compno]
             # extract tile-component samples from the component plane
             r = tc.rect
             y0 = r.y0 - comp.y0
             x0 = r.x0 - comp.x0
-            data = comp.data[y0:y0 + r.h, x0:x0 + r.w]
-            data = mct_mod.dc_shift_forward(data, comp.prec, comp.sgnd)
-            planes.append(data)
-        if tcp.mct == 1 and len(planes) >= 3:
-            if reversible:
-                planes[0], planes[1], planes[2] = mct_mod.rct_forward(
-                    planes[0], planes[1], planes[2])
+            raw.append(comp.data[y0:y0 + r.h, x0:x0 + r.w])
+        planes: list = [None] * len(raw)
+        fused3 = False
+        if tcp.mct == 1 and len(raw) >= 3:
+            # fused native DC shift + forward MCT over the triple
+            precs = tuple(image.comps[i].prec for i in range(3))
+            sgnds = tuple(image.comps[i].sgnd for i in range(3))
+            fn = (mct_mod.rct_forward_shift if reversible
+                  else mct_mod.ict_forward_shift)
+            planes[0], planes[1], planes[2] = fn(
+                raw[0], raw[1], raw[2], precs, sgnds)
+            fused3 = True
+        for compno, comp in enumerate(image.comps[:len(raw)]):
+            if fused3 and compno < 3:
+                continue
+            if tcp.tccps[compno].qmfbid == 0:
+                # fused DC shift + float conversion (the forward_dwt
+                # input below is float32 either way)
+                planes[compno] = mct_mod.shift_to_float(
+                    raw[compno], comp.prec, comp.sgnd)
             else:
-                planes[0], planes[1], planes[2] = mct_mod.ict_forward(
-                    planes[0], planes[1], planes[2])
-        elif tcp.mct == 2 and tcp.mct_matrix is not None:
+                planes[compno] = mct_mod.dc_shift_forward(
+                    raw[compno], comp.prec, comp.sgnd)
+        if tcp.mct == 2 and tcp.mct_matrix is not None:
             n = tcp.mct_matrix.shape[0]
             planes[:n] = mct_mod.matrix_forward(planes[:n], tcp.mct_matrix)
 
@@ -337,7 +350,7 @@ class TileCompressor:
             tccp = tcp.tccps[compno]
             data = planes[compno]
             if tccp.qmfbid == 0:
-                data = data.astype(np.float32)
+                data = data.astype(np.float32, copy=False)
             bands = dwt_mod.forward_dwt(
                 data, tc.rect, tccp.numresolutions, tccp.qmfbid == 1)
             tc.data = bands
@@ -710,6 +723,7 @@ class TileCompressor:
             tccp = tcp.tccps[compno]
             reversible = tccp.qmfbid == 1
             bands = {}
+            deltas = {}
             for res in tc.resolutions:
                 for bi, band in enumerate(res.bands):
                     arr = np.zeros((band.rect.h, band.rect.w), dtype=np.int32)
@@ -729,29 +743,31 @@ class TileCompressor:
                             x0 = cblk.rect.x0 - band.rect.x0
                             arr[y0:y0 + cblk.rect.h,
                                 x0:x0 + cblk.rect.w] = out
-                    if reversible:
-                        # doubled -> value: (v + (v < 0)) >> 1 halves
-                        # sign*(2m+1) toward zero without sign/abs temps
-                        vals = (arr - (arr >> 31)) >> 1
-                    else:
-                        vals = quant_mod.dequantize(arr, band.stepsize)
-                    bands[(res.resno, band.orient)] = vals
+                    bands[(res.resno, band.orient)] = arr
+                    deltas[(res.resno, band.orient)] = float(band.stepsize)
+            # halving / dequantization fused into the native band loads
             planes.append(dwt_mod.inverse_dwt(
-                bands, tc.rect, tccp.numresolutions, reversible))
+                bands, tc.rect, tccp.numresolutions, reversible,
+                doubled=reversible,
+                deltas=None if reversible else deltas))
+        done3 = False
         if tcp.mct == 1 and len(planes) >= 3:
-            if tcp.tccps[0].qmfbid == 1:
-                planes[0], planes[1], planes[2] = mct_mod.rct_inverse(
-                    planes[0], planes[1], planes[2])
-            else:
-                planes[0], planes[1], planes[2] = mct_mod.ict_inverse(
-                    planes[0], planes[1], planes[2])
+            precs = tuple(image.comps[i].prec for i in range(3))
+            sgnds = tuple(image.comps[i].sgnd for i in range(3))
+            fn = (mct_mod.rct_inverse_shift if tcp.tccps[0].qmfbid == 1
+                  else mct_mod.ict_inverse_shift)
+            planes[0], planes[1], planes[2] = fn(
+                planes[0], planes[1], planes[2], precs, sgnds)
+            done3 = True
         elif tcp.mct == 2 and tcp.mct_matrix is not None:
             planes[:tcp.mct_matrix.shape[0]] = mct_mod.matrix_inverse(
                 planes[:tcp.mct_matrix.shape[0]], tcp.mct_matrix)
         for compno, p in enumerate(planes):
             comp = image.comps[compno]
-            p = mct_mod.round_to_int(p, comp.prec)
-            rec = mct_mod.dc_shift_inverse(p, comp.prec, comp.sgnd)
+            if done3 and compno < 3:
+                rec = p
+            else:
+                rec = mct_mod.shift_round_clip(p, comp.prec, comp.sgnd)
             tc = tile.comps[compno]
             r = tc.rect
             y0 = r.y0 - comp.y0
@@ -1494,18 +1510,25 @@ class TileDecompressor:
             tccp = tcp.tccps[tc.compno]
             reversible = tccp.qmfbid == 1
             numres_used = max(1, tccp.numresolutions - self.reduce)
-            # Reversible whole-image decodes hand inverse_dwt the raw
-            # doubled-domain band arrays: the (v - (v<0)) >> 1 halving is
-            # fused into the native lifting's band loads (window decodes
-            # crop through _merge_2d, which needs value-domain inputs).
+            # Whole-image decodes hand inverse_dwt the raw doubled-domain
+            # band arrays: the (v - (v<0)) >> 1 halving (reversible) or
+            # the * float32(0.5 * Delta_b) dequantization (irreversible)
+            # is fused into the native lifting's band loads (window
+            # decodes crop through _merge_2d, which needs value-domain
+            # inputs).
             fuse_halve = reversible and self.window is None
+            fuse_dq = not reversible and self.window is None
+            deltas = {} if fuse_dq else None
             bands = {}
             for res in tc.resolutions[:numres_used]:
                 for band in res.bands:
                     doubled = self._band_arrays[
                         (tc.compno, res.resno, band.orient)]
-                    if fuse_halve:
+                    if fuse_halve or fuse_dq:
                         vals = doubled
+                        if fuse_dq:
+                            deltas[(res.resno, band.orient)] = float(
+                                band.stepsize)
                     elif reversible:
                         # doubled -> value without sign/abs temporaries
                         vals = (doubled - (doubled >> 31)) >> 1
@@ -1529,13 +1552,14 @@ class TileDecompressor:
                 out = dwt_mod.inverse_dwt(
                     bands, tc.rect, tccp.numresolutions,
                     reversible, max_res=numres_used - 1,
-                    doubled=fuse_halve)
+                    doubled=fuse_halve, deltas=deltas)
                 self._out_rects.append(
                     tc.resolutions[numres_used - 1].rect)
             planes.append(out)
         mct_shapes_ok = (len(planes) >= 3 and
                          planes[0].shape == planes[1].shape
                          == planes[2].shape)
+        done3 = False
         if tcp.mct == 1 and len(planes) >= 3 and not mct_shapes_ok:
             # corrupt per-component COD/SIZ can leave the three planes on
             # different grids (fuzz-found); skipping the MCT beats a
@@ -1543,12 +1567,15 @@ class TileDecompressor:
             log.warning("inverse MCT skipped: component planes differ "
                         "in shape")
         elif tcp.mct == 1 and len(planes) >= 3:
-            if tcp.tccps[0].qmfbid == 1:
-                planes[0], planes[1], planes[2] = mct_mod.rct_inverse(
-                    planes[0], planes[1], planes[2])
-            else:
-                planes[0], planes[1], planes[2] = mct_mod.ict_inverse(
-                    planes[0], planes[1], planes[2])
+            # fused native inverse MCT + rint + DC unshift + clip (one
+            # pass over the triple instead of 8+ numpy plane passes)
+            precs = tuple(self.image.comps[i].prec for i in range(3))
+            sgnds = tuple(self.image.comps[i].sgnd for i in range(3))
+            fn = (mct_mod.rct_inverse_shift if tcp.tccps[0].qmfbid == 1
+                  else mct_mod.ict_inverse_shift)
+            planes[0], planes[1], planes[2] = fn(
+                planes[0], planes[1], planes[2], precs, sgnds)
+            done3 = True
         elif tcp.mct == 2 and tcp.mct_dec_matrix is not None:
             # Part-2 wire convention: MCT carries the DECODING matrix and
             # the offset array carries the post-transform DC offsets (they
@@ -1566,11 +1593,13 @@ class TileDecompressor:
         elif tcp.mct == 2 and tcp.mct_matrix is not None:
             n = tcp.mct_matrix.shape[0]
             planes[:n] = mct_mod.matrix_inverse(planes[:n], tcp.mct_matrix)
-        # DC unshift + rounding + clamp
+        # DC unshift + rounding + clamp (native-fused single pass)
         out_planes = []
         for compno, p in enumerate(planes):
+            if done3 and compno < 3:
+                out_planes.append(p)  # fused path already finalized
+                continue
             comp = self.image.comps[compno]
-            p = mct_mod.round_to_int(p, comp.prec)
             out_planes.append(
-                mct_mod.dc_shift_inverse(p, comp.prec, comp.sgnd))
+                mct_mod.shift_round_clip(p, comp.prec, comp.sgnd))
         return out_planes

@@ -354,7 +354,8 @@ def _native53():
             from ..t1 import native as nat
 
             _NATIVE53 = (nat.fwd53_level_native, nat.inv53_level_native)
-            _NATIVE97[:] = [nat.fwd97_level_native, nat.inv97_level_native]
+            _NATIVE97[:] = [nat.fwd97_level_native, nat.inv97_level_native,
+                            nat.inv97_level_dq_native]
         except Exception:
             _NATIVE53 = ()
     return _NATIVE53 or None
@@ -508,43 +509,69 @@ def _halve_doubled(a: np.ndarray) -> np.ndarray:
 
 def inverse_dwt(bands: dict, tc_rect, numres: int, reversible: bool,
                 max_res: int | None = None,
-                doubled: bool = False) -> np.ndarray:
+                doubled: bool = False,
+                deltas: dict | None = None) -> np.ndarray:
     """Full inverse multi-level DWT from a band dict.  If max_res is given,
     stop after reconstructing that resolution (resolution-reduced decode).
 
     With ``doubled=True`` (reversible only) the band arrays are still in
     the T1 doubled domain (sign * (2q+1)); the halving is fused into the
     native band loads (one full-plane pass saved per band) and applied
-    lazily on any fallback level."""
+    lazily on any fallback level.
+
+    With ``deltas`` set (irreversible only; ``{(resno, orient):
+    stepsize}``) the band arrays are int32 doubled-domain coefficients
+    and dequantization (value = doubled * float32(0.5 * Delta_b),
+    transform/quant.py) is fused into the native band loads the same
+    way, applied lazily on fallback levels."""
     from ..tile.geometry import Rect, res_rect
+
+    from . import quant as quant_mod
 
     nl = numres - 1
     if max_res is None:
         max_res = numres - 1
     nat = _native53() if reversible else _native97()
     doubled = doubled and reversible
+    dq = deltas is not None and not reversible
+    if dq and (nat is None or len(nat) < 3):
+        dq = False  # no native dq kernel: dequantize everything upfront
+        bands = {k: quant_mod.dequantize(v, deltas[k])
+                 for k, v in bands.items()}
     cur = bands[(0, 0)]
-    cur_doubled = doubled
+    cur_raw = doubled or dq  # cur still needs halving / dequantization
     for resno in range(1, max_res + 1):
         rect = res_rect(tc_rect, numres, resno)
         if nat is not None and (rect.x0 & 1) == 0 and (rect.y0 & 1) == 0 \
                 and isinstance(cur, np.ndarray):
             if doubled:
-                halve = (1 if cur_doubled else 0) | 2
+                halve = (1 if cur_raw else 0) | 2
                 cur = nat[1](cur, bands[(resno, 1)], bands[(resno, 2)],
                              bands[(resno, 3)], rect.h, rect.w, halve)
+            elif dq:
+                dll = 0.5 * deltas[(0, 0)] if cur_raw else None
+                cur = nat[2](cur, bands[(resno, 1)], bands[(resno, 2)],
+                             bands[(resno, 3)], rect.h, rect.w, dll,
+                             0.5 * deltas[(resno, 1)],
+                             0.5 * deltas[(resno, 2)],
+                             0.5 * deltas[(resno, 3)])
             else:
                 cur = nat[1](cur, bands[(resno, 1)], bands[(resno, 2)],
                              bands[(resno, 3)], rect.h, rect.w)
         else:
-            if cur_doubled:
-                cur = _halve_doubled(cur)
+            if cur_raw:
+                cur = (_halve_doubled(cur) if doubled else
+                       quant_mod.dequantize(cur, deltas[(0, 0)]))
             hl, lh, hh = (bands[(resno, 1)], bands[(resno, 2)],
                           bands[(resno, 3)])
             if doubled:
                 hl, lh, hh = map(_halve_doubled, (hl, lh, hh))
+            elif dq:
+                hl, lh, hh = (quant_mod.dequantize(b, deltas[(resno, o)])
+                              for o, b in ((1, hl), (2, lh), (3, hh)))
             cur = _merge_2d(cur, hl, lh, hh, rect, reversible)
-        cur_doubled = False
-    if cur_doubled:
-        cur = _halve_doubled(cur)
+        cur_raw = False
+    if cur_raw:
+        cur = (_halve_doubled(cur) if doubled else
+               quant_mod.dequantize(cur, deltas[(0, 0)]))
     return cur

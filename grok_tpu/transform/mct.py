@@ -117,6 +117,112 @@ def dc_shift_inverse(x: np.ndarray, prec: int, sgnd: bool) -> np.ndarray:
     return np.clip(y, 0, (1 << prec) - 1).astype(np.int32)
 
 
+# ------------------------------------------------- fused native dispatch
+#
+# The decode tail (inverse MCT -> rint -> DC unshift -> clip) and the
+# encode ingest (DC shift -> forward MCT) are memory-bandwidth-bound
+# full-plane passes; native/mct.cc fuses each chain into ONE pass,
+# bit-identical to composing the numpy ops above (differential-tested;
+# GROK_TPU_NATIVE_MCT=0 forces the numpy composition).  Gated to
+# prec <= 24 (the int32 fast-path domain of the shift helpers).
+
+_NATIVE_MCT: list = []
+
+
+def _native():
+    if not _NATIVE_MCT:
+        import os
+
+        if os.environ.get("GROK_TPU_NATIVE_MCT", "1") == "0":
+            _NATIVE_MCT.append(None)
+        else:
+            try:
+                from ..t1 import native as nat
+
+                _NATIVE_MCT.append(nat)
+            except Exception:
+                _NATIVE_MCT.append(None)
+    return _NATIVE_MCT[0]
+
+
+def shift_round_clip(p: np.ndarray, prec: int, sgnd) -> np.ndarray:
+    """round_to_int + dc_shift_inverse in one native pass when eligible."""
+    nat = _native()
+    if nat is not None and prec <= 24:
+        if p.dtype == np.float32:
+            return nat.f32_shift_i32_native(p, prec, int(bool(sgnd)))
+        if p.dtype == np.int32:
+            return nat.i32_shift_i32_native(p, prec, int(bool(sgnd)))
+    return dc_shift_inverse(round_to_int(p, prec), prec, sgnd)
+
+
+def ict_inverse_shift(y, cb, cr, precs, sgnds):
+    """ict_inverse -> round_to_int -> dc_shift_inverse, fused."""
+    nat = _native()
+    if nat is not None and all(pr <= 24 for pr in precs) \
+            and y.shape == cb.shape == cr.shape:
+        return nat.ict_inv_shift_native(
+            y, cb, cr, tuple(precs), tuple(int(bool(s)) for s in sgnds))
+    r, g, b = ict_inverse(y, cb, cr)
+    return [dc_shift_inverse(round_to_int(p, pr), pr, sg)
+            for p, pr, sg in zip((r, g, b), precs, sgnds)]
+
+
+def rct_inverse_shift(y, cb, cr, precs, sgnds):
+    """rct_inverse -> dc_shift_inverse, fused (int32 planes only: the
+    numpy oracle wraps through int64 before its final astype, which the
+    native pass only reproduces for int32 inputs)."""
+    nat = _native()
+    if nat is not None and all(pr <= 24 for pr in precs) \
+            and y.dtype == cb.dtype == cr.dtype == np.int32 \
+            and y.shape == cb.shape == cr.shape:
+        return nat.rct_inv_shift_native(
+            y, cb, cr, tuple(precs), tuple(int(bool(s)) for s in sgnds))
+    r, g, b = rct_inverse(y, cb, cr)
+    return [dc_shift_inverse(round_to_int(p, pr), pr, sg)
+            for p, pr, sg in zip((r, g, b), precs, sgnds)]
+
+
+def _fwd_dcs(precs, sgnds):
+    return tuple(0 if sg else 1 << (pr - 1)
+                 for pr, sg in zip(precs, sgnds))
+
+
+def ict_forward_shift(r, g, b, precs, sgnds):
+    """dc_shift_forward -> ict_forward, fused."""
+    nat = _native()
+    if nat is not None and all(pr <= 24 for pr in precs) \
+            and r.dtype == g.dtype == b.dtype == np.int32 \
+            and r.shape == g.shape == b.shape:
+        return nat.ict_fwd_shift_native(r, g, b, _fwd_dcs(precs, sgnds))
+    sh = [dc_shift_forward(p, pr, sg)
+          for p, pr, sg in zip((r, g, b), precs, sgnds)]
+    return list(ict_forward(*sh))
+
+
+def rct_forward_shift(r, g, b, precs, sgnds):
+    """dc_shift_forward -> rct_forward, fused."""
+    nat = _native()
+    if nat is not None and all(pr <= 24 for pr in precs) \
+            and r.dtype == g.dtype == b.dtype == np.int32 \
+            and r.shape == g.shape == b.shape:
+        return nat.rct_fwd_shift_native(r, g, b, _fwd_dcs(precs, sgnds))
+    sh = [dc_shift_forward(p, pr, sg)
+          for p, pr, sg in zip((r, g, b), precs, sgnds)]
+    return list(rct_forward(*sh))
+
+
+def shift_to_float(x: np.ndarray, prec: int, sgnd) -> np.ndarray:
+    """dc_shift_forward -> astype(float32) in one native pass (the
+    ingest conversion for irreversible components outside an MCT
+    triple)."""
+    nat = _native()
+    if nat is not None and prec <= 24 and x.dtype == np.int32:
+        return nat.i32_shift_f32_native(
+            x, 0 if sgnd else 1 << (prec - 1))
+    return dc_shift_forward(x, prec, sgnd).astype(np.float32)
+
+
 # ------------------------------------------------------------------- norms
 
 def mct_norms(irreversible: bool) -> np.ndarray:

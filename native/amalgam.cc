@@ -11,6 +11,7 @@
 #include "t1.cc"
 #include "ht.cc"
 #include "dwt.cc"
+#include "mct.cc"
 #include "t2.cc"
 
 #ifdef GRK_TRAIN_MAIN

@@ -17,7 +17,9 @@ cd "$(dirname "$0")"
 mkdir -p ../grok_tpu/_native
 LIB=../grok_tpu/_native/libgrk_t1.so
 TMP="$LIB.tmp.$$"
-FLAGS="-O3 -march=native -std=c++17 -fPIC -pthread -funroll-loops -flto"
+# -ffp-contract=off: the float paths (9/7 DWT, fused MCT) must round
+# after every multiply/add exactly like numpy ufuncs — no FMA fusion.
+FLAGS="-O3 -march=native -std=c++17 -fPIC -pthread -funroll-loops -flto -ffp-contract=off"
 PGODIR=$(mktemp -d)
 if g++ $FLAGS -DGRK_TRAIN_MAIN -fprofile-generate="$PGODIR" \
        -c amalgam.cc -o "$PGODIR/amalgam.o" 2>/dev/null \

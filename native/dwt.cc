@@ -305,18 +305,19 @@ static void fwd97_vertical(const float* x, int h, int w, float* out) {
   for (int j = 0; j < no * w; j++) hi[j] *= KK;
 }
 
-static void inv97_vertical(const float* lo_in, const float* hi_in, int h,
-                           int w, float* out, float* tmp) {
+// In-place inverse vertical lifting over the planar (lo rows | hi rows)
+// scratch the horizontal pass produced — no separate h*w temp buffer.
+static void inv97_vertical_ip(float* lohi, int h, int w, float* out) {
   int ne = (h + 1) / 2, no = h / 2;
   if (h == 0) return;
-  float* lo = tmp;
-  float* hi = tmp + (size_t)ne * w;
+  float* lo = lohi;
+  float* hi = lohi + (size_t)ne * w;
   if (h == 1) {
-    for (int i = 0; i < w; i++) out[i] = lo_in[i] * KK;
+    for (int i = 0; i < w; i++) out[i] = lo[i] * KK;
     return;
   }
-  for (int j = 0; j < ne * w; j++) lo[j] = lo_in[j] * KK;
-  for (int j = 0; j < no * w; j++) hi[j] = hi_in[j] * (1.0f / KK);
+  for (int j = 0; j < ne * w; j++) lo[j] *= KK;
+  for (int j = 0; j < no * w; j++) hi[j] *= (1.0f / KK);
   lift_even_v(lo, hi, ne, no, w, -DELTA);
   lift_odd_v(hi, lo, ne, no, w, -GAMMA);
   lift_even_v(lo, hi, ne, no, w, -BETA);
@@ -376,16 +377,30 @@ static inline void fwd97_row(const float* x, int n, float* lo, float* hi,
   for (int j = 0; j < no; j++) hi[j] = od[j] * KK;
 }
 
-static inline void inv97_row(const float* lo_in, const float* hi_in,
-                             int n, float* out, float* ev, float* od) {
+// Band loads for the inverse rows.  LQ/HQ fuse dequantization of T1
+// doubled-domain int32 coefficients into the load: value = (float)v *
+// m where m = np.float32(0.5 * Delta_b) (transform/quant.py
+// dequantize) — one full-plane numpy pass saved per band on the lossy
+// decode path.  Two separate multiplies ((v * m) * KK) keep the same
+// rounding as the unfused dequantize-then-scale order.
+template <bool DQ>
+static inline float ld97(const void* p, int j, float m) {
+  return DQ ? (float)((const int32_t*)p)[j] * m : ((const float*)p)[j];
+}
+
+template <bool LQ, bool HQ>
+static inline void inv97_row_t(const void* lo_in, const void* hi_in,
+                               int n, float* out, float* ev, float* od,
+                               float mlo, float mhi) {
   int ne = (n + 1) / 2, no = n / 2;
   if (n == 0) return;
   if (n == 1) {
-    out[0] = lo_in[0] * KK;
+    out[0] = ld97<LQ>(lo_in, 0, mlo) * KK;
     return;
   }
-  for (int j = 0; j < ne; j++) ev[j] = lo_in[j] * KK;
-  for (int j = 0; j < no; j++) od[j] = hi_in[j] * (1.0f / KK);
+  for (int j = 0; j < ne; j++) ev[j] = ld97<LQ>(lo_in, j, mlo) * KK;
+  for (int j = 0; j < no; j++)
+    od[j] = ld97<HQ>(hi_in, j, mhi) * (1.0f / KK);
   lift_even_h(ev, od, ne, no, -DELTA);
   lift_odd_h(od, ev, ne, no, -GAMMA);
   lift_even_h(ev, od, ne, no, -BETA);
@@ -395,6 +410,11 @@ static inline void inv97_row(const float* lo_in, const float* hi_in,
     out[2 * j + 1] = od[j];
   }
   if (n & 1) out[n - 1] = ev[ne - 1];
+}
+
+static inline void inv97_row(const float* lo_in, const float* hi_in,
+                             int n, float* out, float* ev, float* od) {
+  inv97_row_t<false, false>(lo_in, hi_in, n, out, ev, od, 0.0f, 0.0f);
 }
 
 }  // namespace
@@ -428,8 +448,38 @@ void grk_inv97_level(const float* ll, const float* hl, const float* lh,
   for (int y = 0; y < oh; y++)
     inv97_row(lh + (size_t)y * ew, hh + (size_t)y * ow, w,
               scratch + (size_t)(eh + y) * w, ev, od);
-  std::vector<float> vtmp((size_t)h * w);
-  inv97_vertical(scratch, scratch + (size_t)eh * w, h, w, out, vtmp.data());
+  inv97_vertical_ip(scratch, h, w, out);
+}
+
+// One inverse 9/7 level with dequantization fused into the band loads.
+// hl/lh/hh are int32 T1 doubled-domain coefficient planes; ll is int32
+// too when dq_ll != 0 (level 1 of a decode — every input is a coded
+// band) or float32 value-domain otherwise (the previous level's
+// output).  dll..dhh are np.float32(0.5 * Delta_b) per band.
+void grk_inv97_level_dq(const void* ll, const void* hl, const void* lh,
+                        const void* hh, int h, int w, float* out,
+                        float* scratch, int dq_ll, float dll, float dhl,
+                        float dlh, float dhh) {
+  int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
+  float* ev = row_scratch<float>(2 * (ew + 1));
+  float* od = ev + ew + 1;
+  for (int y = 0; y < eh; y++) {
+    float* dst = scratch + (size_t)y * w;
+    if (dq_ll)
+      inv97_row_t<true, true>((const int32_t*)ll + (size_t)y * ew,
+                              (const int32_t*)hl + (size_t)y * ow, w,
+                              dst, ev, od, dll, dhl);
+    else
+      inv97_row_t<false, true>((const float*)ll + (size_t)y * ew,
+                               (const int32_t*)hl + (size_t)y * ow, w,
+                               dst, ev, od, 0.0f, dhl);
+  }
+  for (int y = 0; y < oh; y++)
+    inv97_row_t<true, true>((const int32_t*)lh + (size_t)y * ew,
+                            (const int32_t*)hh + (size_t)y * ow, w,
+                            scratch + (size_t)(eh + y) * w, ev, od,
+                            dlh, dhh);
+  inv97_vertical_ip(scratch, h, w, out);
 }
 
 }  // extern "C"

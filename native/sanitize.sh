@@ -10,6 +10,7 @@ SAN_DIR=$(mktemp -d)
 trap 'rm -rf "$SAN_DIR"' EXIT
 SAN_LIB="$SAN_DIR/libgrk_t1_asan.so"
 g++ -O1 -g -march=native -std=c++17 -fPIC -pthread -shared \
+    -ffp-contract=off \
     -fsanitize=address,undefined -fno-sanitize-recover=undefined \
     amalgam.cc -o "$SAN_LIB"
 echo "built $SAN_LIB"

@@ -109,3 +109,29 @@ def test_native97_level_close_to_python(rng):
             assert np.abs(got - ref).max() < 2e-2, (h, w)
         back = nat.inv97_level_native(ll, hl, lh, hh, h, w)
         assert np.abs(back - x).max() < 2e-2, (h, w)
+
+
+def test_inverse_dwt_fused_dequant_matches_upfront(rng):
+    """inverse_dwt(deltas=...) fuses dequantization into the native 9/7
+    band loads; it must be bit-identical (float32) to dequantizing every
+    band upfront and running the plain inverse."""
+    from grok_tpu.transform import quant as quant_mod
+
+    for (w, h, x0, y0) in [(123, 77, 0, 0), (64, 64, 0, 0), (31, 45, 2, 4),
+                           (1, 9, 0, 0)]:
+        tcr = Rect(x0, y0, x0 + w, y0 + h)
+        numres = 3
+        bands, deltas = {}, {}
+        for resno in range(numres):
+            for o in ((0,) if resno == 0 else (1, 2, 3)):
+                br = band_rect(tcr, numres, resno, o)
+                bands[(resno, o)] = rng.integers(
+                    -201, 201, (br.h, br.w)).astype(np.int32)
+                deltas[(resno, o)] = float(rng.uniform(0.001, 0.1))
+        fused = inverse_dwt(dict(bands), tcr, numres, reversible=False,
+                            deltas=dict(deltas))
+        upfront = inverse_dwt(
+            {k: quant_mod.dequantize(v, deltas[k]) for k, v in bands.items()},
+            tcr, numres, reversible=False)
+        assert fused.dtype == np.float32
+        assert np.array_equal(fused, upfront), (w, h, x0, y0)
