@@ -470,7 +470,8 @@ def fwd53_level_native(x: np.ndarray):
 def inv53_level_native(ll, hl, lh, hh, h: int, w: int,
                        halve: int = 0) -> np.ndarray:
     """One inverse 5/3 level.  `halve` fuses the T1 doubled-domain ->
-    value conversion ((v - (v<0)) >> 1) into the band loads: bit0 halves
+    value conversion ((v - (v >> 31)) >> 1, halve toward zero) into the
+    band loads: bit0 halves
     ll, bit1 halves hl/lh/hh — saves a full-plane numpy pass per band on
     the lossless decode path."""
     ll = np.ascontiguousarray(ll, dtype=np.int32)

@@ -1511,7 +1511,7 @@ class TileDecompressor:
             reversible = tccp.qmfbid == 1
             numres_used = max(1, tccp.numresolutions - self.reduce)
             # Whole-image decodes hand inverse_dwt the raw doubled-domain
-            # band arrays: the (v - (v<0)) >> 1 halving (reversible) or
+            # band arrays: the (v - (v >> 31)) >> 1 halving (reversible) or
             # the * float32(0.5 * Delta_b) dequantization (irreversible)
             # is fused into the native lifting's band loads (window
             # decodes crop through _merge_2d, which needs value-domain
@@ -1530,8 +1530,7 @@ class TileDecompressor:
                             deltas[(res.resno, band.orient)] = float(
                                 band.stepsize)
                     elif reversible:
-                        # doubled -> value without sign/abs temporaries
-                        vals = (doubled - (doubled >> 31)) >> 1
+                        vals = dwt_mod._halve_doubled(doubled)
                     else:
                         vals = quant_mod.dequantize(
                             doubled, band.stepsize)

@@ -123,7 +123,6 @@ static inline void fwd53_row(const int32_t* x, int n, int32_t* lo,
   for (int j = 1; j < jm; j++)
     lo[j] = ev[j] + ((hi[j - 1] + hi[j] + 2) >> 2);
   for (int j = jm; j < ne; j++) {  // at most one tail element
-    if (j == 0) continue;
     int32_t dl = hi[j - 1];
     int32_t dr = hi[(j < no) ? j : no - 1];
     lo[j] = ev[j] + ((dl + dr + 2) >> 2);
@@ -131,7 +130,7 @@ static inline void fwd53_row(const int32_t* x, int n, int32_t* lo,
 }
 
 // T1 decoders emit DOUBLED-domain values (sign * (2q+1)); fusing the
-// value = (v - (v < 0)) >> 1 halving into the band loads here removes a
+// value = (v - (v >> 31)) >> 1 halving into the band loads here removes a
 // full-plane numpy pass per band on the lossless decode path.
 template <bool HLO, bool HHI>
 static inline int32_t load_lo(const int32_t* p, int j) {
@@ -161,7 +160,6 @@ static inline void inv53_row_t(const int32_t* lo, const int32_t* hi, int n,
             ((load_hi<HLO, HHI>(hi, j - 1) + load_hi<HLO, HHI>(hi, j) + 2)
              >> 2);
   for (int j = jm; j < ne; j++) {
-    if (j == 0) continue;
     int32_t dl = load_hi<HLO, HHI>(hi, j - 1);
     int32_t dr = load_hi<HLO, HHI>(hi, (j < no) ? j : no - 1);
     ev[j] = load_lo<HLO, HHI>(lo, j) - ((dl + dr + 2) >> 2);
@@ -349,7 +347,6 @@ static inline void lift_even_h(float* ev, const float* od, int ne, int no,
   int jm = (ne < no) ? ne : no;
   for (int j = 1; j < jm; j++) ev[j] += cf * (od[j - 1] + od[j]);
   for (int j = jm; j < ne; j++) {
-    if (j == 0) continue;
     float dl = od[j - 1];
     float dr = od[(j < no) ? j : no - 1];
     ev[j] += cf * (dl + dr);
