@@ -36,6 +36,11 @@ _lib.grk_t2_encode_packet.argtypes = [
 _lib.grk_t2_encode_packet.restype = ct.c_long
 _lib.grk_t2_prc_hdr.argtypes = [ct.c_void_p]
 _lib.grk_t2_prc_hdr.restype = ct.c_void_p
+_lib.grk_t2_size_layers.argtypes = [
+    ct.c_void_p, ct.c_int, ct.c_int, ct.c_int,
+    ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+    ct.c_uint64, ct.c_int, ct.c_uint64]
+_lib.grk_t2_size_layers.restype = ct.c_long
 _lib.grk_t2_decode_packet.argtypes = [
     ct.c_void_p, ct.c_int, ct.c_int, ct.c_int,
     ct.c_uint64, ct.c_long, ct.c_long, ct.c_uint64,
@@ -116,6 +121,10 @@ class PrecinctHandle:
                     first = ln
                     break
             self.first_layer[i] = first
+        self._ensure_rates()
+        self.statics_built = True
+
+    def _ensure_rates(self) -> None:
         if self.rates is None:
             stride = 1
             for c in self.cblks:
@@ -129,7 +138,6 @@ class PrecinctHandle:
                     rates[i, :len(c.pass_rates)] = c.pass_rates
             self.rates = rates
             self.rates_stride = stride
-        self.statics_built = True
 
     def encode(self, layno: int, style: int, mixed: bool):
         """Returns (header bytes, body ranges int32[2*ncb])."""
@@ -166,6 +174,24 @@ class PrecinctHandle:
         s, e = r[0::2], r[1::2]
         inc = s >= 0
         return int(n) + int((e[inc] - s[inc]).sum())
+
+    def size_layers(self, nlayers_sim: int, style: int, mixed: bool,
+                    npl_mat: np.ndarray, first_layer: np.ndarray) -> int:
+        """Header + body bytes of this precinct's packets for layers
+        0..nlayers_sim-1, replayed natively in one call (rate-control
+        dry runs; the per-trial Python cblk loops of size() collapse to
+        two array writes).  `npl_mat` is (nlayers_sim, ncb) int32
+        C-contiguous; `first_layer` is the per-cblk first contributing
+        layer under this trial (len ncb)."""
+        self._ensure_rates()
+        self.first_layer[:self.ncb] = first_layer
+        # the native replay resets state itself (and leaves it fresh)
+        self.statics_built = False
+        return int(_lib.grk_t2_size_layers(
+            self.ptr, nlayers_sim, int(style), 1 if mixed else 0,
+            _addr(npl_mat), _addr(self.first_layer), _addr(self.zb),
+            _addr(self.numbps), _addr(self.is_ht),
+            _addr(self.rates), self.rates_stride, _addr(self.ranges)))
 
     # ------------------------------------------------------------ decoder
 

@@ -526,18 +526,32 @@ class TileCompressor:
         self._last_lambda = math.inf  # min applied threshold over layers
         hidx = self._hull_index = HullIndex(entries)
         slopes = hidx.distinct_slopes()
-        for layno, target in enumerate(layer_targets):
-            if target is None or not slopes:
-                # include-everything layer: all passes, independent of the
-                # distortion hull (which is empty when tracking is skipped)
-                counts = {id(c): len(c.pass_rates) for c, h in entries}
-            else:
-                counts = self._bisect_layer(entries, prev, slopes, layno,
-                                            target)
-            for c, h in entries:
-                c.num_passes_by_layer[layno] = max(
-                    0, counts[id(c)] - prev[id(c)])
-            prev = {k: max(prev[k], counts[k]) for k in prev}
+        sim = self._sim_state = self._build_sim_state(entries, numlayers)
+        prev_v = np.zeros(len(entries), dtype=np.int64)
+        try:
+            for layno, target in enumerate(layer_targets):
+                if target is None or not slopes:
+                    # include-everything layer: all passes, independent
+                    # of the distortion hull (which is empty when
+                    # tracking is skipped)
+                    counts = {id(c): len(c.pass_rates)
+                              for c, h in entries}
+                else:
+                    counts = self._bisect_layer(entries, prev, slopes,
+                                                layno, target)
+                counts_v = np.asarray([counts[id(c)] for c, _ in entries],
+                                      dtype=np.int64)
+                counts_v = np.maximum(counts_v, prev_v)
+                if sim is not None:
+                    self._sim_finalize_layer(sim, counts_v - prev_v,
+                                             layno)
+                for c, h in entries:
+                    c.num_passes_by_layer[layno] = max(
+                        0, counts[id(c)] - prev[id(c)])
+                prev = {k: max(prev[k], counts[k]) for k in prev}
+                prev_v = counts_v
+        finally:
+            self._sim_state = None
 
     def revalidate_rate_truncation(self) -> bool:
         """Rate-quota safety net: re-encode (without a cap) every early-
@@ -818,12 +832,18 @@ class TileCompressor:
                     hi = mid
             return best
 
+        sim = getattr(self, "_sim_state", None)
+
         def exact(idx):
             counts_v, body = cand_counts(slopes[idx])
             counts = {id(c): int(n)
                       for (c, _), n in zip(entries, counts_v)}
-            return counts, body, \
-                self._simulate_size(entries, prev, counts, layno)
+            if sim is not None:
+                size = self._simulate_size_fast(
+                    sim, counts_v - prev_counts, layno)
+            else:
+                size = self._simulate_size(entries, prev, counts, layno)
+            return counts, body, size
 
         # stage 2: fixed-point on the header+framing overhead.  One exact
         # Tier-2 dry run per iteration measures overhead = size - body;
@@ -916,6 +936,76 @@ class TileCompressor:
         # per-packet framing (SOP/EPH) + SOT+SOD per tile-part
         total += npkts * getattr(self.cp, "_sim_pkt_overhead", 0)
         return total + 14 * max(1, getattr(self.cp, "_sim_tile_parts", 1))
+
+    def _build_sim_state(self, entries, numlayers: int):
+        """Vectorized Tier-2 dry-run context (native T2 only): per
+        precinct handle, the entry-index/slot scatter maps plus a
+        layer-major (numlayers x ncb) pass-count matrix and the running
+        first-contributing-layer vector.  A bisect trial then costs two
+        array writes + one native size_layers() call per precinct
+        instead of per-cblk Python loops (grk_t2_size_layers replays all
+        layers in C).  Byte-identical to _simulate_size
+        (differential-tested)."""
+        if t2._native is None:
+            return None
+        eix = {id(c): i for i, (c, _) in enumerate(entries)}
+        state = []
+        for tc in self.tile.comps:
+            tccp = self.tcp.tccps[tc.compno]
+            mixed = tccp.ht and getattr(self.cp, "ht_mixed", False)
+            for res in tc.resolutions:
+                for precno in range(res.pw * res.ph):
+                    h = t2._native.get_handle(res.precincts[precno])
+                    slots, eidx = [], []
+                    for s, c in enumerate(h.cblks):
+                        i = eix.get(id(c))
+                        if i is not None:
+                            slots.append(s)
+                            eidx.append(i)
+                    npl = np.zeros(
+                        (numlayers, max(h.ncb, 1)), dtype=np.int32)
+                    fl = np.full(max(h.ncb, 1), numlayers, dtype=np.int32)
+                    state.append((h, int(tccp.cblk_style), mixed, npl,
+                                  np.asarray(slots, dtype=np.intp),
+                                  np.asarray(eidx, dtype=np.intp), fl))
+        return state
+
+    def _simulate_size_fast(self, sim, delta, layno: int) -> int:
+        """Tier-2 dry run over the vectorized sim state: total bytes of
+        all packets up to and including layno with `delta` extra passes
+        (vector over hull entries) assigned to layer layno."""
+        nlay = layno + 1
+        total = 0
+        for h, style, mixed, npl, slots, eidx, fl_prev in sim:
+            fl = fl_prev
+            if h.ncb:
+                row = npl[layno]
+                row[:] = 0
+                if slots.size:
+                    d = delta[eidx]
+                    row[slots] = d
+                    inc = d > 0
+                    if inc.any():
+                        fl = fl_prev.copy()
+                        si = slots[inc]
+                        fl[si] = np.minimum(fl[si], layno)
+            total += h.size_layers(nlay, style, mixed, npl, fl)
+        total += len(sim) * nlay * getattr(self.cp, "_sim_pkt_overhead", 0)
+        return total + 14 * max(1, getattr(self.cp, "_sim_tile_parts", 1))
+
+    def _sim_finalize_layer(self, sim, delta, layno: int) -> None:
+        """Commit layer layno's final pass deltas into the sim state so
+        later layers' trials replay it correctly."""
+        for h, _style, _mixed, npl, slots, eidx, fl_prev in sim:
+            if not h.ncb:
+                continue
+            row = npl[layno]
+            row[:] = 0
+            if slots.size:
+                d = delta[eidx]
+                row[slots] = d
+                si = slots[d > 0]
+                fl_prev[si] = np.minimum(fl_prev[si], layno)
 
     def _layer_packets_size(self, layno: int) -> tuple[int, int]:
         """(total bytes, packet count) of one layer's packets (LRCP-local

@@ -466,6 +466,36 @@ const uint8_t* grk_t2_prc_hdr(void* h) {
   return ((t2::Prc*)h)->hdr.data();
 }
 
+// Rate-control dry run: total header+body bytes of this precinct's
+// packets for layers 0..nlayers_sim-1, replayed from fresh state in one
+// call (the tag-tree / Lblock / inclusion state evolves across layers,
+// so a trial that changes any layer must replay them all).
+// npasses_mat is layer-major: layer L's per-cblk pass counts start at
+// npasses_mat + L * ncb.  body_ranges is 2*ncb scratch.
+long grk_t2_size_layers(
+    void* h, int nlayers_sim, int style, int mixed,
+    const int32_t* npasses_mat, const int32_t* first_layer,
+    const int32_t* zero_bitplanes, const int32_t* numbps,
+    const int32_t* is_ht,
+    const int32_t* pass_rates, int rates_stride,
+    int32_t* body_ranges) {
+  auto* p = (t2::Prc*)h;
+  p->reset();
+  int ncb = (int)p->cblks.size();
+  long total = 0;
+  for (int L = 0; L < nlayers_sim; L++) {
+    total += grk_t2_encode_packet(
+        h, L, style, mixed, npasses_mat + (size_t)L * ncb, first_layer,
+        zero_bitplanes, numbps, is_ht, pass_rates, rates_stride,
+        body_ranges);
+    for (int i = 0; i < ncb; i++)
+      if (body_ranges[2 * i] >= 0)
+        total += body_ranges[2 * i + 1] - body_ranges[2 * i];
+  }
+  p->reset();  // leave the handle in the fresh state consumers expect
+  return total;
+}
+
 // Decode one packet header.  Outputs per flat cblk index: whether the cblk
 // contributes to this packet, whether it was newly included (zb/is_ht then
 // valid), and the (npasses, length) chunk list.  Returns 0 on success,

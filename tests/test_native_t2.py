@@ -153,3 +153,32 @@ def test_huge_precinct_header(rng):
     assert native_bytes == py_bytes
     out = grok_tpu.decompress(native_bytes).to_array()
     assert np.array_equal(out, arr.astype(out.dtype))
+
+
+@requires_native
+def test_vectorized_rate_sim_byte_identical(rng):
+    """The vectorized Tier-2 dry-run path (grk_t2_size_layers +
+    _simulate_size_fast) must produce byte-identical rate-targeted
+    streams to the per-cblk _simulate_size loop it replaces."""
+    from grok_tpu.tile.processor import TileCompressor
+
+    yy, xx = np.mgrid[0:220, 0:180].astype(float)
+    base = (128 + 90 * np.sin(xx / 19) * np.cos(yy / 13)
+            + rng.normal(0, 8, (220, 180))).clip(0, 255).astype(np.uint8)
+    orig = TileCompressor._build_sim_state
+    cases = [
+        dict(layer_rates=[80, 20, 5]),
+        dict(irreversible=True, max_cs_size=6000, sop=True, eph=True),
+        dict(layer_rates=[40, 10], ht=True, ht_mixed=True),
+        dict(layer_rates=[30], tile_size=(96, 96)),
+    ]
+    for kw in cases:
+        fast = grok_tpu.compress(GrkImage.from_array(base),
+                                 CompressParams(**kw))
+        TileCompressor._build_sim_state = lambda self, e, n: None
+        try:
+            legacy = grok_tpu.compress(GrkImage.from_array(base),
+                                       CompressParams(**kw))
+        finally:
+            TileCompressor._build_sim_state = orig
+        assert fast == legacy, kw
