@@ -16,10 +16,13 @@ from __future__ import annotations
 
 import ctypes as ct
 import os
+import threading
 
 import numpy as np
 
 from . import backend as bk
+
+_DWT_SCRATCH = threading.local()
 
 _LIB_PATH = os.environ.get("GROK_TPU_NATIVE_LIB") or os.path.join(
     os.path.dirname(__file__), os.pardir, "_native", "libgrk_t1.so")
@@ -451,6 +454,17 @@ _lib.grk_inv53_level_h.argtypes = [ct.c_uint64, ct.c_uint64, ct.c_uint64,
                                    ct.c_uint64, ct.c_uint64, ct.c_int]
 
 
+def _dwt_scratch_addr(nbytes: int) -> int:
+    """Address of a thread-local scratch buffer of >= nbytes (the DWT
+    level kernels use it only within the call; reusing one grown buffer
+    avoids a full-plane malloc + page-fault per level)."""
+    buf = getattr(_DWT_SCRATCH, "buf", None)
+    if buf is None or buf.nbytes < nbytes:
+        buf = np.empty(nbytes, np.uint8)
+        _DWT_SCRATCH.buf = buf
+    return _addr(buf)
+
+
 def fwd53_level_native(x: np.ndarray):
     """One forward 5/3 level (even-parity origin) -> (ll, hl, lh, hh)."""
     h, w = x.shape
@@ -461,9 +475,8 @@ def fwd53_level_native(x: np.ndarray):
     hl = np.empty((eh, ow), np.int32)
     lh = np.empty((oh, ew), np.int32)
     hh = np.empty((oh, ow), np.int32)
-    scratch = np.empty((h, w), np.int32)
     _lib.grk_fwd53_level(_addr(x), h, w, _addr(ll), _addr(hl), _addr(lh),
-                         _addr(hh), _addr(scratch))
+                         _addr(hh), _dwt_scratch_addr(4 * h * w))
     return ll, hl, lh, hh
 
 
@@ -479,9 +492,8 @@ def inv53_level_native(ll, hl, lh, hh, h: int, w: int,
     lh = np.ascontiguousarray(lh, dtype=np.int32)
     hh = np.ascontiguousarray(hh, dtype=np.int32)
     out = np.empty((h, w), np.int32)
-    scratch = np.empty((h, w), np.int32)
     _lib.grk_inv53_level_h(_addr(ll), _addr(hl), _addr(lh), _addr(hh), h, w,
-                           _addr(out), _addr(scratch), halve)
+                           _addr(out), _dwt_scratch_addr(4 * h * w), halve)
     return out
 
 
@@ -503,9 +515,8 @@ def fwd97_level_native(x: np.ndarray):
     hl = np.empty((eh, ow), np.float32)
     lh = np.empty((oh, ew), np.float32)
     hh = np.empty((oh, ow), np.float32)
-    scratch = np.empty((h, w), np.float32)
     _lib.grk_fwd97_level(_addr(x), h, w, _addr(ll), _addr(hl), _addr(lh),
-                         _addr(hh), _addr(scratch))
+                         _addr(hh), _dwt_scratch_addr(4 * h * w))
     return ll, hl, lh, hh
 
 
@@ -515,9 +526,8 @@ def inv97_level_native(ll, hl, lh, hh, h: int, w: int) -> np.ndarray:
     lh = np.ascontiguousarray(lh, dtype=np.float32)
     hh = np.ascontiguousarray(hh, dtype=np.float32)
     out = np.empty((h, w), np.float32)
-    scratch = np.empty((h, w), np.float32)
     _lib.grk_inv97_level(_addr(ll), _addr(hl), _addr(lh), _addr(hh), h, w,
-                         _addr(out), _addr(scratch))
+                         _addr(out), _dwt_scratch_addr(4 * h * w))
     return out
 
 
@@ -540,9 +550,8 @@ def inv97_level_dq_native(ll, hl, lh, hh, h: int, w: int,
     lh = np.ascontiguousarray(lh, dtype=np.int32)
     hh = np.ascontiguousarray(hh, dtype=np.int32)
     out = np.empty((h, w), np.float32)
-    scratch = np.empty((h, w), np.float32)
     _lib.grk_inv97_level_dq(_addr(ll), _addr(hl), _addr(lh), _addr(hh),
-                            h, w, _addr(out), _addr(scratch),
+                            h, w, _addr(out), _dwt_scratch_addr(4 * h * w),
                             1 if dq_ll else 0,
                             float(dll or 0.0), float(dhl), float(dlh),
                             float(dhh))
