@@ -19,9 +19,9 @@ from .params import CompressParams, DecompressParams  # noqa: F401
 
 
 _CODEC_API = (
-    "compress", "decompress", "read_header", "decompress_strips",
-    "decompress_file", "compress_file", "decompress_stream",
-    "compress_stream", "set_msg_handlers",
+    "compress", "compress_strips", "decompress", "read_header",
+    "decompress_strips", "decompress_file", "compress_file",
+    "decompress_stream", "compress_stream", "set_msg_handlers",
 )
 _ERRORS = ("GrkError", "CodestreamError", "ParamError")
 

@@ -33,6 +33,21 @@ def compress(image: GrkImage, params: CompressParams | None = None) -> bytes:
     return cs
 
 
+def compress_strips(image: GrkImage, reader,
+                    params: CompressParams | None = None) -> bytes:
+    """Streaming encode — the dual of decompress_strips.  `image` carries
+    geometry/metadata only (component `data` may be None); `reader(y0, h)`
+    is called once per tile row and must return one 2-D array per
+    component covering canvas rows [y0, y0+h) at that component's
+    subsampling (shape (ceil((y0+h)/dy) - ceil(y0/dy), comp.w)).  Peak
+    memory is O(tile row), not O(image) — the gigapixel encode path."""
+    params = params or CompressParams()
+    cs = compress_codestream(image, params, strip_reader=reader)
+    if params.cod_format == "jp2":
+        return jp2_mod.wrap_jp2(cs, image, ht=params.ht)
+    return cs
+
+
 def read_header(data: bytes, strict: bool = False,
                 lazy: bool = True) -> HeaderInfo:
     """Parse the container + codestream headers without decoding tiles

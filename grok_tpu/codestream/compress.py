@@ -107,8 +107,7 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
         elif p.max_cs_size > 0:
             # same raw-size definition as the rate-control budget below
             # (actual component plane shapes, not image-rect division)
-            raw = sum(c.data.shape[0] * c.data.shape[1] * c.prec
-                      for c in image.comps) / 8.0
+            raw = sum(c.h * c.w * c.prec for c in image.comps) / 8.0
             min_ratio = raw / p.max_cs_size
         if min_ratio >= 24.0:
             quant_step = 4.0
@@ -204,7 +203,22 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
     return cp
 
 
-def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
+def compress_codestream(image: GrkImage, p: CompressParams,
+                        strip_reader=None) -> bytes:
+    """Encode a full codestream.  With `strip_reader` set (the streaming
+    dual of decompress_strips), component data is fetched one tile row at
+    a time — reader(y0, h) returns one 2-D array per component covering
+    canvas rows [y0, y0+h) at that component's subsampling — and memory
+    stays O(tile row) instead of O(image)."""
+    for c in image.comps:
+        if c.data is not None:
+            c.h, c.w = c.data.shape
+        elif strip_reader is None:
+            raise ParamError("component has no data (use compress_strips "
+                             "with a reader for streaming encodes)")
+        elif not (c.w and c.h):
+            c.w = -(-image.x1 // c.dx) - c.x0
+            c.h = -(-image.y1 // c.dy) - c.y0
     cp = setup_coding_params(image, p)
     tcp0 = cp.tcps[0]
 
@@ -268,8 +282,7 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
     plm_entries: list[list[int]] = []
 
     img_rect = Rect(image.x0, image.y0, image.x1, image.y1)
-    raw_bytes = sum(c.data.shape[0] * c.data.shape[1] * c.prec
-                    for c in image.comps) / 8.0
+    raw_bytes = sum(c.h * c.w * c.prec for c in image.comps) / 8.0
     p._raw_bytes_total = raw_bytes  # for -W per-tile share scaling
     # -W is a TOTAL codestream cap: subtract the ACTUAL main-header bytes
     # written so far (SIZ/COD/QCD/CAP/COM/...) plus EOC and the TLM
@@ -306,42 +319,51 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
     elif tcp0.mct == 2:
         mct_norms_arr = mct_mod.custom_mct_norms(tcp0.mct_matrix)
 
+    def _make_compressor(q, pt):
+        tidx = q * cp.t_grid_w + pt
+        tcp = cp.tcps[tidx]
+        trect = tile_rect(pt, q, cp.t_width, cp.t_height,
+                          cp.tx0, cp.ty0, img_rect)
+        tile = acquire_tile(tidx, trect, image, tcp)
+        return (tidx, tcp, trect, TileCompressor(
+            tile, tcp, image, cp, backend=p.backend,
+            mct_norms_arr=mct_norms_arr, num_threads=p.num_threads))
+
     # phase 1: build every tile's compressor; with the device backend, all
     # uniform tiles go through ONE batched analysis dispatch (the tile-batch
-    # axis the multi-chip mesh shards over)
-    compressors = []
-    for q in range(cp.t_grid_h):
-        for pt in range(cp.t_grid_w):
-            tidx = q * cp.t_grid_w + pt
-            tcp = cp.tcps[tidx]
-            trect = tile_rect(pt, q, cp.t_width, cp.t_height,
-                              cp.tx0, cp.ty0, img_rect)
-            tile = acquire_tile(tidx, trect, image, tcp)
-            compressors.append((tidx, tcp, trect, TileCompressor(
-                tile, tcp, image, cp, backend=p.backend,
-                mct_norms_arr=mct_norms_arr,
-                num_threads=p.num_threads)))
-    mesh = None
-    if p.mesh is not None:
-        from ..parallel.mesh import resolve_mesh
+    # axis the multi-chip mesh shards over).  Strip-reader encodes defer
+    # construction to the row loop below so memory stays O(tile row).
+    compressors = None
+    if strip_reader is None:
+        compressors = [_make_compressor(q, pt)
+                       for q in range(cp.t_grid_h)
+                       for pt in range(cp.t_grid_w)]
+        mesh = None
+        if p.mesh is not None:
+            from ..parallel.mesh import resolve_mesh
 
-        mesh = resolve_mesh(p.mesh)
-    if (p.backend == "device" or mesh is not None) and len(compressors) > 1:
-        from ..tile.processor import run_transforms_device_batched
+            mesh = resolve_mesh(p.mesh)
+        if (p.backend == "device" or mesh is not None) \
+                and len(compressors) > 1:
+            from ..tile.processor import run_transforms_device_batched
 
-        full = [t for (_, _, tr, t) in compressors
-                if tr.w == cp.t_width and tr.h == cp.t_height]
-        if len(full) > 1:
-            run_transforms_device_batched(full, mesh=mesh)
+            full = [t for (_, _, tr, t) in compressors
+                    if tr.w == cp.t_width and tr.h == cp.t_height]
+            if len(full) > 1:
+                run_transforms_device_batched(full, mesh=mesh)
 
     if (p.plt or p.plm) and p.max_cs_size:
         # packet-length indexes are written after encoding, so reserve
         # their worst-typical footprint in the byte budget now that the
         # precinct grids (=> exact packet counts) are known
-        npkts = sum(res.pw * res.ph
-                    for (_ti, tcpx, _tr, tcx) in compressors
-                    for comp in tcx.tile.comps
-                    for res in comp.resolutions) * tcp0.numlayers
+        if compressors is not None:
+            npkts = sum(res.pw * res.ph
+                        for (_ti, tcpx, _tr, tcx) in compressors
+                        for comp in tcx.tile.comps
+                        for res in comp.resolutions) * tcp0.numlayers
+        else:
+            npkts = _count_packets_geometry(cp, image, img_rect) \
+                * tcp0.numlayers
         # Iplt/Iplm varints: 2 bytes cover packets < 16384 bytes; a
         # packet of >= 2^s bytes costs one extra byte per 7-bit step, and
         # at most cap >> s packets can be that large since the packet
@@ -350,10 +372,29 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
         big = sum(min(npkts, p.max_cs_size >> s) for s in (14, 21, 28))
         p._cap_overhead += 2 * npkts + big + 8 * (npkts // 8000 + 2)
 
+    def _tile_iter():
+        if compressors is not None:
+            yield from compressors
+            return
+        # strip mode: one reader call per tile row, tiles built lazily,
+        # strip planes released as soon as the row is done
+        for q in range(cp.t_grid_h):
+            ty0 = max(image.y0, cp.ty0 + q * cp.t_height)
+            ty1 = min(image.y1, cp.ty0 + (q + 1) * cp.t_height)
+            _install_strips(image, ty0, ty1, strip_reader)
+            try:
+                for pt in range(cp.t_grid_w):
+                    yield _make_compressor(q, pt)
+            finally:
+                for c in image.comps:
+                    c.data = None
+                    c._data_y0 = 0
+
     tlm_entries = []
-    for n, (tidx, tcp, trect, tc) in enumerate(compressors):
+    for n, (tidx, tcp, trect, tc) in enumerate(_tile_iter()):
             tc.run_transforms()
-            if p.backend == "device" and n + 1 < len(compressors):
+            if p.backend == "device" and compressors is not None \
+                    and n + 1 < len(compressors):
                 # host-device pipelining (StripCache-overlap parity): JAX
                 # dispatch is asynchronous, so issuing the NEXT tile's
                 # device analysis now lets it execute while this tile's
@@ -423,6 +464,8 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
                 tp += chunk
                 body_out += tp
                 tlm_entries.append((tidx, len(tp)))
+            if compressors is None:
+                release_tile(tc.tile)  # strip mode: free per tile
 
     if p.tlm:
         out += mk.write_tlm(0, tlm_entries)
@@ -442,9 +485,56 @@ def compress_codestream(image: GrkImage, p: CompressParams) -> bytes:
             z += 1
     out += body_out
     out += mk.u16(mk.EOC)
-    for (_tidx, _tcp, _trect, tc) in compressors:
+    for (_tidx, _tcp, _trect, tc) in compressors or ():
         release_tile(tc.tile)  # geometry tree back to the pool, scrubbed
     return bytes(out)
+
+
+def _install_strips(image: GrkImage, cy0: int, cy1: int,
+                    strip_reader) -> None:
+    """Fetch canvas rows [cy0, cy1) from the reader and install them as
+    the components' (offset) data planes for one tile row."""
+    arrs = strip_reader(cy0, cy1 - cy0)
+    if len(arrs) != len(image.comps):
+        raise ParamError(
+            f"strip reader returned {len(arrs)} planes for "
+            f"{len(image.comps)} components")
+    for c, a in zip(image.comps, arrs):
+        r0 = -(-cy0 // c.dy) - c.y0  # first component row of the strip
+        r1 = -(-cy1 // c.dy) - c.y0
+        a = np.ascontiguousarray(a, dtype=np.int32)
+        if a.ndim != 2 or a.shape != (r1 - r0, c.w):
+            raise ParamError(
+                f"strip reader plane shape {a.shape} != expected "
+                f"{(r1 - r0, c.w)} for canvas rows [{cy0}, {cy1})")
+        c.data = a
+        c._data_y0 = r0
+
+
+def _count_packets_geometry(cp, image, img_rect) -> int:
+    """Total packets per layer, from transient tile geometry (strip-mode
+    encodes size the PLT/PLM budget before any tile data exists).  Tiles
+    sharing a geometry-pool key have identical precinct grids."""
+    from ..tile.processor import _tile_geo_key
+
+    total = 0
+    seen: dict = {}
+    for q in range(cp.t_grid_h):
+        for pt in range(cp.t_grid_w):
+            tidx = q * cp.t_grid_w + pt
+            tcp = cp.tcps[tidx]
+            trect = tile_rect(pt, q, cp.t_width, cp.t_height,
+                              cp.tx0, cp.ty0, img_rect)
+            key = _tile_geo_key(trect, image, tcp)
+            cnt = seen.get(key)
+            if cnt is None:
+                tile = acquire_tile(tidx, trect, image, tcp)
+                cnt = sum(res.pw * res.ph for comp in tile.comps
+                          for res in comp.resolutions)
+                release_tile(tile)
+                seen[key] = cnt
+            total += cnt
+    return total
 
 
 def _split_tile_parts(coords, mode: str | None):

@@ -280,7 +280,7 @@ class TileCompressor:
         for compno, tc in enumerate(tile.comps):
             comp = image.comps[compno]
             r = tc.rect
-            y0 = r.y0 - comp.y0
+            y0 = r.y0 - comp.y0 - getattr(comp, "_data_y0", 0)
             x0 = r.x0 - comp.x0
             planes.append(comp.data[y0:y0 + r.h, x0:x0 + r.w])
         x = jnp.asarray(np.stack(planes)[:, None])  # (C, B=1, H, W)
@@ -317,7 +317,9 @@ class TileCompressor:
             comp = image.comps[compno]
             # extract tile-component samples from the component plane
             r = tc.rect
-            y0 = r.y0 - comp.y0
+            # _data_y0: strip-mode encodes hold only a tile row of
+            # component rows (codestream/compress.py strip_reader)
+            y0 = r.y0 - comp.y0 - getattr(comp, "_data_y0", 0)
             x0 = r.x0 - comp.x0
             raw.append(comp.data[y0:y0 + r.h, x0:x0 + r.w])
         planes: list = [None] * len(raw)
@@ -784,7 +786,7 @@ class TileCompressor:
                 rec = mct_mod.shift_round_clip(p, comp.prec, comp.sgnd)
             tc = tile.comps[compno]
             r = tc.rect
-            y0 = r.y0 - comp.y0
+            y0 = r.y0 - comp.y0 - getattr(comp, "_data_y0", 0)
             x0 = r.x0 - comp.x0
             orig = comp.data[y0:y0 + r.h, x0:x0 + r.w]
             if orig.shape != rec.shape:

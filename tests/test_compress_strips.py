@@ -1,0 +1,108 @@
+"""Streaming encode (compress_strips, SURVEY.md §5 long-context
+mechanisms): the strip-reader driver must produce byte-identical
+codestreams to the whole-image compress() across tiling, rate control,
+HT, index markers, subsampling and canvas offsets, while holding only
+one tile row of samples at a time."""
+
+import numpy as np
+import pytest
+
+import grok_tpu
+from grok_tpu import CompressParams, GrkImage
+from grok_tpu.errors import ParamError
+from grok_tpu.image import ImageComponent
+
+
+def _content(rng, h, w, ncomp=3):
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    base = 128 + 90 * np.sin(xx / 19) * np.cos(yy / 13)
+    return (base[..., None] + rng.normal(0, 8, (h, w, ncomp))).clip(
+        0, 255).astype(np.uint8)
+
+
+def _meta_of(img: GrkImage) -> GrkImage:
+    m = GrkImage(x0=img.x0, y0=img.y0, x1=img.x1, y1=img.y1)
+    m.color_space = img.color_space
+    for c in img.comps:
+        c2 = c.copy()
+        c2.data = None
+        m.comps.append(c2)
+    return m
+
+
+def _reader_of(img: GrkImage):
+    planes = [c.data for c in img.comps]
+
+    calls = []
+
+    def reader(y0, h):
+        calls.append((y0, h))
+        out = []
+        for c, pl in zip(img.comps, planes):
+            r0 = -(-y0 // c.dy) - c.y0
+            r1 = -(-(y0 + h) // c.dy) - c.y0
+            out.append(pl[r0:r1])
+        return out
+
+    reader.calls = calls
+    return reader
+
+
+@pytest.mark.parametrize("kw", [
+    dict(tile_size=(128, 128)),
+    dict(tile_size=(256, 200), irreversible=True),
+    dict(tile_size=(128, 256), layer_rates=[40, 10]),
+    dict(tile_size=(200, 130), ht=True, plt=True, tlm=True),
+    dict(tile_size=(256, 256), max_cs_size=30000, plt=True),
+    dict(tile_size=(130, 140), layer_psnr=[37.0]),
+    dict(),  # single tile
+])
+def test_strips_byte_identical(rng, kw):
+    arr = _content(rng, 520, 390)
+    img = GrkImage.from_array(arr)
+    whole = grok_tpu.compress(GrkImage.from_array(arr),
+                              CompressParams(**kw))
+    reader = _reader_of(img)
+    strips = grok_tpu.compress_strips(_meta_of(img), reader,
+                                      CompressParams(**kw))
+    assert whole == strips
+    # one reader call per tile row, each spanning exactly that row
+    grid_h = -(-520 // kw.get("tile_size", (520, 520))[1])
+    assert len(reader.calls) == grid_h
+
+
+def test_strips_subsampled_offset_image(rng):
+    w, h = 260, 212
+    img = GrkImage(x0=3, y0=5, x1=3 + w, y1=5 + h)
+    for dx, dy in [(1, 1), (2, 2), (2, 2)]:
+        cw = -(-(3 + w) // dx) - (-(-3 // dx))
+        ch = -(-(5 + h) // dy) - (-(-5 // dy))
+        c = ImageComponent(dx=dx, dy=dy, prec=8, sgnd=False)
+        c.data = rng.integers(0, 256, (ch, cw)).astype(np.int32)
+        c.h, c.w = ch, cw
+        c.x0 = -(-3 // dx)
+        c.y0 = -(-5 // dy)
+        img.comps.append(c)
+    for kw in [dict(tile_size=(96, 80), tile_offset=(2, 4)),
+               dict(tile_size=(100, 100), mct=0, irreversible=True)]:
+        whole = grok_tpu.compress(img, CompressParams(**kw))
+        strips = grok_tpu.compress_strips(_meta_of(img), _reader_of(img),
+                                          CompressParams(**kw))
+        assert whole == strips, kw
+
+
+def test_strips_decodes_and_validates(rng):
+    arr = _content(rng, 300, 280)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress_strips(_meta_of(img), _reader_of(img),
+                                    CompressParams(tile_size=(128, 128)))
+    back = np.stack([c.data for c in grok_tpu.decompress(data).comps], -1)
+    assert np.array_equal(back, arr.astype(np.int32))
+    # a reader returning the wrong shape is rejected up front
+    with pytest.raises(ParamError):
+        grok_tpu.compress_strips(
+            _meta_of(img), lambda y0, h: [np.zeros((1, 1), np.int32)] * 3,
+            CompressParams(tile_size=(128, 128)))
+    # whole-image compress without data stays a clear error
+    with pytest.raises(ParamError):
+        grok_tpu.compress(_meta_of(img), CompressParams())
