@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-I", "--irreversible", action="store_true")
     p.add_argument("-F", "--raw", help="raw input descriptor "
                    "w,h,ncomp,bitdepth,[s|u]@dx1xdy1:...")
+    p.add_argument("--stream-strips", action="store_true",
+                   help="stream a binary PGM/PPM input one tile row at a "
+                        "time (O(tile row) memory; gigapixel inputs)")
     p.add_argument("-m", "--mct-file",
                    help="custom MCT matrix file (numpy .npy or text)")
     p.add_argument("-Y", "--mct-mode", type=int, choices=[0, 1, 2],
@@ -231,6 +234,24 @@ def compress_one(in_path: str, out_path: str, args) -> None:
     cp = params_from_args(args)
     cp.cod_format = "jp2" if out_path.lower().endswith(
         (".jp2", ".jph")) else "j2k"
+    if args.stream_strips:
+        if args.raw or args.subsampling_factor or \
+                args.image_offset != "0,0":
+            raise ParamError("--stream-strips is incompatible with "
+                             "-F/-s/--image-offset")
+        meta, reader = formats.open_pnm_strips(in_path)
+        try:
+            data, times = common.run_repeated(
+                lambda: codec.compress_strips(meta, reader, cp),
+                args.repetitions, args.duration, profile_dir=args.profile)
+        finally:
+            reader.close()
+        with open(out_path, "wb") as f:
+            f.write(data)
+        mp = (meta.x1 - meta.x0) * (meta.y1 - meta.y0) / 1e6
+        log.info("%s -> %s: %d bytes, %.2f MP/s (streamed, best of %d)",
+                 in_path, out_path, len(data), mp / min(times), len(times))
+        return
     img = formats.load_image(in_path, raw_desc=args.raw)
     if not args.transfer_exif:
         img.meta.exif = None  # EXIF transfer is opt-in (-V)

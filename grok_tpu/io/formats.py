@@ -121,6 +121,63 @@ def read_raw(path: str, desc: str, little_endian: bool = False) -> GrkImage:
     return img
 
 
+def _pnm_token(f) -> bytes:
+    tok = b""
+    while True:
+        ch = f.read(1)
+        if not ch:
+            raise ParamError("truncated PNM header")
+        if ch in b" \t\r\n":
+            if tok:
+                return tok
+            continue
+        if ch == b"#":
+            while ch and ch != b"\n":
+                ch = f.read(1)
+            continue
+        tok += ch
+
+
+def open_pnm_strips(path: str):
+    """(meta GrkImage, reader) for a binary PGM/PPM file: the reader
+    fetches rows from disk on demand, so `compress_strips` encodes the
+    file in O(tile row) memory (grk_compress --stream-strips; the
+    streaming-input dual of the decode side's strip writer)."""
+    f = open(path, "rb")
+    magic = f.read(2)
+    if magic not in (b"P5", b"P6"):
+        f.close()
+        raise ParamError(
+            "--stream-strips needs binary PGM (P5) or PPM (P6) input")
+    nc = 3 if magic == b"P6" else 1
+    w = int(_pnm_token(f))
+    h = int(_pnm_token(f))
+    maxval = int(_pnm_token(f))
+    off = f.tell()  # the token reader consumed the single post-maxval ws
+    prec = 8 if maxval < 256 else 16
+    bps = 1 if maxval < 256 else 2
+    stride = w * nc * bps
+    dt = "u1" if bps == 1 else ">u2"  # PNM 16-bit is big-endian
+
+    meta = GrkImage(x0=0, y0=0, x1=w, y1=h)
+    meta.color_space = ColorSpace.SRGB if nc == 3 else ColorSpace.GRAY
+    for _ in range(nc):
+        c = ImageComponent(prec=prec, sgnd=False)
+        c.w, c.h = w, h
+        meta.comps.append(c)
+
+    def reader(y0: int, rows: int) -> list[np.ndarray]:
+        f.seek(off + y0 * stride)
+        buf = f.read(rows * stride)
+        if len(buf) != rows * stride:
+            raise ParamError(f"{path}: truncated PNM body")
+        a = np.frombuffer(buf, dtype=dt).reshape(rows, w, nc)
+        return [a[:, :, i].astype(np.int32) for i in range(nc)]
+
+    reader.close = f.close
+    return meta, reader
+
+
 def write_raw(img: GrkImage, path: str, little_endian: bool = False) -> None:
     with open(path, "wb") as f:
         for c in img.comps:

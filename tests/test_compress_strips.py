@@ -106,3 +106,31 @@ def test_strips_decodes_and_validates(rng):
     # whole-image compress without data stays a clear error
     with pytest.raises(ParamError):
         grok_tpu.compress(_meta_of(img), CompressParams())
+
+
+def test_cli_stream_strips(rng, tmp_path):
+    """grk_compress --stream-strips: byte-identical to the whole-image
+    CLI route for P6/P5 inputs (incl. 16-bit big-endian)."""
+    from PIL import Image
+
+    from grok_tpu.cli import grk_compress
+
+    arr = _content(rng, 260, 220)
+    src = tmp_path / "in.ppm"
+    Image.fromarray(arr).save(src)
+    a = tmp_path / "a.jp2"
+    b = tmp_path / "b.jp2"
+    assert grk_compress.main(["-i", str(src), "-o", str(a),
+                              "-t", "128,128", "--stream-strips"]) == 0
+    assert grk_compress.main(["-i", str(src), "-o", str(b),
+                              "-t", "128,128"]) == 0
+    assert a.read_bytes() == b.read_bytes()
+
+    g16 = rng.integers(0, 65536, (150, 130)).astype(np.uint16)
+    src16 = tmp_path / "in16.pgm"
+    src16.write_bytes(b"P5\n130 150\n65535\n" + g16.astype(">u2").tobytes())
+    out16 = tmp_path / "o16.j2k"
+    assert grk_compress.main(["-i", str(src16), "-o", str(out16),
+                              "-t", "96,96", "--stream-strips"]) == 0
+    back = grok_tpu.decompress(out16.read_bytes()).comps[0].data
+    assert np.array_equal(back, g16.astype(np.int32))

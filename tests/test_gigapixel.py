@@ -3,9 +3,10 @@ geospatial imagery at gigapixel scale): a >= 1 GP tiled HTJ2K encode,
 full strip-streamed decode in bounded memory, and an O(window) ROI
 decode through the TLM/PLT indexes.
 
-Slow (several minutes) and memory-hungry (the encode API holds the
-full-image int32 canvas, ~4.3 GB at 32768^2): runs only when
-GROK_TPU_SLOW=1.  Measured numbers are recorded in PERF_NOTES.md
+Slow (several minutes): runs only when GROK_TPU_SLOW=1.  The encode
+streams through compress_strips — content is synthesized one tile row
+at a time, so NO full canvas ever exists and peak memory is O(tile
+row) end to end.  Measured numbers are recorded in PERF_NOTES.md
 ("Gigapixel run").
 """
 
@@ -37,15 +38,17 @@ def _content(y0, y1):
 
 def test_gigapixel_ht_encode_strip_decode_roi():
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    arr = _content(0, N)
-    img = GrkImage.from_array(arr, prec=8)
+    meta = GrkImage(x0=0, y0=0, x1=N, y1=N)
+    from grok_tpu.image import ImageComponent
+
+    meta.comps.append(ImageComponent(prec=8, w=N, h=N))
     cp = CompressParams(numresolution=6, tile_size=(1024, 1024), ht=True,
                         tlm=True, plt=True)
     t0 = time.perf_counter()
-    data = grok_tpu.compress(img, cp)
+    data = grok_tpu.compress_strips(
+        meta, lambda y0, h: [_content(y0, y0 + h)], cp)
     t_enc = time.perf_counter() - t0
     mp = N * N / 1e6
-    del img, arr
 
     # O(window) ROI decode through TLM/PLT: a 512x512 window crossing
     # tile seams deep in the image must be fast and exact
@@ -71,9 +74,10 @@ def test_gigapixel_ht_encode_strip_decode_roi():
 
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     peak_gb = rss1 / 1e6
-    # bounded: strip decode must not materialize a second full canvas on
-    # top of the encode-side peak (canvas 4.3 GB + bands; give 4x slack)
-    assert peak_gb < 40, peak_gb
+    # bounded end to end: with the streaming encode no full canvas (4.3
+    # GB) exists in either direction; the stream itself (~0.55 GB) plus
+    # a tile row of bands dominate
+    assert peak_gb < 6, peak_gb
     print(f"\nGIGAPIXEL {mp:.0f} MP: encode {mp / t_enc:.1f} MP/s "
           f"({t_enc:.0f}s), strip-decode {mp / t_dec:.1f} MP/s "
           f"({t_dec:.0f}s), 512^2 ROI {t_roi * 1e3:.0f} ms, "
