@@ -19,7 +19,8 @@ from .params import CompressParams, DecompressParams  # noqa: F401
 
 
 _CODEC_API = (
-    "compress", "compress_strips", "decompress", "read_header",
+    "compress", "compress_strips", "compress_strips_file", "decompress",
+    "read_header",
     "decompress_strips", "decompress_file", "compress_file",
     "decompress_stream", "compress_stream", "set_msg_handlers",
 )

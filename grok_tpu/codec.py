@@ -48,6 +48,22 @@ def compress_strips(image: GrkImage, reader,
     return cs
 
 
+def compress_strips_file(image: GrkImage, reader, path: str,
+                         params: CompressParams | None = None) -> int:
+    """compress_strips straight to a file: tile-parts stream to disk as
+    they are produced and the TLM index is patched by seek-back, so
+    neither the canvas NOR the codestream is ever held in memory.
+    Returns the bytes written.  PPM/PLM (post-hoc main-header indexes)
+    are rejected; use ppt/plt."""
+    params = params or CompressParams()
+    with open(path, "wb") as f:
+        if params.cod_format == "jp2":
+            # jp2c LBox=0: codestream runs to end of file (I.5.1)
+            f.write(jp2_mod.jp2_prefix(image, ht=params.ht))
+        compress_codestream(image, params, strip_reader=reader, sink=f)
+        return f.tell()
+
+
 def read_header(data: bytes, strict: bool = False,
                 lazy: bool = True) -> HeaderInfo:
     """Parse the container + codestream headers without decoding tiles

@@ -204,12 +204,22 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
 
 
 def compress_codestream(image: GrkImage, p: CompressParams,
-                        strip_reader=None) -> bytes:
+                        strip_reader=None, sink=None) -> bytes:
     """Encode a full codestream.  With `strip_reader` set (the streaming
     dual of decompress_strips), component data is fetched one tile row at
     a time — reader(y0, h) returns one 2-D array per component covering
     canvas rows [y0, y0+h) at that component's subsampling — and memory
-    stays O(tile row) instead of O(image)."""
+    stays O(tile row) instead of O(image).
+
+    With `sink` set (a seekable binary file), tile-parts are written as
+    they are produced and the TLM index is patched into a reserved span
+    by seek-back (the reference's on-file rewrite, SURVEY.md §3.1) with
+    a COM filler absorbing the reservation slack; the return value is
+    b"" and the codestream lives in the sink.  PPM/PLM need post-hoc
+    main-header assembly and are rejected with a sink."""
+    if sink is not None and (p.ppm or p.plm):
+        raise ParamError("PPM/PLM main-header indexes cannot be "
+                         "seek-back patched into a sink; use ppt/plt")
     for c in image.comps:
         if c.data is not None:
             c.h, c.w = c.data.shape
@@ -390,6 +400,18 @@ def compress_codestream(image: GrkImage, p: CompressParams,
                     c.data = None
                     c._data_y0 = 0
 
+    tlm_pos = tlm_reserve = 0
+    if sink is not None:
+        sink.write(out)
+        if p.tlm:
+            # reserve an upper-bound TLM span now; the real index (known
+            # only after encoding) is seek-back patched, with a COM
+            # filler absorbing the remainder
+            tlm_reserve = len(mk.write_tlm(
+                0, _predict_tlm_entries(cp, p, image))) + 6
+            tlm_pos = sink.tell()
+            sink.write(b"\x00" * tlm_reserve)
+
     tlm_entries = []
     for n, (tidx, tcp, trect, tc) in enumerate(_tile_iter()):
             tc.run_transforms()
@@ -462,10 +484,34 @@ def compress_codestream(image: GrkImage, p: CompressParams,
                 tp += plt_seg
                 tp += mk.u16(mk.SOD)
                 tp += chunk
-                body_out += tp
+                if sink is not None:
+                    sink.write(tp)
+                else:
+                    body_out += tp
                 tlm_entries.append((tidx, len(tp)))
             if compressors is None:
                 release_tile(tc.tile)  # strip mode: free per tile
+
+    if sink is not None:
+        sink.write(mk.u16(mk.EOC))
+        if p.tlm:
+            actual = mk.write_tlm(0, tlm_entries)
+            end = sink.tell()
+            sink.seek(tlm_pos)
+            gap = tlm_reserve - len(actual)
+            if gap == 0 or gap >= 6:
+                sink.write(actual)
+                if gap:
+                    sink.write(mk.write_com("~" * (gap - 6)))
+            else:  # can't happen with the 255-per-tile bound; stay safe
+                log.warning("TLM (%d B) exceeds its %d B reservation; "
+                            "stream written without a TLM index",
+                            len(actual), tlm_reserve)
+                sink.write(mk.write_com("~" * (tlm_reserve - 6)))
+            sink.seek(end)
+        for (_tidx, _tcp, _trect, tc) in compressors or ():
+            release_tile(tc.tile)
+        return b""
 
     if p.tlm:
         out += mk.write_tlm(0, tlm_entries)
@@ -509,6 +555,20 @@ def _install_strips(image: GrkImage, cy0: int, cy1: int,
                 f"{(r1 - r0, c.w)} for canvas rows [{cy0}, {cy1})")
         c.data = a
         c._data_y0 = r0
+
+
+def _predict_tlm_entries(cp, p, image) -> list:
+    """Upper-bound TLM entry list for the sink reservation.  Without -u
+    (or with PPT, which forces single tile-parts) every tile emits
+    exactly one tile-part; with -u the run count of any key along any
+    progression is bounded by layers x resolutions x components, and
+    _split_tile_parts caps at 255 per tile."""
+    if p.ppt or not p.new_tile_part_progression:
+        per = 1
+    else:
+        per = min(255, cp.tcps[0].numlayers * p.numresolution
+                  * max(1, image.numcomps))
+    return [(t, 0) for t in range(cp.numtiles) for _ in range(per)]
 
 
 def _count_packets_geometry(cp, image, img_rect) -> int:

@@ -32,6 +32,15 @@ def _box(btype: bytes, payload: bytes) -> bytes:
 def wrap_jp2(codestream: bytes, image: GrkImage, ht: bool = False) -> bytes:
     """Wrap a raw codestream in a JP2 container (brand 'jph ' for HTJ2K
     codestreams per ITU-T T.814)."""
+    return jp2_prefix(image, ht, len(codestream)) + codestream
+
+
+def jp2_prefix(image: GrkImage, ht: bool = False,
+               cs_len: int | None = None) -> bytes:
+    """Container bytes up to and including the jp2c box header.  With
+    cs_len=None the jp2c LBox is 0 ("to end of file", ISO 15444-1 I.5.1)
+    so the codestream can be streamed to a file after this prefix
+    (compress_strips_file)."""
     out = bytearray()
     out += JP2_SIGNATURE
     if ht:
@@ -82,7 +91,10 @@ def wrap_jp2(codestream: bytes, image: GrkImage, ht: bool = False) -> bytes:
         out += _box(b"uuid", XMP_UUID + meta.xmp)
     if meta.exif:
         out += _box(b"uuid", EXIF_UUID + meta.exif)
-    out += _box(b"jp2c", codestream)
+    if cs_len is None:
+        out += struct.pack(">I", 0) + b"jp2c"
+    else:
+        out += struct.pack(">I", cs_len + 8) + b"jp2c"
     return bytes(out)
 
 

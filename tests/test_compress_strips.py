@@ -134,3 +134,50 @@ def test_cli_stream_strips(rng, tmp_path):
                               "-t", "96,96", "--stream-strips"]) == 0
     back = grok_tpu.decompress(out16.read_bytes()).comps[0].data
     assert np.array_equal(back, g16.astype(np.int32))
+
+
+def test_strips_file_sink_tlm_seekback(rng, tmp_path):
+    """compress_strips_file streams tile-parts to disk and patches TLM
+    by seek-back (COM filler absorbs the reservation slack); decodes
+    must match the in-memory compress_strips stream, the TLM must stay
+    usable for tile access, and OpenJPEG must accept the LBox=0 jp2."""
+    arr = _content(rng, 330, 270)
+    img = GrkImage.from_array(arr)
+
+    for kw in [dict(tile_size=(128, 128), tlm=True, plt=True),
+               dict(tile_size=(96, 96), tlm=True,
+                    new_tile_part_progression="R"),
+               dict(tile_size=(128, 160))]:
+        inmem = grok_tpu.compress_strips(_meta_of(img), _reader_of(img),
+                                         CompressParams(**kw))
+        path = tmp_path / "s.j2k"
+        n = grok_tpu.compress_strips_file(
+            _meta_of(img), _reader_of(img), str(path),
+            CompressParams(**kw))
+        ondisk = path.read_bytes()
+        assert n == len(ondisk)
+        a = grok_tpu.decompress(inmem)
+        b = grok_tpu.decompress(ondisk)
+        assert all(np.array_equal(x.data, y.data)
+                   for x, y in zip(a.comps, b.comps)), kw
+        if kw.get("tlm"):
+            # TLM-guided single-tile decode through the patched index
+            from grok_tpu import DecompressParams
+
+            dp = DecompressParams()
+            dp.tile_index = 3
+            t = grok_tpu.decompress(ondisk, dp)
+            assert t.comps[0].data.size > 0
+
+    from PIL import Image
+
+    p = CompressParams(tile_size=(128, 128), tlm=True)
+    p.cod_format = "jp2"
+    jp = tmp_path / "s.jp2"
+    grok_tpu.compress_strips_file(_meta_of(img), _reader_of(img),
+                                  str(jp), p)
+    assert np.array_equal(np.asarray(Image.open(jp)), arr)
+    with pytest.raises(ParamError):
+        grok_tpu.compress_strips_file(
+            _meta_of(img), _reader_of(img), str(tmp_path / "x.j2k"),
+            CompressParams(tile_size=(128, 128), ppm=True))
