@@ -241,16 +241,17 @@ def compress_one(in_path: str, out_path: str, args) -> None:
                              "-F/-s/--image-offset")
         meta, reader = formats.open_pnm_strips(in_path)
         try:
-            data, times = common.run_repeated(
-                lambda: codec.compress_strips(meta, reader, cp),
+            # file sink: tile-parts stream to disk, TLM seek-back
+            # patched — neither canvas nor codestream memory-resident
+            nbytes, times = common.run_repeated(
+                lambda: codec.compress_strips_file(
+                    meta, reader, out_path, cp),
                 args.repetitions, args.duration, profile_dir=args.profile)
         finally:
             reader.close()
-        with open(out_path, "wb") as f:
-            f.write(data)
         mp = (meta.x1 - meta.x0) * (meta.y1 - meta.y0) / 1e6
         log.info("%s -> %s: %d bytes, %.2f MP/s (streamed, best of %d)",
-                 in_path, out_path, len(data), mp / min(times), len(times))
+                 in_path, out_path, nbytes, mp / min(times), len(times))
         return
     img = formats.load_image(in_path, raw_desc=args.raw)
     if not args.transfer_exif:

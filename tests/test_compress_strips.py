@@ -124,7 +124,13 @@ def test_cli_stream_strips(rng, tmp_path):
                               "-t", "128,128", "--stream-strips"]) == 0
     assert grk_compress.main(["-i", str(src), "-o", str(b),
                               "-t", "128,128"]) == 0
-    assert a.read_bytes() == b.read_bytes()
+    # the streamed container uses an LBox=0 jp2c (length-to-EOF); the
+    # embedded codestreams must be byte-identical
+    from grok_tpu.codestream import jp2 as jp2_mod
+
+    cs_a, _, _ = jp2_mod.unwrap_jp2(a.read_bytes())
+    cs_b, _, _ = jp2_mod.unwrap_jp2(b.read_bytes())
+    assert bytes(cs_a) == bytes(cs_b)
 
     g16 = rng.integers(0, 65536, (150, 130)).astype(np.uint16)
     src16 = tmp_path / "in16.pgm"

@@ -4,14 +4,17 @@ full strip-streamed decode in bounded memory, and an O(window) ROI
 decode through the TLM/PLT indexes.
 
 Slow (several minutes): runs only when GROK_TPU_SLOW=1.  The encode
-streams through compress_strips — content is synthesized one tile row
-at a time, so NO full canvas ever exists and peak memory is O(tile
-row) end to end.  Measured numbers are recorded in PERF_NOTES.md
-("Gigapixel run").
+streams through compress_strips_file — content is synthesized one tile
+row at a time and tile-parts go straight to disk (TLM seek-back), so
+neither a canvas nor the codestream is ever memory-resident; the decode
+side mmaps the file.  Peak RSS is O(tile row) end to end.  Measured
+numbers are recorded in PERF_NOTES.md ("Gigapixel run").
 """
 
+import mmap
 import os
 import resource
+import tempfile
 import time
 
 import numpy as np
@@ -44,42 +47,54 @@ def test_gigapixel_ht_encode_strip_decode_roi():
     meta.comps.append(ImageComponent(prec=8, w=N, h=N))
     cp = CompressParams(numresolution=6, tile_size=(1024, 1024), ht=True,
                         tlm=True, plt=True)
-    t0 = time.perf_counter()
-    data = grok_tpu.compress_strips(
-        meta, lambda y0, h: [_content(y0, y0 + h)], cp)
-    t_enc = time.perf_counter() - t0
-    mp = N * N / 1e6
+    path = tempfile.mktemp(suffix=".j2k")
+    try:
+        t0 = time.perf_counter()
+        nbytes = grok_tpu.compress_strips_file(
+            meta, lambda y0, h: [_content(y0, y0 + h)], path, cp)
+        t_enc = time.perf_counter() - t0
+        mp = N * N / 1e6
 
-    # O(window) ROI decode through TLM/PLT: a 512x512 window crossing
-    # tile seams deep in the image must be fast and exact
-    dpw = DecompressParams()
-    dpw.window = (20000 - 256, 28000 - 256, 20000 + 256, 28000 + 256)
-    t0 = time.perf_counter()
-    out = grok_tpu.decompress(data, dpw)
-    t_roi = time.perf_counter() - t0
-    assert np.array_equal(out.comps[0].data,
-                          _content(28000 - 256, 28000 + 256)
-                          [:, 20000 - 256:20000 + 256])
-    assert t_roi < 0.05 * t_enc  # O(window), not O(image)
+        with open(path, "rb") as fobj:
+            data = memoryview(mmap.mmap(fobj.fileno(), 0,
+                                        access=mmap.ACCESS_READ))
 
-    # full strip-streamed decode: bounded memory, bit-exact everywhere
-    t0 = time.perf_counter()
-    rows = 0
-    for y0, planes in grok_tpu.decompress_strips(data, DecompressParams()):
-        strip = planes[0]
-        assert np.array_equal(strip, _content(y0, y0 + strip.shape[0]))
-        rows += strip.shape[0]
-    t_dec = time.perf_counter() - t0
-    assert rows == N
+            # O(window) ROI decode through TLM/PLT: a 512x512 window
+            # crossing tile seams deep in the image, fast and exact
+            dpw = DecompressParams()
+            dpw.window = (20000 - 256, 28000 - 256,
+                          20000 + 256, 28000 + 256)
+            t0 = time.perf_counter()
+            out = grok_tpu.decompress(data, dpw)
+            t_roi = time.perf_counter() - t0
+            assert np.array_equal(out.comps[0].data,
+                                  _content(28000 - 256, 28000 + 256)
+                                  [:, 20000 - 256:20000 + 256])
+            assert t_roi < 0.05 * t_enc  # O(window), not O(image)
+
+            # full strip-streamed decode: bounded, bit-exact everywhere
+            t0 = time.perf_counter()
+            rows = 0
+            for y0, planes in grok_tpu.decompress_strips(
+                    data, DecompressParams()):
+                strip = planes[0]
+                assert np.array_equal(
+                    strip, _content(y0, y0 + strip.shape[0]))
+                rows += strip.shape[0]
+            t_dec = time.perf_counter() - t0
+            assert rows == N
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
 
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     peak_gb = rss1 / 1e6
-    # bounded end to end: with the streaming encode no full canvas (4.3
-    # GB) exists in either direction; the stream itself (~0.55 GB) plus
-    # a tile row of bands dominate
+    # bounded end to end: no canvas and no memory-resident codestream in
+    # either direction (the mmapped stream pages in read-only; a tile
+    # row of bands is the real working set)
     assert peak_gb < 6, peak_gb
     print(f"\nGIGAPIXEL {mp:.0f} MP: encode {mp / t_enc:.1f} MP/s "
           f"({t_enc:.0f}s), strip-decode {mp / t_dec:.1f} MP/s "
           f"({t_dec:.0f}s), 512^2 ROI {t_roi * 1e3:.0f} ms, "
-          f"stream {len(data) / 1e6:.0f} MB, peak RSS {peak_gb:.1f} GB "
+          f"stream {nbytes / 1e6:.0f} MB, peak RSS {peak_gb:.1f} GB "
           f"(baseline {rss0 / 1e6:.1f} GB)")
