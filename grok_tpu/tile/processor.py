@@ -1360,6 +1360,12 @@ class TileDecompressor:
         # header stream has no length index) and a plausible PLT
         plt = self.pkt_lens if ppt is None and self.pkt_lens and \
             len(self.pkt_lens) >= len(order) else None
+        if (t2._native is not None and not sop and not eph
+                and ppt is None and self.window is None
+                and not self.reduce and not self.max_layers
+                and order and len(data) < (1 << 31)
+                and self._decode_packets_seq(data, order)):
+            return
         for n, pc in enumerate(order):
             tc = self.tile.comps[pc.compno]
             tccp = self.tcp.tccps[pc.compno]
@@ -1392,6 +1398,105 @@ class TileDecompressor:
                 if nxt < 0:
                     break
                 pos = nxt
+
+    def _decode_packets_seq(self, data, order) -> bool:
+        """Whole-tile native packet-sequence decode (the band-batched
+        run_t1 roadmap item, decode side): one C call parses every
+        inline packet header and body range (grk_t2_decode_seq), then a
+        single bulk pass mirrors the per-codeblock state from compact
+        chunk records.  Only the common case routes here (no SOP/EPH/
+        PPT, no window/reduce/layer skipping — the caller gates); a
+        malformed header mid-sequence resets the native precinct state
+        and returns False so the per-packet path reruns from scratch
+        with identical behavior."""
+        import ctypes as ct
+
+        nat = t2._native
+        handles: dict = {}
+        cblk_by_g: list = []
+        npk = len(order)
+        prc_a = np.empty(npk, np.uint64)
+        lay_a = np.empty(npk, np.int32)
+        sty_a = np.empty(npk, np.int32)
+        mix_a = np.empty(npk, np.int32)
+        mb_a = np.empty(npk, np.uint64)
+        base_a = np.empty(npk, np.int32)
+        base = 0
+        ht_mixed = getattr(self.cp, "ht_mixed", False)
+        for n, pc in enumerate(order):
+            tc = self.tile.comps[pc.compno]
+            tccp = self.tcp.tccps[pc.compno]
+            res = tc.resolutions[pc.resno]
+            prc = res.precincts[pc.precno]
+            ent = handles.get(id(prc))
+            if ent is None:
+                h = nat.get_handle(prc)
+                bn = {b.orient: b.numbps for b in res.bands}
+                mb = np.asarray([bn[pb.band_orient] for pb in prc.pbands],
+                                dtype=np.int32)
+                ent = handles[id(prc)] = (
+                    base, h, mb, bool(tccp.ht and ht_mixed))
+                cblk_by_g.extend(h.cblks)
+                base += h.ncb
+            b, h, mb, _mx = ent
+            prc_a[n] = h.ptr
+            lay_a[n] = pc.layno
+            sty_a[n] = int(tccp.cblk_style)
+            mix_a[n] = 1 if (tccp.ht and ht_mixed) else 0
+            mb_a[n] = mb.__array_interface__["data"][0]
+            base_a[n] = b
+        ncb_total = max(base, 1)
+        g_zb = np.zeros(ncb_total, np.int32)
+        g_isht = np.zeros(ncb_total, np.int32)
+        g_newly = np.zeros(ncb_total, np.int32)
+        dview = np.frombuffer(data, dtype=np.uint8) if len(data) else \
+            np.zeros(1, np.uint8)
+        addr = nat._addr
+        pos_io = ct.c_long(0)
+        recs_p = ct.POINTER(ct.c_int32)()
+        nrec = ct.c_long(0)
+        rc = nat._lib.grk_t2_decode_seq(
+            addr(prc_a), addr(lay_a), addr(sty_a),
+            addr(mix_a), addr(mb_a), addr(base_a), npk,
+            addr(dview), len(data), ct.byref(pos_io),
+            addr(g_zb), addr(g_isht), addr(g_newly),
+            ct.byref(recs_p), ct.byref(nrec))
+        if rc < 0:
+            # malformed header mid-sequence: rewind the native state and
+            # let the per-packet path replay from scratch (it raises /
+            # resyncs exactly as before, mirroring earlier packets)
+            for b, h, mb, mx in handles.values():
+                h.reset()
+            return False
+        # first-inclusion state: touched codeblocks only (bulk tolist —
+        # per-element numpy scalar reads dominate otherwise)
+        zb_l = g_zb.tolist()
+        newly_l = g_newly.tolist()
+        isht_l = g_isht.tolist()
+        for b, h, mb, mx in handles.values():
+            mbl = mb.tolist()
+            for i in np.flatnonzero(g_newly[b:b + h.ncb]).tolist():
+                cblk = h.cblks[i]
+                g = b + i
+                cblk.zero_bitplanes = zb_l[g]
+                cblk.numbps = mbl[h.cblk_band[i]] - zb_l[g]
+                cblk.included_in_layer = newly_l[g] - 1
+                cblk.lblock = 3
+                if mx:
+                    cblk.is_ht = bool(isht_l[g])
+        # codeword segments, in arrival order
+        n = int(nrec.value)
+        if n:
+            mv = memoryview(data)
+            rl = np.ctypeslib.as_array(recs_p, shape=(n * 4,)).tolist()
+            for r in range(0, n * 4, 4):
+                cblk = cblk_by_g[rl[r]]
+                np_ = rl[r + 1]
+                off = rl[r + 2]
+                cblk.seg_data.append(mv[off:off + rl[r + 3]])
+                cblk.seg_passes.append(np_)
+                cblk.total_passes += np_
+        return True
 
     def _window_produce(self, compno: int) -> dict | None:
         """Per-resolution rects the window-aware synthesis reconstructs for

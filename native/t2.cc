@@ -583,4 +583,81 @@ int grk_t2_decode_packet(
   return 0;
 }
 
+// Sequential whole-tile packet decode for the common inline-header case
+// (no SOP/EPH/PPT, no window/layer skipping): parses each packet header
+// via grk_t2_decode_packet and advances over the packet bodies.  First
+// inclusion is mirrored per GLOBAL codeblock index g = bases[pkt] +
+// local (g_zb/g_isht/g_newly, with g_newly = layno + 1 so 0 means never
+// included); codeword-segment chunks are appended to a thread-local
+// record vector as (g, passes, data offset, clamped len) int32 quads in
+// arrival order (lengths are clamped to the stream end, matching the
+// Python consumer's short slices, while the position still advances by
+// the signaled length).  *out_recs/*out_nrec expose the vector until the
+// next call on this thread.  Stops without error when the stream
+// truncates (pos >= data_len before a packet).  Returns packets
+// consumed, or -(pkt+1) on a malformed header / per-packet chunk
+// overflow.  *inout_pos carries the stream position in and out.
+long grk_t2_decode_seq(
+    const uint64_t* prcs, const int32_t* laynos, const int32_t* styles,
+    const int32_t* mixeds, const uint64_t* mb_ptrs, const int32_t* bases,
+    int npackets, const uint8_t* data, long data_len, long* inout_pos,
+    int32_t* g_zb, int32_t* g_isht, int32_t* g_newly,
+    const int32_t** out_recs, long* out_nrec) {
+  constexpr int kMaxCh = 200;  // per-packet bound; == native.py MAX_CHUNKS
+  long pos = *inout_pos;
+  thread_local std::vector<int32_t> l_incl, l_newly, l_zb, l_isht, l_nch,
+      l_chunks, recs;
+  recs.clear();
+  long pkt = 0;
+  for (; pkt < npackets; pkt++) {
+    if (pos >= data_len) break;  // tolerant: truncated tile data
+    auto* p = (t2::Prc*)(uintptr_t)prcs[pkt];
+    int ncb = (int)p->cblks.size();
+    if ((int)l_incl.size() < ncb) {
+      l_incl.resize(ncb);
+      l_newly.resize(ncb);
+      l_zb.resize(ncb);
+      l_isht.resize(ncb);
+      l_nch.resize(ncb);
+      l_chunks.resize((size_t)ncb * kMaxCh * 2);
+    }
+    long hp = pos;
+    int rc = grk_t2_decode_packet(
+        (void*)p, laynos[pkt], styles[pkt], mixeds[pkt], data, data_len,
+        pos, (const int32_t*)(uintptr_t)mb_ptrs[pkt], l_incl.data(),
+        l_newly.data(), l_zb.data(), l_isht.data(), l_nch.data(),
+        l_chunks.data(), kMaxCh, &hp);
+    if (rc) {
+      *inout_pos = pos;
+      return -(pkt + 1);
+    }
+    pos = hp;
+    int32_t base = bases[pkt];
+    for (int ci = 0; ci < ncb; ci++) {
+      if (!l_incl[ci]) continue;
+      int g = base + ci;
+      if (l_newly[ci]) {
+        g_newly[g] = laynos[pkt] + 1;  // 0 = never newly included
+        g_zb[g] = l_zb[ci];
+        g_isht[g] = l_isht[ci];
+      }
+      for (int k = 0; k < l_nch[ci]; k++) {
+        int32_t np = l_chunks[((size_t)ci * kMaxCh + k) * 2];
+        int32_t ln = l_chunks[((size_t)ci * kMaxCh + k) * 2 + 1];
+        long avail = data_len - pos;
+        int32_t rec = ln <= avail ? ln : (avail > 0 ? (int32_t)avail : 0);
+        recs.push_back(g);
+        recs.push_back(np);
+        recs.push_back((int32_t)pos);
+        recs.push_back(rec);
+        pos += ln;
+      }
+    }
+  }
+  *inout_pos = pos;
+  *out_recs = recs.data();
+  *out_nrec = (long)(recs.size() / 4);
+  return pkt;
+}
+
 }  // extern "C"

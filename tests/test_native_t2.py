@@ -182,3 +182,49 @@ def test_vectorized_rate_sim_byte_identical(rng):
         finally:
             TileCompressor._build_sim_state = orig
         assert fast == legacy, kw
+
+
+@requires_native
+def test_seq_packet_decode_identical(rng):
+    """The whole-tile native packet-sequence decode (_decode_packets_seq
+    / grk_t2_decode_seq) must produce identical decoded images to the
+    per-packet path across styles, layers, tiles, HT/MIXED, and on
+    truncated streams (tolerant mode)."""
+    from grok_tpu.tile.processor import TileDecompressor
+
+    arr = rng.integers(0, 256, (150, 170, 3)).astype(np.uint8)
+    orig = TileDecompressor._decode_packets_seq
+    cases = [
+        dict(),
+        dict(numlayers=4, layer_rates=[40, 12, 4, 1.5]),
+        dict(ht=True),
+        dict(ht=True, ht_mixed=True),
+        dict(cblk_style=0x3F),
+        dict(tile_size=(64, 64)),
+        dict(irreversible=True, roi_comp=-1, roi_shift=5),
+    ]
+    for kw in cases:
+        data = grok_tpu.compress(GrkImage.from_array(arr),
+                                 CompressParams(**kw))
+        streams = [data, data[:len(data) // 2]]
+        for s in streams:
+            used = []
+
+            def probe(self, d, o, _u=used):
+                r = orig(self, d, o)
+                _u.append(r)
+                return r
+
+            TileDecompressor._decode_packets_seq = probe
+            try:
+                a = grok_tpu.decompress(
+                    s, DecompressParams(strict=False)).to_array()
+                TileDecompressor._decode_packets_seq = \
+                    lambda self, d, o: False
+                b = grok_tpu.decompress(
+                    s, DecompressParams(strict=False)).to_array()
+            finally:
+                TileDecompressor._decode_packets_seq = orig
+            if len(s) == len(data):
+                assert used and all(used), kw  # fast path actually ran
+            assert np.array_equal(a, b), kw
