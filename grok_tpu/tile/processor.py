@@ -1352,8 +1352,23 @@ class TileDecompressor:
         # cost millions of coords for a tiny tile-part (fuzz-found)
         ppt = self.tcp.ppt_data
         cap = len(data) + 8 * len(ppt or b"") + 64
-        order = t2.packet_order(self.tile, self.tcp, comp_info,
-                                max_packets=cap)
+        # packet order is a pure function of pooled-tile geometry plus
+        # these coding params — cache it on the tile (throughput decodes
+        # re-enumerate the same order every frame otherwise)
+        okey = (int(self.tcp.prog_order), self.tcp.numlayers,
+                tuple((ch.res_s, ch.comp_s, ch.lay_e, ch.res_e, ch.comp_e,
+                       int(ch.prog))
+                      for ch in (self.tcp.progression_changes or ())),
+                tuple(comp_info))
+        cached = getattr(self.tile, "_t2_order_cache", None)
+        order = None
+        if cached is not None and cached[0] == okey and \
+                (not cached[2] or len(cached[1]) >= cap):
+            order = cached[1]
+        if order is None:
+            order = t2.packet_order(self.tile, self.tcp, comp_info,
+                                    max_packets=cap)
+            self.tile._t2_order_cache = (okey, order, len(order) >= cap)
         pos = 0
         hdr_pos = 0
         # PLT-guided packet skipping needs inline headers (with PPT the
@@ -1399,6 +1414,65 @@ class TileDecompressor:
                     break
                 pos = nxt
 
+    def _seq_state(self, order, nat):
+        """Per-packet/per-codeblock arrays for grk_t2_decode_seq.  Pure
+        function of the pooled tile's geometry, the packet order, and
+        the coding params in the key below — cached on the tile object
+        (native handles, their ptrs, and the codeblock objects all share
+        the pooled tile's lifetime).  `order` is compared by identity:
+        it comes from the tile's own order cache, so a hit there makes
+        a hit here; a rebuilt order rebuilds this too."""
+        skey = (getattr(self.cp, "ht_mixed", False),
+                tuple((int(t.cblk_style), bool(t.ht))
+                      for t in self.tcp.tccps),
+                tuple(b.numbps for tc in self.tile.comps
+                      for res in tc.resolutions for b in res.bands))
+        cached = getattr(self.tile, "_t2_seq_cache", None)
+        if cached is not None and cached[0] == skey and cached[1] is order:
+            return cached[2]
+        handles_by_prc: dict = {}
+        handles: list = []
+        cblk_by_g: list = []
+        npk = len(order)
+        prc_a = np.empty(npk, np.uint64)
+        lay_a = np.empty(npk, np.int32)
+        sty_a = np.empty(npk, np.int32)
+        mix_a = np.empty(npk, np.int32)
+        mb_a = np.empty(npk, np.uint64)
+        base_a = np.empty(npk, np.int32)
+        base = 0
+        ht_mixed = skey[0]
+        for n, pc in enumerate(order):
+            tc = self.tile.comps[pc.compno]
+            tccp = self.tcp.tccps[pc.compno]
+            res = tc.resolutions[pc.resno]
+            prc = res.precincts[pc.precno]
+            ent = handles_by_prc.get(id(prc))
+            if ent is None:
+                h = nat.get_handle(prc)
+                bn = {b.orient: b.numbps for b in res.bands}
+                mb = np.asarray([bn[pb.band_orient] for pb in prc.pbands],
+                                dtype=np.int32)
+                ent = handles_by_prc[id(prc)] = (
+                    base, h, mb, bool(tccp.ht and ht_mixed))
+                handles.append((base, h, mb.tolist(),
+                                bool(tccp.ht and ht_mixed)))
+                cblk_by_g.extend(h.cblks)
+                base += h.ncb
+            b, h, mb, _mx = ent
+            prc_a[n] = h.ptr
+            lay_a[n] = pc.layno
+            sty_a[n] = int(tccp.cblk_style)
+            mix_a[n] = 1 if (tccp.ht and ht_mixed) else 0
+            mb_a[n] = mb.__array_interface__["data"][0]
+            base_a[n] = b
+        state = (prc_a, lay_a, sty_a, mix_a, mb_a, base_a, max(base, 1),
+                 cblk_by_g, handles)
+        # keep the mb arrays alive alongside the pointers in mb_a
+        self.tile._t2_seq_cache = (skey, order, state,
+                                   [e[2] for e in handles_by_prc.values()])
+        return state
+
     def _decode_packets_seq(self, data, order) -> bool:
         """Whole-tile native packet-sequence decode (the band-batched
         run_t1 roadmap item, decode side): one C call parses every
@@ -1412,40 +1486,9 @@ class TileDecompressor:
         import ctypes as ct
 
         nat = t2._native
-        handles: dict = {}
-        cblk_by_g: list = []
+        (prc_a, lay_a, sty_a, mix_a, mb_a, base_a, ncb_total, cblk_by_g,
+         handles) = self._seq_state(order, nat)
         npk = len(order)
-        prc_a = np.empty(npk, np.uint64)
-        lay_a = np.empty(npk, np.int32)
-        sty_a = np.empty(npk, np.int32)
-        mix_a = np.empty(npk, np.int32)
-        mb_a = np.empty(npk, np.uint64)
-        base_a = np.empty(npk, np.int32)
-        base = 0
-        ht_mixed = getattr(self.cp, "ht_mixed", False)
-        for n, pc in enumerate(order):
-            tc = self.tile.comps[pc.compno]
-            tccp = self.tcp.tccps[pc.compno]
-            res = tc.resolutions[pc.resno]
-            prc = res.precincts[pc.precno]
-            ent = handles.get(id(prc))
-            if ent is None:
-                h = nat.get_handle(prc)
-                bn = {b.orient: b.numbps for b in res.bands}
-                mb = np.asarray([bn[pb.band_orient] for pb in prc.pbands],
-                                dtype=np.int32)
-                ent = handles[id(prc)] = (
-                    base, h, mb, bool(tccp.ht and ht_mixed))
-                cblk_by_g.extend(h.cblks)
-                base += h.ncb
-            b, h, mb, _mx = ent
-            prc_a[n] = h.ptr
-            lay_a[n] = pc.layno
-            sty_a[n] = int(tccp.cblk_style)
-            mix_a[n] = 1 if (tccp.ht and ht_mixed) else 0
-            mb_a[n] = mb.__array_interface__["data"][0]
-            base_a[n] = b
-        ncb_total = max(base, 1)
         g_zb = np.zeros(ncb_total, np.int32)
         g_isht = np.zeros(ncb_total, np.int32)
         g_newly = np.zeros(ncb_total, np.int32)
@@ -1465,7 +1508,7 @@ class TileDecompressor:
             # malformed header mid-sequence: rewind the native state and
             # let the per-packet path replay from scratch (it raises /
             # resyncs exactly as before, mirroring earlier packets)
-            for b, h, mb, mx in handles.values():
+            for b, h, mbl, mx in handles:
                 h.reset()
             return False
         # first-inclusion state: touched codeblocks only (bulk tolist —
@@ -1473,8 +1516,7 @@ class TileDecompressor:
         zb_l = g_zb.tolist()
         newly_l = g_newly.tolist()
         isht_l = g_isht.tolist()
-        for b, h, mb, mx in handles.values():
-            mbl = mb.tolist()
+        for b, h, mbl, mx in handles:
             for i in np.flatnonzero(g_newly[b:b + h.ncb]).tolist():
                 cblk = h.cblks[i]
                 g = b + i

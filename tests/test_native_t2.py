@@ -228,3 +228,22 @@ def test_seq_packet_decode_identical(rng):
             if len(s) == len(data):
                 assert used and all(used), kw  # fast path actually ran
             assert np.array_equal(a, b), kw
+
+
+@requires_native
+def test_seq_decode_tile_cache_no_contamination(rng):
+    """The packet-order / seq-state caches live on POOLED tile objects:
+    alternating streams with different coding params but identical
+    geometry must each keep decoding to their own reference output."""
+    arr = rng.integers(0, 256, (130, 120, 3)).astype(np.uint8)
+    variants = [dict(), dict(ht=True), dict(cblk_style=0x3F),
+                dict(roi_comp=-1, roi_shift=6),
+                dict(numlayers=3, layer_rates=[30, 8, 2]),
+                dict(irreversible=True)]
+    streams = [grok_tpu.compress(GrkImage.from_array(arr),
+                                 CompressParams(**kw)) for kw in variants]
+    refs = [grok_tpu.decompress(s).to_array() for s in streams]
+    for _ in range(3):
+        for kw, s, ref in zip(variants, streams, refs):
+            assert np.array_equal(grok_tpu.decompress(s).to_array(),
+                                  ref), kw
