@@ -48,6 +48,11 @@ _lib.grk_t2_decode_seq.argtypes = [
     ct.c_uint64, ct.c_uint64, ct.c_uint64,
     ct.POINTER(ct.POINTER(ct.c_int32)), ct.POINTER(ct.c_long)]
 _lib.grk_t2_decode_seq.restype = ct.c_long
+_lib.grk_t1_decode_tile.argtypes = [
+    ct.c_uint64, ct.c_long, ct.c_uint64, ct.c_long, ct.c_int,
+    ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+    ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_int]
+_lib.grk_t1_decode_tile.restype = ct.c_long
 _lib.grk_t2_decode_packet.argtypes = [
     ct.c_void_p, ct.c_int, ct.c_int, ct.c_int,
     ct.c_uint64, ct.c_long, ct.c_long, ct.c_uint64,

@@ -1442,6 +1442,16 @@ class TileDecompressor:
         base_a = np.empty(npk, np.int32)
         base = 0
         ht_mixed = skey[0]
+        # per-codeblock statics for grk_t1_decode_tile, built alongside
+        # (same global-g order): h/w, orient/style/mb/band_id, flags,
+        # dest offset in the (window-less) band array
+        band_ids: dict = {}
+        band_keys: list = []
+        band_shapes: list = []
+        t_hw: list = []
+        t_meta: list = []
+        t_flags: list = []
+        t_off: list = []
         for n, pc in enumerate(order):
             tc = self.tile.comps[pc.compno]
             tccp = self.tcp.tccps[pc.compno]
@@ -1451,6 +1461,7 @@ class TileDecompressor:
             if ent is None:
                 h = nat.get_handle(prc)
                 bn = {b.orient: b.numbps for b in res.bands}
+                brect = {b.orient: b.rect for b in res.bands}
                 mb = np.asarray([bn[pb.band_orient] for pb in prc.pbands],
                                 dtype=np.int32)
                 ent = handles_by_prc[id(prc)] = (
@@ -1458,6 +1469,27 @@ class TileDecompressor:
                 handles.append((base, h, mb.tolist(),
                                 bool(tccp.ht and ht_mixed)))
                 cblk_by_g.extend(h.cblks)
+                mbl = mb.tolist()
+                style = int(tccp.cblk_style)
+                flags = (1 if tccp.ht else 0) | \
+                    (2 if (tccp.ht and ht_mixed) else 0)
+                for i, cblk in enumerate(h.cblks):
+                    bi = h.cblk_band[i]
+                    orient = prc.pbands[bi].band_orient
+                    bkey = (pc.compno, pc.resno, orient)
+                    bid = band_ids.get(bkey)
+                    if bid is None:
+                        bid = band_ids[bkey] = len(band_keys)
+                        band_keys.append(bkey)
+                        r = brect[orient]
+                        band_shapes.append((r.h, r.w))
+                    r = brect[orient]
+                    t_hw.append(cblk.rect.h)
+                    t_hw.append(cblk.rect.w)
+                    t_meta.extend((orient, style, mbl[bi], bid))
+                    t_flags.append(flags)
+                    t_off.append((cblk.rect.y0 - r.y0) * r.w +
+                                 (cblk.rect.x0 - r.x0))
                 base += h.ncb
             b, h, mb, _mx = ent
             prc_a[n] = h.ptr
@@ -1466,8 +1498,13 @@ class TileDecompressor:
             mix_a[n] = 1 if (tccp.ht and ht_mixed) else 0
             mb_a[n] = mb.__array_interface__["data"][0]
             base_a[n] = b
+        t1_statics = (np.asarray(t_hw, np.int32),
+                      np.asarray(t_meta, np.int32),
+                      np.asarray(t_flags, np.int32),
+                      np.asarray(t_off, np.int32),
+                      band_keys, band_shapes)
         state = (prc_a, lay_a, sty_a, mix_a, mb_a, base_a, max(base, 1),
-                 cblk_by_g, handles)
+                 cblk_by_g, handles, t1_statics)
         # keep the mb arrays alive alongside the pointers in mb_a
         self.tile._t2_seq_cache = (skey, order, state,
                                    [e[2] for e in handles_by_prc.values()])
@@ -1487,7 +1524,7 @@ class TileDecompressor:
 
         nat = t2._native
         (prc_a, lay_a, sty_a, mix_a, mb_a, base_a, ncb_total, cblk_by_g,
-         handles) = self._seq_state(order, nat)
+         handles, t1_statics) = self._seq_state(order, nat)
         npk = len(order)
         g_zb = np.zeros(ncb_total, np.int32)
         g_isht = np.zeros(ncb_total, np.int32)
@@ -1530,7 +1567,8 @@ class TileDecompressor:
         n = int(nrec.value)
         if n:
             mv = memoryview(data)
-            rl = np.ctypeslib.as_array(recs_p, shape=(n * 4,)).tolist()
+            recs = np.ctypeslib.as_array(recs_p, shape=(n * 4,)).copy()
+            rl = recs.tolist()
             for r in range(0, n * 4, 4):
                 cblk = cblk_by_g[rl[r]]
                 np_ = rl[r + 1]
@@ -1538,6 +1576,12 @@ class TileDecompressor:
                 cblk.seg_data.append(mv[off:off + rl[r + 3]])
                 cblk.seg_passes.append(np_)
                 cblk.total_passes += np_
+        else:
+            recs = np.empty(0, np.int32)
+        # run_t1's native whole-tile path consumes these records (plus
+        # the stream bytes) instead of re-walking the codeblock objects
+        self._seq_result = (recs, data, g_zb, g_isht, ncb_total,
+                            t1_statics)
         return True
 
     def _window_produce(self, compno: int) -> dict | None:
@@ -1586,6 +1630,8 @@ class TileDecompressor:
         # With a decode window the arrays cover only the window's span of
         # each band (SURVEY.md §2.1 SparseBuffer role: O(window) memory).
         self._alloc_band_arrays()
+        if self._run_t1_tile_native():
+            return
         jobs = []
         meta = []
         mixed = getattr(self.cp, "ht_mixed", False)
@@ -1653,6 +1699,48 @@ class TileDecompressor:
                 ix.x0 - crop.x0:ix.x1 - crop.x0] = \
                 out[ix.y0 - cblk.rect.y0:ix.y1 - cblk.rect.y0,
                     ix.x0 - cblk.rect.x0:ix.x1 - cblk.rect.x0]
+
+    def _run_t1_tile_native(self) -> bool:
+        """Whole-tile native Tier-1 decode (grk_t1_decode_tile): consume
+        the packet-sequence chunk records straight from the stream —
+        segment regrouping, byte gather, job build, and the MQ/HT batch
+        dispatch all happen in one C call writing into the band arrays.
+        Requires a successful _decode_packets_seq (which already implies
+        no window/reduce/layer caps), the native backend, and no ROI
+        upshift (ROI post-processing stays in the fallback loop)."""
+        seq = getattr(self, "_seq_result", None)
+        if seq is None or self.window is not None or self.reduce:
+            return False
+        if self.backend == "device" or \
+                t1_backend.resolve(self.backend) != "native":
+            return False
+        if any(t.roi_shift for t in self.tcp.tccps):
+            return False
+        recs, data, g_zb, g_isht, ncb_total, t1_statics = seq
+        st_hw, st_meta, st_flags, st_off, band_keys, band_shapes = \
+            t1_statics
+        if len(st_flags) != ncb_total:
+            return False
+        nb = len(band_keys)
+        band_base = np.empty(nb, np.uint64)
+        band_stride = np.empty(nb, np.int32)
+        for i, (key, shape) in enumerate(zip(band_keys, band_shapes)):
+            arr = self._band_arrays.get(key)
+            if arr is None or arr.shape != shape:
+                return False  # windowed/cropped alloc: fallback
+            band_base[i] = arr.__array_interface__["data"][0]
+            band_stride[i] = shape[1]
+        nat = t2._native
+        addr = nat._addr
+        dview = np.frombuffer(data, dtype=np.uint8) if len(data) else \
+            np.zeros(1, np.uint8)
+        rc = nat._lib.grk_t1_decode_tile(
+            addr(recs) if len(recs) else 0, len(recs) // 4,
+            addr(dview), len(data), ncb_total,
+            addr(st_hw), addr(st_meta), addr(st_flags), addr(st_off),
+            addr(g_zb), addr(g_isht), addr(band_base), addr(band_stride),
+            getattr(self, "num_threads", 0))
+        return rc >= 0
 
     def _alloc_band_arrays(self) -> None:
         self._band_arrays = {}

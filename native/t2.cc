@@ -660,4 +660,134 @@ long grk_t2_decode_seq(
   return pkt;
 }
 
+// Whole-tile Tier-1 decode from grk_t2_decode_seq chunk records (the
+// band-batched run_t1 roadmap item): groups the arrival-ordered records
+// per global codeblock, regroups chunks into codeword segments with the
+// same seg_bounds layout the packet coder uses (unmatched passes fold
+// into segment 0, mirroring t2/packets.py collect_seg_lengths), gathers
+// each codeblock's bytes contiguously, and dispatches GrkT1DecJob /
+// GrkHTDecJob batches that write doubled-domain values straight into
+// the pre-zeroed band arrays.  Statics per codeblock g:
+//   st_hw[2g..]   = h, w
+//   st_meta[4g..] = orient, style, mb (band numbps bound), band_id
+//   st_flags[g]   = bit0 HT band, bit1 MIXED (per-block flag in isht)
+//   st_off[g]     = element offset of the codeblock in its band array
+// Returns the number of jobs dispatched, or < 0 on inconsistent input
+// (caller falls back to the per-codeblock Python path).
+// Only reachable from the amalgam build (needs the T1/HT batch entry
+// points earlier in the TU).
+long grk_t1_decode_tile(
+    const int32_t* recs, long nrec, const uint8_t* data, long data_len,
+    int ncb, const int32_t* st_hw, const int32_t* st_meta,
+    const int32_t* st_flags, const int32_t* st_off, const int32_t* zb,
+    const int32_t* isht, const uint64_t* band_base,
+    const int32_t* band_stride, int num_threads) {
+  (void)data_len;  // record lengths are already clamped to the stream
+  thread_local std::vector<int32_t> cnt, start, cur, npass, order_idx,
+      seglens;
+  thread_local std::vector<uint8_t> gather;
+  thread_local std::vector<GrkT1DecJob> mq_jobs;
+  thread_local std::vector<GrkHTDecJob> ht_jobs;
+  cnt.assign(ncb, 0);
+  npass.assign(ncb, 0);
+  long total_bytes = 0;
+  for (long r = 0; r < nrec; r++) {
+    int32_t g = recs[4 * r];
+    if (g < 0 || g >= ncb) return -1;
+    cnt[g]++;
+    npass[g] += recs[4 * r + 1];
+    total_bytes += recs[4 * r + 3];
+  }
+  start.resize(ncb + 1);
+  start[0] = 0;
+  for (int g = 0; g < ncb; g++) start[g + 1] = start[g] + cnt[g];
+  cur.assign(start.begin(), start.begin() + ncb);
+  order_idx.resize(nrec);
+  for (long r = 0; r < nrec; r++) order_idx[cur[recs[4 * r]]++] = (int32_t)r;
+  gather.resize((size_t)total_bytes);
+  mq_jobs.clear();
+  ht_jobs.clear();
+  seglens.clear();
+  size_t gpos = 0;
+  for (int g = 0; g < ncb; g++) {
+    if (!cnt[g] || npass[g] <= 0) continue;
+    int h = st_hw[2 * g], w = st_hw[2 * g + 1];
+    if (h <= 0 || w <= 0) continue;  // empty rect: python path skips too
+    int orient = st_meta[4 * g], style = st_meta[4 * g + 1];
+    int mb = st_meta[4 * g + 2], band = st_meta[4 * g + 3];
+    int numbps = mb - zb[g];
+    int flags = st_flags[g];
+    bool is_ht = (flags & 1) && (!(flags & 2) || isht[g]);
+    uint8_t* dst0 = gather.data() + gpos;
+    int32_t bounds[128][2];
+    int nsegs_layout =
+        is_ht ? 0 : t2::seg_bounds(style, numbps, bounds, 128);
+    int32_t seg_len[129] = {0};
+    bool seg_touch[129] = {false};
+    int max_si = 0;
+    long glen = 0;
+    int p = 0;
+    for (int k = start[g]; k < start[g + 1]; k++) {
+      const int32_t* rec = recs + 4 * (size_t)order_idx[k];
+      int32_t np = rec[1], off = rec[2], ln = rec[3];
+      if (ln) memcpy(dst0 + glen, data + off, (size_t)ln);
+      glen += ln;
+      int si = 0;  // collect_seg_lengths: seg_of_pass.get(p, 0)
+      for (int s = 0; s < nsegs_layout; s++)
+        if (bounds[s][0] <= p && p <= bounds[s][1]) {
+          si = s;
+          break;
+        }
+      if (si > 128) si = 128;
+      seg_len[si] += ln;
+      seg_touch[si] = true;
+      if (si > max_si) max_si = si;
+      p += np;
+    }
+    int32_t* out = (int32_t*)(uintptr_t)band_base[band] + st_off[g];
+    if (is_ht) {
+      GrkHTDecJob j;
+      j.h = h;
+      j.w = w;
+      j.data = dst0;
+      j.data_len = (int32_t)glen;
+      j.out = out;
+      j.out_stride = band_stride[band];
+      j.status = 0;
+      ht_jobs.push_back(j);
+    } else {
+      size_t sl0 = seglens.size();
+      int nseg_out = 0;
+      for (int s = 0; s <= max_si; s++)
+        if (seg_touch[s]) {
+          seglens.push_back(seg_len[s]);
+          nseg_out++;
+        }
+      GrkT1DecJob j;
+      j.h = h;
+      j.w = w;
+      j.orient = orient;
+      j.style = style;
+      j.numbps = numbps;
+      j.num_passes = npass[g];
+      j.data = dst0;
+      j.data_len = (int32_t)glen;
+      j.seg_lens = (const int32_t*)(uintptr_t)sl0;  // index; fixed below
+      j.num_segs = nseg_out;
+      j.out = out;
+      j.out_stride = band_stride[band];
+      j.status = 0;
+      mq_jobs.push_back(j);
+    }
+    gpos += (size_t)glen;
+  }
+  for (auto& j : mq_jobs)  // seglens stable now: indices -> pointers
+    j.seg_lens = seglens.data() + (size_t)(uintptr_t)j.seg_lens;
+  if (!ht_jobs.empty())
+    grk_ht_decode_batch(ht_jobs.data(), (int)ht_jobs.size(), num_threads);
+  if (!mq_jobs.empty())
+    grk_t1_decode_batch(mq_jobs.data(), (int)mq_jobs.size(), num_threads);
+  return (long)(mq_jobs.size() + ht_jobs.size());
+}
+
 }  // extern "C"

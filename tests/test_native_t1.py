@@ -103,3 +103,59 @@ def test_thread_count_determinism(rng):
             outs.append(grok_tpu.compress(GrkImage.from_array(arr, prec=8),
                                           p))
         assert outs[0] == outs[1]
+
+
+def test_tile_decode_native_identical(rng):
+    """grk_t1_decode_tile (one C call: record grouping, segment regroup,
+    gather, MQ/HT batch dispatch into band arrays) must decode
+    identically to the per-codeblock job loop across the option space,
+    including pooled-tile reuse and mode-switch segment structures."""
+    import grok_tpu
+    from grok_tpu import CompressParams, DecompressParams, GrkImage
+    from grok_tpu.tile.processor import TileDecompressor
+
+    arr = rng.integers(0, 256, (150, 140, 3)).astype(np.uint8)
+    orig = TileDecompressor._run_t1_tile_native
+    cases = [
+        dict(), dict(ht=True), dict(ht=True, ht_mixed=True),
+        dict(cblk_style=0x01), dict(cblk_style=0x04), dict(cblk_style=0x3F),
+        dict(numlayers=4, layer_rates=[40, 12, 4, 1.5], cblk_style=0x01),
+        dict(tile_size=(64, 64)), dict(irreversible=True),
+    ]
+    for kw in cases:
+        data = grok_tpu.compress(GrkImage.from_array(arr),
+                                 CompressParams(**kw))
+        used = []
+
+        def probe(self, _u=used):
+            r = orig(self)
+            _u.append(r)
+            return r
+
+        TileDecompressor._run_t1_tile_native = probe
+        try:
+            a = grok_tpu.decompress(data).to_array()
+            a2 = grok_tpu.decompress(data).to_array()  # cached statics
+            TileDecompressor._run_t1_tile_native = lambda self: False
+            b = grok_tpu.decompress(data).to_array()
+        finally:
+            TileDecompressor._run_t1_tile_native = orig
+        assert used and all(used), kw  # the native tile path actually ran
+        assert np.array_equal(a, b) and np.array_equal(a2, b), kw
+    # ROI upshift must fall back (downshift post-processing is python)
+    data = grok_tpu.compress(GrkImage.from_array(arr),
+                             CompressParams(roi_comp=-2, roi_shift=6))
+    used = []
+
+    def probe(self, _u=used):
+        r = orig(self)
+        _u.append(r)
+        return r
+
+    TileDecompressor._run_t1_tile_native = probe
+    try:
+        out = grok_tpu.decompress(data).to_array()
+    finally:
+        TileDecompressor._run_t1_tile_native = orig
+    assert used and not any(used)
+    assert out.shape == (150, 140, 3)
