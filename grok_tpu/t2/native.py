@@ -53,6 +53,18 @@ _lib.grk_t1_decode_tile.argtypes = [
     ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
     ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_int]
 _lib.grk_t1_decode_tile.restype = ct.c_long
+_lib.grk_t2_encode_seq.argtypes = [
+    ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+    ct.c_int,
+    ct.c_uint64, ct.c_int,
+    ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+    ct.c_uint64, ct.c_int,
+    ct.c_uint64,
+    ct.c_int, ct.c_int, ct.c_int,
+    ct.POINTER(ct.POINTER(ct.c_uint8)), ct.POINTER(ct.c_long),
+    ct.POINTER(ct.POINTER(ct.c_uint8)), ct.POINTER(ct.c_long),
+    ct.POINTER(ct.POINTER(ct.c_int64))]
+_lib.grk_t2_encode_seq.restype = ct.c_long
 _lib.grk_t2_decode_packet.argtypes = [
     ct.c_void_p, ct.c_int, ct.c_int, ct.c_int,
     ct.c_uint64, ct.c_long, ct.c_long, ct.c_uint64,
@@ -224,6 +236,39 @@ class PrecinctHandle:
         if rc != 0:
             raise ValueError("malformed packet header")
         return self.hdr_pos_out.value
+
+
+def encode_seq(prc_a, lay_a, sty_a, mix_a, base_a, npl_mat, first_layer,
+               zb, numbps, is_ht, rates, rates_stride, data_ptrs,
+               sop: bool, eph: bool, split: bool):
+    """Whole-tile packet emission in ONE native call (the encode mirror
+    of grk_t2_decode_seq): per-packet arrays in progression order +
+    per-GLOBAL-codeblock statics (bases index into them).  Returns
+    (body bytes, per-packet lengths list, header bytes) — header bytes
+    are only populated with split=True (PPT packed headers); otherwise
+    the body holds the full SOP+header+EPH+body packet stream and the
+    lengths are whole-packet lengths."""
+    npk = len(lay_a)
+    hdr_p = ct.POINTER(ct.c_uint8)()
+    hdr_n = ct.c_long(0)
+    body_p = ct.POINTER(ct.c_uint8)()
+    body_n = ct.c_long(0)
+    lens_p = ct.POINTER(ct.c_int64)()
+    _lib.grk_t2_encode_seq(
+        _addr(prc_a), _addr(lay_a), _addr(sty_a), _addr(mix_a),
+        _addr(base_a), npk,
+        _addr(npl_mat), npl_mat.shape[1],
+        _addr(first_layer), _addr(zb), _addr(numbps), _addr(is_ht),
+        _addr(rates), rates_stride,
+        _addr(data_ptrs),
+        1 if sop else 0, 1 if eph else 0, 1 if split else 0,
+        ct.byref(hdr_p), ct.byref(hdr_n),
+        ct.byref(body_p), ct.byref(body_n),
+        ct.byref(lens_p))
+    body = ct.string_at(body_p, body_n.value) if body_n.value else b""
+    hdrs = ct.string_at(hdr_p, hdr_n.value) if hdr_n.value else b""
+    lens = np.ctypeslib.as_array(lens_p, (npk,)).tolist() if npk else []
+    return body, lens, hdrs
 
 
 def get_handle(prc, maxch: int = MAX_CHUNKS) -> PrecinctHandle:

@@ -41,6 +41,12 @@ from .ratecontrol import (HullIndex, candidate_slopes, convex_hull,
 
 log = logging.getLogger("grok_tpu")
 
+# GROK_TPU_NATIVE_T2SEQ=0 forces the per-packet Python emission loop in
+# write_packets (differential-test escape hatch, like GROK_TPU_NATIVE_MCT)
+import os as _os
+
+_T2_SEQ_ENC = _os.environ.get("GROK_TPU_NATIVE_T2SEQ", "1") != "0"
+
 # Rate-quota early-stop margin: each codeblock may emit up to this many
 # times its area-proportional share of the final byte target before
 # Tier-1 stops coding deeper passes (revalidation catches the tail).
@@ -1111,6 +1117,8 @@ class TileCompressor:
         marker segment and the body holds only packet bodies."""
         self.reset_t2()
         order = t2.packet_order(self.tile, self.tcp, comp_info)
+        if t2._native is not None and order and _T2_SEQ_ENC:
+            return self._write_packets_seq(order, sop, eph, ppt)
         out = bytearray()
         hdrs = bytearray()
         lengths: list[int] = []
@@ -1133,6 +1141,74 @@ class TileCompressor:
                 out += pkt
                 lengths.append(len(pkt))
         return bytes(out), lengths, order, bytes(hdrs)
+
+    def _write_packets_seq(self, order, sop, eph, ppt):
+        """Whole-tile packet emission through grk_t2_encode_seq: ONE C
+        call assembles every packet (SOP/header/EPH/body) from flat
+        per-packet arrays plus per-global-codeblock statics — the encode
+        mirror of _decode_packets_seq.  Byte-identical to the per-packet
+        loop (the native call reuses grk_t2_encode_packet internally);
+        differential-tested in tests/test_native_t2.py."""
+        nat = t2._native
+        npk = len(order)
+        prc_a = np.empty(npk, np.uint64)
+        lay_a = np.empty(npk, np.int32)
+        sty_a = np.empty(npk, np.int32)
+        mix_a = np.empty(npk, np.int32)
+        base_a = np.empty(npk, np.int32)
+        handles_by_prc: dict = {}
+        cblks: list = []
+        base = 0
+        ht_mixed = getattr(self.cp, "ht_mixed", False)
+        for n, pc in enumerate(order):
+            tccp = self.tcp.tccps[pc.compno]
+            res = self.tile.comps[pc.compno].resolutions[pc.resno]
+            prc = res.precincts[pc.precno]
+            ent = handles_by_prc.get(id(prc))
+            if ent is None:
+                h = nat.get_handle(prc)
+                ent = handles_by_prc[id(prc)] = (base, h)
+                cblks.extend(h.cblks)
+                base += h.ncb
+            prc_a[n] = ent[1].ptr
+            lay_a[n] = pc.layno
+            sty_a[n] = int(tccp.cblk_style)
+            mix_a[n] = 1 if (tccp.ht and ht_mixed) else 0
+            base_a[n] = ent[0]
+        ncbt = max(base, 1)
+        nlayers = self.tcp.numlayers
+        first = np.zeros(ncbt, np.int32)
+        zb = np.zeros(ncbt, np.int32)
+        nbps = np.zeros(ncbt, np.int32)
+        isht = np.zeros(ncbt, np.int32)
+        stride = max((len(c.pass_rates) for c in cblks), default=1) or 1
+        rates = np.zeros((ncbt, stride), np.int32)
+        npl = np.zeros((max(nlayers, 1), ncbt), np.int32)
+        ptrs = np.zeros(ncbt, np.uint64)
+        keep = []  # buffer views pinning each cblk.data for the call
+        for g, c in enumerate(cblks):
+            nplc = c.num_passes_by_layer
+            f = len(nplc)
+            for ln, v in enumerate(nplc):
+                if v and ln < nlayers:
+                    npl[ln, g] = v
+                    if f > ln:
+                        f = ln
+            first[g] = f
+            zb[g] = c.zero_bitplanes
+            nbps[g] = c.numbps
+            isht[g] = 1 if getattr(c, "is_ht", False) else 0
+            if c.pass_rates:
+                rates[g, :len(c.pass_rates)] = c.pass_rates
+            if c.data:
+                a = np.frombuffer(c.data, np.uint8)
+                keep.append(a)
+                ptrs[g] = a.__array_interface__["data"][0]
+        body, lengths, hdrs = nat.encode_seq(
+            prc_a, lay_a, sty_a, mix_a, base_a, npl, first, zb, nbps,
+            isht, rates, stride, ptrs, sop=sop, eph=eph, split=ppt)
+        del keep
+        return body, lengths, order, hdrs
 
 
 def _tcp_device_key(tcp) -> tuple:

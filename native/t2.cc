@@ -790,4 +790,78 @@ long grk_t1_decode_tile(
   return (long)(mq_jobs.size() + ht_jobs.size());
 }
 
+// Sequential whole-tile packet ENCODE (mirror of grk_t2_decode_seq, for
+// tile/processor.write_packets): emits every packet — SOP header, packet
+// header, EPH, codeblock body chunks — into thread-local growable
+// buffers in one call.  Per-packet inputs are flat arrays in signaled
+// progression order; per-codeblock statics are GLOBAL arrays indexed by
+// bases[pkt] + local index (same first-encounter enumeration the decode
+// side uses).  npl_mat is layer-major with row stride ncb_total:
+// packet pkt reads row laynos[pkt] offset by bases[pkt].  data_ptrs[g]
+// points at codeblock g's coded bytes (may be 0 when empty).  With
+// split != 0 (PPT/PPM packed headers) the headers (+EPH) land in the
+// header buffer, bodies in the body buffer, and out_lens holds BODY
+// lengths; otherwise everything lands in the body buffer and out_lens
+// holds whole-packet lengths (SOP+hdr+EPH+body).  Buffer/length
+// pointers stay valid until the next call on this thread.  Returns the
+// number of packets emitted.
+long grk_t2_encode_seq(
+    const uint64_t* prcs, const int32_t* laynos, const int32_t* styles,
+    const int32_t* mixeds, const int32_t* bases, int npackets,
+    const int32_t* npl_mat, int ncb_total,
+    const int32_t* first_layer, const int32_t* zero_bitplanes,
+    const int32_t* numbps, const int32_t* is_ht,
+    const int32_t* pass_rates, int rates_stride,
+    const uint64_t* data_ptrs,
+    int sop, int eph, int split,
+    const uint8_t** out_hdr, long* out_hdr_len,
+    const uint8_t** out_body, long* out_body_len,
+    const int64_t** out_lens) {
+  thread_local std::vector<uint8_t> hdrs, body;
+  thread_local std::vector<int64_t> lens;
+  thread_local std::vector<int32_t> ranges;
+  hdrs.clear();
+  body.clear();
+  lens.resize((size_t)npackets);
+  for (int n = 0; n < npackets; n++) {
+    auto* p = (t2::Prc*)(uintptr_t)prcs[n];
+    int ncb = (int)p->cblks.size();
+    int32_t base = bases[n];
+    if ((int)ranges.size() < 2 * ncb) ranges.resize(2 * ncb);
+    long hn = grk_t2_encode_packet(
+        (void*)p, laynos[n], styles[n], mixeds[n],
+        npl_mat + (size_t)laynos[n] * ncb_total + base, first_layer + base,
+        zero_bitplanes + base, numbps + base, is_ht + base,
+        pass_rates + (size_t)base * rates_stride, rates_stride,
+        ranges.data());
+    std::vector<uint8_t>& hout = split ? hdrs : body;
+    size_t pkt_start = body.size();
+    if (sop && !split) {
+      uint8_t s[6] = {0xFF, 0x91, 0x00, 0x04,
+                      (uint8_t)((n >> 8) & 0xFF), (uint8_t)(n & 0xFF)};
+      body.insert(body.end(), s, s + 6);
+    }
+    hout.insert(hout.end(), p->hdr.data(), p->hdr.data() + hn);
+    if (eph) {
+      hout.push_back(0xFF);
+      hout.push_back(0x92);
+    }
+    size_t body_start = body.size();
+    for (int i = 0; i < ncb; i++) {
+      int32_t s = ranges[2 * i];
+      if (s < 0) continue;
+      int32_t e = ranges[2 * i + 1];
+      const uint8_t* d = (const uint8_t*)(uintptr_t)data_ptrs[base + i];
+      if (e > s && d) body.insert(body.end(), d + s, d + e);
+    }
+    lens[n] = (int64_t)(body.size() - (split ? body_start : pkt_start));
+  }
+  *out_hdr = hdrs.data();
+  *out_hdr_len = (long)hdrs.size();
+  *out_body = body.data();
+  *out_body_len = (long)body.size();
+  *out_lens = lens.data();
+  return npackets;
+}
+
 }  // extern "C"

@@ -247,3 +247,37 @@ def test_seq_decode_tile_cache_no_contamination(rng):
         for kw, s, ref in zip(variants, streams, refs):
             assert np.array_equal(grok_tpu.decompress(s).to_array(),
                                   ref), kw
+
+
+@requires_native
+def test_seq_packet_encode_identical(rng):
+    """The whole-tile native packet emission (_write_packets_seq /
+    grk_t2_encode_seq) must produce byte-identical codestreams to the
+    per-packet loop across progression orders, layers, SOP/EPH, PPT,
+    precincts, tiles, HT/MIXED and ROI."""
+    import grok_tpu.tile.processor as proc
+
+    arr = rng.integers(0, 256, (150, 170, 3)).astype(np.uint8)
+    cases = [
+        dict(),
+        dict(ht=True),
+        dict(ht=True, ht_mixed=True),
+        dict(numlayers=3, layer_rates=[30, 8, 2]),
+        dict(sop=True, eph=True, numlayers=2, layer_rates=[20, 4]),
+        dict(ppt=True, numlayers=2, layer_rates=[20, 4]),
+        dict(precincts=[(64, 64)], prog_order=Progression.PCRL,
+             numlayers=2, layer_rates=[20, 4], plt=True),
+        dict(tile_size=(64, 64), tlm=True),
+        dict(irreversible=True, roi_comp=-1, roi_shift=5),
+        dict(cblk_style=0x3F),
+    ]
+    gi = GrkImage.from_array(arr)
+    assert proc._T2_SEQ_ENC  # default on
+    for kw in cases:
+        a = grok_tpu.compress(gi, CompressParams(**kw))
+        proc._T2_SEQ_ENC = False
+        try:
+            b = grok_tpu.compress(gi, CompressParams(**kw))
+        finally:
+            proc._T2_SEQ_ENC = True
+        assert a == b, kw
