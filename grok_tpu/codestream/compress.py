@@ -300,8 +300,14 @@ def compress_codestream(image: GrkImage, p: CompressParams,
     # tile's rate-control simulation adds its own 14 * tile_parts
     # (processor._simulate_size), and counting it twice shrank every
     # tile's packet budget by ~14 bytes.
+    # The TLM term must cover what the file will actually hold: with -u
+    # the index has one entry per tile-PART (the sink path additionally
+    # reserves the full predicted span up front and COM-fills the gap),
+    # so budget the predicted upper bound, not one entry per tile.
     p._cap_overhead = (len(out) + 2
-                       + (cp.numtiles * 6 + 6 if p.tlm else 0))
+                       + (len(mk.write_tlm(
+                              0, _predict_tlm_entries(cp, p, image))) + 6
+                          if p.tlm else 0))
     if p.ppm and p.max_cs_size:
         # PPM assembly framing is written after rate control: 4 bytes of
         # Nppm per tile chunk plus 5 bytes (marker+Lppm+Zppm) per 65528-
@@ -343,16 +349,16 @@ def compress_codestream(image: GrkImage, p: CompressParams,
     # uniform tiles go through ONE batched analysis dispatch (the tile-batch
     # axis the multi-chip mesh shards over).  Strip-reader encodes defer
     # construction to the row loop below so memory stays O(tile row).
+    mesh = None
+    if p.mesh is not None:
+        from ..parallel.mesh import resolve_mesh
+
+        mesh = resolve_mesh(p.mesh)
     compressors = None
     if strip_reader is None:
         compressors = [_make_compressor(q, pt)
                        for q in range(cp.t_grid_h)
                        for pt in range(cp.t_grid_w)]
-        mesh = None
-        if p.mesh is not None:
-            from ..parallel.mesh import resolve_mesh
-
-            mesh = resolve_mesh(p.mesh)
         if (p.backend == "device" or mesh is not None) \
                 and len(compressors) > 1:
             from ..tile.processor import run_transforms_device_batched
@@ -387,14 +393,27 @@ def compress_codestream(image: GrkImage, p: CompressParams,
             yield from compressors
             return
         # strip mode: one reader call per tile row, tiles built lazily,
-        # strip planes released as soon as the row is done
+        # strip planes released as soon as the row is done.  A mesh (or
+        # the device backend) batches each ROW's uniform tiles through
+        # one sharded analysis dispatch — the tile-batch axis is the
+        # row, keeping memory O(tile row).
         for q in range(cp.t_grid_h):
             ty0 = max(image.y0, cp.ty0 + q * cp.t_height)
             ty1 = min(image.y1, cp.ty0 + (q + 1) * cp.t_height)
             _install_strips(image, ty0, ty1, strip_reader)
             try:
-                for pt in range(cp.t_grid_w):
-                    yield _make_compressor(q, pt)
+                row = [_make_compressor(q, pt)
+                       for pt in range(cp.t_grid_w)]
+                if (p.backend == "device" or mesh is not None) \
+                        and len(row) > 1:
+                    from ..tile.processor import \
+                        run_transforms_device_batched
+
+                    full = [t for (_, _, tr, t) in row
+                            if tr.w == cp.t_width and tr.h == cp.t_height]
+                    if len(full) > 1:
+                        run_transforms_device_batched(full, mesh=mesh)
+                yield from row
             finally:
                 for c in image.comps:
                     c.data = None
@@ -501,13 +520,12 @@ def compress_codestream(image: GrkImage, p: CompressParams,
             gap = tlm_reserve - len(actual)
             if gap == 0 or gap >= 6:
                 sink.write(actual)
-                if gap:
-                    sink.write(mk.write_com("~" * (gap - 6)))
+                sink.write(_com_filler(gap))
             else:  # can't happen with the 255-per-tile bound; stay safe
                 log.warning("TLM (%d B) exceeds its %d B reservation; "
                             "stream written without a TLM index",
                             len(actual), tlm_reserve)
-                sink.write(mk.write_com("~" * (tlm_reserve - 6)))
+                sink.write(_com_filler(tlm_reserve))
             sink.seek(end)
         for (_tidx, _tcp, _trect, tc) in compressors or ():
             release_tile(tc.tile)
@@ -557,18 +575,52 @@ def _install_strips(image: GrkImage, cy0: int, cy1: int,
         c._data_y0 = r0
 
 
-def _predict_tlm_entries(cp, p, image) -> list:
-    """Upper-bound TLM entry list for the sink reservation.  Without -u
-    (or with PPT, which forces single tile-parts) every tile emits
-    exactly one tile-part; with -u the run count of any key along any
-    progression is bounded by layers x resolutions x components, and
-    _split_tile_parts caps at 255 per tile."""
+def _tlm_parts_per_tile(cp, p, image) -> int:
+    """Upper bound on tile-parts per tile.  Without -u (or with PPT,
+    which forces single tile-parts) every tile emits exactly one
+    tile-part.  With -u the number of runs of the split key equals the
+    product of the loop sizes at or outside that key in the progression
+    order; a prefix containing the position loop (e.g. -u R under CPRL,
+    the IMF default) is bounded only by _split_tile_parts' 255-group
+    merge, as is any POC-reordered tile."""
     if p.ppt or not p.new_tile_part_progression:
-        per = 1
-    else:
-        per = min(255, cp.tcps[0].numlayers * p.numresolution
-                  * max(1, image.numcomps))
+        return 1
+    if any(tcp.progression_changes for tcp in cp.tcps):
+        return 255
+    sizes = {"L": max(t.numlayers for t in cp.tcps),
+             "R": p.numresolution,
+             "C": max(1, image.numcomps)}
+    per = 1
+    for prog in {t.prog_order for t in cp.tcps}:
+        order = prog.name  # e.g. "LRCP"
+        prefix = order[:order.index(p.new_tile_part_progression) + 1]
+        if "P" in prefix:
+            return 255
+        n = 1
+        for ch in prefix:
+            n *= sizes[ch]
+        per = max(per, n)
+    return min(255, per)
+
+
+def _predict_tlm_entries(cp, p, image) -> list:
+    """Upper-bound TLM entry list for the sink reservation and the -W
+    cap budget."""
+    per = _tlm_parts_per_tile(cp, p, image)
     return [(t, 0) for t in range(cp.numtiles) for _ in range(per)]
+
+
+def _com_filler(nbytes: int) -> bytes:
+    """Exactly nbytes of COM padding (nbytes == 0 or >= 6), split into
+    as many marker segments as the 64KB Lcom limit requires."""
+    out = bytearray()
+    while nbytes:
+        seg = min(nbytes, 65537)  # 6 bytes framing + 65531 text max
+        if 0 < nbytes - seg < 6:
+            seg = nbytes - 6  # leave room for a final minimal segment
+        out += mk.write_com("~" * (seg - 6))
+        nbytes -= seg
+    return bytes(out)
 
 
 def _count_packets_geometry(cp, image, img_rect) -> int:

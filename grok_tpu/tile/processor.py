@@ -1257,8 +1257,11 @@ def run_transforms_device_batched(tcs: list["TileCompressor"],
         for t in tcs:
             comp = t.image.comps[compno]
             r = t.tile.comps[compno].rect
+            # _data_y0: strip-mode encodes hold only a tile row of
+            # samples; the plane's first row is that canvas row
+            y0 = r.y0 - comp.y0 - getattr(comp, "_data_y0", 0)
             comp_planes.append(
-                comp.data[r.y0 - comp.y0:r.y1 - comp.y0,
+                comp.data[y0:y0 + r.h,
                           r.x0 - comp.x0:r.x1 - comp.x0])
         planes.append(np.stack(comp_planes))
     xb = np.stack(planes)  # (C, B, H, W)

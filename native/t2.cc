@@ -611,6 +611,12 @@ long grk_t2_decode_seq(
   long pkt = 0;
   for (; pkt < npackets; pkt++) {
     if (pos >= data_len) break;  // tolerant: truncated tile data
+    // tolerate SOP markers that are present but not signaled in COD
+    // (decode_packet skips them unconditionally; this path is only
+    // taken when COD does NOT signal SOP)
+    if (pos + 2 <= data_len && data[pos] == 0xFF && data[pos + 1] == 0x91)
+      pos += 6;
+    if (pos >= data_len) break;
     auto* p = (t2::Prc*)(uintptr_t)prcs[pkt];
     int ncb = (int)p->cblks.size();
     if ((int)l_incl.size() < ncb) {
@@ -643,14 +649,22 @@ long grk_t2_decode_seq(
       }
       for (int k = 0; k < l_nch[ci]; k++) {
         int32_t np = l_chunks[((size_t)ci * kMaxCh + k) * 2];
-        int32_t ln = l_chunks[((size_t)ci * kMaxCh + k) * 2 + 1];
+        // chunk lengths are raw uint32 header fields (lblock can grow
+        // past 31 on corrupt streams): widen before comparing so a
+        // wrapped-negative int32 can't slip through the clamp as a
+        // negative record length / backwards position step
+        int64_t ln = (int64_t)(uint32_t)l_chunks[
+            ((size_t)ci * kMaxCh + k) * 2 + 1];
         long avail = data_len - pos;
-        int32_t rec = ln <= avail ? ln : (avail > 0 ? (int32_t)avail : 0);
+        int32_t rec = ln <= avail ? (int32_t)ln
+                                  : (avail > 0 ? (int32_t)avail : 0);
         recs.push_back(g);
         recs.push_back(np);
-        recs.push_back((int32_t)pos);
+        // clamp the recorded offset so an overrun position can't wrap
+        // int32 (rec is 0 in that case, keeping off + rec <= data_len)
+        recs.push_back((int32_t)(pos < data_len ? pos : data_len));
         recs.push_back(rec);
-        pos += ln;
+        pos += ln;  // may run past data_len; the packet loop then stops
       }
     }
   }
@@ -682,7 +696,6 @@ long grk_t1_decode_tile(
     const int32_t* st_flags, const int32_t* st_off, const int32_t* zb,
     const int32_t* isht, const uint64_t* band_base,
     const int32_t* band_stride, int num_threads) {
-  (void)data_len;  // record lengths are already clamped to the stream
   thread_local std::vector<int32_t> cnt, start, cur, npass, order_idx,
       seglens;
   thread_local std::vector<uint8_t> gather;
@@ -694,9 +707,15 @@ long grk_t1_decode_tile(
   for (long r = 0; r < nrec; r++) {
     int32_t g = recs[4 * r];
     if (g < 0 || g >= ncb) return -1;
+    // defend against inconsistent records (negative pass counts /
+    // lengths, ranges outside the stream): bail to the Python path
+    int32_t np = recs[4 * r + 1], off = recs[4 * r + 2],
+            ln = recs[4 * r + 3];
+    if (np < 0 || ln < 0 || off < 0 || (long)off + ln > data_len)
+      return -1;
     cnt[g]++;
-    npass[g] += recs[4 * r + 1];
-    total_bytes += recs[4 * r + 3];
+    npass[g] += np;
+    total_bytes += ln;
   }
   start.resize(ncb + 1);
   start[0] = 0;

@@ -187,3 +187,68 @@ def test_strips_file_sink_tlm_seekback(rng, tmp_path):
         grok_tpu.compress_strips_file(
             _meta_of(img), _reader_of(img), str(tmp_path / "x.j2k"),
             CompressParams(tile_size=(128, 128), ppm=True))
+
+
+def test_tlm_sink_position_outer_progression(rng, tmp_path):
+    """-u R under CPRL (the IMF default combination) produces up to
+    comps x positions x resolutions tile-parts per tile: the sink's TLM
+    reservation must cover them (a layers*res*comps bound undershot and
+    silently dropped the mandatory index)."""
+    from grok_tpu.codestream import markers as mk
+    from grok_tpu.params import Progression
+
+    arr = _content(rng, 256, 256)
+    img = GrkImage.from_array(arr)
+
+    def _params():
+        p = CompressParams(tile_size=(64, 64), tlm=True, plt=True,
+                           new_tile_part_progression="R")
+        p.prog_order = Progression.CPRL
+        p.precincts = [(16, 16)]  # 36 tile-parts/tile (> L*R*C = 18)
+        return p
+
+    path = tmp_path / "cprl.j2k"
+    grok_tpu.compress_strips_file(_meta_of(img), _reader_of(img),
+                                  str(path), _params())
+    ondisk = path.read_bytes()
+    # the TLM index must be present and name every tile-part
+    pos, entries = 2, []
+    while pos + 4 <= len(ondisk):
+        m, ln = int.from_bytes(ondisk[pos:pos + 2], "big"), \
+            int.from_bytes(ondisk[pos + 2:pos + 4], "big")
+        if m == mk.TLM:
+            entries += mk.read_tlm(ondisk[pos + 4:pos + 2 + ln])[1]
+        if m == mk.SOT:
+            break
+        pos += 2 + ln
+    assert entries, "TLM index was dropped"
+    # walk the tile-parts through the TLM lengths: the index must name
+    # every SOT back-to-back up to EOC
+    assert len(entries) > 16 * 18
+    for _, ln in entries:
+        assert ondisk[pos:pos + 2] == mk.u16(mk.SOT)
+        pos += ln
+    assert ondisk[pos:pos + 2] == mk.u16(mk.EOC)
+    inmem = grok_tpu.compress_strips(_meta_of(img), _reader_of(img),
+                                     _params())
+    a = grok_tpu.decompress(inmem)
+    b = grok_tpu.decompress(ondisk)
+    assert all(np.array_equal(x.data, y.data)
+               for x, y in zip(a.comps, b.comps))
+
+
+def test_com_filler_spans_marker_limit():
+    """The TLM reservation gap can exceed one COM segment's 64KB limit;
+    the filler must split while keeping the exact byte count."""
+    from grok_tpu.codestream import markers as mk
+    from grok_tpu.codestream.compress import _com_filler
+
+    for n in (0, 6, 100, 65537, 65538, 65543, 200000):
+        blob = _com_filler(n)
+        assert len(blob) == n
+        pos = 0
+        while pos < n:
+            assert blob[pos:pos + 2] == mk.u16(mk.COM)
+            ln = int.from_bytes(blob[pos + 2:pos + 4], "big")
+            pos += 2 + ln
+        assert pos == n

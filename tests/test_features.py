@@ -384,3 +384,32 @@ def test_jph_container_brand(rng):
                            CompressParams(numresolution=3,
                                           cod_format="jp2"))
     assert b"jp2 " in d2[:64] and b"jph " not in d2[:64]
+
+
+def test_unsignaled_sop_markers_tolerated(rng):
+    """A stream whose packets carry SOP markers while COD does NOT
+    signal them (Scod bit cleared post-encode) must still decode — the
+    per-packet parser skips them unconditionally, and the native
+    whole-tile sequential path has to apply the same tolerance."""
+    from grok_tpu.codestream import markers as mk
+
+    arr = _content(rng, 96, 96)
+    img = GrkImage.from_array(arr)
+    data = grok_tpu.compress(img, CompressParams(
+        numresolution=3, sop=True, precincts=[(32, 32)]))
+    ba = bytearray(data)
+    pos = 2
+    patched = 0
+    while pos + 4 <= len(ba):
+        m = int.from_bytes(ba[pos:pos + 2], "big")
+        ln = int.from_bytes(ba[pos + 2:pos + 4], "big")
+        if m == mk.COD:
+            assert ba[pos + 4] & 0x02  # SOP was signaled
+            ba[pos + 4] &= ~0x02
+            patched += 1
+        if m == mk.SOT:
+            break
+        pos += 2 + ln
+    assert patched == 1
+    out = grok_tpu.decompress(bytes(ba))
+    assert np.array_equal(out.comps[0].data, arr)

@@ -103,3 +103,28 @@ def test_mesh_single_device_spec_is_noop(rng):
     ref = grok_tpu.compress(GrkImage.from_array(arr),
                             CompressParams(tile_size=(64, 64)))
     assert one == ref
+
+
+def test_mesh_strip_encode_bit_identical(rng, mesh8):
+    """compress_strips honors params.mesh: each tile ROW's uniform tiles
+    go through one sharded analysis dispatch, byte-identical to the
+    meshless whole-image encode (memory stays O(tile row))."""
+    arr = _img(rng, 256, 256)
+    img = GrkImage.from_array(arr)
+    kw = dict(tile_size=(64, 64), numresolution=3)
+    one = grok_tpu.compress(img, CompressParams(**kw))
+
+    meta = GrkImage(x0=img.x0, y0=img.y0, x1=img.x1, y1=img.y1)
+    meta.color_space = img.color_space
+    for c in img.comps:
+        c2 = c.copy()
+        c2.data = None
+        meta.comps.append(c2)
+    planes = [c.data for c in img.comps]
+
+    def reader(y0, h):
+        return [pl[y0:y0 + h] for pl in planes]
+
+    many = grok_tpu.compress_strips(meta, reader,
+                                    CompressParams(mesh=mesh8, **kw))
+    assert one == many
