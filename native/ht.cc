@@ -267,11 +267,6 @@ struct GrkHTDecJob {
 
 namespace {
 
-static inline uint32_t ht_mag(int32_t v) {
-  uint32_t m = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
-  return m > 0x7FFFFFFFu ? 0x7FFFFFFFu : m;  // INT32_MIN: keep umax <= 31
-}
-
 // Shared per-quad VLC emission: rho codeword (context-selected) +
 // zigzagged u residual.
 static inline void ht_put_quad_vlc(FastBitW& vlc, uint32_t ctx,
@@ -294,24 +289,15 @@ static void ht_encode_one(GrkHTEncJob* j) {
   int cstride = j->stride > 0 ? j->stride : w;
   j->status = 0;
   j->out_len = 0;
-  uint32_t maxmag = 0;
   const int32_t* cf = j->coeffs;
-  for (int y = 0; y < h; y++) {
-    const int32_t* row = cf + (size_t)y * cstride;
-    uint32_t rm = 0;
-    for (int x = 0; x < w; x++) {  // vectorizable: or-reduce of |v|
-      int32_t v = row[x];
-      rm |= v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
-    }
-    maxmag |= rm;
-  }
-  // numbps only needs the bit LENGTH, and bitlen(OR of |v|) ==
-  // bitlen(max |v|); unclamped so INT32_MIN still reports 32 like the
-  // Python oracle (the per-quad clamp keeps the stream decodable)
-  int numbps = 0;
-  while (maxmag >> numbps) numbps++;
-  j->numbps = numbps;
-  if (numbps == 0) return;
+  // numbps (the OR of every |v|, accumulated inside the quad loops so
+  // the samples are read once) only needs the bit LENGTH, and
+  // bitlen(OR of |v|) == bitlen(max |v|); the raw |v| OR is kept
+  // unclamped so INT32_MIN still reports 32 like the Python oracle
+  // (the per-quad magnitude clamp keeps the stream decodable).  All-zero
+  // blocks fall out at assembly time: the coded scratch is simply
+  // discarded (thread-local, reused by the next job).
+  uint32_t ormag_raw = 0;
 
   // thread-local scratch sized to the worst case so the bit writers can
   // run unchecked: MagSgn <= 33 bits/sample, VLC <= 17 bits/quad,
@@ -343,8 +329,15 @@ static void ht_encode_one(GrkHTEncJob* j) {
       for (int qx = 0; qx < qw; qx++, a += 2, b += 2) {
         // sample order TL, BL, TR, BR (matches ht.py x-major-then-y)
         int32_t v0 = a[0], v1 = b[0], v2 = a[1], v3 = b[1];
-        uint32_t m0 = ht_mag(v0), m1 = ht_mag(v1);
-        uint32_t m2 = ht_mag(v2), m3 = ht_mag(v3);
+        uint32_t r0 = v0 < 0 ? 0u - (uint32_t)v0 : (uint32_t)v0;
+        uint32_t r1 = v1 < 0 ? 0u - (uint32_t)v1 : (uint32_t)v1;
+        uint32_t r2 = v2 < 0 ? 0u - (uint32_t)v2 : (uint32_t)v2;
+        uint32_t r3 = v3 < 0 ? 0u - (uint32_t)v3 : (uint32_t)v3;
+        ormag_raw |= r0 | r1 | r2 | r3;
+        uint32_t m0 = r0 > 0x7FFFFFFFu ? 0x7FFFFFFFu : r0;
+        uint32_t m1 = r1 > 0x7FFFFFFFu ? 0x7FFFFFFFu : r1;
+        uint32_t m2 = r2 > 0x7FFFFFFFu ? 0x7FFFFFFFu : r2;
+        uint32_t m3 = r3 > 0x7FFFFFFFu ? 0x7FFFFFFFu : r3;
         uint32_t rho = (m0 ? 1u : 0u) | (m1 ? 2u : 0u) | (m2 ? 4u : 0u)
                        | (m3 ? 8u : 0u);
         mel.encode(rho ? 1 : 0);
@@ -356,10 +349,21 @@ static void ht_encode_one(GrkHTEncJob* j) {
         uint32_t umax = 32u - (uint32_t)__builtin_clz(m0 | m1 | m2 | m3);
         ht_put_quad_vlc(vlc, ctx, rho, umax, u_pred);
         int nb = (int)umax + 1;
-        if (m0) magsgn.put_bits(((m0 - 1) << 1) | (v0 < 0 ? 1u : 0u), nb);
-        if (m1) magsgn.put_bits(((m1 - 1) << 1) | (v1 < 0 ? 1u : 0u), nb);
-        if (m2) magsgn.put_bits(((m2 - 1) << 1) | (v2 < 0 ? 1u : 0u), nb);
-        if (m3) magsgn.put_bits(((m3 - 1) << 1) | (v3 < 0 ? 1u : 0u), nb);
+        if (rho == 15u && nb <= 16) {
+          // dense quad, short words (the common case on natural
+          // content): pack sample pairs into single put_bits calls
+          uint32_t s0 = ((m0 - 1) << 1) | (v0 < 0 ? 1u : 0u);
+          uint32_t s1 = ((m1 - 1) << 1) | (v1 < 0 ? 1u : 0u);
+          uint32_t s2 = ((m2 - 1) << 1) | (v2 < 0 ? 1u : 0u);
+          uint32_t s3 = ((m3 - 1) << 1) | (v3 < 0 ? 1u : 0u);
+          magsgn.put_bits((s0 << nb) | s1, 2 * nb);
+          magsgn.put_bits((s2 << nb) | s3, 2 * nb);
+        } else {
+          if (m0) magsgn.put_bits(((m0 - 1) << 1) | (v0 < 0 ? 1u : 0u), nb);
+          if (m1) magsgn.put_bits(((m1 - 1) << 1) | (v1 < 0 ? 1u : 0u), nb);
+          if (m2) magsgn.put_bits(((m2 - 1) << 1) | (v2 < 0 ? 1u : 0u), nb);
+          if (m3) magsgn.put_bits(((m3 - 1) << 1) | (v3 < 0 ? 1u : 0u), nb);
+        }
       }
       std::swap(rho_prev, rho_cur);
     }
@@ -380,7 +384,10 @@ static void ht_encode_one(GrkHTEncJob* j) {
         uint32_t rho = 0, umax = 0;
         uint32_t mags[4];
         for (int i = 0; i < ns; i++) {
-          uint32_t m = ht_mag(vals[i]);
+          int32_t v = vals[i];
+          uint32_t rm = v < 0 ? 0u - (uint32_t)v : (uint32_t)v;
+          ormag_raw |= rm;
+          uint32_t m = rm > 0x7FFFFFFFu ? 0x7FFFFFFFu : rm;
           mags[i] = m;
           if (m) {
             rho |= 1u << i;
@@ -414,6 +421,14 @@ static void ht_encode_one(GrkHTEncJob* j) {
       std::swap(rho_prev, rho_cur);
     }
   }
+  // bit length of the raw |v| OR (uint64 so a bit-31 magnitude can
+  // report numbps 32 without a UB 32-bit shift)
+  uint64_t om = ormag_raw;
+  int numbps = 0;
+  while (om >> numbps) numbps++;
+  j->numbps = numbps;
+  if (numbps == 0) return;  // all-zero block: no coded bytes
+
   long ms_bits = magsgn.nbits();
   magsgn.finalize();
   long mel_bits = mel.finish();
