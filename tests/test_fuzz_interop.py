@@ -74,6 +74,24 @@ def test_random_params_interop(trial):
 
     img = GrkImage.from_array(arr, prec=prec)
     data = grok_tpu.compress(img, CompressParams(**kw))
+    if rng.random() < 0.35:
+        # the streaming encoder must hit the same bytes for any
+        # parameter combination (row-bounded memory is its only delta)
+        meta = GrkImage(x0=img.x0, y0=img.y0, x1=img.x1, y1=img.y1)
+        meta.color_space = img.color_space
+        planes = []
+        for c in img.comps:
+            c2 = c.copy()
+            c2.data = None
+            meta.comps.append(c2)
+            planes.append(c.data)
+
+        def reader(y0, nrows):
+            return [pl[y0:y0 + nrows] for pl in planes]
+
+        streamed = grok_tpu.compress_strips(meta, reader,
+                                            CompressParams(**kw))
+        assert streamed == data, f"streamed encode differs: {kw}"
     if "custom_mct" in kw:
         out = grok_tpu.decompress(data)
         g = out.to_array().astype(float)
