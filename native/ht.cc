@@ -100,8 +100,20 @@ static void stuff_stream(const FastBitW& bw, long nbits,
   out.reserve((size_t)(nbits / 7 + 16));
   const uint8_t* in = bw.base;
   long nbytes = (nbits + 7) / 8;
-  uint32_t acc = 0, used = 0, width = 8;
-  for (long i = 0; i < nbytes; i++) {
+  long i = 0;
+  // while no 0xFF has been emitted the output equals the input byte for
+  // byte, so the FF-free prefix (and the first 0xFF itself) copies
+  // wholesale; alignment is only lost once a 7-bit byte follows it
+  if (nbytes > 1) {
+    long aligned = nbytes - 1;  // the final byte may be partial
+    const void* ff = memchr(in, 0xFF, (size_t)aligned);
+    long pre = ff ? (const uint8_t*)ff - in + 1 : aligned;
+    out.insert(out.end(), in, in + pre);
+    i = pre;
+  }
+  uint32_t acc = 0, used = 0;
+  uint32_t width = (!out.empty() && out.back() == 0xFF) ? 7 : 8;
+  for (; i < nbytes; i++) {
     uint32_t take = (i == nbytes - 1) ? (uint32_t)(nbits - 8 * i) : 8u;
     acc = (acc << take) | (uint32_t)(in[i] >> (8 - take));
     used += take;
@@ -129,8 +141,18 @@ struct FastBitR {
     uint64_t acc = 0;
     uint32_t used = 0;
     size_t o = 0;
-    bool prev_ff = false;
-    for (int i = 0; i < len; i++) {
+    int i = 0;
+    // until the first 0xFF the packed payload equals the stuffed bytes,
+    // so the FF-free prefix (plus that 0xFF itself) copies wholesale
+    if (len > 0) {
+      const void* ff = memchr(d, 0xFF, (size_t)len);
+      int pre = ff ? (int)((const uint8_t*)ff - d) + 1 : len;
+      memcpy(buf.data(), d, (size_t)pre);
+      o = (size_t)pre;
+      i = pre;
+    }
+    bool prev_ff = i > 0 && d[i - 1] == 0xFF;
+    for (; i < len; i++) {
       uint8_t b = d[i];
       uint32_t c = prev_ff ? 7 : 8;
       prev_ff = (b == 0xFF);
@@ -517,25 +539,42 @@ static void ht_decode_one(GrkHTDecJob* j) {
         if (umax < 1 || umax > 31) return;  // tolerant bail-out
         int nb = umax + 1;
         // sample order TL, BL, TR, BR
-        if (rho & 1u) {
-          uint32_t v = ms.get_bits(nb);
-          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
-          o0[0] = (v & 1) ? -val : val;
-        }
-        if (rho & 2u) {
-          uint32_t v = ms.get_bits(nb);
-          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
-          o1[0] = (v & 1) ? -val : val;
-        }
-        if (rho & 4u) {
-          uint32_t v = ms.get_bits(nb);
-          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
-          o0[1] = (v & 1) ? -val : val;
-        }
-        if (rho & 8u) {
-          uint32_t v = ms.get_bits(nb);
-          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
-          o1[1] = (v & 1) ? -val : val;
+        if (rho == 15u && nb <= 16) {
+          // dense quad, short words: one window read per sample pair
+          uint32_t mask = (1u << nb) - 1;
+          uint32_t p01 = ms.get_bits(2 * nb);
+          uint32_t v0 = p01 >> nb, v1 = p01 & mask;
+          int32_t a0 = (int32_t)(2 * ((v0 >> 1) + 1) + 1);
+          int32_t a1 = (int32_t)(2 * ((v1 >> 1) + 1) + 1);
+          o0[0] = (v0 & 1) ? -a0 : a0;
+          o1[0] = (v1 & 1) ? -a1 : a1;
+          uint32_t p23 = ms.get_bits(2 * nb);
+          uint32_t v2 = p23 >> nb, v3 = p23 & mask;
+          int32_t a2 = (int32_t)(2 * ((v2 >> 1) + 1) + 1);
+          int32_t a3 = (int32_t)(2 * ((v3 >> 1) + 1) + 1);
+          o0[1] = (v2 & 1) ? -a2 : a2;
+          o1[1] = (v3 & 1) ? -a3 : a3;
+        } else {
+          if (rho & 1u) {
+            uint32_t v = ms.get_bits(nb);
+            int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+            o0[0] = (v & 1) ? -val : val;
+          }
+          if (rho & 2u) {
+            uint32_t v = ms.get_bits(nb);
+            int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+            o1[0] = (v & 1) ? -val : val;
+          }
+          if (rho & 4u) {
+            uint32_t v = ms.get_bits(nb);
+            int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+            o0[1] = (v & 1) ? -val : val;
+          }
+          if (rho & 8u) {
+            uint32_t v = ms.get_bits(nb);
+            int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+            o1[1] = (v & 1) ? -val : val;
+          }
         }
       }
       std::swap(rho_prev, rho_cur);
