@@ -40,7 +40,7 @@ def _ensure_built() -> None:
         os.path.abspath(__file__))))
     srcs = [os.path.join(root, "native", n)
             for n in ("t1.cc", "ht.cc", "dwt.cc", "mct.cc", "t2.cc",
-                      "amalgam.cc", "train.cc", "util.h")]
+                      "amalgam.cc", "train.cc", "util.h", "build.sh")]
     if not all(os.path.exists(s) for s in srcs):
         return  # installed layout without sources: use the shipped lib
 
@@ -152,8 +152,15 @@ def encode_batch_native(jobs: list[bk.EncodeJob], num_threads: int = 0) -> None:
     cjobs = (_EncJob * n)()
     coeff_arrs = [_as_strided_f32(j.coeffs) if j.quant_delta > 0.0
                   else _as_strided_int32(j.coeffs) for j in jobs]
-    caps = [max(4096, a.shape[0] * a.shape[1] * 4 + 1024)
-            for a in coeff_arrs]
+    # output cap must scale with the bitplane bound like the C arena
+    # does (~2.57 coded bits/sample/plane worst case; budget 4 plus a
+    # fixed term for per-pass TERMALL flushes) or deep blocks (ROI
+    # shift, 16-bit planes) could trip the final-copy overflow check
+    caps = [max(4096,
+                a.shape[0] * a.shape[1]
+                * max(4, (getattr(j, "numbps_bound", None) or 32)) // 2
+                + 2048)
+            for a, j in zip(coeff_arrs, jobs)]
     out_pool = np.empty(sum(caps), dtype=np.uint8)
     rates_pool = np.zeros(n * MAX_PASSES, dtype=np.int32)
     dists_pool = np.zeros(n * MAX_PASSES, dtype=np.float64)
@@ -445,9 +452,6 @@ _ht_tables.on_swap(_install_vlc_tables)
 
 _lib.grk_fwd53_level.argtypes = [ct.c_uint64, ct.c_int, ct.c_int,
                                  ct.c_uint64, ct.c_uint64, ct.c_uint64,
-                                 ct.c_uint64, ct.c_uint64]
-_lib.grk_inv53_level.argtypes = [ct.c_uint64, ct.c_uint64, ct.c_uint64,
-                                 ct.c_uint64, ct.c_int, ct.c_int,
                                  ct.c_uint64, ct.c_uint64]
 _lib.grk_inv53_level_h.argtypes = [ct.c_uint64, ct.c_uint64, ct.c_uint64,
                                    ct.c_uint64, ct.c_int, ct.c_int,

@@ -163,20 +163,27 @@ class PrecinctHandle:
             self.rates = rates
             self.rates_stride = stride
 
-    def encode(self, layno: int, style: int, mixed: bool):
-        """Returns (header bytes, body ranges int32[2*ncb])."""
+    def _encode_packet_native(self, layno: int, style: int,
+                              mixed: bool) -> int:
+        """Shared encode/size prologue: fill per-cblk pass counts and run
+        the native packet coder; returns the header bit length in bytes.
+        The header lands in a native growable buffer (huge precincts /
+        tiny codeblocks can legitimately exceed any fixed cap) and the
+        body ranges land in self.ranges."""
         if not self.statics_built:
             self._build_statics()
         for i, c in enumerate(self.cblks):
             npl = c.num_passes_by_layer
             self.npasses[i] = npl[layno] if layno < len(npl) else 0
-        # the header lands in a native growable buffer (huge precincts /
-        # tiny codeblocks can legitimately exceed any fixed cap)
-        n = _lib.grk_t2_encode_packet(
+        return _lib.grk_t2_encode_packet(
             self.ptr, layno, int(style), 1 if mixed else 0,
             _addr(self.npasses), _addr(self.first_layer), _addr(self.zb),
             _addr(self.numbps), _addr(self.is_ht),
             _addr(self.rates), self.rates_stride, _addr(self.ranges))
+
+    def encode(self, layno: int, style: int, mixed: bool):
+        """Returns (header bytes, body ranges int32[2*ncb])."""
+        n = self._encode_packet_native(layno, style, mixed)
         hdr = ct.string_at(_lib.grk_t2_prc_hdr(self.ptr), n)
         return hdr, self.ranges
 
@@ -184,16 +191,7 @@ class PrecinctHandle:
         """Header + body bytes of this packet WITHOUT materializing them
         (rate-control dry runs only need the length; the header copy and
         body slicing were most of the simulate cost)."""
-        if not self.statics_built:
-            self._build_statics()
-        for i, c in enumerate(self.cblks):
-            npl = c.num_passes_by_layer
-            self.npasses[i] = npl[layno] if layno < len(npl) else 0
-        n = _lib.grk_t2_encode_packet(
-            self.ptr, layno, int(style), 1 if mixed else 0,
-            _addr(self.npasses), _addr(self.first_layer), _addr(self.zb),
-            _addr(self.numbps), _addr(self.is_ht),
-            _addr(self.rates), self.rates_stride, _addr(self.ranges))
+        n = self._encode_packet_native(layno, style, mixed)
         r = self.ranges[:2 * self.ncb]
         s, e = r[0::2], r[1::2]
         inc = s >= 0
@@ -273,7 +271,12 @@ def encode_seq(prc_a, lay_a, sty_a, mix_a, base_a, npl_mat, first_layer,
 
 def get_handle(prc, maxch: int = MAX_CHUNKS) -> PrecinctHandle:
     h = getattr(prc, "_nt2", None)
-    if h is None:
+    if h is None or maxch > h.maxch:
+        # a pooled tile can be reused by a stream whose codeblock style
+        # needs more chunk capacity (TERMALL/LAZY after a NONE decode):
+        # rebuild the handle rather than letting the native parser
+        # reject valid packets at the old cap.  Within one decode the
+        # style (hence maxch) is constant, so this never fires mid-tile.
         h = PrecinctHandle(prc, maxch)
         prc._nt2 = h
     return h

@@ -236,12 +236,6 @@ void grk_inv53_level_h(const int32_t* ll, const int32_t* hl,
   inv53_vertical(scratch, scratch + (size_t)eh * w, h, w, out);
 }
 
-void grk_inv53_level(const int32_t* ll, const int32_t* hl,
-                     const int32_t* lh, const int32_t* hh, int h, int w,
-                     int32_t* out, int32_t* scratch) {
-  grk_inv53_level_h(ll, hl, lh, hh, h, w, out, scratch, 0);
-}
-
 }  // extern "C"
 
 // ------------------------------------------------------------ 9/7 (float)

@@ -159,3 +159,19 @@ def test_tile_decode_native_identical(rng):
         TileDecompressor._run_t1_tile_native = orig
     assert used and not any(used)
     assert out.shape == (150, 140, 3)
+
+
+def test_native_encode_deep_bitplanes(rng):
+    """Near-full-depth incompressible coefficients (raw LAZY planes
+    expand ~8/7 over 31 magnitude bits, landing ~31.4 coded bits per
+    sample) must fit the numbps-scaled output cap and stay bit-identical
+    to the Python coder."""
+    coeffs = rng.integers(-(1 << 30), 1 << 30, size=(32, 32)).astype(
+        np.int32)
+    for style in (CblkStyle.LAZY, CblkStyle.LAZY | CblkStyle.TERMALL):
+        jp = bk.EncodeJob(coeffs, 0, style, numbps_bound=31)
+        jn = bk.EncodeJob(coeffs, 0, style, numbps_bound=31)
+        bk._encode_python([jp])
+        native.encode_batch_native([jn])
+        assert jp.data == jn.data, style
+        assert jp.numbps == jn.numbps

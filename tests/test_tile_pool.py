@@ -56,3 +56,29 @@ def test_pool_reuse_identical():
     for k in fresh:
         assert fresh[k] == warm[k], k
         assert fresh[k] == warm2[k], k
+
+
+def test_pool_reuse_upgrades_chunk_capacity():
+    """A pooled tile first decoded from a stream whose codeblock style
+    needs only 2 codeword-segment chunks per packet (no LAZY/TERMALL)
+    keeps its native precinct handles; a later same-geometry TERMALL
+    stream needs up to MAX_CHUNKS — the cached handle must be rebuilt at
+    the larger capacity or the native parser rejects valid packets
+    ("malformed packet header" resync => silent corruption)."""
+    import grok_tpu
+    from grok_tpu import CompressParams, GrkImage
+    from grok_tpu.params import CblkStyle
+    from grok_tpu.tile import processor as proc
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (96, 96)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=8)
+    a = grok_tpu.compress(img, CompressParams(
+        numresolution=3, sop=True, cblk_style=CblkStyle.RESET))
+    b = grok_tpu.compress(img, CompressParams(
+        numresolution=3, sop=True, cblk_style=CblkStyle.TERMALL))
+    proc._TILE_POOL.clear()  # decode A must CREATE the pooled handles
+    outa = grok_tpu.decompress(a)
+    assert np.array_equal(outa.comps[0].data, arr)
+    outb = grok_tpu.decompress(b)
+    assert np.array_equal(outb.comps[0].data, arr)
