@@ -164,13 +164,27 @@ def params_from_args(args) -> CompressParams:
         cp.precincts = dims
     if args.poc:
         changes = []
+        tile_changes: dict[int, list] = {}
         for seg in args.poc.split("/"):
-            seg = seg.split("=", 1)[-1]
+            tile = None
+            if "=" in seg:
+                tsel, seg = seg.split("=", 1)
+                tsel = tsel.strip().upper()
+                if not tsel.startswith("T"):
+                    raise ParamError(f"-P tile selector {tsel!r} must "
+                                     "be T<index>")
+                tile = int(tsel[1:])
             rs, cs, le, re_, ce, prog = seg.split(",")
-            changes.append(ProgressionChange(
+            chg = ProgressionChange(
                 int(rs), int(cs), int(le), int(re_), int(ce),
-                Progression[prog]))
+                Progression[prog])
+            if tile is None:
+                changes.append(chg)
+            else:
+                # T<idx>= scopes the change to one tile (tile-header POC)
+                tile_changes.setdefault(tile, []).append(chg)
         cp.progression_changes = changes
+        cp.tile_progression_changes = tile_changes
     if args.roi:
         fields = dict(f.split("=") for f in args.roi.split(","))
         cp.roi_comp = int(fields.get("c", 0))
@@ -236,7 +250,7 @@ def compress_one(in_path: str, out_path: str, args) -> None:
         (".jp2", ".jph")) else "j2k"
     if args.stream_strips:
         if args.raw or args.subsampling_factor or \
-                args.image_offset != "0,0":
+                common.parse_int_pair(args.image_offset) != (0, 0):
             raise ParamError("--stream-strips is incompatible with "
                              "-F/-s/--image-offset")
         meta, reader = formats.open_pnm_strips(in_path)
@@ -256,15 +270,11 @@ def compress_one(in_path: str, out_path: str, args) -> None:
     img = formats.load_image(in_path, raw_desc=args.raw)
     if not args.transfer_exif:
         img.meta.exif = None  # EXIF transfer is opt-in (-V)
-    if args.subsampling_factor:
-        # -s dx,dy: subsample every component on input (reference parity)
-        dx, dy = common.parse_int_pair(args.subsampling_factor)
-        for c in img.comps:
-            c.data = c.data[::dy, ::dx]
-            c.dx *= dx
-            c.dy *= dy
-            c.h, c.w = c.data.shape
     if args.image_offset != "0,0":
+        # applied BEFORE -s: subsampled components keep only the canvas
+        # positions divisible by dx/dy, so the offset determines WHICH
+        # input samples survive subsampling (encoding then slicing lost
+        # a row/column of a nominally lossless encode)
         ox, oy = common.parse_int_pair(args.image_offset)
         img.x0 += ox
         img.y0 += oy
@@ -273,6 +283,20 @@ def compress_one(in_path: str, out_path: str, args) -> None:
         for c in img.comps:
             c.x0 = -(-img.x0 // c.dx)
             c.y0 = -(-img.y0 // c.dy)
+    if args.subsampling_factor:
+        # -s dx,dy: subsample every component on input (reference
+        # parity); the slice phase keeps the samples whose (possibly
+        # offset) canvas coordinates are multiples of the new dx/dy
+        dx, dy = common.parse_int_pair(args.subsampling_factor)
+        for c in img.comps:
+            c.dx *= dx
+            c.dy *= dy
+            c.x0 = -(-img.x0 // c.dx)
+            c.y0 = -(-img.y0 // c.dy)
+            sy = c.y0 * c.dy - img.y0
+            sx = c.x0 * c.dx - img.x0
+            c.data = c.data[sy::dy, sx::dx]
+            c.h, c.w = c.data.shape
 
     def do():
         return codec.compress(img, cp)
@@ -298,13 +322,22 @@ def main(argv=None) -> int:
             pairs = list(common.batch_inputs(
                 args.batch_src, args.out_dir, args.out_fmt, exts))
             pairs = common.shard_pairs(pairs, args.num_hosts, args.host_id)
+            failures = 0
             for src, dst in pairs:
-                compress_one(src, dst, args)
-        else:
-            if not args.in_file or not args.out_file:
-                raise ParamError("need -i and -o (or -y/-a batch mode)")
-            compress_one(args.in_file, args.out_file, args)
-    except (GrkError, OSError) as e:
+                try:
+                    compress_one(src, dst, args)
+                except (GrkError, OSError, ValueError) as e:
+                    # one bad file must not abort the batch (reference
+                    # batch mode logs and continues)
+                    log.error("%s: %s", src, e)
+                    failures += 1
+            return 1 if failures else 0
+        if not args.in_file or not args.out_file:
+            raise ParamError("need -i and -o (or -y/-a batch mode)")
+        compress_one(args.in_file, args.out_file, args)
+    except (GrkError, OSError, ValueError) as e:
+        # ValueError: malformed numeric option values (e.g. -r 20,abc)
+        # must print a clean CLI error, not a traceback
         print(f"grk_compress: error: {e}", file=sys.stderr)
         return 1
     return 0

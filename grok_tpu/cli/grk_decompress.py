@@ -123,15 +123,7 @@ def _try_stream_strips(data: bytes, out_path: str, args, dp) -> bool:
     from ..io.stripio import AsyncStripWriter
 
     t0 = time.perf_counter()
-    div = 1 << min(dp.reduce,
-                   min(t.numresolutions for t in hi.cp.tcps[0].tccps) - 1)
-    # reduced canvas dims: ceil(x1/div) - ceil(x0/div) (canvas-grid
-    # halving, NOT ceil((x1-x0)/div) — they differ for offset images)
-    def ceil_div(v):
-        return -(-v // div)
-
-    w = ceil_div(hi.image.x1) - ceil_div(hi.image.x0)
-    h = ceil_div(hi.image.y1) - ceil_div(hi.image.y0)
+    w, h, _ = hi.reduced_dims(dp.reduce)
     with AsyncStripWriter(out_path, w, h, len(comps),
                           comps[0].prec) as wr:
         for _, strip in codec.decompress_strips(data, dp, header=hi):
@@ -143,20 +135,43 @@ def _try_stream_strips(data: bytes, out_path: str, args, dp) -> bool:
 
 def decompress_one(in_path: str, out_path: str, args) -> None:
     dp = params_from_args(args)
-    with open(in_path, "rb") as f:
-        data = f.read()
+    import mmap
 
+    # map rather than slurp: on the strip-streaming path only the pages
+    # actually read fault in, keeping gigapixel decodes O(strip)
+    with open(in_path, "rb") as f:
+        try:
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            data = memoryview(mm)
+        except (ValueError, OSError):  # empty file / no mmap support
+            data = f.read()
+
+    strip_failed = False
     try:
         if _try_stream_strips(data, out_path, args, dp):
             return
     except (GrkError, ValueError, IOError) as e:
+        strip_failed = True  # a partial output file may exist
         log.warning("strip streaming unavailable (%s); whole-image path", e)
 
     def do():
         return codec.decompress(data, dp)
 
-    img, times = common.run_repeated(do, args.repetitions, args.duration,
-                                      profile_dir=args.profile)
+    try:
+        img, times = common.run_repeated(do, args.repetitions,
+                                         args.duration,
+                                         profile_dir=args.profile)
+    except GrkError:
+        if strip_failed:
+            # don't leave a plausible-looking truncated image from the
+            # aborted strip fast path when the decode failed outright
+            import os
+
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+        raise
     formats.save_image(img, out_path, split_pnm=args.split_pnm,
                        tiff_compression=args.compression)
     mp = sum(c.data.size for c in img.comps) / 1e6
@@ -175,13 +190,22 @@ def main(argv=None) -> int:
             pairs = list(common.batch_inputs(
                 args.batch_src, args.out_dir, args.out_fmt, exts))
             pairs = common.shard_pairs(pairs, args.num_hosts, args.host_id)
+            failures = 0
             for src, dst in pairs:
-                decompress_one(src, dst, args)
-        else:
-            if not args.in_file or not args.out_file:
-                raise ParamError("need -i and -o (or -y/-a batch mode)")
-            decompress_one(args.in_file, args.out_file, args)
-    except (GrkError, OSError) as e:
+                try:
+                    decompress_one(src, dst, args)
+                except (GrkError, OSError, ValueError) as e:
+                    # one bad file must not abort the batch (reference
+                    # batch mode logs and continues)
+                    log.error("%s: %s", src, e)
+                    failures += 1
+            return 1 if failures else 0
+        if not args.in_file or not args.out_file:
+            raise ParamError("need -i and -o (or -y/-a batch mode)")
+        decompress_one(args.in_file, args.out_file, args)
+    except (GrkError, OSError, ValueError) as e:
+        # ValueError: malformed numeric option values (e.g. -p 8,foo)
+        # must print a clean CLI error, not a traceback
         print(f"grk_decompress: error: {e}", file=sys.stderr)
         return 1
     return 0

@@ -114,12 +114,15 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
         elif min_ratio >= 6.0:
             quant_step = 2.0  # 6:1 measured identical, 8:1 within 0.02 dB
 
-    for _ in range(cp.numtiles):
+    for tidx in range(cp.numtiles):
         tcp = TileCodingParams()
         tcp.prog_order = p.prog_order
         tcp.numlayers = numlayers
         tcp.mct = mct
-        tcp.progression_changes = list(p.progression_changes)
+        tcp.progression_changes = list(
+            p.tile_progression_changes.get(tidx, p.progression_changes)
+            if getattr(p, "tile_progression_changes", None)
+            else p.progression_changes)
         if mct == 2:
             m = np.asarray(p.custom_mct, dtype=np.float64)
             if m.ndim != 2 or m.shape[0] != m.shape[1] \
@@ -267,8 +270,14 @@ def compress_codestream(image: GrkImage, p: CompressParams,
         out += mk.write_mcc(1, nmat, deco_index=1, offset_index=2,
                             irreversible=True)
         out += mk.write_mco([1])
-    if tcp0.progression_changes:
-        out += mk.write_poc(tcp0.progression_changes, image.numcomps)
+    if p.progression_changes \
+            and not getattr(p, "tile_progression_changes", None):
+        # codestream-wide POC.  With per-tile T<idx>= overrides EVERY
+        # tile gets a tile-header POC instead: the spec says a tile POC
+        # replaces the main one, but OpenJPEG appends tile entries after
+        # the main entries (first match wins), which would shadow the
+        # override — per-tile-only signaling decodes correctly in both.
+        out += mk.write_poc(p.progression_changes, image.numcomps)
     for compno in range(image.numcomps):
         if tcp0.tccps[compno].roi_shift:
             out += mk.write_rgn(compno, image.numcomps,
@@ -483,9 +492,17 @@ def compress_codestream(image: GrkImage, p: CompressParams,
                 chunk = body[off:off + glen]
                 off += glen
                 plt_seg = b""
+                if tpno == 0 and tcp.progression_changes \
+                        and getattr(p, "tile_progression_changes", None):
+                    # per-tile -P mode: every tile signals its own POC in
+                    # its first tile-part header (see the main-header
+                    # comment for why none goes in the main header)
+                    plt_seg += mk.write_poc(tcp.progression_changes,
+                                            image.numcomps)
                 if p.plt:
-                    plt_seg, zplt = mk.write_plt(
+                    seg, zplt = mk.write_plt(
                         zplt & 0xFF, pkt_lens[p0:p1], return_next=True)
+                    plt_seg += seg
                 if p.plm:
                     plm_entries.append(list(pkt_lens[p0:p1]))
                 if p.ppt and not p.ppm and tpno == 0:

@@ -68,6 +68,22 @@ class HeaderInfo:
     roi_shifts: dict = field(default_factory=dict)
     crg: list | None = None  # per-component registration offsets
 
+    def reduced_dims(self, reduce: int = 0) -> tuple[int, int, int]:
+        """(width, height, clamped_reduce) of the decoded canvas at a
+        resolution reduction — the ONE place that owns both the clamp
+        (main-header minimum across components) and the canvas-grid
+        halving ceil(x1/2^r) - ceil(x0/2^r), which differs from
+        ceil((x1-x0)/2^r) for offset images.  Consumers: decode(), the
+        CLI strip writer's PNM header, decompress_strips sizing."""
+        max_reduce = min(t.numresolutions
+                         for t in self.cp.tcps[0].tccps) - 1
+        r = min(reduce, max_reduce)
+        div = 1 << r
+        img = self.image
+        w = -(-img.x1 // div) - -(-img.x0 // div)
+        h = -(-img.y1 // div) - -(-img.y0 // div)
+        return w, h, r
+
 
 class CodestreamDecoder:
     """Parses a raw .j2k codestream and decodes tiles on demand."""
@@ -521,12 +537,10 @@ class CodestreamDecoder:
         hi = self.hi
         cp = hi.cp
         img = self._build_image_template()
-        reduce_ = p.reduce
-        max_reduce = min(t.numresolutions for t in cp.tcps[0].tccps) - 1
-        if reduce_ > max_reduce:
-            self._err(f"reduce={reduce_} exceeds available resolutions; "
-                      f"clamping to {max_reduce}")
-            reduce_ = max_reduce
+        _, _, reduce_ = hi.reduced_dims(p.reduce)
+        if reduce_ != p.reduce:
+            self._err(f"reduce={p.reduce} exceeds available resolutions; "
+                      f"clamping to {reduce_}")
 
         img_rect = Rect(hi.siz.xosiz, hi.siz.yosiz, hi.siz.xsiz, hi.siz.ysiz)
         win = Rect(*p.window) if p.window else None
@@ -798,18 +812,11 @@ class CodestreamDecoder:
         # though strips bound memory — the CLI strip path would
         # otherwise happily write a multi-gigabyte file for a tiny
         # untrusted stream
-        red0 = min(p.reduce,
-                   min(t.numresolutions
-                       for t in self.hi.cp.tcps[0].tccps) - 1)
-        dv = 1 << red0
-        siz = self.hi.siz
-        full_px = ((-(-siz.xsiz // dv)) - (-(-siz.xosiz // dv))) *                   ((-(-siz.ysiz // dv)) - (-(-siz.yosiz // dv)))
-        self._check_pixel_budget(full_px, p)
+        w0, h0, red0 = self.hi.reduced_dims(p.reduce)
+        self._check_pixel_budget(w0 * h0, p)
         if strip_height is not None:
             hi = self.hi
-            div0 = 1 << min(
-                p.reduce,
-                min(t.numresolutions for t in self.hi.cp.tcps[0].tccps) - 1)
+            div0 = 1 << red0
             y = hi.siz.yosiz
             while y < hi.siz.ysiz:
                 y1 = min(y + strip_height, hi.siz.ysiz)
@@ -822,8 +829,7 @@ class CodestreamDecoder:
             return
         cp = self.hi.cp
         img = self._build_image_template()
-        reduce_ = min(p.reduce,
-                      min(t.numresolutions for t in cp.tcps[0].tccps) - 1)
+        reduce_ = red0
         div = 1 << reduce_
         for tq in range(cp.t_grid_h):
             row_planes: dict[int, list] = {}

@@ -164,11 +164,14 @@ def unwrap_jp2(data: bytes) -> tuple[bytes, ImageMeta, ColorSpace | None]:
         elif btype == b"jp2h":
             cs = _parse_jp2h(payload, meta)
         elif btype == b"xml ":
-            meta.xml.append(payload)
+            # bytes(), not a slice: metadata outlives the (possibly
+            # mmap-backed memoryview) stream and flows into PIL, which
+            # requires real bytes (e.g. Exif.load startswith)
+            meta.xml.append(bytes(payload))
         elif btype == b"uuid" and payload[:16] == EXIF_UUID:
-            meta.exif = payload[16:]
+            meta.exif = bytes(payload[16:])
         elif btype == b"uuid" and payload[:16] == XMP_UUID:
-            meta.xmp = payload[16:]
+            meta.xmp = bytes(payload[16:])
         pos += length
     if codestream is None:
         raise CodestreamError("JP2 file has no jp2c box")

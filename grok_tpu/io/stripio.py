@@ -64,9 +64,16 @@ class AsyncStripWriter:
         self._put(comps)
 
     def close(self) -> None:
-        self._put(None)
-        self._thread.join()
-        self._f.close()
+        try:
+            self._put(None)
+        finally:
+            # always reap the thread and release the handle, even when
+            # _put re-raised a writer error: a leaked open handle with a
+            # buffered tail could flush into a later rewrite of the
+            # same path (an errored writer drains the queue and exits,
+            # so the join cannot hang)
+            self._thread.join()
+            self._f.close()
         if self._err:
             raise self._err[0]
         if self._rows_written != self.height:

@@ -102,6 +102,10 @@ class CompressParams:
     precincts: list[tuple[int, int]] | None = None  # -c
     prog_order: Progression = Progression.LRCP    # -p
     progression_changes: list[ProgressionChange] = field(default_factory=list)  # -P
+    # -P with T<idx>= selectors: per-tile overrides of the global list;
+    # the overriding tiles get their own tile-header POC marker
+    tile_progression_changes: dict[int, list[ProgressionChange]] = \
+        field(default_factory=dict)
 
     numlayers: int = 1
     # -r: compression ratios per layer (1 = lossless cap); mutually exclusive with -q

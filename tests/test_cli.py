@@ -246,3 +246,86 @@ def test_profile_trace_written(tmp_path, rng):
                               "--profile", str(prof)]) == 0
     files = [f for d, _, fs in os.walk(prof) for f in fs]
     assert files, "no trace files written"
+
+
+def test_subsample_with_offset_keeps_grid_samples(tmp_path):
+    """-s dx,dy with -d ox,oy: the surviving samples are those whose
+    OFFSET canvas coordinates are multiples of dx/dy (subsampling before
+    the offset silently dropped a column of a lossless encode)."""
+    import grok_tpu
+
+    arr = (np.arange(20, dtype=np.uint8).reshape(4, 5) * 12)
+    Image.fromarray(arr, mode="L").save(tmp_path / "sd.png")
+    out = tmp_path / "sd.j2k"
+    rc = grk_compress.main(["-i", str(tmp_path / "sd.png"), "-o", str(out),
+                            "-s", "2,2", "-d", "1,0", "-n", "2"])
+    assert rc == 0
+    c = grok_tpu.decompress(out.read_bytes()).comps[0]
+    # canvas [1,6)x[0,4): samples at canvas x in {2,4} => input cols 1,3
+    assert np.array_equal(c.data, arr[0::2, 1::2])
+
+
+def test_malformed_numeric_args_clean_error(workdir, capsys):
+    """Malformed option values exit 1 with a printed error, never a
+    traceback."""
+    tmp, src, arr = workdir
+    j2 = tmp / "x.j2k"
+    assert grk_compress.main(
+        ["-i", str(src), "-o", str(j2), "-r", "20,abc"]) == 1
+    assert "error:" in capsys.readouterr().err
+    grk_compress.main(["-i", str(src), "-o", str(j2)])
+    assert grk_decompress.main(
+        ["-i", str(j2), "-o", str(tmp / "y.pnm"), "-p", "8,foo"]) == 1
+    assert "error:" in capsys.readouterr().err
+
+
+def test_batch_continues_past_bad_file(workdir):
+    """One unreadable file must not abort the batch (reference batch
+    mode logs and continues); exit code still reports the failure."""
+    tmp, src, arr = workdir
+    (tmp / "broken.png").write_bytes(b"not a png")
+    outdir = tmp / "bout"
+    outdir.mkdir()
+    rc = grk_compress.main(["-y", str(tmp), "-a", str(outdir)])
+    assert rc == 1  # the bad file is reported...
+    assert (outdir / "in.jp2").exists()  # ...but the good one encoded
+
+
+def test_per_tile_poc(workdir):
+    """-P with T<idx>= selectors scopes progression changes to single
+    tiles via tile-header POC markers (previously applied globally)."""
+    import io
+
+    import grok_tpu
+
+    tmp, src, arr = workdir
+    j2 = tmp / "poc.j2k"
+    rc = grk_compress.main(
+        ["-i", str(src), "-o", str(j2), "-t", "64,64", "-n", "3",
+         "-P", "0,0,1,3,3,RLCP/T1=0,0,1,3,3,CPRL"])
+    assert rc == 0
+    data = j2.read_bytes()
+    # tile 1 (and only tile 1) carries its own tile-header POC marker
+    from grok_tpu.codestream import markers as mk
+
+    pos, poc_tiles, main_poc = 2, [], 0
+    while pos + 4 <= len(data):
+        m = int.from_bytes(data[pos:pos + 2], "big")
+        if m == mk.SOT:
+            tidx = int.from_bytes(data[pos + 4:pos + 6], "big")
+            psot = int.from_bytes(data[pos + 6:pos + 10], "big")
+            hdr = data[pos:pos + psot]
+            if hdr.find(mk.u16(mk.POC), 0, hdr.find(mk.u16(mk.SOD))) >= 0:
+                poc_tiles.append(tidx)
+            pos += psot
+            continue
+        if m == mk.POC:
+            main_poc += 1
+        pos += 2 + int.from_bytes(data[pos + 2:pos + 4], "big")
+    # per-tile mode signals POC in EVERY tile header and none in the
+    # main header (OpenJPEG appends tile POC entries after main ones,
+    # which would shadow the override)
+    assert main_poc == 0 and poc_tiles == [0, 1, 2, 3]
+    out = grok_tpu.decompress(data)
+    assert np.array_equal(out.to_array(), arr.astype(np.int32))
+    assert np.array_equal(np.asarray(Image.open(io.BytesIO(data))), arr)
