@@ -24,6 +24,17 @@ def apply_palette(img: GrkImage) -> None:
     if pal.lut is None or not pal.component_mapping:
         return
     src_comps = img.comps
+    ncols = pal.lut.shape[1]
+    for (cmp_, typ, col) in pal.component_mapping:
+        # cmap indices come straight off an untrusted stream: a bad
+        # component or palette-column reference must degrade gracefully,
+        # not IndexError out of the decode
+        if cmp_ >= len(src_comps) or col >= ncols \
+                or col >= len(pal.channel_prec):
+            log.warning("cmap references component %d / palette column "
+                        "%d outside the image; palette not applied",
+                        cmp_, col)
+            return
     out = []
     for (cmp_, typ, col) in pal.component_mapping:
         src = src_comps[cmp_]
@@ -63,17 +74,21 @@ def apply_channel_definitions(img: GrkImage) -> None:
 
 
 def upsample_components(img: GrkImage) -> None:
-    """Replicate-upsample subsampled components to dx=dy=1."""
+    """Replicate-upsample subsampled components to dx=dy=1.  Canvas
+    pixel (X, Y) takes sample (floor(Y/dy) - y0, floor(X/dx) - x0),
+    clipped — a plain repeat-and-crop mis-sizes and mis-aligns images
+    whose canvas origin is not grid-aligned (odd x0 with dx=2)."""
+    h = img.y1 - img.y0
+    w = img.x1 - img.x0
     for c in img.comps:
         if c.dx == 1 and c.dy == 1:
             continue
-        c.data = np.repeat(np.repeat(c.data, c.dy, axis=0), c.dx, axis=1)
-        # crop to the full-resolution grid
-        h = img.y1 - img.y0
-        w = img.x1 - img.x0
-        c.data = c.data[:h, :w]
-        c.h, c.w = c.data.shape
+        xs = np.clip(np.arange(img.x0, img.x1) // c.dx - c.x0, 0, c.w - 1)
+        ys = np.clip(np.arange(img.y0, img.y1) // c.dy - c.y0, 0, c.h - 1)
+        c.data = c.data[np.ix_(ys, xs)]
+        c.h, c.w = h, w
         c.dx = c.dy = 1
+        c.x0, c.y0 = img.x0, img.y0
 
 
 def sycc_to_rgb(img: GrkImage) -> None:
@@ -81,7 +96,7 @@ def sycc_to_rgb(img: GrkImage) -> None:
     if img.numcomps < 3:
         return
     y, cb, cr = img.comps[0], img.comps[1], img.comps[2]
-    if (cb.dx != y.dx or cb.dy != y.dy):
+    if any(c.dx != y.dx or c.dy != y.dy for c in (cb, cr)):
         upsample_components(img)
         y, cb, cr = img.comps[0], img.comps[1], img.comps[2]
     offset = 1 << (cb.prec - 1)
@@ -95,6 +110,7 @@ def sycc_to_rgb(img: GrkImage) -> None:
     for comp, vals in zip((y, cb, cr), (r, g, b)):
         comp.data = np.clip(np.round(vals), 0, mx).astype(np.int32)
         comp.prec = y.prec
+        comp.sgnd = False  # offset-encoded chroma is unsigned sRGB now
     img.color_space = ColorSpace.SRGB
 
 
@@ -105,7 +121,7 @@ def eycc_to_rgb(img: GrkImage) -> None:
     if img.numcomps < 3:
         return
     y, cb, cr = img.comps[0], img.comps[1], img.comps[2]
-    if cb.dx != y.dx or cb.dy != y.dy:
+    if any(c.dx != y.dx or c.dy != y.dy for c in (cb, cr)):
         upsample_components(img)
         y, cb, cr = img.comps[0], img.comps[1], img.comps[2]
     yf = y.data.astype(np.float32)
@@ -131,7 +147,12 @@ def cielab_to_srgb(img: GrkImage) -> None:
     replacing the reference's littlecms path with direct math (SURVEY.md
     §2.1 GrkImage 'CIELab->sRGB via lcms2').  Assumes the default Lab
     encoding ranges (L in [0,100], a/b in [-85,85]/[-75,125] per the JP2
-    default Lab parameters, approximated by the common [-128,127])."""
+    default Lab parameters, approximated by the common [-128,127]).
+
+    util/icc.py walks the same Lab -> XYZ(D50) -> sRGB pipeline for
+    Lab-PCS A2B profiles but adapts D50 -> D65 in a separate Bradford
+    step; this path uses the equivalent single-step combined matrix.
+    Keep the CIE knee constants in sync if either changes."""
     if img.numcomps < 3:
         return
     L, a, b = (c.data.astype(np.float64) for c in img.comps[:3])
@@ -177,6 +198,10 @@ def cielab_to_srgb(img: GrkImage) -> None:
     for comp, vals in zip(img.comps[:3], (r, g, bl)):
         comp.data = np.clip(np.round(gamma(vals) * mx), 0, mx).astype(
             np.int32)
+        comp.prec = prec
+        # signed a/b planes hold unsigned sRGB now: a signed output
+        # dtype (raw/PGX writers) would wrap values >= 2^(prec-1)
+        comp.sgnd = False
     img.color_space = ColorSpace.SRGB
 
 
@@ -184,6 +209,9 @@ def cmyk_to_rgb(img: GrkImage) -> None:
     """Naive CMYK -> RGB (JP2 EnumCS 12): R = (1-C)(1-K) etc., integer."""
     if img.numcomps < 4:
         return
+    if any(c.dx != img.comps[0].dx or c.dy != img.comps[0].dy
+           for c in img.comps[:4]):
+        upsample_components(img)  # subsampled ink planes (e.g. K)
     c, m, yc, k = (comp.data.astype(np.float32) for comp in img.comps[:4])
     mx = (1 << img.comps[0].prec) - 1
     r = (mx - c) * (mx - k) / mx
@@ -193,8 +221,10 @@ def cmyk_to_rgb(img: GrkImage) -> None:
     for vals in (r, g, b):
         comp = img.comps[0].copy()
         comp.data = np.clip(np.round(vals), 0, mx).astype(np.int32)
+        comp.sgnd = False
         out.append(comp)
-    img.comps = out
+    # extra channels (e.g. alpha) survive the ink-plane consolidation
+    img.comps = out + list(img.comps[4:])
     img.color_space = ColorSpace.SRGB
 
 
@@ -213,18 +243,21 @@ def apply_icc_profile(img: GrkImage) -> None:
         log.warning("Pillow ImageCms unavailable; ICC profile not applied")
         return
     comps = img.comps
-    if any(c.sgnd for c in comps[:3]) or \
-            len({c.data.shape for c in comps}) != 1:
+    ncolor = 3 if len(comps) >= 3 else 1
+    # eligibility is judged on the COLOR components only: a 1-bit alpha
+    # next to an 8-bit gray plane must not force the high-precision path
+    if any(c.sgnd for c in comps[:ncolor]) or \
+            len({c.data.shape for c in comps[:ncolor]}) != 1:
         log.warning("ICC application needs unsigned, unsubsampled "
                     "components; profile left attached")
         return
-    if any(c.prec != 8 for c in comps[:3]):
+    if any(c.prec != 8 for c in comps[:ncolor]):
         # Pillow's ImageCms cannot build >8-bit transforms (every 16-bit
         # mode fails with "cannot build transform" on Pillow 12.1), so
         # high-precision images go through our own matrix/TRC evaluator
         # (util/icc.py) at full float64 precision; LUT profiles fall back
         # with the profile left attached.
-        if len({c.prec for c in comps[:3]}) != 1:
+        if len({c.prec for c in comps[:ncolor]}) != 1:
             # the evaluator normalizes every plane by comps[0].prec, so
             # mixed-precision color (e.g. 16/12/12) would mis-scale
             # channels 1-2
@@ -233,7 +266,6 @@ def apply_icc_profile(img: GrkImage) -> None:
             return
         from . import icc as icc_mod
 
-        ncolor = 3 if len(comps) >= 3 else 1
         res = icc_mod.profile_to_srgb(
             [c.data for c in comps], img.meta.icc_profile,
             comps[0].prec)
@@ -263,7 +295,6 @@ def apply_icc_profile(img: GrkImage) -> None:
         log.warning("ICC application failed: %s", e)
         return
     res = np.asarray(out).astype(np.int32)
-    ncolor = 3 if len(comps) >= 3 else 1  # color comps consumed above
     new_comps = []
     for i in range(3):
         c = comps[i] if i < ncolor else comps[0].copy()

@@ -77,6 +77,10 @@ def _curve(tag: bytes):
             (g,) = struct.unpack(">H", tag[12:14])
             gamma = g / 256.0
             return lambda x: np.power(np.clip(x, 0.0, 1.0), gamma)
+        if 12 + 2 * n > len(tag):
+            # declared count exceeds the tag: a corrupt profile must not
+            # drive a huge linspace allocation below
+            raise UnsupportedProfile("curv table out of bounds")
         table = np.frombuffer(tag[12:12 + 2 * n],
                               dtype=">u2").astype(np.float64) / 65535.0
         xs = np.linspace(0.0, 1.0, n)
@@ -308,7 +312,11 @@ def profile_to_srgb(planes: list[np.ndarray], icc: bytes,
                 for i, t in enumerate((b"rTRC", b"gTRC", b"bTRC"))]
             xyz_d50 = np.einsum("ij,jhw->ihw", mat, np.stack(lin))
             return xyz_tail(xyz_d50)
-        if len(planes) >= 1 and b"kTRC" in tags:
+        if b"kTRC" in tags and (len(planes) < 3
+                                or icc[16:20] == b"GRAY"):
+            # a monochrome (kTRC-only) profile converts plane 0 alone:
+            # applying it to an RGB image would leave planes 1-2 as raw
+            # device values while the caller marks the image sRGB
             y = _curve(tags[b"kTRC"])(
                 planes[0].astype(np.float64) / peak)
             if not np.isfinite(y).all():

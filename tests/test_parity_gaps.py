@@ -683,3 +683,93 @@ def test_icc_a2b0_full_codec_16bit(rng):
     exp = icc_mod.profile_to_srgb([a16[:, :, i] for i in range(3)],
                                   prof, 16)
     assert np.array_equal(out.to_array(), np.stack(exp[:3], -1))
+
+
+def test_color_conversion_review_hardening(rng):
+    """Round-4 color/ICC review fixes: corrupt cmap degrades gracefully,
+    upsampling honors odd canvas origins, gray kTRC profiles refuse
+    3-plane images, and Lab conversion clears sgnd on its outputs."""
+    from PIL import ImageCms
+
+    from grok_tpu.image import ColorSpace, GrkImage as GI, ImageMeta, \
+        PaletteEntry
+    from grok_tpu.util import color as color_mod
+    from grok_tpu.util import icc as icc_mod
+
+    # 1. cmap referencing a missing component / palette column: warn,
+    #    leave the image untouched (was IndexError)
+    img = GI(x0=0, y0=0, x1=8, y1=8)
+    c = img.comps_append_from(rng.integers(0, 4, (8, 8)).astype(np.int32)) \
+        if hasattr(img, "comps_append_from") else None
+    if c is None:
+        from grok_tpu.image import ImageComponent
+
+        c = ImageComponent(prec=8)
+        c.data = rng.integers(0, 4, (8, 8)).astype(np.int32)
+        c.w = c.h = 8
+        img.comps.append(c)
+    pal = PaletteEntry()
+    pal.lut = np.arange(12).reshape(4, 3).astype(np.int32)
+    pal.channel_prec = [8, 8, 8]
+    pal.channel_sgnd = [False] * 3
+    pal.component_mapping = [(5, 1, 0), (0, 1, 1), (0, 1, 2)]
+    img.meta.palette = pal
+    color_mod.apply_palette(img)  # must not raise
+    assert len(img.comps) == 1  # unchanged
+
+    # 2. odd canvas origin with dx=2: upsample yields full-width planes
+    #    aligned to the canvas (was one column short + shifted)
+    img2 = GI(x0=1, y0=0, x1=6, y1=4)
+    from grok_tpu.image import ImageComponent
+
+    y = ImageComponent(prec=8)
+    y.data = rng.integers(0, 255, (4, 5)).astype(np.int32)
+    y.h, y.w = 4, 5
+    y.x0, y.y0 = 1, 0
+    cb = ImageComponent(prec=8, dx=2, dy=2)
+    cb.data = rng.integers(0, 255, (2, 2)).astype(np.int32)
+    cb.h, cb.w = 2, 2
+    cb.x0, cb.y0 = 1, 0  # ceil(1/2), ceil(0/2)
+    img2.comps = [y, cb]
+    color_mod.upsample_components(img2)
+    assert cb.data.shape == (4, 5)
+    # canvas X=1 clips to the first sample; X=2,3 -> sample 0 of grid
+    # (floor(2/2)-1=0), X=4,5 -> sample 1
+    row = cb.data[0]
+    assert row[0] == row[1] == row[2] and row[3] == row[4]
+
+    # 3. a kTRC-only profile whose data space is NOT gray must refuse
+    #    3-plane images (it would convert plane 0 and leave 1-2 raw
+    #    while the caller marks the result sRGB); 1-plane still works
+    import struct as _s
+
+    srgb_tags = icc_mod._tags(ImageCms.ImageCmsProfile(
+        ImageCms.createProfile("sRGB")).tobytes())
+    trc = srgb_tags[b"rTRC"]
+    planes3 = [rng.integers(0, 65536, (8, 8)).astype(np.int32)
+               for _ in range(3)]
+    for space, want3 in ((b"RGB ", False), (b"GRAY", True)):
+        hdr = bytearray(128)
+        hdr[16:20] = space
+        hdr[20:24] = b"XYZ "
+        body = _s.pack(">I", 1) + _s.pack(">4sII", b"kTRC", 144, len(trc))
+        icc_bytes = bytes(hdr) + body + trc
+        res3 = icc_mod.profile_to_srgb(planes3, icc_bytes, 16)
+        assert (res3 is not None) == want3, space
+        assert icc_mod.profile_to_srgb(planes3[:1], icc_bytes,
+                                       16) is not None, space
+
+    # 4. CIELab conversion clears sgnd so raw/PGX writers pick an
+    #    unsigned dtype
+    lab = GI(x0=0, y0=0, x1=8, y1=8)
+    for i in range(3):
+        cc = ImageComponent(prec=8, sgnd=(i > 0))
+        cc.data = rng.integers(-128 if i else 0, 128 if i else 255,
+                               (8, 8)).astype(np.int32)
+        cc.h = cc.w = 8
+        lab.comps.append(cc)
+    lab.color_space = ColorSpace.CIE_LAB if hasattr(
+        ColorSpace, "CIE_LAB") else lab.color_space
+    color_mod.cielab_to_srgb(lab)
+    assert not any(c.sgnd for c in lab.comps)
+    assert all(c.data.min() >= 0 for c in lab.comps)
