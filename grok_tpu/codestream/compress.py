@@ -180,8 +180,7 @@ def setup_coding_params(image: GrkImage, p: CompressParams) -> CodingParams:
             if p.quant_style is not None:
                 tccp.qnt_style = p.quant_style
             tccp.stepsizes = quant_mod.default_stepsizes(
-                comp.prec, tccp.numresolutions, reversible, guard,
-                quant_step)
+                comp.prec, tccp.numresolutions, reversible, quant_step)
             if (p.roi_comp == compno or p.roi_comp == -2) and p.roi_shift:
                 # upshifted magnitudes must stay inside the int32 T1
                 # domain (doubled-domain decode adds one more bit): bound

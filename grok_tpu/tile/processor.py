@@ -21,6 +21,7 @@ import numpy as np
 from ..params import (
     CodingParams,
     QuantStyle,
+    StepSize,
     TileCodingParams,
 )
 from ..t1 import backend as t1_backend
@@ -137,10 +138,11 @@ def _refresh_tile_quant(tile: Tile, image, tcp: TileCodingParams) -> None:
             for band in res.bands:
                 eps, mant = band_eps_mant(tccp, res.resno, band.orient,
                                           tccp.numresolutions)
-                band.numbps = max(0, tccp.num_guard_bits + eps - 1
-                                  + tccp.roi_shift)
+                ss = StepSize(eps, mant)
+                band.numbps = max(0, quant_mod.band_max_bitplanes(
+                    ss, tccp.num_guard_bits) + tccp.roi_shift)
                 rb = comp.prec + BAND_GAIN[band.orient]
-                band.stepsize = (1.0 + mant / 2048.0) * (2.0 ** (rb - eps))
+                band.stepsize = quant_mod.decode_stepsize(ss, rb)
 
 
 _CBLK_KEEP = frozenset(("rect", "idx"))

@@ -17,19 +17,19 @@ from __future__ import annotations
 import math
 
 
-def convex_hull(rates, dists, weight: float = 1.0) -> list[tuple]:
+def convex_hull(rates, dists) -> list[tuple]:
     """Feasible truncation points with strictly decreasing slopes.
 
-    `rates`/`dists` are the cumulative per-pass byte counts and raw
-    distortion decreases; `weight` scales raw distortion units into
-    image-MSE units ((Delta_b * norm_b * mct_norm)^2).  Returns
+    `rates`/`dists` are the cumulative per-pass byte counts and
+    distortion decreases, already in image-MSE units (callers weight
+    the dists by (Delta_b * norm_b * mct_norm)^2 up front — hull
+    selection itself is weight-invariant).  Returns
     [(passno, rate, dist, slope), ...].
     """
     hull: list[tuple] = []
     base_r = 0
     base_d = 0.0
     for i, (rate, dist) in enumerate(zip(rates, dists)):
-        dist = dist * weight
         while True:
             dr = rate - base_r
             dd = dist - base_d

@@ -33,7 +33,8 @@ _NORM_DEPTH_CAP = 8
 
 
 @functools.lru_cache(maxsize=None)
-def _impulse_norm(numres: int, resno: int, orient: int) -> float:
+def _impulse_norm(numres: int, resno: int, orient: int,
+                  reversible: bool) -> float:
     from ..tile.geometry import Rect, band_rect
     from .dwt import inverse_dwt
 
@@ -46,9 +47,31 @@ def _impulse_norm(numres: int, resno: int, orient: int) -> float:
             br = band_rect(rect, numres, r, o)
             bands[(r, o)] = np.zeros((br.h, br.w), dtype=np.float32)
     tgt = bands[(resno, orient)]
-    tgt[tgt.shape[0] // 2, tgt.shape[1] // 2] = 1.0
-    out = inverse_dwt(bands, rect, numres, reversible=False)
-    return float(np.sqrt((out.astype(np.float64) ** 2).sum()))
+    # 5/3: scale the impulse so the int lifting is effectively linear
+    amp = float(1 << 14) if reversible else 1.0
+    tgt[tgt.shape[0] // 2, tgt.shape[1] // 2] = amp
+    if reversible:
+        bands = {k: v.astype(np.int32) for k, v in bands.items()}
+    out = inverse_dwt(bands, rect, numres, reversible=reversible)
+    return float(np.sqrt((out.astype(np.float64) ** 2).sum())) / amp
+
+
+def _band_norm_reduced(numres: int, resno: int, orient: int,
+                       reversible: bool) -> float:
+    # depth-equivalent reduction: a band at resno >= 1 in an
+    # numres-resolution decomposition synthesizes through numres - resno
+    # levels, same as band (1, orient) with numres - resno + 1; depths
+    # past _NORM_DEPTH_CAP extrapolate along the converged per-level gain
+    if resno >= 1:
+        eff, r_eff = numres - resno + 1, 1
+    else:
+        eff, r_eff = numres, 0
+    if eff <= _NORM_DEPTH_CAP:
+        return _impulse_norm(eff, r_eff, orient, reversible)
+    base = _impulse_norm(_NORM_DEPTH_CAP, r_eff, orient, reversible)
+    ratio = base / _impulse_norm(_NORM_DEPTH_CAP - 1, r_eff, orient,
+                                 reversible)
+    return base * ratio ** (eff - _NORM_DEPTH_CAP)
 
 
 @functools.lru_cache(maxsize=None)
@@ -59,40 +82,7 @@ def band_norm(numres: int, resno: int, orient: int) -> float:
     the band's synthesis depth, so deep decompositions reduce to an
     equivalent shallow impulse; depths past _NORM_DEPTH_CAP extrapolate
     along the converged per-level gain."""
-    # depth-equivalent reduction: a band at resno >= 1 in an
-    # numres-resolution decomposition synthesizes through numres - resno
-    # levels, same as band (1, orient) with numres - resno + 1
-    if resno >= 1:
-        eff, r_eff = numres - resno + 1, 1
-    else:
-        eff, r_eff = numres, 0
-    if eff <= _NORM_DEPTH_CAP:
-        return _impulse_norm(eff, r_eff, orient)
-    base = _impulse_norm(_NORM_DEPTH_CAP, r_eff, orient)
-    ratio = base / _impulse_norm(_NORM_DEPTH_CAP - 1, r_eff, orient)
-    return base * ratio ** (eff - _NORM_DEPTH_CAP)
-
-
-@functools.lru_cache(maxsize=None)
-def _impulse_norm_53(numres: int, resno: int, orient: int) -> float:
-    from ..tile.geometry import Rect, band_rect
-    from .dwt import inverse_dwt
-
-    n = 1 << (numres + 2)
-    rect = Rect(0, 0, n, n)
-    bands: dict[tuple[int, int], np.ndarray] = {}
-    for r in range(numres):
-        orients = [LL] if r == 0 else [HL, LH, HH]
-        for o in orients:
-            br = band_rect(rect, numres, r, o)
-            bands[(r, o)] = np.zeros((br.h, br.w), dtype=np.float32)
-    tgt = bands[(resno, orient)]
-    # scale the impulse so the int lifting is effectively linear
-    amp = 1 << 14
-    tgt[tgt.shape[0] // 2, tgt.shape[1] // 2] = amp
-    out = inverse_dwt({k: v.astype(np.int32) for k, v in bands.items()},
-                      rect, numres, reversible=True)
-    return float(np.sqrt((out.astype(np.float64) ** 2).sum())) / amp
+    return _band_norm_reduced(numres, resno, orient, reversible=False)
 
 
 @functools.lru_cache(maxsize=None)
@@ -100,15 +90,7 @@ def band_norm_53(numres: int, resno: int, orient: int) -> float:
     """Same for the reversible 5/3 path (linearized), used only for PCRD
     distortion weighting of lossless layered streams.  Depth-reduced and
     extrapolated like band_norm."""
-    if resno >= 1:
-        eff, r_eff = numres - resno + 1, 1
-    else:
-        eff, r_eff = numres, 0
-    if eff <= _NORM_DEPTH_CAP:
-        return _impulse_norm_53(eff, r_eff, orient)
-    base = _impulse_norm_53(_NORM_DEPTH_CAP, r_eff, orient)
-    ratio = base / _impulse_norm_53(_NORM_DEPTH_CAP - 1, r_eff, orient)
-    return base * ratio ** (eff - _NORM_DEPTH_CAP)
+    return _band_norm_reduced(numres, resno, orient, reversible=True)
 
 
 def encode_stepsize(stepsize: float, numbps: int) -> StepSize:
@@ -126,7 +108,11 @@ def encode_stepsize(stepsize: float, numbps: int) -> StepSize:
         expn = 0
         mant = 2047
     if expn > 31:
+        # below the representable range: the nearest signalable step is
+        # (expn=31, mant=0); keeping the stale mantissa would coarsen by
+        # up to 2x more than necessary
         expn = 31
+        mant = 0
     return StepSize(expn, mant & 0x7FF)
 
 
@@ -138,7 +124,6 @@ def default_stepsizes(
     prec: int,
     numres: int,
     reversible: bool,
-    guard_bits: int,
     base_step: float = 0.0,
 ) -> list[StepSize]:
     """Per-band (expn, mant) list in signaling order: LL, then (HL, LH, HH)
@@ -160,6 +145,15 @@ def default_stepsizes(
         for o in orients:
             gain = BAND_GAIN[o]
             if reversible:
+                if prec + gain > 31:
+                    # the QCD/QCC exponent field is 5 bits: deep-precision
+                    # reversible bands past it cannot be signaled at all
+                    from ..errors import ParamError
+
+                    raise ParamError(
+                        f"reversible encoding of {prec}-bit components "
+                        f"needs an unsignalable exponent {prec + gain} "
+                        "(> 31); reduce precision or use irreversible")
                 out.append(StepSize(prec + gain, 0))
             else:
                 norm = band_norm(numres, resno, o)

@@ -178,3 +178,27 @@ def test_deep_precision_lossless(prec, sgnd, rng):
     d = grok_tpu.compress(img, CompressParams(numresolution=4))
     out = grok_tpu.decompress(d).comps[0].data
     assert np.array_equal(out, arr)
+
+
+def test_stepsize_signaling_bounds():
+    """QCD step-size signaling edges: a step below the representable
+    range snaps to the NEAREST signalable value (expn=31, mant=0 — the
+    old clamp kept a stale mantissa, coarsening up to 2x extra), and
+    reversible precisions whose exponent cannot fit the 5-bit field
+    raise a clean ParamError instead of a struct.error mid-QCD-write."""
+    import pytest as _pytest
+
+    from grok_tpu.errors import ParamError
+    from grok_tpu.transform import quant
+
+    ss = quant.encode_stepsize(2.0 ** -25 * 1.3, 10)
+    assert (ss.expn, ss.mant) == (31, 0)
+    # round-trips: decode(encode(x)) stays within one mantissa step
+    for step in (0.5, 1.0, 1.7, 3.2e-4, 12.0):
+        ss = quant.encode_stepsize(step, 12)
+        got = quant.decode_stepsize(ss, 12)
+        assert abs(got - step) / step < 1.0 / 2048 + 1e-9
+    # signalable reversible depth encodes; beyond it raises cleanly
+    quant.default_stepsizes(29, 5, reversible=True)
+    with _pytest.raises(ParamError):
+        quant.default_stepsizes(30, 5, reversible=True)
