@@ -214,7 +214,11 @@ def _postprocess(img: GrkImage, params: DecompressParams) -> None:
     elif img.color_space == ColorSpace.EYCC and img.numcomps >= 3:
         color.eycc_to_rgb(img)
     elif img.color_space == ColorSpace.CMYK and img.numcomps >= 4 and \
-            params.force_rgb:
+            params.force_rgb and not (params.apply_icc
+                                      and img.meta.icc_profile):
+        # an embedded CMYK ICC profile supersedes the naive ink formula;
+        # the apply_icc step below consumes it (falling back afterwards
+        # if the profile turns out unsupported)
         color.cmyk_to_rgb(img)
     elif img.color_space == ColorSpace.CIELAB and img.numcomps >= 3:
         color.cielab_to_srgb(img)
@@ -225,5 +229,10 @@ def _postprocess(img: GrkImage, params: DecompressParams) -> None:
         img.color_space = ColorSpace.SRGB
     if params.apply_icc and img.meta.icc_profile:
         color.apply_icc_profile(img)
+    if img.color_space == ColorSpace.CMYK and img.numcomps >= 4 and \
+            params.force_rgb:
+        # ICC application declined (unsupported profile class): honor
+        # force_rgb with the naive ink conversion instead
+        color.cmyk_to_rgb(img)
     if params.precision:
         color.shift_precision(img, params.precision)

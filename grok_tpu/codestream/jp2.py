@@ -212,6 +212,15 @@ def _parse_jp2h(data: bytes, meta: ImageMeta) -> ColorSpace | None:
                     cs = ColorSpace.UNKNOWN
             elif meth == 2:
                 meta.icc_profile = payload[3:]
+                if cs is None and len(meta.icc_profile) >= 20:
+                    # a restricted-ICC colr box carries no EnumCS: take
+                    # the device space from the profile header so
+                    # consumers that skip ICC application (force_rgb's
+                    # naive CMYK formula, raw-plane writers) still know
+                    # the component layout
+                    space = meta.icc_profile[16:20]
+                    cs = {b"CMYK": ColorSpace.CMYK,
+                          b"GRAY": ColorSpace.GRAY}.get(space)
         elif btype == b"pclr":
             _h(lambda: setattr(meta, "palette",
                                _parse_pclr(payload, meta.palette)), btype)

@@ -231,8 +231,9 @@ def cmyk_to_rgb(img: GrkImage) -> None:
 def apply_icc_profile(img: GrkImage) -> None:
     """Apply an embedded ICC profile, converting to sRGB (the reference
     delegates to littlecms; we reach the same lcms2 through Pillow's
-    ImageCms).  8-bit RGB/gray only; other layouts keep the profile
-    attached for the consumer."""
+    ImageCms).  RGB/gray/CMYK layouts; others keep the profile
+    attached for the consumer.  CMYK consumes four ink planes and
+    yields three sRGB planes (extra channels survive)."""
     if not img.meta.icc_profile:
         return
     try:
@@ -243,7 +244,10 @@ def apply_icc_profile(img: GrkImage) -> None:
         log.warning("Pillow ImageCms unavailable; ICC profile not applied")
         return
     comps = img.comps
-    ncolor = 3 if len(comps) >= 3 else 1
+    is_cmyk = (len(img.meta.icc_profile) >= 20
+               and img.meta.icc_profile[16:20] == b"CMYK"
+               and len(comps) >= 4)
+    ncolor = 4 if is_cmyk else (3 if len(comps) >= 3 else 1)
     # eligibility is judged on the COLOR components only: a 1-bit alpha
     # next to an 8-bit gray plane must not force the high-precision path
     if any(c.sgnd for c in comps[:ncolor]) or \
@@ -273,13 +277,23 @@ def apply_icc_profile(img: GrkImage) -> None:
             log.warning("ICC profile outside the matrix/TRC class at "
                         ">8-bit precision; profile left attached")
             return
-        for c, plane in zip(comps, res):
+        # CMYK: res is [R, G, B, extras...] while comps is
+        # [C, M, Y, K, extras...] — the K plane is consumed
+        out_comps = (list(comps[:3]) + list(comps[4:]) if is_cmyk
+                     else list(comps))
+        for c, plane in zip(out_comps, res):
             c.data = plane
-        if ncolor == 3:
+            if is_cmyk:
+                c.sgnd = False
+        img.comps = out_comps
+        if ncolor >= 3:
             img.color_space = ColorSpace.SRGB
         img.meta.icc_profile = None
         return
-    if len(comps) >= 3:
+    if is_cmyk:
+        arr = np.stack([c.data for c in comps[:4]], axis=-1)
+        mode = "CMYK"
+    elif len(comps) >= 3:
         arr = np.stack([c.data for c in comps[:3]], axis=-1)
         mode = "RGB"
     else:

@@ -14,8 +14,10 @@ profiles of the lut8Type/lut16Type class ('mft1'/'mft2', ICC.1 §10.8-9)
 evaluate the full pipeline — 3x3 matrix, input curves, multi-dimensional
 CLUT with lcms-matching TETRAHEDRAL interpolation, output curves — into
 the PCS (XYZ u1.15 or legacy 16-bit/8-bit Lab encoding), then share the
-Bradford + sRGB tail with the matrix/TRC path.  v4 'mAB ' pipelines and
-CMYK device spaces still fall back to the caller's warning path.  Curve
+Bradford + sRGB tail with the matrix/TRC path.  CMYK device spaces run
+the same mft pipeline with a 4-input CLUT (lcms Eval4Inputs order:
+linear along the first channel, tetrahedral over the rest).  v4 'mAB '
+pipelines still fall back to the caller's warning path.  Curve
 types handled: 'curv' (identity / u8.8 gamma / sampled table) and 'para'
 (types 0-4, ICC.1 §10.18).
 """
@@ -175,11 +177,15 @@ def _interp1d(table: np.ndarray, x: np.ndarray) -> np.ndarray:
     return np.interp(np.clip(x, 0.0, 1.0), xs, table)
 
 
-def _tetrahedral3(clut: np.ndarray, x: np.ndarray) -> np.ndarray:
+def _tetrahedral3(clut: np.ndarray, x: np.ndarray,
+                  idx0: np.ndarray | None = None) -> np.ndarray:
     """Tetrahedral interpolation of a (g, g, g, out_ch) CLUT at
     x: (3, ...) in [0, 1] — the interpolant lcms2 uses for 3-input
-    CLUTs, so 8-bit results track ImageCms within an LSB."""
-    g = clut.shape[0]
+    CLUTs, so 8-bit results track ImageCms within an LSB.  With idx0
+    (per-sample integer index), clut is (g, g, g, g, out_ch) and the
+    evaluation runs in the idx0 slice of the leading dimension (the
+    4-input path's inner step)."""
+    g = clut.shape[-2]
     p = np.clip(x, 0.0, 1.0) * (g - 1)
     i = np.minimum(p.astype(np.int64), g - 2)
     r = p - i
@@ -187,7 +193,9 @@ def _tetrahedral3(clut: np.ndarray, x: np.ndarray) -> np.ndarray:
     rx, ry, rz = r[0], r[1], r[2]
 
     def c(dx, dy, dz):
-        return clut[ix + dx, iy + dy, iz + dz]
+        if idx0 is None:
+            return clut[ix + dx, iy + dy, iz + dz]
+        return clut[idx0, ix + dx, iy + dy, iz + dz]
 
     c000 = c(0, 0, 0)
     c100, c010, c001 = c(1, 0, 0), c(0, 1, 0), c(0, 0, 1)
@@ -224,6 +232,19 @@ def _tetrahedral3(clut: np.ndarray, x: np.ndarray) -> np.ndarray:
     return sel
 
 
+def _eval_clut4(clut: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """4-input CLUT evaluation matching lcms2 Eval4Inputs: linear
+    interpolation along the FIRST input channel between two 3-input
+    tetrahedral evaluations of the remaining channels."""
+    g = clut.shape[0]
+    p0 = np.clip(x[0], 0.0, 1.0) * (g - 1)
+    k = np.minimum(p0.astype(np.int64), g - 2)
+    t = (p0 - k)[..., None]
+    lo = _tetrahedral3(clut, x[1:], idx0=k)
+    hi = _tetrahedral3(clut, x[1:], idx0=k + 1)
+    return lo + t * (hi - lo)
+
+
 def _lab_to_xyz_d50(L, a, b):
     fy = (L + 16.0) / 116.0
     fx = fy + a / 500.0
@@ -237,20 +258,22 @@ def _lab_to_xyz_d50(L, a, b):
                      finv(fz) * _D50[2]])
 
 
-def _apply_a2b_lut(planes3, a2b: bytes, pcs: bytes,
+def _apply_a2b_lut(planes, a2b: bytes, pcs: bytes,
                    peak: float) -> np.ndarray:
-    """Run three device planes through an mft1/mft2 A2B0 pipeline;
-    returns XYZ(D50) stacked (3, h, w)."""
+    """Run 3 (RGB) or 4 (CMYK) device planes through an mft1/mft2 A2B0
+    pipeline; returns XYZ(D50) stacked (3, h, w)."""
     mat, in_tabs, clut, out_tabs, in_ch, out_ch, _g = _parse_mft(a2b)
-    if in_ch != 3 or out_ch != 3:
-        raise UnsupportedProfile("only 3->3 LUT pipelines")
-    x = np.stack([p.astype(np.float64) / peak for p in planes3])
-    if not np.allclose(mat, np.eye(3)):
+    if in_ch not in (3, 4) or out_ch != 3 or len(planes) < in_ch:
+        raise UnsupportedProfile("unsupported LUT pipeline shape")
+    x = np.stack([p.astype(np.float64) / peak for p in planes[:in_ch]])
+    if in_ch == 3 and not np.allclose(mat, np.eye(3)):
         # per ICC.1 the matrix is only meaningful for XYZ input data;
-        # lcms applies it unconditionally, so follow lcms
+        # lcms applies it unconditionally — but only builds the matrix
+        # stage for 3-channel input, so 4-channel LUTs skip it
         x = np.einsum("ij,jhw->ihw", mat, x)
-    x = np.stack([_interp1d(in_tabs[i], x[i]) for i in range(3)])
-    out = _tetrahedral3(clut, x)           # (h, w, 3)
+    x = np.stack([_interp1d(in_tabs[i], x[i]) for i in range(in_ch)])
+    out = (_tetrahedral3(clut, x) if in_ch == 3
+           else _eval_clut4(clut, x))      # (h, w, 3)
     out = np.stack([_interp1d(out_tabs[i], out[..., i])
                     for i in range(3)])
     is16 = a2b[:4] == b"mft2"
@@ -275,10 +298,11 @@ def _apply_a2b_lut(planes3, a2b: bytes, pcs: bytes,
 
 def profile_to_srgb(planes: list[np.ndarray], icc: bytes,
                     prec: int) -> list[np.ndarray] | None:
-    """Convert device planes (len 1 or 3, unsigned, `prec` bits) to sRGB
-    at the same precision.  Returns None for profiles outside the
-    matrix/TRC class (the caller warns and keeps the profile attached)."""
-    def xyz_tail(xyz_d50):
+    """Convert device planes (len 1, 3 or 4, unsigned, `prec` bits) to
+    sRGB at the same precision.  Returns None for profiles outside the
+    matrix/TRC class (the caller warns and keeps the profile attached).
+    CMYK profiles consume four planes and return three (+ extras)."""
+    def xyz_tail(xyz_d50, extras):
         xyz_d65 = np.einsum("ij,jhw->ihw", _D50_TO_D65, xyz_d50)
         srgb_lin = np.einsum("ij,jhw->ihw", _XYZ_TO_SRGB, xyz_d65)
         if not np.isfinite(srgb_lin).all():
@@ -289,19 +313,26 @@ def profile_to_srgb(planes: list[np.ndarray], icc: bytes,
         enc = _srgb_encode(srgb_lin)
         out = np.rint(enc * peak).astype(np.int64)
         return [np.clip(out[i], 0, int(peak)).astype(np.int32)
-                for i in range(3)] + [p for p in planes[3:]]
+                for i in range(3)] + list(extras)
 
     try:
         tags = _tags(icc)
         peak = float((1 << prec) - 1)
         a2b = tags.get(b"A2B0")
+        if len(planes) >= 4 and a2b is not None \
+                and a2b[:4] in (b"mft1", b"mft2") \
+                and icc[16:20] == b"CMYK":
+            # 4-ink device space: the A2B0 LUT is the only device->PCS
+            # description a CMYK profile carries
+            xyz_d50 = _apply_a2b_lut(planes[:4], a2b, icc[20:24], peak)
+            return xyz_tail(xyz_d50, planes[4:])
         if len(planes) >= 3 and a2b is not None \
                 and a2b[:4] in (b"mft1", b"mft2") \
                 and icc[16:20] == b"RGB ":
             # lcms prefers the A2B pipeline over matrix/TRC when both
             # are present, so mirror that order
             xyz_d50 = _apply_a2b_lut(planes[:3], a2b, icc[20:24], peak)
-            return xyz_tail(xyz_d50)
+            return xyz_tail(xyz_d50, planes[3:])
         if len(planes) >= 3 and all(
                 t in tags for t in (b"rXYZ", b"gXYZ", b"bXYZ",
                                     b"rTRC", b"gTRC", b"bTRC")):
@@ -311,7 +342,7 @@ def profile_to_srgb(planes: list[np.ndarray], icc: bytes,
                 _curve(tags[t])(planes[i].astype(np.float64) / peak)
                 for i, t in enumerate((b"rTRC", b"gTRC", b"bTRC"))]
             xyz_d50 = np.einsum("ij,jhw->ihw", mat, np.stack(lin))
-            return xyz_tail(xyz_d50)
+            return xyz_tail(xyz_d50, planes[3:])
         if b"kTRC" in tags and (len(planes) < 3
                                 or icc[16:20] == b"GRAY"):
             # a monochrome (kTRC-only) profile converts plane 0 alone:

@@ -566,18 +566,28 @@ def _xyz_to_lab_icc(xyz):
     return 116 * f[1] - 16, 500 * (f[0] - f[1]), 200 * (f[1] - f[2])
 
 
-def _build_a2b0_profile(grid=17, pcs=b"XYZ ", kind=b"mft2"):
-    """Synthetic LUT-class ICC profile: gamma-2 RGB -> XYZ(D50) baked
-    into an mft1/mft2 A2B0 CLUT (identity in/out tables + matrix), with
-    the minimal desc/wtpt/cprt set lcms needs to build a transform."""
+def _build_a2b0_profile(grid=17, pcs=b"XYZ ", kind=b"mft2",
+                        space=b"RGB "):
+    """Synthetic LUT-class ICC profile: gamma-2 RGB (or naive-ink CMYK)
+    -> XYZ(D50) baked into an mft1/mft2 A2B0 CLUT (identity in/out
+    tables + matrix), with the minimal desc/wtpt/cprt set lcms needs to
+    build a transform."""
     import struct
 
     m = np.array([[0.4360747, 0.3850649, 0.1430804],
                   [0.2225045, 0.7168786, 0.0606169],
                   [0.0139322, 0.0971045, 0.7141733]])  # sRGB->XYZ(D50)
     idx = np.linspace(0, 1, grid)
-    r, g, b = np.meshgrid(idx, idx, idx, indexing="ij")
-    xyz = np.einsum("ij,jabc->abci", m, np.stack([r, g, b]) ** 2.0)
+    if space == b"CMYK":
+        c, mm, y, k = np.meshgrid(idx, idx, idx, idx, indexing="ij")
+        rgb = np.stack([(1 - c) * (1 - k), (1 - mm) * (1 - k),
+                        (1 - y) * (1 - k)])
+        xyz = np.einsum("ij,jabcd->abcdi", m, rgb)
+        in_ch = 4
+    else:
+        r, g, b = np.meshgrid(idx, idx, idx, indexing="ij")
+        xyz = np.einsum("ij,jabc->abci", m, np.stack([r, g, b]) ** 2.0)
+        in_ch = 3
     if pcs == b"XYZ ":
         vals = xyz * 32768.0  # u1.15
     else:
@@ -594,8 +604,8 @@ def _build_a2b0_profile(grid=17, pcs=b"XYZ ", kind=b"mft2"):
         ident = np.arange(256, dtype=np.uint8).tobytes()
         head = b""
     mat = struct.pack(">9i", 65536, 0, 0, 0, 65536, 0, 0, 0, 65536)
-    a2b = (kind + b"\0" * 4 + bytes([3, 3, grid, 0]) + mat + head
-           + ident * 3 + clut + ident * 3)
+    a2b = (kind + b"\0" * 4 + bytes([in_ch, 3, grid, 0]) + mat + head
+           + ident * in_ch + clut + ident * 3)
     desc = (b"desc" + b"\0" * 4 + struct.pack(">I", 5) + b"test\0"
             + struct.pack(">II", 0, 0) + struct.pack(">HB", 0, 0)
             + b"\0" * 67)
@@ -613,8 +623,9 @@ def _build_a2b0_profile(grid=17, pcs=b"XYZ ", kind=b"mft2"):
         table += struct.pack(">4sII", sig, off, len(data))
         body += data + b"\0" * pad
         off += len(data) + pad
+    cls = b"prtr" if space == b"CMYK" else b"mntr"
     hdr = struct.pack(">I4sI4s4s4s12s4sIIII8sI",
-                      off, b"lcms", 0x02400000, b"mntr", b"RGB ", pcs,
+                      off, b"lcms", 0x02400000, cls, space, pcs,
                       b"\0" * 12, b"acsp", 0, 0, 0, 0, b"\0" * 8, 0)
     hdr += d50 + struct.pack(">I", 0)
     hdr += b"\0" * (128 - len(hdr))
@@ -683,6 +694,77 @@ def test_icc_a2b0_full_codec_16bit(rng):
     exp = icc_mod.profile_to_srgb([a16[:, :, i] for i in range(3)],
                                   prof, 16)
     assert np.array_equal(out.to_array(), np.stack(exp[:3], -1))
+
+
+@pytest.mark.parametrize("kind", [b"mft1", b"mft2"])
+def test_icc_cmyk_lut_matches_lcms_8bit(rng, kind):
+    """CMYK ICC profiles: the 4-input CLUT evaluator (lcms Eval4Inputs
+    order — linear along the first channel, tetrahedral over the rest)
+    agrees with lcms2 within 1 code value at 8 bits."""
+    from PIL import Image, ImageCms
+
+    from grok_tpu.util import icc as icc_mod
+
+    prof = _build_a2b0_profile(grid=9, kind=kind, space=b"CMYK")
+    p = ImageCms.ImageCmsProfile(io.BytesIO(prof))
+    a8 = rng.integers(0, 256, (48, 48, 4)).astype(np.int32)
+    ours = icc_mod.profile_to_srgb([a8[:, :, i] for i in range(4)],
+                                   prof, 8)
+    assert ours is not None and len(ours) == 3
+    t = ImageCms.buildTransform(p, ImageCms.createProfile("sRGB"),
+                                "CMYK", "RGB", renderingIntent=0,
+                                flags=ImageCms.Flags.NOOPTIMIZE)
+    ref = np.asarray(ImageCms.applyTransform(
+        Image.fromarray(a8.astype(np.uint8), "CMYK"), t)).astype(
+            np.int64)
+    assert np.abs(np.stack(ours, -1) - ref).max() <= 1
+
+
+def test_icc_cmyk_full_codec(rng):
+    """End to end at 8 and 12 bits: a 4-component CMYK JP2 with an
+    embedded CMYK A2B0 profile decodes to 3-component sRGB when
+    apply_icc is set; without apply_icc but with force_rgb the naive
+    ink conversion still runs (ICC takes precedence when present)."""
+    from grok_tpu.util import icc as icc_mod
+
+    prof = _build_a2b0_profile(grid=9, space=b"CMYK")
+    for prec in (8, 12):
+        mx = (1 << prec) - 1
+        a = rng.integers(0, mx + 1, (40, 40, 4)).astype(np.int32)
+        img = GrkImage.from_array(a, prec=prec)
+        img.color_space = ColorSpace.CMYK
+        img.meta.icc_profile = prof
+        data = grok_tpu.compress(img, CompressParams(numresolution=3,
+                                                     cod_format="jp2"))
+        out = grok_tpu.decompress(data, DecompressParams(apply_icc=True))
+        assert out.meta.icc_profile is None
+        assert out.numcomps == 3
+        assert out.color_space == ColorSpace.SRGB
+        if prec > 8:
+            exp = icc_mod.profile_to_srgb(
+                [a[:, :, i] for i in range(4)], prof, prec)
+            assert np.array_equal(out.to_array(), np.stack(exp, -1))
+        # naive fallback path: force_rgb without apply_icc
+        out2 = grok_tpu.decompress(data, DecompressParams(force_rgb=True,
+                                                          apply_icc=False))
+        assert out2.numcomps == 3
+        assert out2.meta.icc_profile is not None
+
+
+def test_icc_cmyk_16bit_self_consistent(rng):
+    """The CMYK pipeline at 16 bits agrees with its own 8-bit
+    application on 8-bit-representable ink values."""
+    from grok_tpu.util import icc as icc_mod
+
+    prof = _build_a2b0_profile(grid=9, space=b"CMYK")
+    a8 = rng.integers(0, 256, (32, 32, 4)).astype(np.int32)
+    out8 = icc_mod.profile_to_srgb([a8[:, :, i] for i in range(4)],
+                                   prof, 8)
+    out16 = icc_mod.profile_to_srgb(
+        [a8[:, :, i] * 257 for i in range(4)], prof, 16)
+    assert out8 is not None and out16 is not None
+    d = np.abs(np.stack(out16, -1) / 257.0 - np.stack(out8, -1))
+    assert d.max() <= 1.0
 
 
 def test_color_conversion_review_hardening(rng):
