@@ -1179,33 +1179,66 @@ class TileCompressor:
             base_a[n] = ent[0]
         ncbt = max(base, 1)
         nlayers = self.tcp.numlayers
-        first = np.zeros(ncbt, np.int32)
         zb = np.zeros(ncbt, np.int32)
         nbps = np.zeros(ncbt, np.int32)
         isht = np.zeros(ncbt, np.int32)
-        stride = max((len(c.pass_rates) for c in cblks), default=1) or 1
+        if base:
+            zb[:base] = np.fromiter((c.zero_bitplanes for c in cblks),
+                                    np.int32, base)
+            nbps[:base] = np.fromiter((c.numbps for c in cblks),
+                                      np.int32, base)
+            isht[:base] = np.fromiter(
+                (1 if getattr(c, "is_ht", False) else 0 for c in cblks),
+                np.int32, base)
+        prs = [c.pass_rates for c in cblks]
+        stride = max(map(len, prs), default=1) or 1
         rates = np.zeros((ncbt, stride), np.int32)
         npl = np.zeros((max(nlayers, 1), ncbt), np.int32)
+        first = np.zeros(ncbt, np.int32)
+        if base and nlayers == 1:
+            # single-layer fast path (the untargeted default): layer 0
+            # takes every pass, so the nested per-layer loop collapses to
+            # two vectorized pulls.  first == len(nplc) when no layer-0
+            # passes exist, matching the generic loop exactly (entries
+            # past index 0 are ignored there too: ln < nlayers).
+            npls = [c.num_passes_by_layer for c in cblks]
+            npl[0, :base] = np.fromiter(
+                ((n_[0] if n_ else 0) for n_ in npls), np.int32, base)
+            first[:base] = np.fromiter(
+                ((0 if (n_ and n_[0]) else len(n_)) for n_ in npls),
+                np.int32, base)
+            if stride == 1:
+                rates[:base, 0] = np.fromiter(
+                    ((r[0] if r else 0) for r in prs), np.int32, base)
+            else:
+                for g, r in enumerate(prs):
+                    if r:
+                        rates[g, :len(r)] = r
+        else:
+            for g, c in enumerate(cblks):
+                nplc = c.num_passes_by_layer
+                f = len(nplc)
+                for ln, v in enumerate(nplc):
+                    if v and ln < nlayers:
+                        npl[ln, g] = v
+                        if f > ln:
+                            f = ln
+                first[g] = f
+                r = prs[g]
+                if r:
+                    rates[g, :len(r)] = r
+        # one joined pool replaces a frombuffer view per codeblock; the
+        # pool array pins the bytes for the native call
+        datas = [c.data or b"" for c in cblks]
+        lens = (np.fromiter(map(len, datas), np.int64, base) if base
+                else np.zeros(0, np.int64))
+        pool = np.frombuffer(b"".join(datas) or b"\x00", np.uint8)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))[:base]
         ptrs = np.zeros(ncbt, np.uint64)
-        keep = []  # buffer views pinning each cblk.data for the call
-        for g, c in enumerate(cblks):
-            nplc = c.num_passes_by_layer
-            f = len(nplc)
-            for ln, v in enumerate(nplc):
-                if v and ln < nlayers:
-                    npl[ln, g] = v
-                    if f > ln:
-                        f = ln
-            first[g] = f
-            zb[g] = c.zero_bitplanes
-            nbps[g] = c.numbps
-            isht[g] = 1 if getattr(c, "is_ht", False) else 0
-            if c.pass_rates:
-                rates[g, :len(c.pass_rates)] = c.pass_rates
-            if c.data:
-                a = np.frombuffer(c.data, np.uint8)
-                keep.append(a)
-                ptrs[g] = a.__array_interface__["data"][0]
+        if base:
+            pbase = pool.__array_interface__["data"][0]
+            ptrs[:base] = np.where(lens > 0, pbase + offs, 0)
+        keep = [pool]  # pins the joined codeblock bytes for the call
         body, lengths, hdrs = nat.encode_seq(
             prc_a, lay_a, sty_a, mix_a, base_a, npl, first, zb, nbps,
             isht, rates, stride, ptrs, sop=sop, eph=eph, split=ppt)
