@@ -451,24 +451,31 @@ class TileCompressor:
             job.numbps = band.numbps
         cblk.zero_bitplanes = band.numbps - job.numbps
         cblk.numbps = job.numbps
-        # weighted distortion for PCRD
-        reversible = tccp.qmfbid == 1
-        if reversible:
-            norm = quant_mod.band_norm_53(tccp.numresolutions, resno,
-                                          band.orient)
-            delta = 1.0
+        # weighted distortion for PCRD — only rate control reads it, and
+        # every targeted/multi-layer encode runs with need_dist=True, so
+        # the untargeted default skips the band-norm/weight math entirely
+        # (_scrub_tile resets pass_dists on pooled-tile reuse)
+        if need_dist:
+            reversible = tccp.qmfbid == 1
+            if reversible:
+                norm = quant_mod.band_norm_53(tccp.numresolutions, resno,
+                                              band.orient)
+                delta = 1.0
+            else:
+                norm = quant_mod.band_norm(tccp.numresolutions, resno,
+                                           band.orient)
+                delta = band.stepsize
+            mctw = 1.0
+            if self.mct_norms is not None and compno < len(self.mct_norms):
+                mctw = float(self.mct_norms[compno])
+            weight = (delta * norm * mctw) ** 2
+            if lazy:
+                cblk.pass_dists = (job.passes.dists * weight).tolist()
+            else:
+                cblk.pass_dists = [p.dist * weight for p in job.passes]
         else:
-            norm = quant_mod.band_norm(tccp.numresolutions, resno,
-                                       band.orient)
-            delta = band.stepsize
-        mctw = 1.0
-        if self.mct_norms is not None and compno < len(self.mct_norms):
-            mctw = float(self.mct_norms[compno])
-        weight = (delta * norm * mctw) ** 2
-        if lazy:
-            cblk.pass_dists = (job.passes.dists * weight).tolist()
-        else:
-            cblk.pass_dists = [p.dist * weight for p in job.passes]
+            weight = 1.0
+            cblk.pass_dists = []
         cblk._passes = job.passes  # kept for layer maths
         # native PCRD acceleration: hull indices + raw slopes computed in
         # the coder epilogue, rate array view (HullIndex consumes these)
