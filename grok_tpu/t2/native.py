@@ -53,6 +53,13 @@ _lib.grk_t1_decode_tile.argtypes = [
     ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
     ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_int]
 _lib.grk_t1_decode_tile.restype = ct.c_long
+_lib.grk_t1_encode_tile.argtypes = [
+    ct.c_int, ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+    ct.c_uint64, ct.c_uint64, ct.c_uint64,
+    ct.c_uint64, ct.c_uint64, ct.c_uint64,
+    ct.c_uint64, ct.c_uint64, ct.c_uint64,
+    ct.c_uint64, ct.c_int, ct.c_int]
+_lib.grk_t1_encode_tile.restype = ct.c_long
 _lib.grk_t2_encode_seq.argtypes = [
     ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
     ct.c_int,
@@ -267,6 +274,22 @@ def encode_seq(prc_a, lay_a, sty_a, mix_a, base_a, npl_mat, first_layer,
     hdrs = ct.string_at(hdr_p, hdr_n.value) if hdr_n.value else b""
     lens = np.ctypeslib.as_array(lens_p, (npk,)).tolist() if npk else []
     return body, lens, hdrs
+
+
+def encode_tile(ncb, st_hw, st_meta, st_flags, st_coff, band_base,
+                band_stride, band_delta, arena, out_offs, out_caps,
+                out_lens, out_numbps, out_npasses, rates, rates_stride,
+                num_threads) -> int:
+    """Whole-tile Tier-1 encode (grk_t1_encode_tile): one C call codes
+    every codeblock from band-array views into `arena`, pass rates into
+    the (ncb, rates_stride) matrix.  Returns the job count (< 0 on
+    overflow — the caller re-runs the per-codeblock path)."""
+    return int(_lib.grk_t1_encode_tile(
+        ncb, _addr(st_hw), _addr(st_meta), _addr(st_flags), _addr(st_coff),
+        _addr(band_base), _addr(band_stride), _addr(band_delta),
+        _addr(arena), _addr(out_offs), _addr(out_caps),
+        _addr(out_lens), _addr(out_numbps), _addr(out_npasses),
+        _addr(rates), rates_stride, num_threads))
 
 
 def get_handle(prc, maxch: int = MAX_CHUNKS) -> PrecinctHandle:

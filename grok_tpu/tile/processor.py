@@ -48,6 +48,13 @@ import os as _os
 
 _T2_SEQ_ENC = _os.environ.get("GROK_TPU_NATIVE_T2SEQ", "1") != "0"
 
+# whole-tile encode scratch (arena + rates matrix), grown and reused per
+# thread — alive from run_t1 until the same tile's write_packets consumed it
+import threading as _threading
+
+_ENC_TL = _threading.local()
+_MAX_PASSES = 96  # == t1/native.py MAX_PASSES (3 * 32 pass slots)
+
 # Rate-quota early-stop margin: each codeblock may emit up to this many
 # times its area-proportional share of the final byte target before
 # Tier-1 stops coding deeper passes (revalidation catches the tail).
@@ -381,6 +388,23 @@ class TileCompressor:
             total_samples = sum(c.rect.area for c in tile.comps)
             if total_samples > 0:
                 quota_scale = QUOTA_FACTOR * rate_quota / total_samples
+        # whole-tile native fast path (the encode mirror of
+        # grk_t1_decode_tile): untargeted single-layer encodes skip the
+        # per-codeblock job/ingest loops entirely — coefficients go from
+        # the band arrays to coded bytes in ONE C call and the results
+        # stay in flat arrays that _write_packets_seq consumes directly
+        self._enc_seq = None
+        if (quota_scale is None and not need_dist
+                and tcp.numlayers == 1
+                and _T2_SEQ_ENC and t2._native is not None
+                and self.backend != "device"
+                and t1_backend.resolve(self.backend) == "native"
+                and not getattr(self, "_device_quantized", False)
+                and not any(t.roi_shift for t in tcp.tccps)
+                and self._run_t1_tile_native_enc()):
+            self._t1_jobs = []
+            self._t1_need_dist = False
+            return
         jobs = []
         job_meta = []
         for compno, tc in enumerate(tile.comps):
@@ -499,6 +523,186 @@ class TileCompressor:
                      ** 2).sum())
             cblk._e0 = weight * e0
 
+    def _t1enc_statics(self):
+        """Per-codeblock encode statics for grk_t1_encode_tile, a pure
+        function of the pooled tile's geometry plus the coding/quant key
+        below — cached on the tile object (mirror of the decode-side
+        _seq_state).  Enumeration is the run_t1 band walk; `gmap` maps
+        codeblock identity -> global encode index so _write_packets_seq
+        can gather results into its own first-encounter order."""
+        tcp = self.tcp
+        skey = (getattr(self.cp, "ht_mixed", False),
+                tuple((int(t.cblk_style), bool(t.ht), int(t.qmfbid))
+                      for t in tcp.tccps),
+                tuple((b.numbps, float(b.stepsize))
+                      for tc in self.tile.comps
+                      for res in tc.resolutions for b in res.bands))
+        cached = getattr(self.tile, "_t1enc_cache", None)
+        if cached is not None and cached[0] == skey:
+            return cached[1]
+        ht_mixed = skey[0]
+        band_ids: dict = {}
+        band_keys: list = []
+        band_stride: list = []
+        band_delta: list = []
+        hw: list = []
+        meta: list = []
+        flags: list = []
+        coff: list = []
+        caps: list = []
+        cblks: list = []
+        gmap: dict = {}
+        for tc in self.tile.comps:
+            tccp = tcp.tccps[tc.compno]
+            reversible = tccp.qmfbid == 1
+            style = int(tccp.cblk_style)
+            for res in tc.resolutions:
+                brect = {b.orient: b.rect for b in res.bands}
+                bmeta = {b.orient: (b.numbps, float(b.stepsize))
+                         for b in res.bands}
+                for prc in res.precincts:
+                    for pband in prc.pbands:
+                        orient = pband.band_orient
+                        bkey = (tc.compno, res.resno, orient)
+                        bid = band_ids.get(bkey)
+                        if bid is None:
+                            bid = band_ids[bkey] = len(band_keys)
+                            band_keys.append(bkey)
+                            band_stride.append(max(brect[orient].w, 1))
+                            band_delta.append(
+                                0.0 if reversible else bmeta[orient][1])
+                        r = brect[orient]
+                        mb = bmeta[orient][0]
+                        use_ht = tccp.ht and not (
+                            ht_mixed and res.resno == 0)
+                        for cblk in pband.cblks:
+                            gmap[id(cblk)] = len(flags)
+                            cblks.append(cblk)
+                            cr = cblk.rect
+                            if cr.is_empty():
+                                # never coded: zb must come out 0 like the
+                                # scrubbed default, so mb is recorded as 0
+                                hw.extend((0, 0))
+                                coff.append(0)
+                                caps.append(0)
+                                meta.extend((orient, style, 0, bid))
+                            else:
+                                hw.extend((cr.h, cr.w))
+                                coff.append((cr.y0 - r.y0) * r.w
+                                            + (cr.x0 - r.x0))
+                                # output caps: the t1/native.py formulas
+                                caps.append(
+                                    max(4096, cr.h * cr.w * 5 + 2048)
+                                    if use_ht else
+                                    max(4096,
+                                        cr.h * cr.w * max(4, mb) // 2
+                                        + 2048))
+                                meta.extend((orient, style, mb, bid))
+                            flags.append(1 if use_ht else 0)
+        ncb = len(flags)
+        caps_a = np.asarray(caps, np.int32)
+        offs = np.concatenate(
+            ([0], np.cumsum(caps_a, dtype=np.int64)[:-1])) if ncb else \
+            np.zeros(0, np.int64)
+        meta_a = np.asarray(meta, np.int32)
+        mb_g = meta_a.reshape(-1, 4)[:, 2].copy() if ncb else \
+            np.zeros(0, np.int32)
+        statics = (ncb, np.asarray(hw, np.int32), meta_a,
+                   np.asarray(flags, np.int32),
+                   np.asarray(coff, np.int64), band_keys,
+                   np.asarray(band_stride, np.int32),
+                   np.asarray(band_delta, np.float32),
+                   caps_a, offs, int(caps_a.sum(dtype=np.int64)),
+                   mb_g, np.asarray(flags, np.int32), gmap, cblks)
+        self.tile._t1enc_cache = (skey, statics)
+        return statics
+
+    def _run_t1_tile_native_enc(self) -> bool:
+        """Whole-tile native Tier-1 encode: every codeblock coded from
+        its band-array view in one C call (grk_t1_encode_tile), results
+        left in flat arrays (`self._enc_seq`) that _write_packets_seq
+        feeds straight to grk_t2_encode_seq — no per-codeblock Python
+        objects on the untargeted single-layer path."""
+        nat = t2._native
+        (ncb, hw, meta, flags, coff, band_keys, bstride, bdelta, caps,
+         offs, total_cap, mb_g, isht_g, gmap, cblks) = self._t1enc_statics()
+        if ncb == 0:
+            return False
+        band_base = np.zeros(len(band_keys), np.uint64)
+        for i, (compno, resno, orient) in enumerate(band_keys):
+            arr = self.tile.comps[compno].data.get((resno, orient))
+            if arr is None:
+                continue
+            want = np.float32 if bdelta[i] > 0 else np.int32
+            if not isinstance(arr, np.ndarray) or arr.dtype != want \
+                    or not arr.flags.c_contiguous:
+                return False  # device/odd layout: per-codeblock path
+            if arr.size and arr.shape[1] != int(bstride[i]):
+                return False
+            if arr.size:
+                band_base[i] = arr.__array_interface__["data"][0]
+        tl = _ENC_TL
+        arena = getattr(tl, "arena", None)
+        if arena is None or arena.nbytes < total_cap:
+            arena = tl.arena = np.empty(max(total_cap, 1), np.uint8)
+        rates = getattr(tl, "rates", None)
+        if rates is None or rates.shape[0] < ncb:
+            rates = tl.rates = np.empty((ncb, _MAX_PASSES), np.int32)
+        out_lens = np.empty(ncb, np.int32)
+        out_numbps = np.empty(ncb, np.int32)
+        out_npasses = np.empty(ncb, np.int32)
+        rc = nat.encode_tile(
+            ncb, hw, meta, flags, coff, band_base, bstride, bdelta,
+            arena, offs, caps, out_lens, out_numbps, out_npasses,
+            rates, _MAX_PASSES, getattr(self, "num_threads", 0))
+        if rc < 0:
+            return False
+        zb = mb_g - out_numbps
+        self._enc_seq = (arena, offs, out_lens, out_numbps, out_npasses,
+                         zb, isht_g, rates, _MAX_PASSES, gmap, cblks)
+        return True
+
+    def _enc_perm(self, order, gmap, cblks):
+        """Gather permutation write-packets order -> encode order, cached
+        on the tile (both inputs are themselves tile caches, compared by
+        identity like the decode-side _seq_state)."""
+        c = getattr(self.tile, "_enc_perm_cache", None)
+        if c is not None and c[0] is order and c[1] is gmap \
+                and len(c[2]) == len(cblks):
+            return c[2]
+        perm = np.fromiter((gmap[id(cb)] for cb in cblks), np.int64,
+                           len(cblks))
+        self.tile._enc_perm_cache = (order, gmap, perm)
+        return perm
+
+    def _materialize_enc_seq(self) -> None:
+        """Fallback bridge: mirror the whole-tile encode results into the
+        per-codeblock fields the non-seq consumers read (exactly what
+        _ingest_t1_job + untargeted assign_layers would have set)."""
+        es = getattr(self, "_enc_seq", None)
+        if es is None:
+            return
+        (arena, offs, lens, numbps, npasses, zb, isht, rates, stride,
+         gmap, cblks) = es
+        offs_l = offs.tolist()
+        lens_l = lens.tolist()
+        nb_l = numbps.tolist()
+        np_l = npasses.tolist()
+        zb_l = zb.tolist()
+        isht_l = isht.tolist()
+        numlayers = self.tcp.numlayers
+        for g, cblk in enumerate(cblks):
+            n = np_l[g]
+            o = offs_l[g]
+            cblk.data = arena[o:o + lens_l[g]].tobytes()
+            cblk.numbps = nb_l[g]
+            cblk.zero_bitplanes = zb_l[g]
+            cblk.is_ht = bool(isht_l[g])
+            cblk.pass_rates = rates[g, :n].tolist()
+            cblk.pass_dists = []
+            cblk.num_passes_by_layer = [n] + [0] * (numlayers - 1)
+        self._enc_seq = None
+
     # ---- stage 2: rate control ----
 
     def all_cblks(self):
@@ -512,6 +716,16 @@ class TileCompressor:
     def assign_layers(self, layer_targets: list[float | None]) -> None:
         """layer_targets: cumulative byte budgets (None = all passes)."""
         numlayers = len(layer_targets)
+        if getattr(self, "_enc_seq", None) is not None:
+            if all(t is None for t in layer_targets):
+                # whole-tile fast path: layer state lives in the flat
+                # arrays _write_packets_seq consumes; nothing to assign
+                self._last_lambda = math.inf
+                self._hull_index = None
+                return
+            # unexpected targeted call (the run_t1 gate should prevent
+            # this): bridge back to the per-codeblock representation
+            self._materialize_enc_seq()
         if all(t is None for t in layer_targets):
             # untargeted layers take every pass in layer 0 — no hulls,
             # no slope index (the common single-layer default; on the HT
@@ -1128,6 +1342,7 @@ class TileCompressor:
         order = t2.packet_order(self.tile, self.tcp, comp_info)
         if t2._native is not None and order and _T2_SEQ_ENC:
             return self._write_packets_seq(order, sop, eph, ppt)
+        self._materialize_enc_seq()  # per-packet path reads cblk state
         out = bytearray()
         hdrs = bytearray()
         lengths: list[int] = []
@@ -1186,6 +1401,35 @@ class TileCompressor:
             base_a[n] = ent[0]
         ncbt = max(base, 1)
         nlayers = self.tcp.numlayers
+        es = getattr(self, "_enc_seq", None)
+        if es is not None and base:
+            # whole-tile fast path: gather the grk_t1_encode_tile arrays
+            # into this order — no per-codeblock Python state exists
+            (arena, offs_e, lens_e, nbps_e, npass_e, zb_e, isht_e,
+             rates_e, stride, gmap, _cblks_e) = es
+            perm = self._enc_perm(order, gmap, cblks)
+            zb = np.zeros(ncbt, np.int32)
+            nbps = np.zeros(ncbt, np.int32)
+            isht = np.zeros(ncbt, np.int32)
+            zb[:base] = zb_e[perm]
+            nbps[:base] = nbps_e[perm]
+            isht[:base] = isht_e[perm]
+            npl = np.zeros((max(nlayers, 1), ncbt), np.int32)
+            npl[0, :base] = npass_e[perm]
+            first = np.ones(ncbt, np.int32)  # len(npl)==1 when no passes
+            first[:base] = np.where(npl[0, :base] > 0, 0, 1)
+            rates = np.ascontiguousarray(rates_e[perm])
+            lens_p = lens_e[perm]
+            ptrs = np.zeros(ncbt, np.uint64)
+            abase = arena.__array_interface__["data"][0]
+            ptrs[:base] = np.where(
+                lens_p > 0, abase + offs_e[perm].astype(np.uint64), 0)
+            keep = [arena]
+            body, lengths, hdrs = nat.encode_seq(
+                prc_a, lay_a, sty_a, mix_a, base_a, npl, first, zb, nbps,
+                isht, rates, stride, ptrs, sop=sop, eph=eph, split=ppt)
+            del keep
+            return body, lengths, order, hdrs
         zb = np.zeros(ncbt, np.int32)
         nbps = np.zeros(ncbt, np.int32)
         isht = np.zeros(ncbt, np.int32)

@@ -12,6 +12,7 @@
 // reference (grok_tpu/t2/packets.py + bitio.py + tagtree.py); differential
 // tests in tests/test_native_t2.py keep both byte-identical.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -806,6 +807,141 @@ long grk_t1_decode_tile(
     grk_ht_decode_batch(ht_jobs.data(), (int)ht_jobs.size(), num_threads);
   if (!mq_jobs.empty())
     grk_t1_decode_batch(mq_jobs.data(), (int)mq_jobs.size(), num_threads);
+  return (long)(mq_jobs.size() + ht_jobs.size());
+}
+
+// Whole-tile Tier-1 ENCODE (the encode mirror of grk_t1_decode_tile):
+// per-codeblock statics -> GrkT1EncJob/GrkHTEncJob batches coded into a
+// caller-owned arena, pass rates written straight into the caller's
+// (ncb, rates_stride) matrix that grk_t2_encode_seq consumes.  Only the
+// untargeted single-layer path routes here (need_dist is always 0; ROI
+// and rate-quota keep the per-codeblock Python loop).  Statics per
+// global codeblock g:
+//   st_hw[2g..]   = h, w  (h <= 0: empty rect, left all-zero)
+//   st_meta[4g..] = orient, style, mb (band numbps bound), band_id
+//   st_flags[g]   = bit0 HT coder for this block (MIXED already applied)
+//   st_coff[g]    = element offset of the codeblock in its band array
+// band_delta[band_id] > 0 marks a float32 band with fused dead-zone
+// quantization (the MQ ingest fuses it; HT blocks quantize into scratch
+// with the exact float32 math of transform/quant.quantize).  Returns
+// the job count, or -1 on output-arena overflow (caller falls back).
+// Only reachable from the amalgam build (needs the T1/HT batch entry
+// points earlier in the TU).
+long grk_t1_encode_tile(
+    int ncb, const int32_t* st_hw, const int32_t* st_meta,
+    const int32_t* st_flags, const int64_t* st_coff,
+    const uint64_t* band_base, const int32_t* band_stride,
+    const float* band_delta,
+    uint8_t* arena, const int64_t* out_offs, const int32_t* out_caps,
+    int32_t* out_lens, int32_t* out_numbps, int32_t* out_npasses,
+    int32_t* rates, int rates_stride, int num_threads) {
+  constexpr int kMaxPasses = 96;  // == t1/native.py MAX_PASSES
+  thread_local std::vector<GrkT1EncJob> mq_jobs;
+  thread_local std::vector<GrkHTEncJob> ht_jobs;
+  thread_local std::vector<int32_t> mq_g, ht_g, qbuf;
+  thread_local std::vector<double> dists;
+  thread_local std::vector<uint8_t> terms;
+  mq_jobs.clear();
+  ht_jobs.clear();
+  mq_g.clear();
+  ht_g.clear();
+  size_t qtotal = 0;  // quantized scratch for lossy HT blocks
+  for (int g = 0; g < ncb; g++) {
+    int h = st_hw[2 * g], w = st_hw[2 * g + 1];
+    if (h <= 0 || w <= 0) continue;
+    if ((st_flags[g] & 1) && band_delta[st_meta[4 * g + 3]] > 0.0f)
+      qtotal += (size_t)h * w;
+  }
+  qbuf.resize(qtotal);
+  size_t qpos = 0;
+  for (int g = 0; g < ncb; g++) {
+    out_lens[g] = 0;
+    out_numbps[g] = 0;
+    out_npasses[g] = 0;
+    int h = st_hw[2 * g], w = st_hw[2 * g + 1];
+    if (h <= 0 || w <= 0) continue;
+    int band = st_meta[4 * g + 3];
+    const void* src = (const void*)((uintptr_t)band_base[band] +
+                                    4u * (uint64_t)st_coff[g]);
+    float delta = band_delta[band];
+    if (st_flags[g] & 1) {
+      GrkHTEncJob j{};
+      j.h = h;
+      j.w = w;
+      if (delta > 0.0f) {
+        // fused dead-zone quantization for the HT path — exact float32
+        // division + floorf like quantize() (the HT batch entry takes
+        // int32 coefficients only)
+        const float* cf = (const float*)src;
+        int bstride = band_stride[band];
+        int32_t* qp = qbuf.data() + qpos;
+        for (int y = 0; y < h; y++)
+          for (int x = 0; x < w; x++) {
+            float v = cf[(size_t)y * bstride + x];
+            uint32_t m = (uint32_t)floorf(fabsf(v) / delta);
+            qp[(size_t)y * w + x] = v < 0.0f ? -(int32_t)m : (int32_t)m;
+          }
+        j.coeffs = qp;
+        j.stride = w;
+        qpos += (size_t)h * w;
+      } else {
+        j.coeffs = (const int32_t*)src;
+        j.stride = band_stride[band];
+      }
+      j.out = arena + out_offs[g];
+      j.out_cap = out_caps[g];
+      ht_jobs.push_back(j);
+      ht_g.push_back(g);
+    } else {
+      GrkT1EncJob j{};
+      j.h = h;
+      j.w = w;
+      j.orient = st_meta[4 * g];
+      j.style = st_meta[4 * g + 1];
+      j.need_dist = 0;
+      j.stride = band_stride[band];
+      j.coeffs = (const int32_t*)src;
+      j.delta = delta;
+      j.out = arena + out_offs[g];
+      j.out_cap = out_caps[g];
+      j.pass_rates = rates + (size_t)g * rates_stride;
+      mq_jobs.push_back(j);  // pass_dists/pass_terms pointed below
+      mq_g.push_back(g);
+    }
+  }
+  dists.resize(mq_jobs.size() * (size_t)kMaxPasses);
+  terms.resize(mq_jobs.size() * (size_t)kMaxPasses);
+  for (size_t i = 0; i < mq_jobs.size(); i++) {
+    mq_jobs[i].pass_dists = dists.data() + i * kMaxPasses;
+    mq_jobs[i].pass_terms = terms.data() + i * kMaxPasses;
+  }
+  int rc = 0;
+  if (!ht_jobs.empty())
+    rc |= grk_ht_encode_batch(ht_jobs.data(), (int)ht_jobs.size(),
+                              num_threads);
+  if (!mq_jobs.empty())
+    rc |= grk_t1_encode_batch(mq_jobs.data(), (int)mq_jobs.size(),
+                              num_threads);
+  if (rc) return -1;
+  for (size_t i = 0; i < ht_jobs.size(); i++) {
+    int g = ht_g[i];
+    const GrkHTEncJob& j = ht_jobs[i];
+    int mb = st_meta[4 * g + 2];
+    out_lens[g] = j.out_len;
+    out_numbps[g] = j.numbps > mb ? mb : j.numbps;  // ingest clamp parity
+    if (j.numbps > 0) {
+      out_npasses[g] = 1;  // HTONLY: one cleanup pass carrying everything
+      rates[(size_t)g * rates_stride] = j.out_len;
+    }
+  }
+  for (size_t i = 0; i < mq_jobs.size(); i++) {
+    int g = mq_g[i];
+    const GrkT1EncJob& j = mq_jobs[i];
+    int mb = st_meta[4 * g + 2];
+    out_lens[g] = j.out_len;
+    out_numbps[g] = j.numbps > mb ? mb : j.numbps;
+    out_npasses[g] = j.num_passes;
+  }
   return (long)(mq_jobs.size() + ht_jobs.size());
 }
 

@@ -175,3 +175,77 @@ def test_native_encode_deep_bitplanes(rng):
         native.encode_batch_native([jn])
         assert jp.data == jn.data, style
         assert jp.numbps == jn.numbps
+
+
+def test_tile_encode_native_identical(rng):
+    """grk_t1_encode_tile (one C call: band-array views -> coded bytes +
+    flat pass arrays feeding grk_t2_encode_seq directly) must produce
+    byte-identical codestreams to the per-codeblock job loop across the
+    option space, engage exactly when gated, and bridge back through
+    _materialize_enc_seq when the per-packet Tier-2 writer runs."""
+    import grok_tpu
+    from grok_tpu import CompressParams, GrkImage
+    from grok_tpu.tile import processor as proc
+
+    arr = rng.integers(0, 256, (150, 140, 3)).astype(np.uint8)
+    orig = proc.TileCompressor._run_t1_tile_native_enc
+    fast_cases = [
+        dict(), dict(ht=True), dict(ht=True, ht_mixed=True),
+        dict(cblk_style=0x01), dict(cblk_style=0x3F),
+        dict(irreversible=True), dict(ht=True, irreversible=True),
+        dict(tile_size=(64, 64)), dict(sop=True, eph=True, plt=True),
+        dict(ppt=True),
+    ]
+    for kw in fast_cases:
+        used = []
+
+        def probe(self, _u=used):
+            r = orig(self)
+            _u.append(r)
+            return r
+
+        proc.TileCompressor._run_t1_tile_native_enc = probe
+        try:
+            a = grok_tpu.compress(GrkImage.from_array(arr),
+                                  CompressParams(**kw))
+            a2 = grok_tpu.compress(GrkImage.from_array(arr),
+                                   CompressParams(**kw))  # cached statics
+            proc.TileCompressor._run_t1_tile_native_enc = \
+                lambda self: False
+            b = grok_tpu.compress(GrkImage.from_array(arr),
+                                  CompressParams(**kw))
+        finally:
+            proc.TileCompressor._run_t1_tile_native_enc = orig
+        assert used and all(used), kw  # the native tile path actually ran
+        assert a == b and a2 == b, kw
+    # gated-out cases must keep the per-codeblock loop: ROI upshift,
+    # rate targets (need_dist), multi-layer
+    for kw in (dict(roi_comp=-2, roi_shift=6),
+               dict(numlayers=2, layer_rates=[20, 1])):
+        used = []
+
+        def probe(self, _u=used):
+            r = orig(self)
+            _u.append(r)
+            return r
+
+        proc.TileCompressor._run_t1_tile_native_enc = probe
+        try:
+            data = grok_tpu.compress(GrkImage.from_array(arr),
+                                     CompressParams(**kw))
+        finally:
+            proc.TileCompressor._run_t1_tile_native_enc = orig
+        assert not any(used), kw
+        grok_tpu.decompress(data)
+    # per-packet Tier-2 fallback consumes the flat arrays through
+    # _materialize_enc_seq: byte-identical again
+    seq = proc._T2_SEQ_ENC
+    try:
+        a = grok_tpu.compress(GrkImage.from_array(arr),
+                              CompressParams(ht=True))
+        proc._T2_SEQ_ENC = False
+        b = grok_tpu.compress(GrkImage.from_array(arr),
+                              CompressParams(ht=True))
+    finally:
+        proc._T2_SEQ_ENC = seq
+    assert a == b
