@@ -630,9 +630,10 @@ class TileCompressor:
             return False
         band_base = np.zeros(len(band_keys), np.uint64)
         for i, (compno, resno, orient) in enumerate(band_keys):
-            arr = self.tile.comps[compno].data.get((resno, orient))
+            data = self.tile.comps[compno].data
+            arr = data.get((resno, orient)) if data is not None else None
             if arr is None:
-                continue
+                return False  # missing band plane: per-codeblock path
             want = np.float32 if bdelta[i] > 0 else np.int32
             if not isinstance(arr, np.ndarray) or arr.dtype != want \
                     or not arr.flags.c_contiguous:
@@ -701,6 +702,13 @@ class TileCompressor:
             cblk.pass_rates = rates[g, :n].tolist()
             cblk.pass_dists = []
             cblk.num_passes_by_layer = [n] + [0] * (numlayers - 1)
+            # distortion was never tracked: zero-dist pass records keep
+            # any (unreachable) targeted consumer well-defined
+            cblk._passes = t1_backend.LazyPasses(
+                rates[g, :n].copy(), np.zeros(n), np.zeros(n, np.uint8),
+                nb_l[g])
+            cblk._hull_pass = None
+            cblk._e0 = 0.0
         self._enc_seq = None
 
     # ---- stage 2: rate control ----
@@ -724,7 +732,12 @@ class TileCompressor:
                 self._hull_index = None
                 return
             # unexpected targeted call (the run_t1 gate should prevent
-            # this): bridge back to the per-codeblock representation
+            # this: need_dist is true whenever rate targets exist, which
+            # keeps the fast path off): bridge back to per-codeblock
+            # state.  No distortion data exists, so layer assignment
+            # degrades to rate-only hulls — warn loudly.
+            log.warning("layer targets arrived after a no-distortion "
+                        "Tier-1 fast path; assignment is rate-only")
             self._materialize_enc_seq()
         if all(t is None for t in layer_targets):
             # untargeted layers take every pass in layer 0 — no hulls,
