@@ -325,6 +325,10 @@ def compress_codestream(image: GrkImage, p: CompressParams,
 
     cp._has_rate_targets = bool(p.layer_rates or p.layer_psnr
                                 or p.max_cs_size)
+    # -q mode calibrates against measured reconstruction error, which
+    # Tier-1-decodes from per-codeblock state: keep the whole-tile flat
+    # encode path off for it (run_t1 gates on this)
+    cp._has_quality_targets = bool(p.layer_psnr)
     # rate-control simulation must see the per-packet framing (SOP/EPH)
     # and tile-part overhead the real emission adds, or byte caps can
     # overshoot by packets * framing bytes

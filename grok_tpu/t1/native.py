@@ -108,7 +108,7 @@ class _DecJob(ct.Structure):
     ]
 
 
-_ABI_VERSION = 12  # exported surface (v12: grk_t1_encode_tile)
+_ABI_VERSION = 13  # exported surface (v13: encode_tile PCRD feed)
 
 _lib = ct.CDLL(_LIB_PATH)
 if _lib.grk_t1_abi_version() != _ABI_VERSION:

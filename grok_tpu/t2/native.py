@@ -58,7 +58,10 @@ _lib.grk_t1_encode_tile.argtypes = [
     ct.c_uint64, ct.c_uint64, ct.c_uint64,
     ct.c_uint64, ct.c_uint64, ct.c_uint64,
     ct.c_uint64, ct.c_uint64, ct.c_uint64,
-    ct.c_uint64, ct.c_int, ct.c_int]
+    ct.c_uint64, ct.c_int,
+    ct.c_int, ct.c_uint64,
+    ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+    ct.c_int]
 _lib.grk_t1_encode_tile.restype = ct.c_long
 _lib.grk_t2_encode_seq.argtypes = [
     ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64, ct.c_uint64,
@@ -279,17 +282,28 @@ def encode_seq(prc_a, lay_a, sty_a, mix_a, base_a, npl_mat, first_layer,
 def encode_tile(ncb, st_hw, st_meta, st_flags, st_coff, band_base,
                 band_stride, band_delta, arena, out_offs, out_caps,
                 out_lens, out_numbps, out_npasses, rates, rates_stride,
-                num_threads) -> int:
+                num_threads, dist=None) -> int:
     """Whole-tile Tier-1 encode (grk_t1_encode_tile): one C call codes
     every codeblock from band-array views into `arena`, pass rates into
-    the (ncb, rates_stride) matrix.  Returns the job count (< 0 on
+    the (ncb, rates_stride) matrix.  `dist`, when given, is the PCRD
+    feed tuple (e0, hull_pass, hull_slope, hull_rate, hull_n) of
+    caller-owned output arrays — the hull matrices are (ncb,
+    rates_stride) rows like `rates`.  Returns the job count (< 0 on
     overflow — the caller re-runs the per-codeblock path)."""
+    if dist is None:
+        nd, e0 = 0, 0
+        hp = hs = hr = hn = 0
+    else:
+        e0_a, hp_a, hs_a, hr_a, hn_a = dist
+        nd = 1
+        e0, hp, hs = _addr(e0_a), _addr(hp_a), _addr(hs_a)
+        hr, hn = _addr(hr_a), _addr(hn_a)
     return int(_lib.grk_t1_encode_tile(
         ncb, _addr(st_hw), _addr(st_meta), _addr(st_flags), _addr(st_coff),
         _addr(band_base), _addr(band_stride), _addr(band_delta),
         _addr(arena), _addr(out_offs), _addr(out_caps),
         _addr(out_lens), _addr(out_numbps), _addr(out_npasses),
-        _addr(rates), rates_stride, num_threads))
+        _addr(rates), rates_stride, nd, e0, hp, hs, hr, hn, num_threads))
 
 
 def get_handle(prc, maxch: int = MAX_CHUNKS) -> PrecinctHandle:

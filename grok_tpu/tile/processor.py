@@ -55,6 +55,26 @@ import threading as _threading
 _ENC_TL = _threading.local()
 _MAX_PASSES = 96  # == t1/native.py MAX_PASSES (3 * 32 pass slots)
 
+
+class _EncSeq:
+    """Flat whole-tile Tier-1 encode results (grk_t1_encode_tile), the
+    no-per-codeblock-state feed for _write_packets_seq and the flat PCRD
+    path.  Array fields are views into thread-local pooled scratch —
+    valid until the next tile encoded on this thread (_write_packets_seq
+    clears the reference after emission)."""
+
+    __slots__ = ("arena", "offs", "lens", "numbps", "npasses", "zb",
+                 "isht", "rates", "stride", "gmap", "cblks", "ncb",
+                 # PCRD feed (need_dist encodes only, else None)
+                 "e0", "hull_pass", "hull_slope", "hull_rate", "hull_n",
+                 "weights",
+                 # layer assignment outputs (set by assign_layers)
+                 "npl", "first")
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw.get(k))
+
 # Rate-quota early-stop margin: each codeblock may emit up to this many
 # times its area-proportional share of the final byte target before
 # Tier-1 stops coding deeper passes (revalidation catches the tail).
@@ -389,21 +409,25 @@ class TileCompressor:
             if total_samples > 0:
                 quota_scale = QUOTA_FACTOR * rate_quota / total_samples
         # whole-tile native fast path (the encode mirror of
-        # grk_t1_decode_tile): untargeted single-layer encodes skip the
-        # per-codeblock job/ingest loops entirely — coefficients go from
-        # the band arrays to coded bytes in ONE C call and the results
-        # stay in flat arrays that _write_packets_seq consumes directly
+        # grk_t1_decode_tile): coefficients go from the band arrays to
+        # coded bytes in ONE C call and the results stay in flat arrays
+        # that _write_packets_seq consumes directly.  Rate-targeted and
+        # multi-layer encodes ride it too: the C epilogue emits the PCRD
+        # feed (e0 + per-block convex hulls) and assign_layers runs its
+        # flat-array path.  -q quality mode keeps the per-codeblock loop
+        # (its calibration re-decodes from per-codeblock state), as do
+        # rate-quota early stop, ROI and the device backend.
         self._enc_seq = None
-        if (quota_scale is None and not need_dist
-                and tcp.numlayers == 1
+        if (quota_scale is None
+                and not getattr(self.cp, "_has_quality_targets", False)
                 and _T2_SEQ_ENC and t2._native is not None
                 and self.backend != "device"
                 and t1_backend.resolve(self.backend) == "native"
                 and not getattr(self, "_device_quantized", False)
                 and not any(t.roi_shift for t in tcp.tccps)
-                and self._run_t1_tile_native_enc()):
+                and self._run_t1_tile_native_enc(need_dist)):
             self._t1_jobs = []
-            self._t1_need_dist = False
+            self._t1_need_dist = need_dist
             return
         jobs = []
         job_meta = []
@@ -605,27 +629,34 @@ class TileCompressor:
             ([0], np.cumsum(caps_a, dtype=np.int64)[:-1])) if ncb else \
             np.zeros(0, np.int64)
         meta_a = np.asarray(meta, np.int32)
-        mb_g = meta_a.reshape(-1, 4)[:, 2].copy() if ncb else \
-            np.zeros(0, np.int32)
+        if ncb:
+            m4 = meta_a.reshape(-1, 4)
+            mb_g = m4[:, 2].copy()
+            bid_g = m4[:, 3].copy()
+        else:
+            mb_g = np.zeros(0, np.int32)
+            bid_g = np.zeros(0, np.int32)
         statics = (ncb, np.asarray(hw, np.int32), meta_a,
                    np.asarray(flags, np.int32),
                    np.asarray(coff, np.int64), band_keys,
                    np.asarray(band_stride, np.int32),
                    np.asarray(band_delta, np.float32),
                    caps_a, offs, int(caps_a.sum(dtype=np.int64)),
-                   mb_g, np.asarray(flags, np.int32), gmap, cblks)
+                   mb_g, np.asarray(flags, np.int32), gmap, cblks, bid_g)
         self.tile._t1enc_cache = (skey, statics)
         return statics
 
-    def _run_t1_tile_native_enc(self) -> bool:
+    def _run_t1_tile_native_enc(self, need_dist: bool = False) -> bool:
         """Whole-tile native Tier-1 encode: every codeblock coded from
         its band-array view in one C call (grk_t1_encode_tile), results
         left in flat arrays (`self._enc_seq`) that _write_packets_seq
         feeds straight to grk_t2_encode_seq — no per-codeblock Python
-        objects on the untargeted single-layer path."""
+        objects.  With need_dist the call also returns the PCRD feed
+        (per-block e0 + convex hulls) for the flat assign_layers path."""
         nat = t2._native
         (ncb, hw, meta, flags, coff, band_keys, bstride, bdelta, caps,
-         offs, total_cap, mb_g, isht_g, gmap, cblks) = self._t1enc_statics()
+         offs, total_cap, mb_g, isht_g, gmap, cblks,
+         bid_g) = self._t1enc_statics()
         if ncb == 0:
             return False
         band_base = np.zeros(len(band_keys), np.uint64)
@@ -649,18 +680,59 @@ class TileCompressor:
         rates = getattr(tl, "rates", None)
         if rates is None or rates.shape[0] < ncb:
             rates = tl.rates = np.empty((ncb, _MAX_PASSES), np.int32)
+        dist = None
+        if need_dist:
+            e0 = getattr(tl, "e0", None)
+            if e0 is None or e0.shape[0] < ncb:
+                e0 = tl.e0 = np.empty(ncb, np.float64)
+                tl.hull_pass = np.empty((ncb, _MAX_PASSES), np.int32)
+                tl.hull_slope = np.empty((ncb, _MAX_PASSES), np.float64)
+                tl.hull_rate = np.empty((ncb, _MAX_PASSES), np.int32)
+                tl.hull_n = np.empty(ncb, np.int32)
+            dist = (tl.e0, tl.hull_pass, tl.hull_slope, tl.hull_rate,
+                    tl.hull_n)
         out_lens = np.empty(ncb, np.int32)
         out_numbps = np.empty(ncb, np.int32)
         out_npasses = np.empty(ncb, np.int32)
         rc = nat.encode_tile(
             ncb, hw, meta, flags, coff, band_base, bstride, bdelta,
             arena, offs, caps, out_lens, out_numbps, out_npasses,
-            rates, _MAX_PASSES, getattr(self, "num_threads", 0))
+            rates, _MAX_PASSES, getattr(self, "num_threads", 0),
+            dist=dist)
         if rc < 0:
             return False
         zb = mb_g - out_numbps
-        self._enc_seq = (arena, offs, out_lens, out_numbps, out_npasses,
-                         zb, isht_g, rates, _MAX_PASSES, gmap, cblks)
+        es = _EncSeq(arena=arena, offs=offs, lens=out_lens,
+                     numbps=out_numbps, npasses=out_npasses, zb=zb,
+                     isht=isht_g, rates=rates[:ncb], stride=_MAX_PASSES,
+                     gmap=gmap, cblks=cblks, ncb=ncb)
+        if need_dist:
+            es.e0 = tl.e0[:ncb]
+            es.hull_pass = tl.hull_pass[:ncb]
+            es.hull_slope = tl.hull_slope[:ncb]
+            es.hull_rate = tl.hull_rate[:ncb]
+            es.hull_n = tl.hull_n[:ncb]
+            # PCRD distortion weight per block: (Delta_b * norm_b *
+            # mct_norm)^2, exactly _ingest_t1_job's per-band math
+            wb = np.empty(len(band_keys), np.float64)
+            tcp = self.tcp
+            for i, (compno, resno, orient) in enumerate(band_keys):
+                tccp = tcp.tccps[compno]
+                if tccp.qmfbid == 1:
+                    norm = quant_mod.band_norm_53(
+                        tccp.numresolutions, resno, orient)
+                    delta = 1.0
+                else:
+                    norm = quant_mod.band_norm(
+                        tccp.numresolutions, resno, orient)
+                    delta = float(bdelta[i])
+                mctw = 1.0
+                if self.mct_norms is not None \
+                        and compno < len(self.mct_norms):
+                    mctw = float(self.mct_norms[compno])
+                wb[i] = (delta * norm * mctw) ** 2
+            es.weights = wb[bid_g]
+        self._enc_seq = es
         return True
 
     def _enc_perm(self, order, gmap, cblks):
@@ -679,20 +751,22 @@ class TileCompressor:
     def _materialize_enc_seq(self) -> None:
         """Fallback bridge: mirror the whole-tile encode results into the
         per-codeblock fields the non-seq consumers read (exactly what
-        _ingest_t1_job + untargeted assign_layers would have set)."""
+        _ingest_t1_job + assign_layers would have set)."""
         es = getattr(self, "_enc_seq", None)
         if es is None:
             return
-        (arena, offs, lens, numbps, npasses, zb, isht, rates, stride,
-         gmap, cblks) = es
+        arena, offs, lens = es.arena, es.offs, es.lens
+        rates = es.rates
         offs_l = offs.tolist()
         lens_l = lens.tolist()
-        nb_l = numbps.tolist()
-        np_l = npasses.tolist()
-        zb_l = zb.tolist()
-        isht_l = isht.tolist()
+        nb_l = es.numbps.tolist()
+        np_l = es.npasses.tolist()
+        zb_l = es.zb.tolist()
+        isht_l = es.isht.tolist()
         numlayers = self.tcp.numlayers
-        for g, cblk in enumerate(cblks):
+        has_dist = es.hull_n is not None
+        npl = es.npl  # set when assign_layers ran on the flat path
+        for g, cblk in enumerate(es.cblks):
             n = np_l[g]
             o = offs_l[g]
             cblk.data = arena[o:o + lens_l[g]].tobytes()
@@ -701,14 +775,26 @@ class TileCompressor:
             cblk.is_ht = bool(isht_l[g])
             cblk.pass_rates = rates[g, :n].tolist()
             cblk.pass_dists = []
-            cblk.num_passes_by_layer = [n] + [0] * (numlayers - 1)
-            # distortion was never tracked: zero-dist pass records keep
-            # any (unreachable) targeted consumer well-defined
+            if npl is not None:
+                cblk.num_passes_by_layer = npl[:, g].tolist()
+            else:
+                cblk.num_passes_by_layer = [n] + [0] * (numlayers - 1)
+            # per-pass distortions stay in native scratch: zero-dist pass
+            # records keep any later consumer well-defined (the hulls
+            # below carry the PCRD-relevant truncation data)
             cblk._passes = t1_backend.LazyPasses(
                 rates[g, :n].copy(), np.zeros(n), np.zeros(n, np.uint8),
                 nb_l[g])
-            cblk._hull_pass = None
-            cblk._e0 = 0.0
+            if has_dist:
+                hn = int(es.hull_n[g])
+                cblk._hull_pass = es.hull_pass[g, :hn].copy()
+                cblk._hull_slope_raw = es.hull_slope[g, :hn].copy()
+                cblk._hull_rate = es.hull_rate[g, :hn].copy()
+                cblk._hull_weight = float(es.weights[g])
+                cblk._e0 = float(es.e0[g]) * float(es.weights[g])
+            else:
+                cblk._hull_pass = None
+                cblk._e0 = 0.0
         self._enc_seq = None
 
     # ---- stage 2: rate control ----
@@ -724,20 +810,23 @@ class TileCompressor:
     def assign_layers(self, layer_targets: list[float | None]) -> None:
         """layer_targets: cumulative byte budgets (None = all passes)."""
         numlayers = len(layer_targets)
-        if getattr(self, "_enc_seq", None) is not None:
-            if all(t is None for t in layer_targets):
-                # whole-tile fast path: layer state lives in the flat
-                # arrays _write_packets_seq consumes; nothing to assign
-                self._last_lambda = math.inf
-                self._hull_index = None
+        es = getattr(self, "_enc_seq", None)
+        if es is not None:
+            untargeted = all(t is None for t in layer_targets)
+            if untargeted or es.hull_n is not None:
+                self._assign_layers_flat(layer_targets)
                 return
-            # unexpected targeted call (the run_t1 gate should prevent
-            # this: need_dist is true whenever rate targets exist, which
-            # keeps the fast path off): bridge back to per-codeblock
-            # state.  No distortion data exists, so layer assignment
-            # degrades to rate-only hulls — warn loudly.
+            # targets arrived without the PCRD feed (direct
+            # TileCompressor use where run_t1 gated need_dist off):
+            # re-run the whole-tile encode with distortion tracking —
+            # statics and band pointers are cached, so this is one
+            # extra C call, not a silent rate-only degradation
+            if self._run_t1_tile_native_enc(True):
+                self._assign_layers_flat(layer_targets)
+                return
             log.warning("layer targets arrived after a no-distortion "
-                        "Tier-1 fast path; assignment is rate-only")
+                        "Tier-1 fast path and the distortion re-encode "
+                        "failed; assignment is rate-only")
             self._materialize_enc_seq()
         if all(t is None for t in layer_targets):
             # untargeted layers take every pass in layer 0 — no hulls,
@@ -796,6 +885,85 @@ class TileCompressor:
                 prev_v = counts_v
         finally:
             self._sim_state = None
+
+    def _assign_layers_flat(self, layer_targets: list[float | None]) -> None:
+        """Flat-array layer assignment over _enc_seq: the whole-tile
+        native encode's PCRD feed (per-block hulls, pooled rate matrix)
+        drives the same two-stage bisect with no per-codeblock Python
+        state; the result is the (numlayers, ncb) pass-count matrix
+        grk_t2_encode_seq consumes directly."""
+        es = self._enc_seq
+        numlayers = len(layer_targets)
+        ncb = es.ncb
+        self._last_lambda = math.inf
+        self._hull_index = None
+        npl = np.zeros((numlayers, ncb), np.int32)
+        if all(t is None for t in layer_targets):
+            # untargeted: every pass in its first layer, no hulls needed
+            npl[0, :] = es.npasses
+        else:
+            hidx = HullIndex.from_flat(
+                es.hull_pass, es.hull_slope, es.hull_rate, es.hull_n,
+                es.weights)
+            slopes = hidx.distinct_slopes()
+            sim = self._build_sim_state_flat(es, numlayers)
+            npasses = es.npasses.astype(np.int64)
+            rates2d = es.rates
+            gi = np.arange(ncb)
+            prev = np.zeros(ncb, np.int64)
+            for layno, target in enumerate(layer_targets):
+                if target is None or not slopes:
+                    counts = npasses
+                else:
+                    prev_rates = np.where(
+                        prev > 0, rates2d[gi, np.maximum(prev, 1) - 1],
+                        0).astype(np.int64)
+                    size_fn = (lambda cv, _l=layno, _p=prev:
+                               self._simulate_size_fast(sim, cv - _p, _l))
+                    counts = self._bisect_layer_v(
+                        hidx, prev, prev_rates, slopes, layno, target,
+                        size_fn)
+                    if counts is None:
+                        counts = prev
+                counts = np.maximum(counts, prev)
+                self._sim_finalize_layer(sim, counts - prev, layno)
+                npl[layno] = (counts - prev).astype(np.int32)
+                prev = counts
+        es.npl = npl
+        incl = npl > 0
+        es.first = np.where(incl.any(axis=0), np.argmax(incl, axis=0),
+                            numlayers).astype(np.int32)
+
+    def _build_sim_state_flat(self, es, numlayers: int):
+        """Sim state for the flat PCRD path: per precinct handle, the
+        encoder statics (zb / numbps / coder choice / pass rates) land
+        directly from the _enc_seq arrays — the per-codeblock
+        _ensure_rates walk never runs — and eidx maps handle slots to
+        global encode indices so delta vectors scatter straight in."""
+        state = []
+        gmap = es.gmap
+        rates2d = es.rates
+        for tc in self.tile.comps:
+            tccp = self.tcp.tccps[tc.compno]
+            mixed = tccp.ht and getattr(self.cp, "ht_mixed", False)
+            for res in tc.resolutions:
+                for precno in range(res.pw * res.ph):
+                    h = t2._native.get_handle(res.precincts[precno])
+                    idx = np.fromiter((gmap[id(c)] for c in h.cblks),
+                                      np.intp, h.ncb)
+                    if h.ncb:
+                        h.zb[:h.ncb] = es.zb[idx]
+                        h.numbps[:h.ncb] = es.numbps[idx]
+                        h.is_ht[:h.ncb] = es.isht[idx]
+                        h.rates = np.ascontiguousarray(rates2d[idx])
+                        h.rates_stride = es.stride
+                    npl = np.zeros(
+                        (numlayers, max(h.ncb, 1)), dtype=np.int32)
+                    fl = np.full(max(h.ncb, 1), numlayers, dtype=np.int32)
+                    state.append((h, int(tccp.cblk_style), mixed, npl,
+                                  np.arange(h.ncb, dtype=np.intp),
+                                  idx, fl))
+        return state
 
     def revalidate_rate_truncation(self) -> bool:
         """Rate-quota safety net: re-encode (without a cap) every early-
@@ -864,6 +1032,10 @@ class TileCompressor:
         within 0.2 dB of the target (or the error floor is reached).  This
         removes the ~1 dB high-target bias of the independence
         approximation."""
+        # -q calibration decodes from per-codeblock state; run_t1 gates
+        # the flat path off for quality targets, but a direct caller may
+        # not have set the flag — bridge defensively
+        self._materialize_enc_seq()
         numlayers = len(psnr_targets)
         entries = []
         e0_total = 0.0
@@ -1038,15 +1210,9 @@ class TileCompressor:
         return total_err
 
     def _bisect_layer(self, entries, prev, slopes, layno, target):
-        """Two-stage feasible-slope search (B.8 'feasible' PCRD).
-
-        Stage 1 bisects on BODY bytes only, fully vectorized over the
-        flattened hull index — no Tier-2 calls.  Since headers are
-        non-negative, any candidate whose bodies alone exceed the target
-        is infeasible, so stage 1 yields an upper bound on the feasible
-        slope index.  Stage 2 walks down from that bound with exact
-        Tier-2 dry runs (typically 1-3, vs log2(slopes) before) until the
-        full packet size fits."""
+        """Object-path wrapper over the vector bisect core: builds the
+        per-entry prev vectors from codeblock state, adapts the Tier-2
+        dry run, and maps the result back to a counts dict."""
         hidx = getattr(self, "_hull_index", None)
         if hidx is None:
             hidx = self._hull_index = HullIndex(entries)
@@ -1055,6 +1221,35 @@ class TileCompressor:
         prev_rates = np.asarray(
             [c.pass_rates[p - 1] if p > 0 else 0
              for (c, _), p in zip(entries, prev_counts)], dtype=np.int64)
+        sim = getattr(self, "_sim_state", None)
+        if sim is not None:
+            def size_fn(counts_v):
+                return self._simulate_size_fast(
+                    sim, counts_v - prev_counts, layno)
+        else:
+            def size_fn(counts_v):
+                counts = {id(c): int(n)
+                          for (c, _), n in zip(entries, counts_v)}
+                return self._simulate_size(entries, prev, counts, layno)
+        counts_v = self._bisect_layer_v(hidx, prev_counts, prev_rates,
+                                        slopes, layno, target, size_fn)
+        if counts_v is None:
+            return dict(prev)
+        return {id(c): int(n) for (c, _), n in zip(entries, counts_v)}
+
+    def _bisect_layer_v(self, hidx, prev_counts, prev_rates, slopes,
+                        layno, target, size_fn):
+        """Two-stage feasible-slope search (B.8 'feasible' PCRD), vector
+        core shared by the object and flat paths.
+
+        Stage 1 bisects on BODY bytes only, fully vectorized over the
+        flattened hull index — no Tier-2 calls.  Since headers are
+        non-negative, any candidate whose bodies alone exceed the target
+        is infeasible, so stage 1 yields an upper bound on the feasible
+        slope index.  Stage 2 walks down from that bound with exact
+        Tier-2 dry runs (typically 1-3, vs log2(slopes) before) until the
+        full packet size fits.  Returns the per-entry included-pass
+        vector (int64), or None when no feasible threshold exists."""
 
         def cand_counts(lam):
             counts, rates = hidx.counts_rates(lam)
@@ -1076,18 +1271,9 @@ class TileCompressor:
                     hi = mid
             return best
 
-        sim = getattr(self, "_sim_state", None)
-
         def exact(idx):
             counts_v, body = cand_counts(slopes[idx])
-            counts = {id(c): int(n)
-                      for (c, _), n in zip(entries, counts_v)}
-            if sim is not None:
-                size = self._simulate_size_fast(
-                    sim, counts_v - prev_counts, layno)
-            else:
-                size = self._simulate_size(entries, prev, counts, layno)
-            return counts, body, size
+            return counts_v, body, size_fn(counts_v)
 
         # stage 2: fixed-point on the header+framing overhead.  One exact
         # Tier-2 dry run per iteration measures overhead = size - body;
@@ -1129,14 +1315,14 @@ class TileCompressor:
                 # bodies alone exceed the target at every index (the
                 # first bisect failed with overhead 0) — exact sizes can
                 # only be larger, so skip the futile dry runs
-                return dict(prev)
+                return None
             # overhead never stabilized on a feasible index: fall back to
             # the exact bisection so a feasible smaller index (if any) is
             # still found — the fixed point is an accelerator, not the
             # correctness path
             best, best_idx = exact_bisect(0, len(slopes), None, None)
             if best is None:
-                return dict(prev)
+                return None
         # push-up: the overhead approximation may land short of the true
         # maximum feasible index; walk up a few steps, then finish with
         # an exact bisection if the walk never hit an infeasible index
@@ -1418,30 +1604,40 @@ class TileCompressor:
         if es is not None and base:
             # whole-tile fast path: gather the grk_t1_encode_tile arrays
             # into this order — no per-codeblock Python state exists
-            (arena, offs_e, lens_e, nbps_e, npass_e, zb_e, isht_e,
-             rates_e, stride, gmap, _cblks_e) = es
-            perm = self._enc_perm(order, gmap, cblks)
+            perm = self._enc_perm(order, es.gmap, cblks)
             zb = np.zeros(ncbt, np.int32)
             nbps = np.zeros(ncbt, np.int32)
             isht = np.zeros(ncbt, np.int32)
-            zb[:base] = zb_e[perm]
-            nbps[:base] = nbps_e[perm]
-            isht[:base] = isht_e[perm]
+            zb[:base] = es.zb[perm]
+            nbps[:base] = es.numbps[perm]
+            isht[:base] = es.isht[perm]
             npl = np.zeros((max(nlayers, 1), ncbt), np.int32)
-            npl[0, :base] = npass_e[perm]
-            first = np.ones(ncbt, np.int32)  # len(npl)==1 when no passes
-            first[:base] = np.where(npl[0, :base] > 0, 0, 1)
-            rates = np.ascontiguousarray(rates_e[perm])
-            lens_p = lens_e[perm]
+            if es.npl is not None and es.npl.shape[0] == nlayers:
+                # layer assignment from the flat PCRD path
+                npl[:, :base] = es.npl[:, perm]
+                first = np.full(ncbt, nlayers, np.int32)
+                first[:base] = es.first[perm]
+            else:
+                # no assignment ran (direct write_packets use): all
+                # passes in layer 0, the untargeted single-layer default
+                npl[0, :base] = es.npasses[perm]
+                first = np.full(ncbt, nlayers, np.int32)
+                first[:base] = np.where(npl[0, :base] > 0, 0, nlayers)
+            rates = np.ascontiguousarray(es.rates[perm])
+            lens_p = es.lens[perm]
             ptrs = np.zeros(ncbt, np.uint64)
-            abase = arena.__array_interface__["data"][0]
+            abase = es.arena.__array_interface__["data"][0]
             ptrs[:base] = np.where(
-                lens_p > 0, abase + offs_e[perm].astype(np.uint64), 0)
-            keep = [arena]
+                lens_p > 0, abase + es.offs[perm].astype(np.uint64), 0)
+            keep = [es.arena]
             body, lengths, hdrs = nat.encode_seq(
                 prc_a, lay_a, sty_a, mix_a, base_a, npl, first, zb, nbps,
-                isht, rates, stride, ptrs, sop=sop, eph=eph, split=ppt)
+                isht, rates, es.stride, ptrs, sop=sop, eph=eph, split=ppt)
             del keep
+            # the flat arrays are views into thread-local scratch the
+            # NEXT tile on this thread overwrites — drop the reference
+            # so no later consumer reads stale data
+            self._enc_seq = None
             return body, lengths, order, hdrs
         zb = np.zeros(ncbt, np.int32)
         nbps = np.zeros(ncbt, np.int32)

@@ -125,6 +125,29 @@ class HullIndex:
         self.sizes = sizes_arr
         self.nonempty = self.sizes > 0
 
+    @classmethod
+    def from_flat(cls, hull_pass, hull_slope, hull_rate, hull_n, weights):
+        """Build the index straight from the whole-tile native encoder's
+        flat PCRD feed (grk_t1_encode_tile with need_dist): (ncb, stride)
+        hull matrices with per-block point counts `hull_n` and per-block
+        distortion weights — no per-codeblock objects touched."""
+        import numpy as np
+
+        self = cls.__new__(cls)
+        self._np = np
+        sizes = np.maximum(hull_n.astype(np.int64), 0)
+        mask = np.arange(hull_pass.shape[1])[None, :] < sizes[:, None]
+        self.pass_at = hull_pass[mask].astype(np.int64) + 1
+        self.rate_at = hull_rate[mask].astype(np.int64)
+        self.slopes = hull_slope[mask] * np.repeat(
+            np.asarray(weights, dtype=np.float64), sizes)
+        offsets = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        self.off = offsets[:-1]
+        self.sizes = sizes
+        self.nonempty = sizes > 0
+        return self
+
     def distinct_slopes(self) -> list[float]:
         """All distinct finite hull slopes, descending (the candidate
         thresholds PCRD bisects over)."""

@@ -1225,7 +1225,7 @@ int grk_t1_decode_batch(GrkT1DecJob* jobs, int n, int num_threads) {
   return 0;
 }
 
-int grk_t1_abi_version() { return 12; }  // v12: grk_t1_encode_tile
+int grk_t1_abi_version() { return 13; }  // v13: encode_tile PCRD feed
 
 // Re-serialize an unstuffed MSB-first bit buffer with the HT bit-writer's
 // 0xFF stuffing (7-bit capacity after a 0xFF byte), zero-padded flush and

@@ -14,6 +14,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <limits>
 #include <cstring>
 #include <vector>
 
@@ -825,6 +826,13 @@ long grk_t1_decode_tile(
 // quantization (the MQ ingest fuses it; HT blocks quantize into scratch
 // with the exact float32 math of transform/quant.quantize).  Returns
 // the job count, or -1 on output-arena overflow (caller falls back).
+// With need_dist != 0 (rate-targeted / multi-layer encodes) the outputs
+// additionally carry the PCRD feed: out_e0[g] (initial squared error),
+// per-pass distortion convex hulls as (ncb, rates_stride) row matrices
+// hull_pass / hull_slope (raw, unweighted) / hull_rate with point counts
+// in hull_n[g] — byte-parity mirrors of the per-codeblock epilogue
+// (t1.cc) and ratecontrol.convex_hull.  HT blocks carry one pass whose
+// distortion is the full coefficient energy, matching the Python path.
 // Only reachable from the amalgam build (needs the T1/HT batch entry
 // points earlier in the TU).
 long grk_t1_encode_tile(
@@ -834,7 +842,10 @@ long grk_t1_encode_tile(
     const float* band_delta,
     uint8_t* arena, const int64_t* out_offs, const int32_t* out_caps,
     int32_t* out_lens, int32_t* out_numbps, int32_t* out_npasses,
-    int32_t* rates, int rates_stride, int num_threads) {
+    int32_t* rates, int rates_stride,
+    int need_dist, double* out_e0,
+    int32_t* hull_pass, double* hull_slope, int32_t* hull_rate,
+    int32_t* hull_n, int num_threads) {
   constexpr int kMaxPasses = 96;  // == t1/native.py MAX_PASSES
   thread_local std::vector<GrkT1EncJob> mq_jobs;
   thread_local std::vector<GrkHTEncJob> ht_jobs;
@@ -858,6 +869,10 @@ long grk_t1_encode_tile(
     out_lens[g] = 0;
     out_numbps[g] = 0;
     out_npasses[g] = 0;
+    if (need_dist) {
+      out_e0[g] = 0.0;
+      hull_n[g] = 0;
+    }
     int h = st_hw[2 * g], w = st_hw[2 * g + 1];
     if (h <= 0 || w <= 0) continue;
     int band = st_meta[4 * g + 3];
@@ -888,6 +903,20 @@ long grk_t1_encode_tile(
         j.coeffs = (const int32_t*)src;
         j.stride = band_stride[band];
       }
+      if (need_dist) {
+        // coefficient energy = distortion removed by the single HT pass
+        // (mirror of t1/native.py ht_encode_batch_native: quantized for
+        // lossy bands, raw for reversible).  Integer squares summed in
+        // double: exact below 2^53, so summation order is immaterial.
+        const int32_t* cq = j.coeffs;
+        double e0 = 0.0;
+        for (int y = 0; y < h; y++)
+          for (int x = 0; x < w; x++) {
+            double v = (double)cq[(size_t)y * j.stride + x];
+            e0 += v * v;
+          }
+        out_e0[g] = e0;
+      }
       j.out = arena + out_offs[g];
       j.out_cap = out_caps[g];
       ht_jobs.push_back(j);
@@ -898,13 +927,18 @@ long grk_t1_encode_tile(
       j.w = w;
       j.orient = st_meta[4 * g];
       j.style = st_meta[4 * g + 1];
-      j.need_dist = 0;
+      j.need_dist = need_dist ? 1 : 0;
       j.stride = band_stride[band];
       j.coeffs = (const int32_t*)src;
       j.delta = delta;
       j.out = arena + out_offs[g];
       j.out_cap = out_caps[g];
       j.pass_rates = rates + (size_t)g * rates_stride;
+      if (need_dist) {
+        j.hull_pass = hull_pass + (size_t)g * rates_stride;
+        j.hull_slope = hull_slope + (size_t)g * rates_stride;
+        j.hull_rate = hull_rate + (size_t)g * rates_stride;
+      }
       mq_jobs.push_back(j);  // pass_dists/pass_terms pointed below
       mq_g.push_back(g);
     }
@@ -932,6 +966,17 @@ long grk_t1_encode_tile(
     if (j.numbps > 0) {
       out_npasses[g] = 1;  // HTONLY: one cleanup pass carrying everything
       rates[(size_t)g * rates_stride] = j.out_len;
+      if (need_dist && out_e0[g] > 0.0) {
+        // single feasible truncation point, exactly ratecontrol.
+        // convex_hull([len], [e0]): slope inf when the pass is free
+        size_t row = (size_t)g * rates_stride;
+        hull_pass[row] = 0;
+        hull_rate[row] = j.out_len;
+        hull_slope[row] = j.out_len > 0
+            ? out_e0[g] / (double)j.out_len
+            : std::numeric_limits<double>::infinity();
+        hull_n[g] = 1;
+      }
     }
   }
   for (size_t i = 0; i < mq_jobs.size(); i++) {
@@ -941,6 +986,10 @@ long grk_t1_encode_tile(
     out_lens[g] = j.out_len;
     out_numbps[g] = j.numbps > mb ? mb : j.numbps;
     out_npasses[g] = j.num_passes;
+    if (need_dist) {
+      out_e0[g] = j.e0;
+      hull_n[g] = j.hull_n > 0 ? j.hull_n : 0;
+    }
   }
   return (long)(mq_jobs.size() + ht_jobs.size());
 }

@@ -195,12 +195,22 @@ def test_tile_encode_native_identical(rng):
         dict(irreversible=True), dict(ht=True, irreversible=True),
         dict(tile_size=(64, 64)), dict(sop=True, eph=True, plt=True),
         dict(ppt=True),
+        # rate-targeted / multi-layer configurations ride the flat PCRD
+        # path (grk_t1_encode_tile need_dist feed + _assign_layers_flat)
+        dict(numlayers=2, layer_rates=[20, 1]),
+        dict(numlayers=3, layer_rates=[40, 10, 2]),
+        dict(numlayers=2),
+        dict(ht=True, numlayers=2, layer_rates=[20, 5]),
+        dict(irreversible=True, numlayers=2, layer_rates=[20, 5]),
+        dict(ht=True, ht_mixed=True, layer_rates=[12]),
+        dict(max_cs_size=9000),
+        dict(ppt=True, numlayers=2, layer_rates=[20, 4]),
     ]
     for kw in fast_cases:
         used = []
 
-        def probe(self, _u=used):
-            r = orig(self)
+        def probe(self, need_dist=False, _u=used):
+            r = orig(self, need_dist)
             _u.append(r)
             return r
 
@@ -211,7 +221,7 @@ def test_tile_encode_native_identical(rng):
             a2 = grok_tpu.compress(GrkImage.from_array(arr),
                                    CompressParams(**kw))  # cached statics
             proc.TileCompressor._run_t1_tile_native_enc = \
-                lambda self: False
+                lambda self, need_dist=False: False
             b = grok_tpu.compress(GrkImage.from_array(arr),
                                   CompressParams(**kw))
         finally:
@@ -219,13 +229,13 @@ def test_tile_encode_native_identical(rng):
         assert used and all(used), kw  # the native tile path actually ran
         assert a == b and a2 == b, kw
     # gated-out cases must keep the per-codeblock loop: ROI upshift,
-    # rate targets (need_dist), multi-layer
+    # -q quality targets (calibration re-decodes per-codeblock state)
     for kw in (dict(roi_comp=-2, roi_shift=6),
-               dict(numlayers=2, layer_rates=[20, 1])):
+               dict(numlayers=2, layer_psnr=[30.0, 42.0])):
         used = []
 
-        def probe(self, _u=used):
-            r = orig(self)
+        def probe(self, need_dist=False, _u=used):
+            r = orig(self, need_dist)
             _u.append(r)
             return r
 
@@ -237,15 +247,33 @@ def test_tile_encode_native_identical(rng):
             proc.TileCompressor._run_t1_tile_native_enc = orig
         assert not any(used), kw
         grok_tpu.decompress(data)
-    # per-packet Tier-2 fallback consumes the flat arrays through
-    # _materialize_enc_seq: byte-identical again
-    seq = proc._T2_SEQ_ENC
-    try:
+    # the _materialize_enc_seq bridge: run_t1 takes the whole-tile path,
+    # then write_packets is forced to bridge back to per-codeblock state
+    # BEFORE emission (so the bridge runs on a populated _enc_seq) and
+    # the resulting streams stay byte-identical
+    for kw in (dict(ht=True), dict(numlayers=2, layer_rates=[20, 1])):
         a = grok_tpu.compress(GrkImage.from_array(arr),
-                              CompressParams(ht=True))
-        proc._T2_SEQ_ENC = False
-        b = grok_tpu.compress(GrkImage.from_array(arr),
-                              CompressParams(ht=True))
-    finally:
-        proc._T2_SEQ_ENC = seq
-    assert a == b
+                              CompressParams(**kw))
+        bridged = []
+        orig_mat = proc.TileCompressor._materialize_enc_seq
+        real_wp = proc.TileCompressor.write_packets
+
+        def probe_mat(self, _b=bridged):
+            if getattr(self, "_enc_seq", None) is not None:
+                _b.append(True)
+            return orig_mat(self)
+
+        def wp(self, comp_info, sop=False, eph=False, ppt=False):
+            self._materialize_enc_seq()
+            return real_wp(self, comp_info, sop=sop, eph=eph, ppt=ppt)
+
+        proc.TileCompressor._materialize_enc_seq = probe_mat
+        proc.TileCompressor.write_packets = wp
+        try:
+            b = grok_tpu.compress(GrkImage.from_array(arr),
+                                  CompressParams(**kw))
+        finally:
+            proc.TileCompressor.write_packets = real_wp
+            proc.TileCompressor._materialize_enc_seq = orig_mat
+        assert bridged, kw  # the bridge ran on a populated _enc_seq
+        assert a == b, kw
