@@ -686,7 +686,8 @@ class CodestreamDecoder:
                                   num_threads=p.num_threads)
             sop, eph = self._tile_sop_eph.get(tidx, (hi.sop, hi.eph))
             try:
-                td.decode_packets(b"".join(parts), sop=sop, eph=eph)
+                td.decode_packets(b"".join(parts), sop=sop, eph=eph,
+                                  strict=self.strict or p.strict)
             except Exception as e:
                 if self.strict or p.strict:
                     if isinstance(e, CodestreamError):
@@ -762,7 +763,8 @@ class CodestreamDecoder:
         data = b"".join(parts)
         sop, eph = self._tile_sop_eph.get(tidx, (hi.sop, hi.eph))
         try:
-            td.decode_packets(data, sop=sop, eph=eph)
+            td.decode_packets(data, sop=sop, eph=eph,
+                              strict=self.strict or p.strict)
         except Exception as e:  # tolerant decode
             if self.strict or p.strict:
                 if isinstance(e, CodestreamError):

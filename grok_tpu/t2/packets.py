@@ -438,6 +438,48 @@ def encode_packet_py(
 # Packet decoding
 # ---------------------------------------------------------------------------
 
+def _check_nsop(data, pos: int, sop_index: int) -> None:
+    """Validate an SOP marker segment at data[pos:] against the expected
+    packet counter (T.800 A.8.1: Lsop == 4, Nsop == counter mod 65536).
+    A mismatch means the stream lost sync — raise so the tolerant caller
+    can scan for a consistent SOP instead of mis-attaching bodies."""
+    if sop_index < 0:
+        return
+    if data[pos + 2:pos + 4] != b"\x00\x04":
+        raise ValueError(f"bad SOP Lsop at offset {pos}")
+    nsop = (data[pos + 4] << 8) | data[pos + 5]
+    if nsop != (sop_index & 0xFFFF):
+        raise ValueError(
+            f"SOP Nsop {nsop} at offset {pos} does not match expected "
+            f"packet {sop_index & 0xFFFF}")
+
+
+def find_sop_resync(data, start: int, cur_index: int,
+                    num_packets: int) -> tuple[int, int] | None:
+    """Mid-tile SOP resynchronization (SURVEY.md §5 error resilience):
+    scan data[start:] for the next SOP marker whose Nsop is CONSISTENT —
+    a well-formed Lsop and an Nsop that maps (mod 65536) to a packet
+    index in (cur_index, num_packets).  Returns (marker offset, resume
+    packet index), or None when no consistent marker remains.  A stray
+    0xFF91 inside a packet body fails the consistency test and the scan
+    continues past it."""
+    d = bytes(data) if not isinstance(data, (bytes, bytearray)) else data
+    scan = start
+    while True:
+        nxt = d.find(SOP_MARKER, scan)
+        if nxt < 0 or nxt + 6 > len(d):
+            return None
+        scan = nxt + 2
+        if d[nxt + 2:nxt + 4] != b"\x00\x04":
+            continue
+        nsop = (d[nxt + 4] << 8) | d[nxt + 5]
+        # packet counters wrap at 65536: resume at the smallest index
+        # beyond the failed packet congruent to Nsop
+        k = cur_index + 1 + ((nsop - (cur_index + 1)) % 0x10000)
+        if k < num_packets:
+            return nxt, k
+
+
 def decode_packet(
     data: bytes,
     pos: int,
@@ -452,17 +494,22 @@ def decode_packet(
     hdr_pos: int = 0,
     discard: bool = False,
     mixed: bool = False,
+    sop_index: int = -1,
 ) -> tuple[int, int]:
     """Decode one packet, routing the header parse through the native
     Tier-2 coder when available (state mirrored onto the codeblocks so
-    downstream Tier-1 sees exactly what decode_packet_py maintains)."""
+    downstream Tier-1 sees exactly what decode_packet_py maintains).
+    `sop_index` >= 0 is the expected Nsop (packet counter mod 65536); a
+    present SOP whose Nsop disagrees raises so the tolerant caller can
+    resynchronize on a consistent marker."""
     if _native is None:
         return decode_packet_py(data, pos, res, precno, layno, style,
                                 band_numbps, sop, eph, hdr_data, hdr_pos,
-                                discard, mixed)
+                                discard, mixed, sop_index)
     prc = res.precincts[precno]
     in_ppt = hdr_data is not None
     if data[pos:pos + 2] == SOP_MARKER:
+        _check_nsop(data, pos, sop_index)
         pos += 6
     elif sop and not in_ppt:
         raise ValueError(f"expected SOP marker at offset {pos}")
@@ -522,6 +569,7 @@ def decode_packet_py(
     hdr_pos: int = 0,
     discard: bool = False,
     mixed: bool = False,
+    sop_index: int = -1,
 ) -> tuple[int, int]:
     """Decode one packet header, attach body byte ranges to codeblocks, and
     return (new body position, new header position).  When `hdr_data` is
@@ -531,6 +579,7 @@ def decode_packet_py(
     prc = res.precincts[precno]
     in_ppt = hdr_data is not None
     if data[pos:pos + 2] == SOP_MARKER:
+        _check_nsop(data, pos, sop_index)
         pos += 6
     elif sop and not in_ppt:
         # SOP signaled but missing where a packet should start: the stream

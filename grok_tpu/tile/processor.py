@@ -1917,7 +1917,8 @@ class TileDecompressor:
                 return True
         return False
 
-    def decode_packets(self, data: bytes, sop=False, eph=False) -> None:
+    def decode_packets(self, data: bytes, sop=False, eph=False,
+                       strict=False) -> None:
         comp_info = [(c.dx, c.dy, self.tcp.tccps[i].numresolutions)
                      for i, c in enumerate(self.image.comps)]
         # every decodable packet costs >= 1 byte inline (>= 1 header bit
@@ -1955,7 +1956,11 @@ class TileDecompressor:
                 and order and len(data) < (1 << 31)
                 and self._decode_packets_seq(data, order)):
             return
+        resume_at = -1
+        check_nsop = sop and ppt is None
         for n, pc in enumerate(order):
+            if n < resume_at:
+                continue  # packets lost to a corrupt span (SOP resync)
             tc = self.tile.comps[pc.compno]
             tccp = self.tcp.tccps[pc.compno]
             res = tc.resolutions[pc.resno]
@@ -1969,24 +1974,42 @@ class TileDecompressor:
                 continue
             discard = bool(self.max_layers) and pc.layno >= self.max_layers
             mixed = tccp.ht and getattr(self.cp, "ht_mixed", False)
+            prev_pos = pos
             try:
                 pos, hdr_pos = t2.decode_packet(
                     data, pos, res, pc.precno, pc.layno,
                     tccp.cblk_style, band_numbps, sop=sop, eph=eph,
                     hdr_data=ppt, hdr_pos=hdr_pos, discard=discard,
-                    mixed=mixed)
+                    mixed=mixed, sop_index=n if check_nsop else -1)
+                if pos < prev_pos:
+                    # a smashed header can "parse" into garbage segment
+                    # lengths whose sum wraps the position backwards —
+                    # flag THIS packet as the corrupt one (pos beyond
+                    # len(data) is plain truncation, handled tolerantly
+                    # by the bounds check above)
+                    raise ValueError(
+                        f"packet consumed implausible span "
+                        f"{prev_pos}->{pos}")
             except Exception as e:
-                if not sop:
+                pos = prev_pos  # failed packet's start anchors the scan
+                if strict or not sop:
                     raise
-                # SOP error resilience (SURVEY.md §5 "error-resilience
-                # coding options"): resync on the next packet's SOP marker
-                nxt = bytes(data).find(t2.SOP_MARKER, pos + 1)
+                # mid-tile SOP resynchronization (SURVEY.md §5
+                # "error-resilience coding options"): scan forward for
+                # the next SOP whose Nsop is consistent with a packet
+                # still ahead, resume the iterator at exactly that
+                # packet (already-attached segments stay attached), and
+                # skip the lost span.  Scanning starts AT pos: when the
+                # marker here is valid but carries a later Nsop (packets
+                # lost upstream), it is itself the resync point.
+                r = t2.find_sop_resync(data, pos, n, len(order))
                 log.warning(
-                    "packet %d parse error (%s); resyncing at SOP %s",
-                    n, e, nxt)
-                if nxt < 0:
+                    "packet %d parse error (%s); SOP resync -> %s",
+                    n, e, "none" if r is None else
+                    f"packet {r[1]} at offset {r[0]}")
+                if r is None:
                     break
-                pos = nxt
+                pos, resume_at = r
 
     def _seq_state(self, order, nat):
         """Per-packet/per-codeblock arrays for grk_t2_decode_seq.  Pure

@@ -91,6 +91,26 @@ def _seed_corpus():
         grok_tpu.compress(_subsampled(rng, 64, 48),
                           CompressParams(numresolution=3)),
     ]
+    # streaming-encoder-produced file (VERDICT r4 #8): the strip encoder
+    # emits tile-parts incrementally with a seek-back-patched TLM — its
+    # marker layout (reserved-span TLM + COM filler) is a distinct
+    # decode surface from the whole-image writer's
+    import tempfile
+
+    meta = GrkImage(x0=0, y0=0, x1=96, y1=80)
+    from grok_tpu.image import ImageComponent
+
+    c = ImageComponent(prec=8, sgnd=False)
+    c.w, c.h = 96, 80
+    meta.comps.append(c)
+    plane = rng.integers(0, 256, (80, 96)).astype(np.int32)
+    with tempfile.NamedTemporaryFile(suffix=".j2k", delete=False) as tf:
+        grok_tpu.compress_strips_file(
+            meta, lambda y0, h: [plane[y0:y0 + h]], tf.name,
+            CompressParams(numresolution=3, tile_size=(48, 48), tlm=True,
+                           sop=True, eph=True, precincts=[(32, 32)]))
+        seeds.append(open(tf.name, "rb").read())
+    os.unlink(tf.name)
     # oracle-produced stream (independent encoder's marker layout)
     from PIL import Image
 
@@ -103,7 +123,34 @@ def _seed_corpus():
 
 def _mutate(rng, data: bytes) -> bytes:
     ba = bytearray(data)
-    kind = rng.integers(0, 4)
+    kind = rng.integers(0, 5)
+    if kind == 4:  # SOP-targeted family (VERDICT r4 #2): exercise the
+        # mid-tile Nsop resync — smash a marker, its Nsop, the header
+        # behind it, or splice a whole inter-SOP span out
+        sops = []
+        o = data.find(b"\xff\x91")
+        while o >= 0 and len(sops) < 256:
+            sops.append(o)
+            o = data.find(b"\xff\x91", o + 2)
+        if not sops:
+            kind = 0  # seed has no SOP markers: plain byte flips
+        else:
+            i = int(rng.integers(0, len(sops)))
+            mode = int(rng.integers(0, 4))
+            if mode == 0:  # destroy the marker segment
+                ba[sops[i]:sops[i] + 6] = bytes(6)
+            elif mode == 1:  # corrupt Nsop (desynchronize the counter)
+                ba[sops[i] + 4:sops[i] + 6] = bytes(
+                    int(rng.integers(0, 0x10000)).to_bytes(2, "big"))
+            elif mode == 2:  # smash the packet header after the marker
+                end = min(sops[i] + 6 + int(rng.integers(1, 16)), len(ba))
+                for j in range(sops[i] + 6, end):
+                    ba[j] = int(rng.integers(0, 256))
+            elif i + 1 < len(sops):  # splice the whole packet out
+                del ba[sops[i]:sops[i + 1]]
+            else:
+                ba = ba[:sops[i]]
+            return bytes(ba)
     if kind == 0:  # byte flips (1-8 random positions)
         for _ in range(int(rng.integers(1, 9))):
             i = int(rng.integers(0, len(ba)))
@@ -161,6 +208,53 @@ def test_decoder_mutation_fuzz():
     assert trials >= MIN_TRIALS, (
         f"only {trials} mutations ran inside the budget — corpus decode "
         f"too slow")
+    assert not failures, failures[:10]
+
+
+def test_pnm_strip_reader_fuzz(tmp_path):
+    """The streaming-encode input path (open_pnm_strips +
+    compress_strips, VERDICT r4 #8): truncated headers, short bodies and
+    mutated magic/dimension tokens must surface as GrkError — never a
+    deep traceback or a hang."""
+    rng = np.random.default_rng(FUZZ_SEED ^ 0x5A5A)
+    from grok_tpu.io import formats
+
+    base = bytearray(b"P5\n64 48\n255\n")
+    base += bytes(rng.integers(0, 256, 64 * 48, dtype=np.uint8))
+    failures = []
+    for i in range(120):
+        ba = bytearray(base)
+        mode = i % 4
+        if mode == 0:  # truncate (header or body)
+            ba = ba[:int(rng.integers(1, len(ba)))]
+        elif mode == 1:  # mutate header tokens
+            for _ in range(int(rng.integers(1, 4))):
+                j = int(rng.integers(0, 13))
+                ba[j] = int(rng.integers(0, 256))
+        elif mode == 2:  # short body
+            ba = ba[:13 + int(rng.integers(0, 64 * 48))]
+        else:  # giant declared dims vs small body
+            ba[3:8] = b"99999"
+        p = tmp_path / f"f{i}.pgm"
+        p.write_bytes(bytes(ba))
+        try:
+            meta, reader = formats.open_pnm_strips(str(p))
+            try:
+                grok_tpu.compress_strips(
+                    meta, reader, CompressParams(numresolution=3,
+                                                 tile_size=(32, 32)))
+            finally:
+                reader.close()
+        except ALLOWED:
+            pass
+        except (ValueError, OverflowError) as e:
+            # dimension tokens are ints parsed from untrusted text; a
+            # non-numeric token raising ValueError at the API boundary
+            # is acceptable discipline only if it names the file format
+            if "PNM" not in str(e) and "invalid literal" not in str(e):
+                failures.append((i, type(e).__name__, str(e)[:120]))
+        except Exception as e:  # noqa: BLE001
+            failures.append((i, type(e).__name__, str(e)[:120]))
     assert not failures, failures[:10]
 
 
