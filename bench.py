@@ -43,7 +43,7 @@ import numpy as np
 BASELINE_COMBINED_MPS = 1.0 / (1.0 / 1.7 + 1.0 / 4.8)
 
 PROBE_TIMEOUT = float(os.environ.get("GROK_TPU_BENCH_PROBE_TIMEOUT", "45"))
-DEVICE_TIMEOUT = float(os.environ.get("GROK_TPU_BENCH_DEVICE_TIMEOUT", "240"))
+DEVICE_TIMEOUT = float(os.environ.get("GROK_TPU_BENCH_DEVICE_TIMEOUT", "420"))
 
 
 def _force_cpu():
@@ -116,6 +116,17 @@ def device_metrics_main():
     encode_cblks_ht_device(blocks)
     t = best_of(lambda: encode_cblks_ht_device(blocks), 3)
     out["device_ht_t1_mps"] = round(64 * 64 * 64 / t / 1e6, 3)
+    # Pallas vertical 5/3 analysis throughput (VERDICT r4 #4: record the
+    # measured kernel number whenever the relay is healthy)
+    import jax
+    import jax.numpy as jnp
+
+    from grok_tpu.ops.pallas_dwt import fwd_53_vertical
+
+    plane = jnp.asarray(rng.integers(-512, 512, (2048, 2048)), jnp.int32)
+    jax.block_until_ready(fwd_53_vertical(plane))
+    t = best_of(lambda: jax.block_until_ready(fwd_53_vertical(plane)), 3)
+    out["pallas_dwt53_gps"] = round(plane.size / t / 1e9, 3)
     print(json.dumps(out))
     sys.exit(0)
 
@@ -157,6 +168,15 @@ def main():
     backend = os.environ.get("GROK_TPU_BENCH_BACKEND", "native")
     dp = DecompressParams(backend=backend)
     errors = {}
+    # Early relay probe (VERDICT r4 #4): the relay degrades in multi-
+    # minute phases, so probe BEFORE the ~60 s ladder as well as after —
+    # two timestamped attempts per run instead of one point of failure.
+    probes = []
+    if os.environ.get("GROK_TPU_BENCH_NO_DEVICE") != "1":
+        rc0, _ = _run_sub("--probe", PROBE_TIMEOUT)
+        probes.append({"ts": round(time.time(), 1),
+                       "status": {0: "ok", None: "degraded"}.get(rc0,
+                                                                 "absent")})
     result = {
         "metric": "512x512 gray lossless 5/3 encode+decode round-trip "
                   "throughput (config 1)",
@@ -295,7 +315,14 @@ def main():
     if os.environ.get("GROK_TPU_BENCH_NO_DEVICE") == "1":
         result["relay"] = "skipped"
     else:
-        rc, _line = _run_sub("--probe", PROBE_TIMEOUT)
+        if probes and probes[0]["status"] == "ok":
+            rc = 0  # early probe was healthy; run the metrics now
+        else:
+            rc, _line = _run_sub("--probe", PROBE_TIMEOUT)
+            probes.append({"ts": round(time.time(), 1),
+                           "status": {0: "ok", None: "degraded"}.get(
+                               rc, "absent")})
+        result["relay_probes"] = probes
         if rc == 0:
             result["relay"] = "ok"
             rc, line = _run_sub("--device-metrics", DEVICE_TIMEOUT)

@@ -17,7 +17,8 @@ the PCS (XYZ u1.15 or legacy 16-bit/8-bit Lab encoding), then share the
 Bradford + sRGB tail with the matrix/TRC path.  CMYK device spaces run
 the same mft pipeline with a 4-input CLUT (lcms Eval4Inputs order:
 linear along the first channel, tetrahedral over the rest).  v4 'mAB '
-pipelines still fall back to the caller's warning path.  Curve
+(lutAtoBType) pipelines evaluate A curves -> per-axis-grid CLUT -> M
+curves -> 3x4 matrix -> B curves with v4 XYZ/Lab PCS encodings.  Curve
 types handled: 'curv' (identity / u8.8 gamma / sampled table) and 'para'
 (types 0-4, ICC.1 §10.18).
 """
@@ -184,10 +185,12 @@ def _tetrahedral3(clut: np.ndarray, x: np.ndarray,
     CLUTs, so 8-bit results track ImageCms within an LSB.  With idx0
     (per-sample integer index), clut is (g, g, g, g, out_ch) and the
     evaluation runs in the idx0 slice of the leading dimension (the
-    4-input path's inner step)."""
-    g = clut.shape[-2]
-    p = np.clip(x, 0.0, 1.0) * (g - 1)
-    i = np.minimum(p.astype(np.int64), g - 2)
+    4-input path's inner step).  Per-axis grid sizes (mAB CLUTs declare
+    one per input channel) are taken from clut.shape."""
+    dims = np.array(clut.shape[-4:-1], dtype=np.int64) - 1  # g-1 per axis
+    shp = (3,) + (1,) * (x.ndim - 1)
+    p = np.clip(x, 0.0, 1.0) * dims.reshape(shp)
+    i = np.minimum(p.astype(np.int64), (dims - 1).reshape(shp))
     r = p - i
     ix, iy, iz = i[0], i[1], i[2]
     rx, ry, rz = r[0], r[1], r[2]
@@ -296,6 +299,99 @@ def _apply_a2b_lut(planes, a2b: bytes, pcs: bytes,
     raise UnsupportedProfile("PCS")
 
 
+def _read_mab_curves(tag: bytes, off: int, count: int):
+    """`count` consecutive curve elements ('curv'/'para', each padded to
+    a 4-byte boundary) starting at tag[off:] — the A/M/B curve lists of
+    a lutAtoBType (ICC.1 §10.12)."""
+    curves = []
+    for _ in range(count):
+        if off + 12 > len(tag):
+            raise UnsupportedProfile("mAB curve list out of bounds")
+        kind = tag[off:off + 4]
+        if kind == b"curv":
+            (n,) = struct.unpack(">I", tag[off + 8:off + 12])
+            size = 12 + 2 * n
+        elif kind == b"para":
+            (ftype,) = struct.unpack(">H", tag[off + 8:off + 10])
+            nparams = {0: 1, 1: 3, 2: 4, 3: 5, 4: 7}.get(ftype)
+            if nparams is None:
+                raise UnsupportedProfile("parametric curve type")
+            size = 12 + 4 * nparams
+        else:
+            raise UnsupportedProfile("mAB curve element kind")
+        if off + size > len(tag):
+            raise UnsupportedProfile("mAB curve out of bounds")
+        curves.append(_curve(tag[off:off + size]))
+        off += size + ((-size) % 4)
+    return curves
+
+
+def _apply_mab_lut(planes, tag: bytes, pcs: bytes,
+                   peak: float) -> np.ndarray:
+    """Run device planes through a v4 'mAB ' (lutAtoBType) pipeline:
+    A curves -> CLUT -> M curves -> matrix -> B curves (ICC.1 §10.12;
+    absent elements are identity).  Returns XYZ(D50) stacked (3, h, w).
+    Ref: GrkImage_Conversion.cpp applies any profile via lcms2 [P]."""
+    if tag[:4] != b"mAB " or len(tag) < 32:
+        raise UnsupportedProfile("not an mAB LUT")
+    in_ch, out_ch = tag[8], tag[9]
+    off_b, off_mat, off_m, off_clut, off_a = struct.unpack(
+        ">5I", tag[12:32])
+    if out_ch != 3 or in_ch not in (3, 4) or len(planes) < in_ch:
+        raise UnsupportedProfile("unsupported mAB pipeline shape")
+    x = np.stack([p.astype(np.float64) / peak for p in planes[:in_ch]])
+
+    if off_clut:
+        if off_a:
+            a_curves = _read_mab_curves(tag, off_a, in_ch)
+            x = np.stack([a_curves[i](x[i]) for i in range(in_ch)])
+        if off_clut + 20 > len(tag):
+            raise UnsupportedProfile("mAB CLUT header out of bounds")
+        grids = tag[off_clut:off_clut + 16][:in_ch]
+        prec_b = tag[off_clut + 16]
+        if any(g < 2 for g in grids) or prec_b not in (1, 2):
+            raise UnsupportedProfile("mAB CLUT grid/precision")
+        n = int(np.prod([int(g) for g in grids])) * out_ch
+        width, scale, dt = ((1, 255.0, "u1") if prec_b == 1
+                            else (2, 65535.0, ">u2"))
+        data_off = off_clut + 20
+        if data_off + width * n > len(tag):
+            raise UnsupportedProfile("mAB CLUT data out of bounds")
+        clut = np.frombuffer(tag[data_off:data_off + width * n],
+                             dtype=dt).astype(np.float64) / scale
+        clut = clut.reshape(tuple(int(g) for g in grids) + (out_ch,))
+        x = (_tetrahedral3(clut, x) if in_ch == 3
+             else _eval_clut4(clut, x))        # (h, w, 3)
+        x = np.stack([x[..., i] for i in range(3)])
+    elif in_ch != 3 or off_a:
+        # without a CLUT the pipeline cannot change channel count, and
+        # A curves are only present when a CLUT is (§10.12)
+        raise UnsupportedProfile("mAB missing CLUT")
+    if off_m:
+        m_curves = _read_mab_curves(tag, off_m, 3)
+        x = np.stack([m_curves[i](x[i]) for i in range(3)])
+    if off_mat:
+        if off_mat + 48 > len(tag):
+            raise UnsupportedProfile("mAB matrix out of bounds")
+        vals = np.array(struct.unpack(">12i", tag[off_mat:off_mat + 48]),
+                        dtype=np.float64) / 65536.0
+        x = np.einsum("ij,jhw->ihw", vals[:9].reshape(3, 3), x) \
+            + vals[9:].reshape(3, 1, 1)
+    if off_b:
+        b_curves = _read_mab_curves(tag, off_b, 3)
+        x = np.stack([b_curves[i](x[i]) for i in range(3)])
+    if pcs == b"XYZ ":
+        return x * (65535.0 / 32768.0)        # u1.15
+    if pcs == b"Lab ":
+        # v4 16-bit Lab encoding (ICC.1 §6.3.4.2): L on 0..100 over the
+        # full range, a/b on -128..127+255/256
+        L = x[0] * 100.0
+        a = x[1] * 255.0 - 128.0
+        b = x[2] * 255.0 - 128.0
+        return _lab_to_xyz_d50(L, a, b)
+    raise UnsupportedProfile("PCS")
+
+
 def profile_to_srgb(planes: list[np.ndarray], icc: bytes,
                     prec: int) -> list[np.ndarray] | None:
     """Convert device planes (len 1, 3 or 4, unsigned, `prec` bits) to
@@ -319,20 +415,23 @@ def profile_to_srgb(planes: list[np.ndarray], icc: bytes,
         tags = _tags(icc)
         peak = float((1 << prec) - 1)
         a2b = tags.get(b"A2B0")
+        lut_kinds = (b"mft1", b"mft2", b"mAB ")
+        def a2b_eval(dev_planes):
+            if a2b[:4] == b"mAB ":
+                return _apply_mab_lut(dev_planes, a2b, icc[20:24], peak)
+            return _apply_a2b_lut(dev_planes, a2b, icc[20:24], peak)
         if len(planes) >= 4 and a2b is not None \
-                and a2b[:4] in (b"mft1", b"mft2") \
+                and a2b[:4] in lut_kinds \
                 and icc[16:20] == b"CMYK":
             # 4-ink device space: the A2B0 LUT is the only device->PCS
             # description a CMYK profile carries
-            xyz_d50 = _apply_a2b_lut(planes[:4], a2b, icc[20:24], peak)
-            return xyz_tail(xyz_d50, planes[4:])
+            return xyz_tail(a2b_eval(planes[:4]), planes[4:])
         if len(planes) >= 3 and a2b is not None \
-                and a2b[:4] in (b"mft1", b"mft2") \
+                and a2b[:4] in lut_kinds \
                 and icc[16:20] == b"RGB ":
             # lcms prefers the A2B pipeline over matrix/TRC when both
             # are present, so mirror that order
-            xyz_d50 = _apply_a2b_lut(planes[:3], a2b, icc[20:24], peak)
-            return xyz_tail(xyz_d50, planes[3:])
+            return xyz_tail(a2b_eval(planes[:3]), planes[3:])
         if len(planes) >= 3 and all(
                 t in tags for t in (b"rXYZ", b"gXYZ", b"bXYZ",
                                     b"rTRC", b"gTRC", b"bTRC")):

@@ -855,3 +855,125 @@ def test_color_conversion_review_hardening(rng):
     color_mod.cielab_to_srgb(lab)
     assert not any(c.sgnd for c in lab.comps)
     assert all(c.data.min() >= 0 for c in lab.comps)
+
+
+# ------------------------------------------------- v4 'mAB ' (lutAtoBType)
+
+def _build_mab_profile(pcs=b"XYZ ", with_matrix=False, grids=(9, 10, 11)):
+    """Synthetic v4 lutAtoBType profile (VERDICT r4 #3): gamma-2 A
+    curves -> per-axis-grid CLUT (sRGB->XYZ(D50) or its Lab encoding) ->
+    optional M curves + matrix -> identity B curves, with the minimal
+    desc/wtpt/cprt set lcms needs."""
+    import struct
+
+    m = np.array([[0.4360747, 0.3850649, 0.1430804],
+                  [0.2225045, 0.7168786, 0.0606169],
+                  [0.0139322, 0.0971045, 0.7141733]])  # sRGB->XYZ(D50)
+    gamma = b"curv" + b"\0" * 4 + struct.pack(">IH", 1, 512) + b"\0\0"
+    ident = b"curv" + b"\0" * 4 + struct.pack(">I", 0)
+    axes = np.meshgrid(*[np.linspace(0, 1, g) for g in grids],
+                       indexing="ij")
+    xyz = np.einsum("ij,jabc->iabc", m, np.stack(axes))
+    if with_matrix:
+        # the matrix stage will scale by 0.5 and add offsets; bake the
+        # inverse into the CLUT so the net pipeline stays in gamut
+        xyz = (xyz - np.array([0.02, 0.0, 0.01])[:, None, None, None]) \
+            / 0.5
+    if pcs == b"XYZ ":
+        vals = np.moveaxis(xyz, 0, -1) * 32768.0
+    else:
+        ll, aa, bb = _xyz_to_lab_icc(xyz)
+        vals = np.stack([ll / 100.0 * 65535.0,
+                         (aa + 128.0) / 255.0 * 65535.0,
+                         (bb + 128.0) / 255.0 * 65535.0], -1)
+    clut_data = np.rint(np.clip(vals, 0, 65535)).astype(">u2").tobytes()
+    clut = (bytes(list(grids) + [0] * 13) + bytes([2, 0, 0, 0])
+            + clut_data)
+    clut += b"\0" * ((-len(clut)) % 4)
+    mat = struct.pack(">12i", 32768, 0, 0, 0, 32768, 0, 0, 0, 32768,
+                      round(0.02 * 65536), 0, round(0.01 * 65536))
+    parts = [ident * 3]                                     # B curves
+    off_b = 32
+    off_mat = off_m = 0
+    pos = off_b + len(parts[0])
+    if with_matrix:
+        off_mat, pos = pos, pos + len(mat)
+        parts.append(mat)
+        off_m, pos = pos, pos + len(ident) * 3
+        parts.append(ident * 3)                             # M curves
+    off_clut, pos = pos, pos + len(clut)
+    parts.append(clut)
+    off_a = pos
+    parts.append(gamma * 3)                                 # A curves
+    a2b = (b"mAB " + b"\0" * 4 + bytes([3, 3, 0, 0])
+           + struct.pack(">5I", off_b, off_mat, off_m, off_clut, off_a)
+           + b"".join(parts))
+    desc = (b"mluc" + b"\0" * 4 + struct.pack(">II", 1, 12)
+            + b"enUS" + struct.pack(">II", 8, 28)
+            + "test".encode("utf-16-be"))
+    d50 = struct.pack(">iii", round(0.9642 * 65536), 65536,
+                      round(0.8249 * 65536))
+    wtpt = b"XYZ " + b"\0" * 4 + d50
+    cprt = (b"mluc" + b"\0" * 4 + struct.pack(">II", 1, 12)
+            + b"enUS" + struct.pack(">II", 8, 28)
+            + "none".encode("utf-16-be"))
+    tags = [(b"desc", desc), (b"wtpt", wtpt), (b"cprt", cprt),
+            (b"A2B0", a2b)]
+    table = struct.pack(">I", len(tags))
+    body = b""
+    off = 128 + 4 + 12 * len(tags)
+    for sig, data in tags:
+        pad = (-len(data)) % 4
+        table += struct.pack(">4sII", sig, off, len(data))
+        body += data + b"\0" * pad
+        off += len(data) + pad
+    hdr = struct.pack(">I4sI4s4s4s12s4sIIII8sI",
+                      off, b"lcms", 0x04300000, b"mntr", b"RGB ", pcs,
+                      b"\0" * 12, b"acsp", 0, 0, 0, 0, b"\0" * 8, 0)
+    hdr += d50 + struct.pack(">I", 0)
+    hdr += b"\0" * (128 - len(hdr))
+    return hdr + table + body
+
+
+@pytest.mark.parametrize("with_matrix", [False, True])
+@pytest.mark.parametrize("pcs", [b"XYZ ", b"Lab "])
+def test_icc_mab_matches_lcms_8bit(rng, pcs, with_matrix):
+    """v4 'mAB ' pipelines (VERDICT r4 #3): A curves -> per-axis-grid
+    CLUT -> M curves -> matrix -> B curves with v4 XYZ/Lab PCS decode
+    agrees with lcms2 within 1 code value at 8 bits."""
+    from PIL import Image, ImageCms
+
+    from grok_tpu.util import icc as icc_mod
+
+    prof = _build_mab_profile(pcs=pcs, with_matrix=with_matrix)
+    p = ImageCms.ImageCmsProfile(io.BytesIO(prof))
+    a8 = rng.integers(0, 256, (48, 48, 3)).astype(np.int32)
+    ours = icc_mod.profile_to_srgb([a8[:, :, i] for i in range(3)],
+                                   prof, 8)
+    assert ours is not None
+    # relative colorimetric: on v4 profiles lcms gives the PERCEPTUAL
+    # intent its spec'd black-point scaling (up to 12 LSB at the dark
+    # end), which is an intent feature, not pipeline math
+    t = ImageCms.buildTransform(p, ImageCms.createProfile("sRGB"),
+                                "RGB", "RGB", renderingIntent=1,
+                                flags=ImageCms.Flags.NOOPTIMIZE)
+    ref = np.asarray(ImageCms.applyTransform(
+        Image.fromarray(a8.astype(np.uint8), "RGB"), t)).astype(np.int64)
+    assert np.abs(np.stack(ours[:3], -1) - ref).max() <= 1
+
+
+def test_icc_mab_16bit_self_consistent(rng):
+    """The same mAB profile applied at 16 bits agrees with its own 8-bit
+    application on 8-bit-representable colors (the >8-bit path lcms
+    cannot take)."""
+    from grok_tpu.util import icc as icc_mod
+
+    prof = _build_mab_profile(with_matrix=True)
+    a8 = rng.integers(0, 256, (32, 32, 3)).astype(np.int32)
+    out8 = icc_mod.profile_to_srgb([a8[:, :, i] for i in range(3)],
+                                   prof, 8)
+    out16 = icc_mod.profile_to_srgb([(a8 * 257)[:, :, i]
+                                     for i in range(3)], prof, 16)
+    assert out8 is not None and out16 is not None
+    d = np.abs(np.stack(out16[:3], -1) / 257.0 - np.stack(out8[:3], -1))
+    assert d.max() <= 1.0
