@@ -227,6 +227,22 @@ def main():
         result["ht_combined_mps"] = round(2 * mp / (the + thd), 3)
         result["ht_encode_mps"] = round(mp / the, 3)
         result["ht_decode_mps"] = round(mp / thd, 3)
+        result["ht_bytes"] = len(datah)
+
+        # Part-15 MIXED fast-lossless (VERDICT r4 #5): MQ on the res-0
+        # LL band (standard-leaning where the bits concentrate), HT on
+        # every detail band — the "fewer MQ decisions" product mode
+        cpm = CompressParams(numresolution=6, backend=backend, ht=True,
+                             ht_mixed=True)
+        datam = grok_tpu.compress(img, cpm)
+        outm = grok_tpu.decompress(datam, dp)
+        assert np.array_equal(outm.comps[0].data, arr.astype(np.int32))
+        tme = best_of(lambda: grok_tpu.compress(img, cpm), 8)
+        tmd = best_of(lambda: grok_tpu.decompress(datam, dp), 8)
+        result["mixed_combined_mps"] = round(2 * mp / (tme + tmd), 3)
+        result["mixed_encode_mps"] = round(mp / tme, 3)
+        result["mixed_decode_mps"] = round(mp / tmd, 3)
+        result["mixed_bytes"] = len(datam)
 
     section("config1", config1)
 

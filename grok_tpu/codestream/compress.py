@@ -372,12 +372,12 @@ def compress_codestream(image: GrkImage, p: CompressParams,
                        for q in range(cp.t_grid_h)
                        for pt in range(cp.t_grid_w)]
         if (p.backend == "device" or mesh is not None) \
-                and len(compressors) > 1:
+                and len(compressors) >= 1:
             from ..tile.processor import run_transforms_device_batched
 
             full = [t for (_, _, tr, t) in compressors
                     if tr.w == cp.t_width and tr.h == cp.t_height]
-            if len(full) > 1:
+            if len(full) >= 1:
                 run_transforms_device_batched(full, mesh=mesh)
 
     if (p.plt or p.plm) and p.max_cs_size:
@@ -417,13 +417,13 @@ def compress_codestream(image: GrkImage, p: CompressParams,
                 row = [_make_compressor(q, pt)
                        for pt in range(cp.t_grid_w)]
                 if (p.backend == "device" or mesh is not None) \
-                        and len(row) > 1:
+                        and len(row) >= 1:
                     from ..tile.processor import \
                         run_transforms_device_batched
 
                     full = [t for (_, _, tr, t) in row
                             if tr.w == cp.t_width and tr.h == cp.t_height]
-                    if len(full) > 1:
+                    if len(full) >= 1:
                         run_transforms_device_batched(full, mesh=mesh)
                 yield from row
             finally:

@@ -589,8 +589,14 @@ class CodestreamDecoder:
             mesh = resolve_mesh(p.mesh)
         # reduce/window always fail per-tile device eligibility later, so
         # gate here before paying the per-tile Tier-1 work twice
+        sp_req = 1
+        if mesh is not None:
+            from ..parallel.mesh import sp_size
+
+            sp_req = sp_size(mesh)
         if (p.backend == "device" or mesh is not None) \
-                and cp.numtiles > 1 and p.tile_index is None \
+                and (cp.numtiles > 1 or sp_req > 1) \
+                and p.tile_index is None \
                 and win is None and reduce_ == 0:
             batched = self._decode_tiles_device_batched(
                 list(tiles), p, img, reduce_, mesh=mesh)
@@ -697,7 +703,7 @@ class CodestreamDecoder:
                 log.warning("tile %d: packet parse error: %s", tidx, e)
             td.run_t1()
             prepared.append((tidx, tcp, tile, td))
-        if len(prepared) < 2:
+        if not prepared:
             return {}
         result = reconstruct_device_batched(
             [td for (_, _, _, td) in prepared], mesh=mesh)

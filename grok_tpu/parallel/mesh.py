@@ -71,29 +71,121 @@ def dp_size(mesh: Mesh) -> int:
     return mesh.shape.get("dp", 1)
 
 
+def sp_size(mesh: Mesh) -> int:
+    return mesh.shape.get("sp", 1)
+
+
+def sp_transform_ok(mesh: Mesh, h: int, numres: int) -> bool:
+    """Whether a tile of height `h` can row-shard its `numres`-level
+    transform over the mesh's 'sp' axis: every DWT level needs each
+    shard's rows even-aligned and even-counted, and enough local rows at
+    the deepest level to source the 4-row 9/7 halos."""
+    sp = sp_size(mesh)
+    if sp == 1:
+        return True
+    nl = numres - 1
+    if nl <= 0:
+        return h % sp == 0 and h // sp >= 1
+    return h % (sp << nl) == 0 and (h >> nl) // sp >= 8
+
+
 # ---------------------------------------------------------------------------
 # dp: tile-batch sharding of the fused analysis/synthesis pipeline
 # ---------------------------------------------------------------------------
 
+def _sp_forward_dwt_local(x, numres: int, reversible: bool):
+    """Multi-level forward DWT on a row shard: halo-exchange vertical
+    lifting + shard-local horizontal pass per level (mirror of
+    ops.dwt.forward_dwt_batch for row-sharded input)."""
+    bands = {}
+    nl = numres - 1
+    cur = x
+    for lev in range(nl):
+        resno = nl - lev
+        if reversible:
+            lo_v, hi_v = _fwd_53_rows_local(cur, "sp")
+            ll, hl = ddwt.fwd_53_axis(lo_v)
+            lh, hh = ddwt.fwd_53_axis(hi_v)
+        else:
+            lo_v, hi_v = _fwd_97_rows_local(cur, "sp")
+            ll, hl = ddwt.fwd_97_axis(lo_v)
+            lh, hh = ddwt.fwd_97_axis(hi_v)
+        bands[(resno, 1)] = hl
+        bands[(resno, 2)] = lh
+        bands[(resno, 3)] = hh
+        cur = ll
+    bands[(0, 0)] = cur
+    return bands
+
+
+def _sp_inverse_dwt_local(bands: dict, numres: int, reversible: bool):
+    """Multi-level inverse DWT on row-sharded subbands (mirror of
+    ops.dwt.inverse_dwt_batch; sp_transform_ok guarantees even level
+    geometry so no odd-dimension cases arise)."""
+    cur = bands[(0, 0)]
+    for resno in range(1, numres):
+        hl, lh, hh = (bands[(resno, 1)], bands[(resno, 2)],
+                      bands[(resno, 3)])
+        w = cur.shape[-1] + hl.shape[-1]
+        if reversible:
+            lo_v = ddwt.inv_53_axis(cur, hl, w)
+            hi_v = ddwt.inv_53_axis(lh, hh, w)
+            cur = _inv_53_rows_local(lo_v, hi_v, "sp")
+        else:
+            lo_v = ddwt.inv_97_axis(cur, hl, w)
+            hi_v = ddwt.inv_97_axis(lh, hh, w)
+            cur = _inv_97_rows_local(lo_v, hi_v, "sp")
+    return cur
+
+
 def sharded_analysis(mesh: Mesh, planes, *, numres: int, reversible: bool,
                      mct: int, prec: int, sgnd: bool, deltas=()):
-    """Run ops.pipeline.analysis with the tile-batch axis sharded over the
-    'dp' mesh axis.  planes: (C, B, H, W) with B % dp == 0.  Also returns a
-    psum'd coefficient-energy scalar (the cross-chip distortion statistic
-    used by global rate control)."""
+    """Run ops.pipeline.analysis with the tile-batch axis sharded over
+    the 'dp' mesh axis and (when the mesh has sp > 1) tile ROWS sharded
+    over 'sp' with ppermute halo-exchange DWT.  planes: (C, B, H, W)
+    with B % dp == 0 (and sp_transform_ok(mesh, H, numres) for sp > 1).
+    Also returns a psum'd coefficient-energy scalar (the cross-chip
+    distortion statistic used by global rate control)."""
+    from ..ops import mct as dmct
+
+    sp = sp_size(mesh)
+    axes = ("dp", "sp") if sp > 1 else ("dp",)
 
     def local(x):
-        bands = dpipe.analysis_impl(
-            x, numres=numres, reversible=reversible, mct=mct, prec=prec,
-            sgnd=sgnd, deltas=deltas)
+        if sp == 1:
+            bands = dpipe.analysis_impl(
+                x, numres=numres, reversible=reversible, mct=mct,
+                prec=prec, sgnd=sgnd, deltas=deltas)
+        else:
+            # mirror analysis_impl stage by stage: ingest and quant are
+            # elementwise (shard-local); only the DWT needs halos
+            c = x.shape[0]
+            y = dmct.dc_shift(x, prec, sgnd)
+            if mct == 1 and c >= 3:
+                if reversible:
+                    y0, y1, y2 = dmct.rct_forward(y[0], y[1], y[2])
+                else:
+                    y0, y1, y2 = dmct.ict_forward(
+                        y[0].astype(jnp.float32),
+                        y[1].astype(jnp.float32),
+                        y[2].astype(jnp.float32))
+                y = jnp.stack([y0, y1, y2] + [y[i] for i in range(3, c)])
+            if not reversible:
+                y = y.astype(jnp.float32)
+            bands = _sp_forward_dwt_local(y, numres, reversible)
+            if not reversible:
+                dmap = {(r, o): d for (r, o, d) in deltas}
+                bands = {k: dmct.quantize(v, dmap[k])
+                         for k, v in bands.items()}
         energy = sum((b.astype(jnp.float32) ** 2).sum()
                      for b in bands.values())
-        energy = jax.lax.psum(energy, axis_name="dp")
+        energy = jax.lax.psum(energy, axis_name=axes)
         return bands, energy
 
     keys = _band_keys(numres)
-    out_specs = ({k: P(None, "dp") for k in keys}, P())
-    fn = shard_map(local, mesh=mesh, in_specs=(P(None, "dp"),),
+    spec = P(None, "dp", "sp", None) if sp > 1 else P(None, "dp")
+    out_specs = ({k: spec for k in keys}, P())
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,),
                    out_specs=out_specs, check_rep=False)
     return fn(planes)
 
@@ -101,15 +193,38 @@ def sharded_analysis(mesh: Mesh, planes, *, numres: int, reversible: bool,
 def sharded_synthesis(mesh: Mesh, bands: dict, *, numres: int,
                       reversible: bool, mct: int, prec: int, sgnd: bool,
                       shape, deltas=()):
+    from ..ops import mct as dmct
+
+    sp = sp_size(mesh)
+
     def local(b):
-        return dpipe.synthesis_impl(
-            b, numres=numres, reversible=reversible, mct=mct, prec=prec,
-            sgnd=sgnd, shape=shape, deltas=deltas)
+        if sp == 1:
+            return dpipe.synthesis_impl(
+                b, numres=numres, reversible=reversible, mct=mct,
+                prec=prec, sgnd=sgnd, shape=shape, deltas=deltas)
+        # mirror synthesis_impl with halo-exchange inverse DWT
+        if reversible:
+            b = {k: jnp.sign(v) * (jnp.abs(v) >> 1) for k, v in b.items()}
+        else:
+            dmap = {(r, o): d for (r, o, d) in deltas}
+            b = {k: dmct.dequantize(v, dmap[k]) for k, v in b.items()}
+        x = _sp_inverse_dwt_local(b, numres, reversible)
+        c = x.shape[0]
+        if mct == 1 and c >= 3:
+            if reversible:
+                y0, y1, y2 = dmct.rct_inverse(x[0], x[1], x[2])
+            else:
+                y0, y1, y2 = dmct.ict_inverse(x[0], x[1], x[2])
+            x = jnp.stack([y0, y1, y2] + [x[i] for i in range(3, c)])
+        if not reversible:
+            x = jnp.round(x).astype(jnp.int32)
+        return dmct.dc_unshift(x, prec, sgnd)
 
     keys = _band_keys(numres)
+    spec = P(None, "dp", "sp", None) if sp > 1 else P(None, "dp")
     fn = shard_map(local, mesh=mesh,
-                   in_specs=({k: P(None, "dp") for k in keys},),
-                   out_specs=P(None, "dp"), check_rep=False)
+                   in_specs=({k: spec for k in keys},),
+                   out_specs=spec, check_rep=False)
     return fn(bands)
 
 

@@ -1724,8 +1724,19 @@ def run_transforms_device_batched(tcs: list["TileCompressor"],
     With `mesh`, the tile-batch axis shards over the mesh's "dp" axis via
     shard_map (parallel.mesh.sharded_analysis); the batch is padded to a
     dp multiple by repeating the last tile and the padding is dropped on
-    gather."""
-    if len(tcs) < 2:
+    gather.
+
+    With an sp > 1 mesh axis, each tile's ROWS also shard over 'sp'
+    (halo-exchange DWT, parallel.mesh sp path) — this is how a SINGLE
+    oversized tile uses the whole mesh (SURVEY.md §2.3 halo-exchange
+    row), so one-tile batches are eligible; the tile height must satisfy
+    sp_transform_ok or the batch transparently falls back."""
+    sp = 1
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        sp = pmesh.sp_size(mesh)
+    if len(tcs) < (1 if sp > 1 else 2):
         return False
     first = tcs[0]
     if not all(t.device_eligible() for t in tcs):
@@ -1733,6 +1744,9 @@ def run_transforms_device_batched(tcs: list["TileCompressor"],
     shape = first.tile.comps[0].rect
     if not all(t.tile.comps[0].rect.w == shape.w
                and t.tile.comps[0].rect.h == shape.h for t in tcs):
+        return False
+    if mesh is not None and not pmesh.sp_transform_ok(
+            mesh, shape.h, first.tcp.tccps[0].numresolutions):
         return False
     # the batch applies the FIRST tile's coding/quant params everywhere:
     # per-tile COD/QCD overrides must drop to the per-tile path
@@ -1800,8 +1814,15 @@ def reconstruct_device_batched(tds: list["TileDecompressor"], mesh=None):
     """Fused device synthesis over a batch of uniform tiles (mirror of
     run_transforms_device_batched).  Returns {id(td): planes} or None if
     the batch is not eligible.  With `mesh`, the tile batch shards over
-    its "dp" axis (padded to a dp multiple, padding dropped on gather)."""
-    if len(tds) < 2:
+    its "dp" axis (padded to a dp multiple, padding dropped on gather)
+    and, when the mesh has sp > 1, each tile's rows shard over 'sp'
+    (halo-exchange inverse DWT) — one-tile batches are then eligible."""
+    sp = 1
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        sp = pmesh.sp_size(mesh)
+    if len(tds) < (1 if sp > 1 else 2):
         return None
     first = tds[0]
     if not all(t._device_eligible() for t in tds):
@@ -1809,6 +1830,9 @@ def reconstruct_device_batched(tds: list["TileDecompressor"], mesh=None):
     shape = first.tile.comps[0].rect
     if not all(t.tile.comps[0].rect.w == shape.w
                and t.tile.comps[0].rect.h == shape.h for t in tds):
+        return None
+    if mesh is not None and not pmesh.sp_transform_ok(
+            mesh, shape.h, first.tcp.tccps[0].numresolutions):
         return None
     key = _tcp_device_key(first.tcp)
     if not all(_tcp_device_key(t.tcp) == key for t in tds):

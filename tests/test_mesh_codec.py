@@ -128,3 +128,63 @@ def test_mesh_strip_encode_bit_identical(rng, mesh8):
     many = grok_tpu.compress_strips(meta, reader,
                                     CompressParams(mesh=mesh8, **kw))
     assert one == many
+
+
+@pytest.fixture(scope="module")
+def mesh_dp2sp4():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return pmesh.make_mesh(8, dp=2, sp=4)
+
+
+def test_sp_single_tile_codec_bit_exact(rng, mesh_dp2sp4):
+    """Public-API sp sharding (VERDICT r4 #6): ONE oversized tile's
+    transform row-shards over the mesh's sp axis inside compress()/
+    decompress(), bit-identical to the single-device stream."""
+    arr = _img(rng, 256, 256)
+    kw = dict(numresolution=3)
+    one = grok_tpu.compress(GrkImage.from_array(arr), CompressParams(**kw))
+    many = grok_tpu.compress(GrkImage.from_array(arr),
+                             CompressParams(mesh=mesh_dp2sp4, **kw))
+    assert one == many
+    out = grok_tpu.decompress(many, DecompressParams(mesh=mesh_dp2sp4))
+    assert np.array_equal(out.to_array(), arr)
+
+
+def test_sp_dp_combined_tiles_bit_exact(rng, mesh_dp2sp4):
+    """dp x sp combined: a 2-tile batch shards tiles over dp AND rows
+    over sp in the same shard_map, still bit-identical."""
+    arr = _img(rng, 256, 256)
+    kw = dict(numresolution=3, tile_size=(256, 128))
+    one = grok_tpu.compress(GrkImage.from_array(arr), CompressParams(**kw))
+    many = grok_tpu.compress(GrkImage.from_array(arr),
+                             CompressParams(mesh=mesh_dp2sp4, **kw))
+    assert one == many
+    out = grok_tpu.decompress(many, DecompressParams(mesh=mesh_dp2sp4))
+    assert np.array_equal(out.to_array(), arr)
+
+
+def test_sp_unsupported_height_falls_back(rng, mesh_dp2sp4):
+    """Tile heights that cannot row-shard (not divisible by sp<<levels)
+    transparently keep the host path, bit-identical."""
+    arr = _img(rng, 250, 256, 1)[:, :, 0]
+    kw = dict(numresolution=3)
+    one = grok_tpu.compress(GrkImage.from_array(arr, prec=8),
+                            CompressParams(**kw))
+    many = grok_tpu.compress(GrkImage.from_array(arr, prec=8),
+                             CompressParams(mesh=mesh_dp2sp4, **kw))
+    assert one == many
+
+
+def test_sp_lossy_round_trip(rng, mesh_dp2sp4):
+    """Irreversible single-tile sp encode: float association order
+    differs across shards (~1e-4 of coefficients move one quantization
+    step), so assert decode quality, not byte equality."""
+    arr = _img(rng, 256, 256)
+    data = grok_tpu.compress(GrkImage.from_array(arr), CompressParams(
+        mesh=mesh_dp2sp4, numresolution=3, irreversible=True))
+    out = grok_tpu.decompress(data)
+    err = np.sqrt(((out.to_array().astype(float) - arr) ** 2).mean())
+    assert err < 2.0
