@@ -2018,6 +2018,15 @@ class TileDecompressor:
                 pos = prev_pos  # failed packet's start anchors the scan
                 if strict or not sop:
                     raise
+                if ppt is not None:
+                    # packed headers: the PPT/PPM header-stream position
+                    # is lost with the failed packet (headers carry no
+                    # length index), so resuming at a later body SOP
+                    # would pair bodies with stale headers — abandon the
+                    # tile remainder instead
+                    log.warning("packet %d parse error (%s); packed "
+                                "headers preclude SOP resync", n, e)
+                    break
                 # mid-tile SOP resynchronization (SURVEY.md §5
                 # "error-resilience coding options"): scan forward for
                 # the next SOP whose Nsop is consistent with a packet
