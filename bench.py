@@ -109,13 +109,23 @@ def device_metrics_main():
     blocks[rng.random(blocks.shape) < 0.3] = 0
     orients = (np.arange(64) % 4).astype(np.int32)
     out = {}
+
+    # re-emit the cumulative dict after EVERY metric (flushed): the
+    # parent keeps the last parseable line, so a relay hang in a later
+    # stage (first-time Pallas compiles take 40-120 s here) no longer
+    # discards the measurements that already completed
+    def emit():
+        print(json.dumps(out), flush=True)
+
     encode_cblks_mq_device(blocks, orients, True, numbps_bound=14)
     t = best_of(lambda: encode_cblks_mq_device(
         blocks, orients, True, numbps_bound=14), 3)
     out["device_mq_t1_mps"] = round(64 * 64 * 64 / t / 1e6, 3)
+    emit()
     encode_cblks_ht_device(blocks)
     t = best_of(lambda: encode_cblks_ht_device(blocks), 3)
     out["device_ht_t1_mps"] = round(64 * 64 * 64 / t / 1e6, 3)
+    emit()
     # Pallas vertical 5/3 analysis throughput (VERDICT r4 #4: record the
     # measured kernel number whenever the relay is healthy)
     import jax
@@ -127,22 +137,42 @@ def device_metrics_main():
     jax.block_until_ready(fwd_53_vertical(plane))
     t = best_of(lambda: jax.block_until_ready(fwd_53_vertical(plane)), 3)
     out["pallas_dwt53_gps"] = round(plane.size / t / 1e9, 3)
-    print(json.dumps(out))
+    emit()
     sys.exit(0)
 
 
 def _run_sub(mode: str, timeout: float):
     """Run `bench.py <mode>` in a subprocess; return (rc, last_line).
-    rc is None on timeout (process killed)."""
+    rc is None on timeout (process killed).  The child's stdout is
+    drained LIVE by a reader thread: subprocess.run() on POSIX never
+    drains the pipe after a timeout kill, which would discard the
+    incrementally-emitted device metrics this path exists to preserve
+    (CLAUDE.md: the axon sitecustomize imports jax in every child, so
+    startup alone can eat tens of seconds of the deadline)."""
+    import threading
+
     try:
-        r = subprocess.run(
+        p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), mode],
-            capture_output=True, text=True, timeout=timeout,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
             env=dict(os.environ))
-        lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
-        return r.returncode, (lines[-1] if lines else "")
-    except subprocess.TimeoutExpired:
-        return None, ""
+        lines = []
+
+        def _drain():
+            for ln in p.stdout:
+                if ln.strip():
+                    lines.append(ln.strip())
+
+        th = threading.Thread(target=_drain, daemon=True)
+        th.start()
+        try:
+            rc = p.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            rc = None
+        th.join(timeout=5)
+        return rc, (lines[-1] if lines else "")
     except Exception as e:  # pragma: no cover - subprocess plumbing
         return -1, str(e)
 
@@ -331,26 +361,27 @@ def main():
     if os.environ.get("GROK_TPU_BENCH_NO_DEVICE") == "1":
         result["relay"] = "skipped"
     else:
-        if probes and probes[0]["status"] == "ok":
-            rc = 0  # early probe was healthy; run the metrics now
-        else:
-            rc, _line = _run_sub("--probe", PROBE_TIMEOUT)
-            probes.append({"ts": round(time.time(), 1),
-                           "status": {0: "ok", None: "degraded"}.get(
-                               rc, "absent")})
+        # ALWAYS probe again after the multi-minute ladder (the relay
+        # degrades in phases — a healthy early probe says nothing about
+        # the relay's state now): two timestamped attempts per run.
+        rc, _line = _run_sub("--probe", PROBE_TIMEOUT)
+        probes.append({"ts": round(time.time(), 1),
+                       "status": {0: "ok", None: "degraded"}.get(
+                           rc, "absent")})
         result["relay_probes"] = probes
         if rc == 0:
             result["relay"] = "ok"
             rc, line = _run_sub("--device-metrics", DEVICE_TIMEOUT)
-            if rc == 0 and line:
+            if line:
                 try:
                     result.update(json.loads(line))
                 except ValueError:
                     errors["device_metrics"] = f"unparseable: {line[:120]}"
-            elif rc is None:
-                errors["device_metrics"] = \
-                    f"timeout after {DEVICE_TIMEOUT:.0f}s (killed)"
-            else:
+            if rc is None:
+                errors["device_metrics"] = (
+                    f"timeout after {DEVICE_TIMEOUT:.0f}s (killed; "
+                    "metrics measured before the hang kept)")
+            elif rc != 0:
                 errors["device_metrics"] = f"exit {rc}"
         elif rc is None:
             result["relay"] = "degraded"  # relay hung; probe killed

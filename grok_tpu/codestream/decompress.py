@@ -594,8 +594,21 @@ class CodestreamDecoder:
             from ..parallel.mesh import sp_size
 
             sp_req = sp_size(mesh)
+        # cheap sp pre-check (mirrors the encode side): an sp mesh whose
+        # row sharding can't handle the tile height would otherwise pay
+        # the whole entropy decode in the batched path only to have
+        # reconstruct_device_batched reject it and the per-tile loop
+        # redo the work.  Uses the default TCP's resolution count; tiles
+        # overriding it via tile-part COD are re-validated (and the work
+        # duplicated at worst) inside reconstruct_device_batched.
+        sp_ok = True
+        if sp_req > 1:
+            from ..parallel.mesh import sp_transform_ok
+
+            sp_ok = sp_transform_ok(
+                mesh, cp.t_height, cp.tcps[0].tccps[0].numresolutions)
         if (p.backend == "device" or mesh is not None) \
-                and (cp.numtiles > 1 or sp_req > 1) \
+                and (cp.numtiles > 1 or sp_req > 1) and sp_ok \
                 and p.tile_index is None \
                 and win is None and reduce_ == 0:
             batched = self._decode_tiles_device_batched(
@@ -708,6 +721,10 @@ class CodestreamDecoder:
         result = reconstruct_device_batched(
             [td for (_, _, _, td) in prepared], mesh=mesh)
         if result is None:
+            # not eligible after all: return the acquired tiles to the
+            # geometry pool before the per-tile loop redoes the decode
+            for (_, _, tile, _) in prepared:
+                release_tile(tile)
             return {}
         out = {}
         for (tidx, tcp, tile, td) in prepared:

@@ -26,12 +26,18 @@ from . import mct as dmct
 
 def analysis_impl(planes: jnp.ndarray, *, numres: int, reversible: bool,
                   mct: int, prec: int, sgnd: bool,
-                  deltas: tuple[tuple[int, int, float], ...] = ()):
+                  deltas: tuple[tuple[int, int, float], ...] = (),
+                  dwt=None):
     """Encode front-end on (C, B, H, W) int32 tile batch.
 
     deltas: per-band quantization steps as ((resno, orient, delta), ...)
     for the irreversible path (empty = reversible, no quantization).
     Returns {(resno, orient): (C, B, h, w) int32} quantized coefficients.
+
+    `dwt` swaps the transform stage (same signature as
+    ddwt.forward_dwt_batch) while keeping every elementwise stage shared;
+    parallel.mesh passes its halo-exchange row-sharded DWT here so the sp
+    path can never drift from this normative pipeline.
     """
     c = planes.shape[0]
     x = dmct.dc_shift(planes, prec, sgnd)
@@ -46,7 +52,7 @@ def analysis_impl(planes: jnp.ndarray, *, numres: int, reversible: bool,
         x = jnp.stack([y0, y1, y2] + rest)
     if not reversible:
         x = x.astype(jnp.float32)
-    bands = ddwt.forward_dwt_batch(x, numres, reversible)
+    bands = (dwt or ddwt.forward_dwt_batch)(x, numres, reversible)
     if not reversible:
         dmap = {(r, o): d for (r, o, d) in deltas}
         bands = {k: dmct.quantize(v, dmap[k]) for k, v in bands.items()}
@@ -55,17 +61,19 @@ def analysis_impl(planes: jnp.ndarray, *, numres: int, reversible: bool,
 
 def synthesis_impl(bands: dict, *, numres: int, reversible: bool, mct: int,
                    prec: int, sgnd: bool, shape: tuple[int, int],
-                   deltas: tuple[tuple[int, int, float], ...] = ()):
+                   deltas: tuple[tuple[int, int, float], ...] = (),
+                   dwt=None):
     """Decode back-end: bands {(resno, orient): (C, B, h, w)} ->
     (C, B, H, W) int32 samples.  For the reversible path band arrays are
     T1 doubled-domain ints; for irreversible they are doubled ints to be
-    dequantized."""
+    dequantized.  `dwt` swaps the transform stage (signature of
+    ddwt.inverse_dwt_batch) — see analysis_impl."""
     if reversible:
         bands = {k: jnp.sign(v) * (jnp.abs(v) >> 1) for k, v in bands.items()}
     else:
         dmap = {(r, o): d for (r, o, d) in deltas}
         bands = {k: dmct.dequantize(v, dmap[k]) for k, v in bands.items()}
-    x = ddwt.inverse_dwt_batch(bands, numres, reversible, shape)
+    x = (dwt or ddwt.inverse_dwt_batch)(bands, numres, reversible, shape)
     c = x.shape[0]
     if mct == 1 and c >= 3:
         if reversible:
@@ -80,7 +88,8 @@ def synthesis_impl(bands: dict, *, numres: int, reversible: bool, mct: int,
 
 
 analysis = functools.partial(jax.jit, static_argnames=(
-    "numres", "reversible", "mct", "prec", "sgnd", "deltas"))(analysis_impl)
+    "numres", "reversible", "mct", "prec", "sgnd", "deltas",
+    "dwt"))(analysis_impl)
 synthesis = functools.partial(jax.jit, static_argnames=(
     "numres", "reversible", "mct", "prec", "sgnd", "shape",
-    "deltas"))(synthesis_impl)
+    "deltas", "dwt"))(synthesis_impl)

@@ -118,10 +118,13 @@ def _sp_forward_dwt_local(x, numres: int, reversible: bool):
     return bands
 
 
-def _sp_inverse_dwt_local(bands: dict, numres: int, reversible: bool):
+def _sp_inverse_dwt_local(bands: dict, numres: int, reversible: bool,
+                          shape=None):
     """Multi-level inverse DWT on row-sharded subbands (mirror of
     ops.dwt.inverse_dwt_batch; sp_transform_ok guarantees even level
-    geometry so no odd-dimension cases arise)."""
+    geometry so no odd-dimension cases arise).  `shape` (the FULL tile
+    shape) is accepted for signature parity with inverse_dwt_batch but
+    unused — every level's local geometry is implied by the shard."""
     cur = bands[(0, 0)]
     for resno in range(1, numres):
         hl, lh, hh = (bands[(resno, 1)], bands[(resno, 2)],
@@ -146,37 +149,16 @@ def sharded_analysis(mesh: Mesh, planes, *, numres: int, reversible: bool,
     with B % dp == 0 (and sp_transform_ok(mesh, H, numres) for sp > 1).
     Also returns a psum'd coefficient-energy scalar (the cross-chip
     distortion statistic used by global rate control)."""
-    from ..ops import mct as dmct
-
     sp = sp_size(mesh)
     axes = ("dp", "sp") if sp > 1 else ("dp",)
 
     def local(x):
-        if sp == 1:
-            bands = dpipe.analysis_impl(
-                x, numres=numres, reversible=reversible, mct=mct,
-                prec=prec, sgnd=sgnd, deltas=deltas)
-        else:
-            # mirror analysis_impl stage by stage: ingest and quant are
-            # elementwise (shard-local); only the DWT needs halos
-            c = x.shape[0]
-            y = dmct.dc_shift(x, prec, sgnd)
-            if mct == 1 and c >= 3:
-                if reversible:
-                    y0, y1, y2 = dmct.rct_forward(y[0], y[1], y[2])
-                else:
-                    y0, y1, y2 = dmct.ict_forward(
-                        y[0].astype(jnp.float32),
-                        y[1].astype(jnp.float32),
-                        y[2].astype(jnp.float32))
-                y = jnp.stack([y0, y1, y2] + [y[i] for i in range(3, c)])
-            if not reversible:
-                y = y.astype(jnp.float32)
-            bands = _sp_forward_dwt_local(y, numres, reversible)
-            if not reversible:
-                dmap = {(r, o): d for (r, o, d) in deltas}
-                bands = {k: dmct.quantize(v, dmap[k])
-                         for k, v in bands.items()}
+        # every elementwise stage comes from the ONE normative pipeline;
+        # sp > 1 swaps only the DWT for the halo-exchange row-sharded one
+        bands = dpipe.analysis_impl(
+            x, numres=numres, reversible=reversible, mct=mct,
+            prec=prec, sgnd=sgnd, deltas=deltas,
+            dwt=_sp_forward_dwt_local if sp > 1 else None)
         energy = sum((b.astype(jnp.float32) ** 2).sum()
                      for b in bands.values())
         energy = jax.lax.psum(energy, axis_name=axes)
@@ -193,32 +175,13 @@ def sharded_analysis(mesh: Mesh, planes, *, numres: int, reversible: bool,
 def sharded_synthesis(mesh: Mesh, bands: dict, *, numres: int,
                       reversible: bool, mct: int, prec: int, sgnd: bool,
                       shape, deltas=()):
-    from ..ops import mct as dmct
-
     sp = sp_size(mesh)
 
     def local(b):
-        if sp == 1:
-            return dpipe.synthesis_impl(
-                b, numres=numres, reversible=reversible, mct=mct,
-                prec=prec, sgnd=sgnd, shape=shape, deltas=deltas)
-        # mirror synthesis_impl with halo-exchange inverse DWT
-        if reversible:
-            b = {k: jnp.sign(v) * (jnp.abs(v) >> 1) for k, v in b.items()}
-        else:
-            dmap = {(r, o): d for (r, o, d) in deltas}
-            b = {k: dmct.dequantize(v, dmap[k]) for k, v in b.items()}
-        x = _sp_inverse_dwt_local(b, numres, reversible)
-        c = x.shape[0]
-        if mct == 1 and c >= 3:
-            if reversible:
-                y0, y1, y2 = dmct.rct_inverse(x[0], x[1], x[2])
-            else:
-                y0, y1, y2 = dmct.ict_inverse(x[0], x[1], x[2])
-            x = jnp.stack([y0, y1, y2] + [x[i] for i in range(3, c)])
-        if not reversible:
-            x = jnp.round(x).astype(jnp.int32)
-        return dmct.dc_unshift(x, prec, sgnd)
+        return dpipe.synthesis_impl(
+            b, numres=numres, reversible=reversible, mct=mct,
+            prec=prec, sgnd=sgnd, shape=shape, deltas=deltas,
+            dwt=_sp_inverse_dwt_local if sp > 1 else None)
 
     keys = _band_keys(numres)
     spec = P(None, "dp", "sp", None) if sp > 1 else P(None, "dp")

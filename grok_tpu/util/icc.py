@@ -383,8 +383,9 @@ def _apply_mab_lut(planes, tag: bytes, pcs: bytes,
     if pcs == b"XYZ ":
         return x * (65535.0 / 32768.0)        # u1.15
     if pcs == b"Lab ":
-        # v4 16-bit Lab encoding (ICC.1 §6.3.4.2): L on 0..100 over the
-        # full range, a/b on -128..127+255/256
+        # v4 16-bit Lab encoding (ICC.1 §6.3.4.2): the FULL 0..1 range
+        # maps L to [0, 100] and a/b to [-128, +127] (unlike legacy v2
+        # Lab, whose top code is 0xFF00 and a/b reach 127+255/256)
         L = x[0] * 100.0
         a = x[1] * 255.0 - 128.0
         b = x[2] * 255.0 - 128.0
