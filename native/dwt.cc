@@ -28,73 +28,15 @@ static T* row_scratch(int n) {
   return buf.data();
 }
 
-// Vertical (column) lifting over a (h x w) plane with row stride `w`.
-// Even-parity origin: lows at even rows.  Streams d then s with lag 1
-// (s[j] needs d[j-1], d[j]) so x and the detail rows stay cache-hot.
-// Output layout: ceil(h/2) low rows then floor(h/2) high rows, width w.
-static void fwd53_vertical(const int32_t* x, int h, int w, int32_t* out) {
-  int ne = (h + 1) / 2, no = h / 2;
-  if (h == 0) return;
-  int32_t* lo = out;
-  int32_t* hi = out + (size_t)ne * w;
-  if (h == 1) {
-    grk_copy_bytes(lo, x, sizeof(int32_t) * w);
-    return;
-  }
-  // d[j] = x[2j+1] - ((x[2j] + x[2j+2]) >> 1), mirror at the bottom;
-  // s[j] = x[2j] + ((d[j-1] + d[j] + 2) >> 2), mirrors at both ends
-  for (int j = 0; j < no; j++) {
-    const int32_t* a = x + (size_t)(2 * j) * w;
-    const int32_t* b = a + w;
-    const int32_t* c = (2 * j + 2 < h) ? b + w : a;
-    int32_t* d = hi + (size_t)j * w;
-    for (int i = 0; i < w; i++) d[i] = b[i] - ((a[i] + c[i]) >> 1);
-    const int32_t* dl = (j > 0) ? d - w : d;
-    int32_t* s = lo + (size_t)j * w;
-    for (int i = 0; i < w; i++) s[i] = a[i] + ((dl[i] + d[i] + 2) >> 2);
-  }
-  if (ne > no) {  // odd h: last low row mirrors the final detail row
-    const int32_t* a = x + (size_t)(2 * (ne - 1)) * w;
-    const int32_t* d = hi + (size_t)(no - 1) * w;
-    int32_t* s = lo + (size_t)(ne - 1) * w;
-    for (int i = 0; i < w; i++) s[i] = a[i] + ((2 * d[i] + 2) >> 2);
-  }
-}
-
-static void inv53_vertical(const int32_t* lo, const int32_t* hi, int h,
-                           int w, int32_t* out) {
-  int ne = (h + 1) / 2, no = h / 2;
-  if (h == 0) return;
-  if (h == 1) {
-    grk_copy_bytes(out, lo, sizeof(int32_t) * w);
-    return;
-  }
-  // x[2j] = s[j] - ((d[j-1] + d[j] + 2) >> 2), then
-  // x[2j+1] = d[j] + ((x[2j] + x[2j+2]) >> 1): stream evens one row
-  // ahead of the odd that consumes them
-  {
-    const int32_t* s = lo;
-    int32_t* e = out;
-    for (int i = 0; i < w; i++) e[i] = s[i] - ((2 * hi[i] + 2) >> 2);
-  }
-  for (int j = 1; j < ne; j++) {
-    const int32_t* s = lo + (size_t)j * w;
-    const int32_t* dl = hi + (size_t)(j - 1) * w;
-    const int32_t* dr = (j < no) ? dl + w : dl;
-    int32_t* e = out + (size_t)(2 * j) * w;
-    for (int i = 0; i < w; i++) e[i] = s[i] - ((dl[i] + dr[i] + 2) >> 2);
-    const int32_t* d = hi + (size_t)(j - 1) * w;
-    const int32_t* a = e - 2 * (size_t)w;
-    int32_t* o = out + (size_t)(2 * j - 1) * w;
-    for (int i = 0; i < w; i++) o[i] = d[i] + ((a[i] + e[i]) >> 1);
-  }
-  if (2 * no == h) {  // even h: trailing odd row mirrors upward
-    const int32_t* d = hi + (size_t)(no - 1) * w;
-    const int32_t* a = out + (size_t)(h - 2) * w;
-    int32_t* o = out + (size_t)(h - 1) * w;
-    for (int i = 0; i < w; i++) o[i] = d[i] + ((a[i] + a[i]) >> 1);
-  }
-}
+// The level drivers below fuse the vertical and horizontal passes into
+// one streaming sweep: vertical lifting produces one low + one high row
+// at a time into rolling row buffers, and each produced row is
+// horizontally lifted straight into the band arrays (forward) or the
+// output plane (inverse).  The plane is read once and written once —
+// no full h x w intermediate is materialized (the unfused form wrote
+// and re-read one, doubling DWT memory traffic).  Per-element integer
+// arithmetic is unchanged, so results stay bit-identical to
+// transform/dwt.py.
 
 // Horizontal lifting of one row into planar lo[ne] / hi[no] outputs.
 // ev/od are caller scratch (>= ne ints each).
@@ -178,11 +120,6 @@ static inline void inv53_row_t(const int32_t* lo, const int32_t* hi, int n,
   if (n & 1) out[n - 1] = ev[ne - 1];
 }
 
-static inline void inv53_row(const int32_t* lo, const int32_t* hi, int n,
-                             int32_t* out, int32_t* ev, int32_t* od) {
-  inv53_row_t<false, false>(lo, hi, n, out, ev, od);
-}
-
 }  // namespace
 
 extern "C" {
@@ -190,20 +127,48 @@ extern "C" {
 // One forward 5/3 level of an even-origin (h x w) plane `x` (contiguous).
 // Writes ll/hl/lh/hh as contiguous arrays (caller-sized: ll (eh x ew),
 // hl (eh x ow), lh (oh x ew), hh (oh x ow) with eh=ceil(h/2) etc).
-// Vertical pass first, then horizontal — matches transform/dwt.py.
+// Fused vertical+horizontal streaming sweep — matches transform/dwt.py.
+// `scratch` is unused (kept for ABI stability).
 void grk_fwd53_level(const int32_t* x, int h, int w, int32_t* ll,
                      int32_t* hl, int32_t* lh, int32_t* hh,
                      int32_t* scratch) {
+  (void)scratch;
   int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
-  fwd53_vertical(x, h, w, scratch);  // scratch: lo rows then hi rows
-  int32_t* ev = row_scratch<int32_t>(2 * (ew + 1));
+  if (h == 0) return;
+  int32_t* buf = row_scratch<int32_t>(3 * w + 2 * (ew + 1));
+  int32_t* dprev = buf;
+  int32_t* dcur = buf + w;
+  int32_t* srow = buf + 2 * w;
+  int32_t* ev = buf + 3 * w;
   int32_t* od = ev + ew + 1;
-  for (int y = 0; y < eh; y++)
-    fwd53_row(scratch + (size_t)y * w, w, ll + (size_t)y * ew,
-              hl + (size_t)y * ow, ev, od);
-  for (int y = 0; y < oh; y++)
-    fwd53_row(scratch + (size_t)(eh + y) * w, w, lh + (size_t)y * ew,
-              hh + (size_t)y * ow, ev, od);
+  if (h == 1) {  // vertical pass is the identity on the single low row
+    fwd53_row(x, w, ll, hl, ev, od);
+    return;
+  }
+  // d[j] = x[2j+1] - ((x[2j] + x[2j+2]) >> 1), mirror at the bottom;
+  // s[j] = x[2j] + ((d[j-1] + d[j] + 2) >> 2), mirrors at both ends.
+  // d[j] is complete as soon as computed -> lift it into lh/hh row j;
+  // s[j] needs d[j-1] (rolling buffer) -> lift into ll/hl row j.
+  for (int j = 0; j < oh; j++) {
+    const int32_t* a = x + (size_t)(2 * j) * w;
+    const int32_t* b = a + w;
+    const int32_t* c = (2 * j + 2 < h) ? b + w : a;
+    for (int i = 0; i < w; i++) dcur[i] = b[i] - ((a[i] + c[i]) >> 1);
+    const int32_t* dl = (j > 0) ? dprev : dcur;
+    for (int i = 0; i < w; i++)
+      srow[i] = a[i] + ((dl[i] + dcur[i] + 2) >> 2);
+    fwd53_row(srow, w, ll + (size_t)j * ew, hl + (size_t)j * ow, ev, od);
+    fwd53_row(dcur, w, lh + (size_t)j * ew, hh + (size_t)j * ow, ev, od);
+    int32_t* t = dprev;
+    dprev = dcur;
+    dcur = t;
+  }
+  if (eh > oh) {  // odd h: last low row mirrors the final detail row
+    const int32_t* a = x + (size_t)(2 * (eh - 1)) * w;
+    for (int i = 0; i < w; i++) srow[i] = a[i] + ((2 * dprev[i] + 2) >> 2);
+    fwd53_row(srow, w, ll + (size_t)(eh - 1) * ew,
+              hl + (size_t)(eh - 1) * ow, ev, od);
+  }
 }
 
 // One inverse 5/3 level -> (h x w) plane `out`.  `halve` fuses the T1
@@ -214,8 +179,14 @@ void grk_fwd53_level(const int32_t* x, int h, int w, int32_t* ll,
 void grk_inv53_level_h(const int32_t* ll, const int32_t* hl,
                        const int32_t* lh, const int32_t* hh, int h, int w,
                        int32_t* out, int32_t* scratch, int halve) {
+  (void)scratch;
   int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
-  int32_t* ev = row_scratch<int32_t>(2 * (ew + 1));
+  if (h == 0) return;
+  int32_t* buf = row_scratch<int32_t>(3 * w + 2 * (ew + 1));
+  int32_t* dprev = buf;
+  int32_t* dcur = buf + w;
+  int32_t* srow = buf + 2 * w;
+  int32_t* ev = buf + 3 * w;
   int32_t* od = ev + ew + 1;
   void (*row_lo)(const int32_t*, const int32_t*, int, int32_t*, int32_t*,
                  int32_t*) =
@@ -226,14 +197,41 @@ void grk_inv53_level_h(const int32_t* ll, const int32_t* hl,
   void (*row_hi)(const int32_t*, const int32_t*, int, int32_t*, int32_t*,
                  int32_t*) =
       (halve & 2) ? inv53_row_t<true, true> : inv53_row_t<false, false>;
-  // horizontal inverses into the (lo rows | hi rows) scratch layout
-  for (int y = 0; y < eh; y++)
-    row_lo(ll + (size_t)y * ew, hl + (size_t)y * ow, w,
-           scratch + (size_t)y * w, ev, od);
-  for (int y = 0; y < oh; y++)
-    row_hi(lh + (size_t)y * ew, hh + (size_t)y * ow, w,
-           scratch + (size_t)(eh + y) * w, ev, od);
-  inv53_vertical(scratch, scratch + (size_t)eh * w, h, w, out);
+  if (h == 1) {  // vertical inverse is the identity on the single low row
+    row_lo(ll, hl, w, out, ev, od);
+    return;
+  }
+  // Streamed vertical inverse over horizontally-inverted rows:
+  //   e[j] = out[2j]   = s[j] - ((d[j-1] + d[j] + 2) >> 2)
+  //   o[j] = out[2j+1] = d[j] + ((e[j] + e[j+1]) >> 1)
+  // s/d rows are produced on demand from the band rows; e rows are read
+  // back from `out` (still cache-hot) when the trailing odd row needs
+  // them.  Mirrors: d[-1] = d[0]; d[no] = d[no-1]; bottom odd row of an
+  // even-height plane mirrors its even neighbor upward.
+  for (int j = 0; j < eh; j++) {
+    row_lo(ll + (size_t)j * ew, hl + (size_t)j * ow, w, srow, ev, od);
+    if (j < oh)
+      row_hi(lh + (size_t)j * ew, hh + (size_t)j * ow, w, dcur, ev, od);
+    const int32_t* dl = (j > 0) ? dprev : dcur;
+    const int32_t* dr = (j < oh) ? dcur : dprev;
+    int32_t* e = out + (size_t)(2 * j) * w;
+    for (int i = 0; i < w; i++)
+      e[i] = srow[i] - ((dl[i] + dr[i] + 2) >> 2);
+    if (j > 0) {
+      const int32_t* a = e - 2 * (size_t)w;
+      int32_t* o = out + (size_t)(2 * j - 1) * w;
+      for (int i = 0; i < w; i++)
+        o[i] = dprev[i] + ((a[i] + e[i]) >> 1);
+    }
+    int32_t* t = dprev;
+    dprev = dcur;
+    dcur = t;
+  }
+  if (2 * oh == h) {  // even h: trailing odd row mirrors upward
+    const int32_t* a = out + (size_t)(h - 2) * w;
+    int32_t* o = out + (size_t)(h - 1) * w;
+    for (int i = 0; i < w; i++) o[i] = dprev[i] + ((a[i] + a[i]) >> 1);
+  }
 }
 
 }  // extern "C"
