@@ -241,6 +241,14 @@ void grk_inv53_level_h(const int32_t* ll, const int32_t* hl,
 // _inv_97_even: same step order and float32 arithmetic (per-element
 // expressions unchanged so the compiler's contraction choices match the
 // scalar build), even-parity origins (odd-parity rects keep numpy).
+//
+// Like the 5/3 drivers above, the level drivers stream: the four
+// vertical lifting steps run as a rolling-row pipeline (9/7 needs a
+// two-row lag per step) and every completed low/high row is handed to
+// the horizontal pass immediately, so the plane is read once and
+// written once instead of the 4-sweep planar form's ~10x traffic.
+// Per-element float expressions are unchanged (-ffp-contract=off), so
+// outputs stay bit-identical to the numpy oracle.
 
 namespace {
 
@@ -249,76 +257,6 @@ constexpr float BETA = -0.052980118572961f;
 constexpr float GAMMA = 0.882911075530934f;
 constexpr float DELTA = 0.443506852043971f;
 constexpr float KK = 1.230174104914001f;
-
-// lift od[j] += c * (ev[j] + ev[j+1]) with the bottom mirror, row arrays
-static inline void lift_odd_v(float* od, const float* ev, int ne, int no,
-                              int w, float cf) {
-  for (int j = 0; j < no; j++) {
-    const float* a = ev + (size_t)j * w;
-    const float* b = (j + 1 < ne) ? a + w : a;  // mirror when ne == no
-    float* d = od + (size_t)j * w;
-    for (int i = 0; i < w; i++) d[i] += cf * (a[i] + b[i]);
-  }
-}
-
-// lift ev[j] += c * (od[j-1] + od[j]) with edge mirrors
-static inline void lift_even_v(float* ev, const float* od, int ne, int no,
-                               int w, float cf) {
-  for (int j = 0; j < ne; j++) {
-    const float* dl = od + (size_t)(j > 0 ? j - 1 : 0) * w;
-    const float* dr = od + (size_t)(j < no ? j : no - 1) * w;
-    float* s = ev + (size_t)j * w;
-    for (int i = 0; i < w; i++) s[i] += cf * (dl[i] + dr[i]);
-  }
-}
-
-static void fwd97_vertical(const float* x, int h, int w, float* out) {
-  int ne = (h + 1) / 2, no = h / 2;
-  if (h == 0) return;
-  float* lo = out;
-  float* hi = out + (size_t)ne * w;
-  if (h == 1) {
-    for (int i = 0; i < w; i++) lo[i] = x[i] * (1.0f / KK);
-    return;
-  }
-  for (int j = 0; j < ne; j++)
-    grk_copy_bytes(lo + (size_t)j * w, x + (size_t)(2 * j) * w,
-                sizeof(float) * w);
-  for (int j = 0; j < no; j++)
-    grk_copy_bytes(hi + (size_t)j * w, x + (size_t)(2 * j + 1) * w,
-                sizeof(float) * w);
-  lift_odd_v(hi, lo, ne, no, w, ALPHA);
-  lift_even_v(lo, hi, ne, no, w, BETA);
-  lift_odd_v(hi, lo, ne, no, w, GAMMA);
-  lift_even_v(lo, hi, ne, no, w, DELTA);
-  for (int j = 0; j < ne * w; j++) lo[j] *= (1.0f / KK);
-  for (int j = 0; j < no * w; j++) hi[j] *= KK;
-}
-
-// In-place inverse vertical lifting over the planar (lo rows | hi rows)
-// scratch the horizontal pass produced — no separate h*w temp buffer.
-static void inv97_vertical_ip(float* lohi, int h, int w, float* out) {
-  int ne = (h + 1) / 2, no = h / 2;
-  if (h == 0) return;
-  float* lo = lohi;
-  float* hi = lohi + (size_t)ne * w;
-  if (h == 1) {
-    for (int i = 0; i < w; i++) out[i] = lo[i] * KK;
-    return;
-  }
-  for (int j = 0; j < ne * w; j++) lo[j] *= KK;
-  for (int j = 0; j < no * w; j++) hi[j] *= (1.0f / KK);
-  lift_even_v(lo, hi, ne, no, w, -DELTA);
-  lift_odd_v(hi, lo, ne, no, w, -GAMMA);
-  lift_even_v(lo, hi, ne, no, w, -BETA);
-  lift_odd_v(hi, lo, ne, no, w, -ALPHA);
-  for (int j = 0; j < ne; j++)
-    grk_copy_bytes(out + (size_t)(2 * j) * w, lo + (size_t)j * w,
-                sizeof(float) * w);
-  for (int j = 0; j < no; j++)
-    grk_copy_bytes(out + (size_t)(2 * j + 1) * w, hi + (size_t)j * w,
-                sizeof(float) * w);
-}
 
 // planar horizontal lifting: ev[ne]/od[no] in place, edges peeled so the
 // main bodies are contiguous SIMD loops with the same per-element
@@ -406,38 +344,180 @@ static inline void inv97_row(const float* lo_in, const float* hi_in,
   inv97_row_t<false, false>(lo_in, hi_in, n, out, ev, od, 0.0f, 0.0f);
 }
 
+// Streamed inverse-9/7 vertical pipeline over horizontally-inverted
+// rows.  ProdLo/ProdHi(j, dst) must fill dst with the *scaled* band row
+// (lo * K, hi / K — same two-multiply order as the planar form).  The
+// four lifting registers roll:
+//   s1[j] = lo[j] - D*(hi[j-1] + hi[j])        (clamped)
+//   d1[j] = hi[j] - G*(s1[j] + s1[j+1])        (mirrored)
+//   e[j]  = out[2j]   = s1[j] - B*(d1[j-1] + d1[j])
+//   o[j]  = out[2j+1] = d1[j] - A*(e[j] + e[j+1])
+// e rows are read back from `out` (cache-hot) for the trailing odd row.
+template <class ProdLo, class ProdHi>
+static void inv97_fused(int h, int w, float* out, float* rows,
+                        ProdLo produce_lo, ProdHi produce_hi) {
+  int ne = (h + 1) / 2, no = h / 2;
+  if (h == 0) return;
+  float* lon = rows;           // lo[j+1] (scaled), also prologue lo[0]
+  float* hic = rows + w;       // hi[j]   (scaled)
+  float* hin = rows + 2 * w;   // hi[j+1]
+  float* s1c = rows + 3 * w;   // s1[j]
+  float* s1n = rows + 4 * w;   // s1[j+1]
+  float* d1p = rows + 5 * w;   // d1[j-1]
+  float* d1c = rows + 6 * w;   // d1[j]
+  if (h == 1) {  // producers already apply the vertical low-band scale
+    produce_lo(0, out);
+    return;
+  }
+  produce_lo(0, lon);
+  produce_hi(0, hic);
+  for (int i = 0; i < w; i++)
+    s1c[i] = lon[i] + -DELTA * (hic[i] + hic[i]);
+  for (int j = 0; j < ne; j++) {
+    if (j + 1 < ne) {
+      produce_lo(j + 1, lon);
+      const float* hr = hic;  // mirror hi[min(j+1, no-1)]
+      if (j + 1 < no) {
+        produce_hi(j + 1, hin);
+        hr = hin;
+      }
+      for (int i = 0; i < w; i++)
+        s1n[i] = lon[i] + -DELTA * (hic[i] + hr[i]);
+    }
+    if (j < no) {
+      const float* sr = (j + 1 < ne) ? s1n : s1c;
+      for (int i = 0; i < w; i++)
+        d1c[i] = hic[i] + -GAMMA * (s1c[i] + sr[i]);
+    }
+    const float* dl = (j > 0) ? d1p : d1c;
+    const float* dr = (j < no) ? d1c : d1p;
+    float* e = out + (size_t)(2 * j) * w;
+    for (int i = 0; i < w; i++)
+      e[i] = s1c[i] + -BETA * (dl[i] + dr[i]);
+    if (j > 0) {
+      const float* a = e - 2 * (size_t)w;
+      float* o = out + (size_t)(2 * j - 1) * w;
+      for (int i = 0; i < w; i++)
+        o[i] = d1p[i] + -ALPHA * (a[i] + e[i]);
+    }
+    float* t = d1p;
+    d1p = d1c;
+    d1c = t;
+    t = s1c;
+    s1c = s1n;
+    s1n = t;
+    t = hic;
+    hic = hin;
+    hin = t;
+  }
+  if (2 * no == h) {  // even h: trailing odd row mirrors upward
+    const float* a = out + (size_t)(h - 2) * w;
+    float* o = out + (size_t)(h - 1) * w;
+    for (int i = 0; i < w; i++) o[i] = d1p[i] + -ALPHA * (a[i] + a[i]);
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
+// One forward 9/7 level of an even-origin (h x w) plane.  Streamed
+// vertical pipeline (two-row lag per lifting step), each completed
+// low/high row horizontally lifted straight into the bands:
+//   d0[j] = x[2j+1] + A*(x[2j] + x[2j+2])      (mirrored)
+//   s1[j] = x[2j]   + B*(d0[j-1] + d0[j])      (clamped)
+//   d2[j] = d0[j]   + G*(s1[j] + s1[j+1])      (mirrored)
+//   s3[j] = s1[j]   + D*(d2[j-1] + d2[j])      (clamped)
+//   lo = s3 / K -> ll/hl row j;  hi = d2 * K -> lh/hh row j
+// `scratch` is unused (kept for ABI stability).
 void grk_fwd97_level(const float* x, int h, int w, float* ll, float* hl,
                      float* lh, float* hh, float* scratch) {
+  (void)scratch;
   int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
-  fwd97_vertical(x, h, w, scratch);
-  float* ev = row_scratch<float>(2 * (ew + 1));
+  if (h == 0) return;
+  float* buf = row_scratch<float>(7 * w + 2 * (ew + 1));
+  float* d0c = buf;          // d0[j]
+  float* d0n = buf + w;      // d0[j+1]
+  float* s1c = buf + 2 * w;  // s1[j]
+  float* s1n = buf + 3 * w;  // s1[j+1]
+  float* d2p = buf + 4 * w;  // d2[j-1]
+  float* d2c = buf + 5 * w;  // d2[j]
+  float* trow = buf + 6 * w;
+  float* ev = buf + 7 * w;
   float* od = ev + ew + 1;
-  for (int y = 0; y < eh; y++)
-    fwd97_row(scratch + (size_t)y * w, w, ll + (size_t)y * ew,
-              hl + (size_t)y * ow, ev, od);
-  for (int y = 0; y < oh; y++)
-    fwd97_row(scratch + (size_t)(eh + y) * w, w, lh + (size_t)y * ew,
-              hh + (size_t)y * ow, ev, od);
+  if (h == 1) {  // vertical pass is just the low-band scale
+    for (int i = 0; i < w; i++) trow[i] = x[i] * (1.0f / KK);
+    fwd97_row(trow, w, ll, hl, ev, od);
+    return;
+  }
+  {  // d0[0], s1[0] prologue (clamped d0[-1] = d0[0])
+    const float* a = x;
+    const float* b = a + w;
+    const float* c = (2 < h) ? b + w : a;
+    for (int i = 0; i < w; i++) d0c[i] = b[i] + ALPHA * (a[i] + c[i]);
+    for (int i = 0; i < w; i++) s1c[i] = a[i] + BETA * (d0c[i] + d0c[i]);
+  }
+  for (int j = 0; j < eh; j++) {
+    if (j + 1 < eh) {
+      if (j + 1 < oh) {
+        const float* a = x + (size_t)(2 * j + 2) * w;
+        const float* b = a + w;
+        const float* c = (2 * j + 4 < h) ? b + w : a;
+        for (int i = 0; i < w; i++) d0n[i] = b[i] + ALPHA * (a[i] + c[i]);
+      } else {  // mirror d0[min(j+1, oh-1)]
+        grk_copy_bytes(d0n, d0c, sizeof(float) * w);
+      }
+      const float* a = x + (size_t)(2 * j + 2) * w;
+      for (int i = 0; i < w; i++)
+        s1n[i] = a[i] + BETA * (d0c[i] + d0n[i]);
+    }
+    if (j < oh) {
+      const float* sr = (j + 1 < eh) ? s1n : s1c;  // bottom mirror
+      for (int i = 0; i < w; i++)
+        d2c[i] = d0c[i] + GAMMA * (s1c[i] + sr[i]);
+    }
+    const float* dl = (j > 0) ? d2p : d2c;
+    const float* dr = (j < oh) ? d2c : d2p;
+    for (int i = 0; i < w; i++)
+      trow[i] = (s1c[i] + DELTA * (dl[i] + dr[i])) * (1.0f / KK);
+    fwd97_row(trow, w, ll + (size_t)j * ew, hl + (size_t)j * ow, ev, od);
+    if (j < oh) {
+      for (int i = 0; i < w; i++) trow[i] = d2c[i] * KK;
+      fwd97_row(trow, w, lh + (size_t)j * ew, hh + (size_t)j * ow, ev,
+                od);
+    }
+    float* t = d2p;
+    d2p = d2c;
+    d2c = t;
+    t = d0c;
+    d0c = d0n;
+    d0n = t;
+    t = s1c;
+    s1c = s1n;
+    s1n = t;
+  }
 }
 
 void grk_inv97_level(const float* ll, const float* hl, const float* lh,
                      const float* hh, int h, int w, float* out,
                      float* scratch) {
-  int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
-  float* ev = row_scratch<float>(2 * (ew + 1));
+  (void)scratch;
+  int ew = (w + 1) / 2, ow = w / 2;
+  float* buf = row_scratch<float>(7 * w + 2 * (ew + 1));
+  float* ev = buf + 7 * w;
   float* od = ev + ew + 1;
-  // horizontal inverses into (lo rows | hi rows) of scratch
-  for (int y = 0; y < eh; y++)
-    inv97_row(ll + (size_t)y * ew, hl + (size_t)y * ow, w,
-              scratch + (size_t)y * w, ev, od);
-  for (int y = 0; y < oh; y++)
-    inv97_row(lh + (size_t)y * ew, hh + (size_t)y * ow, w,
-              scratch + (size_t)(eh + y) * w, ev, od);
-  inv97_vertical_ip(scratch, h, w, out);
+  inv97_fused(
+      h, w, out, buf,
+      [&](int j, float* dst) {
+        inv97_row(ll + (size_t)j * ew, hl + (size_t)j * ow, w, dst, ev,
+                  od);
+        for (int i = 0; i < w; i++) dst[i] *= KK;
+      },
+      [&](int j, float* dst) {
+        inv97_row(lh + (size_t)j * ew, hh + (size_t)j * ow, w, dst, ev,
+                  od);
+        for (int i = 0; i < w; i++) dst[i] *= (1.0f / KK);
+      });
 }
 
 // One inverse 9/7 level with dequantization fused into the band loads.
@@ -449,26 +529,30 @@ void grk_inv97_level_dq(const void* ll, const void* hl, const void* lh,
                         const void* hh, int h, int w, float* out,
                         float* scratch, int dq_ll, float dll, float dhl,
                         float dlh, float dhh) {
-  int eh = (h + 1) / 2, ew = (w + 1) / 2, ow = w / 2, oh = h / 2;
-  float* ev = row_scratch<float>(2 * (ew + 1));
+  (void)scratch;
+  int ew = (w + 1) / 2, ow = w / 2;
+  float* buf = row_scratch<float>(7 * w + 2 * (ew + 1));
+  float* ev = buf + 7 * w;
   float* od = ev + ew + 1;
-  for (int y = 0; y < eh; y++) {
-    float* dst = scratch + (size_t)y * w;
-    if (dq_ll)
-      inv97_row_t<true, true>((const int32_t*)ll + (size_t)y * ew,
-                              (const int32_t*)hl + (size_t)y * ow, w,
-                              dst, ev, od, dll, dhl);
-    else
-      inv97_row_t<false, true>((const float*)ll + (size_t)y * ew,
-                               (const int32_t*)hl + (size_t)y * ow, w,
-                               dst, ev, od, 0.0f, dhl);
-  }
-  for (int y = 0; y < oh; y++)
-    inv97_row_t<true, true>((const int32_t*)lh + (size_t)y * ew,
-                            (const int32_t*)hh + (size_t)y * ow, w,
-                            scratch + (size_t)(eh + y) * w, ev, od,
-                            dlh, dhh);
-  inv97_vertical_ip(scratch, h, w, out);
+  inv97_fused(
+      h, w, out, buf,
+      [&](int j, float* dst) {
+        if (dq_ll)
+          inv97_row_t<true, true>((const int32_t*)ll + (size_t)j * ew,
+                                  (const int32_t*)hl + (size_t)j * ow, w,
+                                  dst, ev, od, dll, dhl);
+        else
+          inv97_row_t<false, true>((const float*)ll + (size_t)j * ew,
+                                   (const int32_t*)hl + (size_t)j * ow,
+                                   w, dst, ev, od, 0.0f, dhl);
+        for (int i = 0; i < w; i++) dst[i] *= KK;
+      },
+      [&](int j, float* dst) {
+        inv97_row_t<true, true>((const int32_t*)lh + (size_t)j * ew,
+                                (const int32_t*)hh + (size_t)j * ow, w,
+                                dst, ev, od, dlh, dhh);
+        for (int i = 0; i < w; i++) dst[i] *= (1.0f / KK);
+      });
 }
 
 }  // extern "C"
