@@ -202,11 +202,24 @@ def main():
     # minute phases, so probe BEFORE the ~60 s ladder as well as after —
     # two timestamped attempts per run instead of one point of failure.
     probes = []
+    early_device = None  # parsed device-metric dict from the early window
     if os.environ.get("GROK_TPU_BENCH_NO_DEVICE") != "1":
         rc0, _ = _run_sub("--probe", PROBE_TIMEOUT)
         probes.append({"ts": round(time.time(), 1),
                        "status": {0: "ok", None: "degraded"}.get(rc0,
                                                                  "absent")})
+        if rc0 == 0:
+            # The relay is healthy RIGHT NOW — grab the device numbers in
+            # this window instead of betting on it still being up after
+            # the multi-minute CPU ladder (it degraded between probes in
+            # BENCH_r05's first capture).  The subprocess is deadline-
+            # killed, so a mid-run hang costs DEVICE_TIMEOUT at most.
+            rc0, line0 = _run_sub("--device-metrics", DEVICE_TIMEOUT)
+            if line0:
+                try:
+                    early_device = json.loads(line0)
+                except ValueError:
+                    pass
     result = {
         "metric": "512x512 gray lossless 5/3 encode+decode round-trip "
                   "throughput (config 1)",
@@ -369,7 +382,11 @@ def main():
                        "status": {0: "ok", None: "degraded"}.get(
                            rc, "absent")})
         result["relay_probes"] = probes
-        if rc == 0:
+        if early_device is not None:
+            # captured in the healthy early window, before the ladder
+            result["relay"] = "ok"
+            result.update(early_device)
+        elif rc == 0:
             result["relay"] = "ok"
             rc, line = _run_sub("--device-metrics", DEVICE_TIMEOUT)
             if line:
