@@ -7,8 +7,11 @@
 # t1/ht/dwt/t2) is compiled twice to the SAME object path — once with
 # -DGRK_TRAIN_MAIN + -fprofile-generate to run train.cc's production
 # branch mix, once with -fprofile-use — so the .gcda actually matches
-# the library objects (gcc keys profiles per object file).  Falls back
-# to a plain -O3 build if any PGO stage fails.
+# the library objects (gcc keys profiles per object file).
+# -fprofile-partial-training keeps functions the trainer misses at full
+# -O3 instead of gcc's cold-size treatment (measured 3.5-5x on the
+# untrained DWT kernels).  Falls back to a plain -O3 build if any PGO
+# stage fails.
 #
 # The output library is written to a temp name and moved into place so
 # concurrent importers never dlopen a half-written file.
@@ -27,6 +30,7 @@ if g++ $FLAGS -DGRK_TRAIN_MAIN -fprofile-generate="$PGODIR" \
           -o "$PGODIR/train" 2>/dev/null \
    && "$PGODIR/train" \
    && g++ $FLAGS -fprofile-use="$PGODIR" -fprofile-correction \
+          -fprofile-partial-training \
           -c amalgam.cc -o "$PGODIR/amalgam.o" 2>/dev/null \
    && g++ $FLAGS -shared "$PGODIR/amalgam.o" -o "$TMP" 2>/dev/null; then
     mv -f "$TMP" "$LIB"
