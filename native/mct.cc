@@ -26,6 +26,10 @@
 #include <cmath>
 #include <cstdint>
 
+#ifdef __SSE2__
+#include <immintrin.h>
+#endif
+
 #include "util.h"
 
 namespace {
@@ -41,15 +45,23 @@ constexpr float F00 = 0.299f, F01 = 0.587f, F02 = 0.114f;
 constexpr float F10 = -0.168736f, F11 = -0.331264f, F12 = 0.5f;
 constexpr float F20 = 0.5f, F21 = -0.418688f, F22 = -0.081312f;
 
-// np.rint(f32).astype(np.int32): half-to-even (llrintf under the
-// default FE_TONEAREST), with the x86 conversion's INT32_MIN result
-// for NaN/inf/out-of-range.
+// np.rint(f32).astype(np.int32): half-to-even (per MXCSR FE_TONEAREST),
+// with the x86 conversion's INT32_MIN result for NaN/inf/out-of-range.
+// cvtss2si IS that exact operation (and numpy's own backend on x86);
+// the libm form is the portable fallback — llrintf is a per-element
+// call and GCC cannot autovectorize it.
+#ifdef __SSE2__
+static inline int32_t rint_i32(float v) {
+  return _mm_cvtss_si32(_mm_set_ss(v));
+}
+#else
 static inline int32_t rint_i32(float v) {
   long long r = llrintf(v);
   if (!(v == v) || r < (long long)INT32_MIN || r > (long long)INT32_MAX)
     return INT32_MIN;
   return (int32_t)r;
 }
+#endif
 
 // numpy int64 -> int32 astype (modulo wrap)
 static inline int32_t wrap32(int64_t v) {
@@ -77,6 +89,24 @@ struct Shift {
   }
 };
 
+#ifdef __AVX512F__
+// 16-lane rint + DC shift + clip.  vcvtps2dq rounds per MXCSR
+// (nearest-even) and yields the 0x80000000 indefinite for NaN/inf/
+// out-of-range — bit-identical to rint_i32 per lane.  Intrinsics keep
+// UBSan quiet on corrupt-stream NaNs (a float->int C cast would trap).
+struct ShiftV {
+  __m512i dc, lo, hi;
+  explicit ShiftV(const Shift& s)
+      : dc(_mm512_set1_epi32(s.dc)),
+        lo(_mm512_set1_epi32(s.lo)),
+        hi(_mm512_set1_epi32(s.hi)) {}
+  inline __m512i apply(__m512 v) const {
+    __m512i t = _mm512_add_epi32(_mm512_cvtps_epi32(v), dc);
+    return _mm512_min_epi32(_mm512_max_epi32(t, lo), hi);
+  }
+};
+#endif
+
 }  // namespace
 
 extern "C" {
@@ -89,7 +119,27 @@ void grk_ict_inv_shift(const float* y, const float* cb, const float* cr,
                        int sgnd1, int prec2, int sgnd2, int32_t* r,
                        int32_t* g, int32_t* b) {
   Shift s0(prec0, sgnd0), s1(prec1, sgnd1), s2(prec2, sgnd2);
-  for (int64_t i = 0; i < n; i++) {
+  int64_t i = 0;
+#ifdef __AVX512F__
+  // Separate mul/add intrinsics: no FMA contraction, same association
+  // order as the scalar expressions (and the numpy oracle).
+  ShiftV v0(s0), v1(s1), v2(s2);
+  const __m512 m02 = _mm512_set1_ps(M02), m11 = _mm512_set1_ps(M11);
+  const __m512 m12 = _mm512_set1_ps(M12), m21 = _mm512_set1_ps(M21);
+  for (; i + 16 <= n; i += 16) {
+    __m512 yy = _mm512_loadu_ps(y + i);
+    __m512 u = _mm512_loadu_ps(cb + i);
+    __m512 v = _mm512_loadu_ps(cr + i);
+    __m512 fr = _mm512_add_ps(yy, _mm512_mul_ps(m02, v));
+    __m512 fg = _mm512_add_ps(_mm512_add_ps(yy, _mm512_mul_ps(m11, u)),
+                              _mm512_mul_ps(m12, v));
+    __m512 fb = _mm512_add_ps(yy, _mm512_mul_ps(m21, u));
+    _mm512_storeu_si512(r + i, v0.apply(fr));
+    _mm512_storeu_si512(g + i, v1.apply(fg));
+    _mm512_storeu_si512(b + i, v2.apply(fb));
+  }
+#endif
+  for (; i < n; i++) {
     float yy = y[i], u = cb[i], v = cr[i];
     float fr = yy + M02 * v;
     float fg = (yy + M11 * u) + M12 * v;
@@ -155,7 +205,13 @@ void grk_rct_fwd_shift(const int32_t* r, const int32_t* g,
 void grk_f32_shift_i32(const float* x, int64_t n, int prec, int sgnd,
                        int32_t* out) {
   Shift s(prec, sgnd);
-  for (int64_t i = 0; i < n; i++) out[i] = s.apply(rint_i32(x[i]));
+  int64_t i = 0;
+#ifdef __AVX512F__
+  ShiftV sv(s);
+  for (; i + 16 <= n; i += 16)
+    _mm512_storeu_si512(out + i, sv.apply(_mm512_loadu_ps(x + i)));
+#endif
+  for (; i < n; i++) out[i] = s.apply(rint_i32(x[i]));
 }
 
 // int synthesis output -> DC unshift + clip (oracle: dc_shift_inverse).

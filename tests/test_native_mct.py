@@ -91,3 +91,34 @@ def test_native_mct_gate_falls_back(rng, monkeypatch):
             assert np.array_equal(a, b)
     finally:
         M._NATIVE_MCT.clear()
+
+
+def test_fused_tail_nonfinite_matches_oracle(rng):
+    """Corrupt lossy streams can synthesize NaN/inf/out-of-range floats;
+    the fused (and SIMD) tails must reproduce numpy's hardware
+    conversion (rint -> int32 with the x86 INT32_MIN indefinite) lane
+    for lane, including partial-vector tails."""
+    for shape in [(64, 64), (37, 53), (1, 19)]:
+        planes = []
+        for _ in range(3):
+            p = (rng.normal(0, 1e3, shape) * 8).astype(np.float32)
+            m = rng.random(shape)
+            p[m < 0.1] = np.nan
+            p[(m >= 0.1) & (m < 0.2)] = np.inf
+            p[(m >= 0.2) & (m < 0.3)] = -np.inf
+            p[(m >= 0.3) & (m < 0.4)] = 3e9
+            p[(m >= 0.4) & (m < 0.5)] = -3e9
+            p[(m >= 0.5) & (m < 0.55)] = 2147483520.0  # largest f32 < 2^31
+            planes.append(p)
+        precs, sgnds = (8,) * 3, (False,) * 3
+        with np.errstate(invalid="ignore", over="ignore"):
+            got = M.ict_inverse_shift(*planes, precs, sgnds)
+            ref = [M.dc_shift_inverse(M.round_to_int(q, 8), 8, False)
+                   for q in M.ict_inverse(*planes)]
+        for a, b in zip(got, ref):
+            assert a.dtype == np.int32 and np.array_equal(a, b)
+        with np.errstate(invalid="ignore"):
+            one = M.shift_round_clip(planes[0], 12, True)
+            one_ref = M.dc_shift_inverse(M.round_to_int(planes[0], 12),
+                                         12, True)
+        assert np.array_equal(one, one_ref)
