@@ -124,22 +124,33 @@ class GrkImage:
     def from_array(
         arr: np.ndarray,
         prec: int | None = None,
-        sgnd: bool = False,
+        sgnd: bool | None = None,
         color_space: ColorSpace | None = None,
         subsampling: list[tuple[int, int]] | None = None,
         offset: tuple[int, int] = (0, 0),
     ) -> "GrkImage":
         """Build a GrkImage from an (h, w) or (h, w, c) array (no subsampling
         applied to the data — caller supplies already-subsampled planes via
-        `comps` directly if needed)."""
+        `comps` directly if needed).  `sgnd=None` infers signedness: arrays
+        of a signed dtype that actually hold negative values encode as
+        signed components (they cannot round-trip as unsigned); everything
+        else keeps the unsigned default."""
         if arr.ndim == 2:
             arr = arr[:, :, None]
         h, w, nc = arr.shape
+        if sgnd is None:
+            sgnd = bool(arr.size
+                        and np.issubdtype(arr.dtype, np.signedinteger)
+                        and arr.min() < 0)
         if prec is None:
-            if arr.dtype == np.uint8:
+            if arr.dtype in (np.uint8, np.int8):
                 prec = 8
             elif arr.dtype in (np.uint16, np.int16):
                 prec = 16
+            elif sgnd and arr.size:
+                # smallest p with -2^(p-1) <= min and max <= 2^(p-1)-1
+                bound = max(int(arr.max()) + 1, -int(arr.min()), 1)
+                prec = max((bound - 1).bit_length() + 1, 2)
             else:
                 prec = int(arr.max()).bit_length() if arr.size else 8
                 prec = max(prec, 1)

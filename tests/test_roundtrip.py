@@ -202,3 +202,30 @@ def test_stepsize_signaling_bounds():
     quant.default_stepsizes(29, 5, reversible=True)
     with _pytest.raises(ParamError):
         quant.default_stepsizes(30, 5, reversible=True)
+
+
+def test_from_array_infers_signedness(rng):
+    """A signed-dtype array holding negatives must encode as a signed
+    component (it cannot round-trip as unsigned); nonnegative arrays
+    keep the unsigned default regardless of dtype."""
+    a16 = rng.integers(-30000, 30000, (45, 37)).astype(np.int16)
+    img = GrkImage.from_array(a16)
+    assert img.comps[0].prec == 16 and img.comps[0].sgnd
+    out = grok_tpu.decompress(grok_tpu.compress(img, CompressParams()))
+    assert np.array_equal(out.to_array(), a16.astype(np.int32))
+
+    a8 = rng.integers(-128, 128, (30, 30)).astype(np.int8)
+    img8 = GrkImage.from_array(a8)
+    assert img8.comps[0].prec == 8 and img8.comps[0].sgnd
+    out8 = grok_tpu.decompress(grok_tpu.compress(img8, CompressParams()))
+    assert np.array_equal(out8.to_array(), a8.astype(np.int32))
+
+    nonneg = rng.integers(0, 4096, (30, 30)).astype(np.int32)
+    imgn = GrkImage.from_array(nonneg)
+    assert imgn.comps[0].prec == 12 and not imgn.comps[0].sgnd
+
+    deep = rng.integers(-(1 << 20), 1 << 20, (20, 20)).astype(np.int32)
+    imgd = GrkImage.from_array(deep)
+    assert imgd.comps[0].sgnd and imgd.comps[0].prec >= 21
+    outd = grok_tpu.decompress(grok_tpu.compress(imgd, CompressParams()))
+    assert np.array_equal(outd.to_array(), deep)
