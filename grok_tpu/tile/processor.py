@@ -2272,6 +2272,8 @@ class TileDecompressor:
                 for bi, band in enumerate(res.bands):
                     wrect = self._window_band_rect(
                         tc.compno, res.resno, band.orient)
+                    if wrect is not None and wrect.is_empty():
+                        continue  # whole band outside the decode window
                     key = (tc.compno, res.resno, band.orient)
                     arr = self._band_arrays[key]
                     crop = self._band_offsets[key]
@@ -2280,7 +2282,11 @@ class TileDecompressor:
                     band_ht = tccp.ht
                     orient = band.orient
                     for prc in res.precincts:
-                        for cblk in prc.pbands[bi].cblks:
+                        pband = prc.pbands[bi]
+                        if wrect is not None and \
+                                pband.rect.intersect(wrect).is_empty():
+                            continue  # whole precinct outside the window
+                        for cblk in pband.cblks:
                             if cblk.total_passes <= 0 or cblk.rect.is_empty():
                                 continue
                             if wrect is not None and \
