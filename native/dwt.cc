@@ -71,6 +71,17 @@ static inline void fwd53_row(const int32_t* x, int n, int32_t* lo,
   }
 }
 
+// Wrap-exact int32 add/sub for the INVERSE path: corrupt streams can
+// hand the lifting arbitrary int32 band values, and the numpy oracle
+// wraps — signed overflow here would be UB (caught by the UBSan fuzz
+// harness).  Same single add/sub instruction on x86.
+static inline int32_t wadd(int32_t a, int32_t b) {
+  return (int32_t)((uint32_t)a + (uint32_t)b);
+}
+static inline int32_t wsub(int32_t a, int32_t b) {
+  return (int32_t)((uint32_t)a - (uint32_t)b);
+}
+
 // T1 decoders emit DOUBLED-domain values (sign * (2q+1)); fusing the
 // value = (v - (v >> 31)) >> 1 halving into the band loads here removes a
 // full-plane numpy pass per band on the lossless decode path.
@@ -94,24 +105,27 @@ static inline void inv53_row_t(const int32_t* lo, const int32_t* hi, int n,
     out[0] = load_lo<HLO, HHI>(lo, 0);
     return;
   }
-  ev[0] = load_lo<HLO, HHI>(lo, 0) -
-          ((2 * load_hi<HLO, HHI>(hi, 0) + 2) >> 2);
+  {
+    int32_t h0 = load_hi<HLO, HHI>(hi, 0);
+    ev[0] = wsub(load_lo<HLO, HHI>(lo, 0),
+                 wadd(wadd(h0, h0), 2) >> 2);
+  }
   int jm = (ne < no) ? ne : no;
   for (int j = 1; j < jm; j++)
-    ev[j] = load_lo<HLO, HHI>(lo, j) -
-            ((load_hi<HLO, HHI>(hi, j - 1) + load_hi<HLO, HHI>(hi, j) + 2)
-             >> 2);
+    ev[j] = wsub(load_lo<HLO, HHI>(lo, j),
+                 wadd(wadd(load_hi<HLO, HHI>(hi, j - 1),
+                           load_hi<HLO, HHI>(hi, j)), 2) >> 2);
   for (int j = jm; j < ne; j++) {
     int32_t dl = load_hi<HLO, HHI>(hi, j - 1);
     int32_t dr = load_hi<HLO, HHI>(hi, (j < no) ? j : no - 1);
-    ev[j] = load_lo<HLO, HHI>(lo, j) - ((dl + dr + 2) >> 2);
+    ev[j] = wsub(load_lo<HLO, HHI>(lo, j), wadd(wadd(dl, dr), 2) >> 2);
   }
   for (int j = 0; j < no - 1; j++)
-    od[j] = load_hi<HLO, HHI>(hi, j) + ((ev[j] + ev[j + 1]) >> 1);
+    od[j] = wadd(load_hi<HLO, HHI>(hi, j), wadd(ev[j], ev[j + 1]) >> 1);
   {
     int j = no - 1;
     int32_t c = (2 * j + 2 < n) ? ev[j + 1] : ev[j];
-    od[j] = load_hi<HLO, HHI>(hi, j) + ((ev[j] + c) >> 1);
+    od[j] = wadd(load_hi<HLO, HHI>(hi, j), wadd(ev[j], c) >> 1);
   }
   for (int j = 0; j < no; j++) {
     out[2 * j] = ev[j];
@@ -216,12 +230,12 @@ void grk_inv53_level_h(const int32_t* ll, const int32_t* hl,
     const int32_t* dr = (j < oh) ? dcur : dprev;
     int32_t* e = out + (size_t)(2 * j) * w;
     for (int i = 0; i < w; i++)
-      e[i] = srow[i] - ((dl[i] + dr[i] + 2) >> 2);
+      e[i] = wsub(srow[i], wadd(wadd(dl[i], dr[i]), 2) >> 2);
     if (j > 0) {
       const int32_t* a = e - 2 * (size_t)w;
       int32_t* o = out + (size_t)(2 * j - 1) * w;
       for (int i = 0; i < w; i++)
-        o[i] = dprev[i] + ((a[i] + e[i]) >> 1);
+        o[i] = wadd(dprev[i], wadd(a[i], e[i]) >> 1);
     }
     int32_t* t = dprev;
     dprev = dcur;
@@ -230,7 +244,8 @@ void grk_inv53_level_h(const int32_t* ll, const int32_t* hl,
   if (2 * oh == h) {  // even h: trailing odd row mirrors upward
     const int32_t* a = out + (size_t)(h - 2) * w;
     int32_t* o = out + (size_t)(h - 1) * w;
-    for (int i = 0; i < w; i++) o[i] = dprev[i] + ((a[i] + a[i]) >> 1);
+    for (int i = 0; i < w; i++)
+      o[i] = wadd(dprev[i], wadd(a[i], a[i]) >> 1);
   }
 }
 

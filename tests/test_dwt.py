@@ -135,3 +135,41 @@ def test_inverse_dwt_fused_dequant_matches_upfront(rng):
             tcr, numres, reversible=False)
         assert fused.dtype == np.float32
         assert np.array_equal(fused, upfront), (w, h, x0, y0)
+
+
+def test_native53_inverse_wraps_like_numpy(rng):
+    """Corrupt streams can hand the inverse lifting arbitrary int32 band
+    values; numpy int32 arithmetic wraps, so the native inverse must
+    wrap identically (signed-overflow UB here was a real fuzz finding).
+    Covers both the plain and the fused-halving band loads."""
+    from grok_tpu.t1 import native as nat
+    from grok_tpu.tile.geometry import Rect
+    from grok_tpu.transform.dwt import _merge_2d
+
+    lo, hi = np.int32(-(2 ** 31)), np.int32(2 ** 31 - 1)
+    for (h, w) in [(64, 64), (37, 53), (2, 2), (1, 9), (8, 1), (6, 6)]:
+        eh, ew, oh, ow = (h + 1) // 2, (w + 1) // 2, h // 2, w // 2
+        def extreme(shape):
+            a = rng.integers(-(2 ** 31), 2 ** 31, size=shape,
+                             dtype=np.int64).astype(np.int32)
+            # salt with exact extremes so the lifting sums overflow
+            flat = a.reshape(-1)
+            if flat.size:
+                flat[:: 3] = hi
+                flat[1:: 3] = lo
+            return a
+        ll, hl = extreme((eh, ew)), extreme((eh, ow))
+        lh, hh = extreme((oh, ew)), extreme((oh, ow))
+        rect = Rect(0, 0, w, h)
+        with np.errstate(over="ignore"):
+            ref = _merge_2d(ll, hl, lh, hh, rect, True)
+        back = nat.inv53_level_native(ll, hl, lh, hh, h, w)
+        assert np.array_equal(back, ref), (h, w)
+        # fused halving loads (doubled-domain path), halve all bands
+        def halved(p):
+            return (p - (p >> 31)) >> 1
+        with np.errstate(over="ignore"):
+            ref_h = _merge_2d(halved(ll), halved(hl), halved(lh),
+                              halved(hh), rect, True)
+        back_h = nat.inv53_level_native(ll, hl, lh, hh, h, w, halve=3)
+        assert np.array_equal(back_h, ref_h), (h, w, "halve")
