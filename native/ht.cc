@@ -475,6 +475,21 @@ static void ht_encode_one(GrkHTEncJob* j) {
   j->out_len = (int32_t)total;
 }
 
+// Random-access MagSgn bit read: bit-identical to FastBitR::get_bits at
+// the same bit offset (same 64-bit window rule, same tolerant zero past
+// the guard) but with NO serial bitpos dependency — offsets come from a
+// prefix sum, so extractions are independent and the OOO core overlaps
+// them across quads.
+static inline uint32_t ms_peek(const uint8_t* b, size_t bufsz, size_t o,
+                               int n) {
+  size_t byte = o >> 3;
+  if (byte + 8 > bufsz) return 0;
+  uint64_t w;
+  std::memcpy(&w, b + byte, 8);
+  w = __builtin_bswap64(w);
+  return (uint32_t)((w << (o & 7)) >> (64 - n));
+}
+
 static void ht_decode_one(GrkHTDecJob* j) {
   int h = j->h, w = j->w;
   int ostride = j->out_stride > 0 ? j->out_stride : w;
@@ -503,16 +518,30 @@ static void ht_decode_one(GrkHTDecJob* j) {
   rho_prev.assign((size_t)qw, 0);
   rho_cur.assign((size_t)qw, 0);
   if ((h & 1) == 0 && (w & 1) == 0) {
-    // fast path (every quad full): ONE 17-bit window read covers the
-    // max-width codeword plus the whole u code (prefix LUT from
-    // t1/ht_tables.py, context-selected), and each significant sample
-    // is one fused (mag-1)<<1|sign read
+    // fast path (every quad full), TWO passes.  Pass A is the serial
+    // chain (MEL + one 17-bit VLC window covering codeword + u code +
+    // the u predictor), recording per significant quad its rho, nb,
+    // MagSgn bit offset (prefix sum) and output offset.  Pass B
+    // extracts every sample with independent random-access ms_peek
+    // reads -- the serial MagSgn cursor is gone, so extractions from
+    // different quads overlap in the OOO window.
+    thread_local std::vector<uint8_t> q_rho, q_nb;
+    thread_local std::vector<uint32_t> q_off;
+    thread_local std::vector<uint64_t> q_dst;
+    size_t maxq = (size_t)qh * qw;
+    if (q_rho.size() < maxq) {
+      q_rho.resize(maxq);
+      q_nb.resize(maxq);
+      q_off.resize(maxq);
+      q_dst.resize(maxq);
+    }
+    size_t nq = 0;
+    uint32_t ms_bit = 0;
     for (int qy = 0; qy < qh; qy++) {
       uint32_t u_pred = 1;
       uint32_t left = 0;
-      int32_t* o0 = j->out + (size_t)(2 * qy) * ostride;
-      int32_t* o1 = o0 + ostride;
-      for (int qx = 0; qx < qw; qx++, o0 += 2, o1 += 2) {
+      uint64_t drow = (uint64_t)(2 * qy) * (uint64_t)ostride;
+      for (int qx = 0; qx < qw; qx++) {
         uint32_t ctx = ht_quad_ctx(left, rho_prev[qx],
                                    qx ? rho_prev[qx - 1] : 0);
         if (!mel.decode()) {
@@ -536,48 +565,67 @@ static void ht_decode_one(GrkHTDecJob* j) {
         int diff = (zz & 1) ? -(int)((zz + 1) >> 1) : (int)(zz >> 1);
         int umax = (int)u_pred + diff;
         u_pred = (uint32_t)umax;
-        if (umax < 1 || umax > 31) return;  // tolerant bail-out
-        int nb = umax + 1;
-        // sample order TL, BL, TR, BR
-        if (rho == 15u && nb <= 16) {
-          // dense quad, short words: one window read per sample pair
-          uint32_t mask = (1u << nb) - 1;
-          uint32_t p01 = ms.get_bits(2 * nb);
-          uint32_t v0 = p01 >> nb, v1 = p01 & mask;
-          int32_t a0 = (int32_t)(2 * ((v0 >> 1) + 1) + 1);
-          int32_t a1 = (int32_t)(2 * ((v1 >> 1) + 1) + 1);
-          o0[0] = (v0 & 1) ? -a0 : a0;
-          o1[0] = (v1 & 1) ? -a1 : a1;
-          uint32_t p23 = ms.get_bits(2 * nb);
-          uint32_t v2 = p23 >> nb, v3 = p23 & mask;
-          int32_t a2 = (int32_t)(2 * ((v2 >> 1) + 1) + 1);
-          int32_t a3 = (int32_t)(2 * ((v3 >> 1) + 1) + 1);
-          o0[1] = (v2 & 1) ? -a2 : a2;
-          o1[1] = (v3 & 1) ? -a3 : a3;
-        } else {
-          if (rho & 1u) {
-            uint32_t v = ms.get_bits(nb);
-            int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
-            o0[0] = (v & 1) ? -val : val;
-          }
-          if (rho & 2u) {
-            uint32_t v = ms.get_bits(nb);
-            int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
-            o1[0] = (v & 1) ? -val : val;
-          }
-          if (rho & 4u) {
-            uint32_t v = ms.get_bits(nb);
-            int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
-            o0[1] = (v & 1) ? -val : val;
-          }
-          if (rho & 8u) {
-            uint32_t v = ms.get_bits(nb);
-            int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
-            o1[1] = (v & 1) ? -val : val;
-          }
+        if (umax < 1 || umax > 31) {  // tolerant bail-out: extract the
+          qy = qh;                    // quads recorded so far, then stop
+          break;
         }
+        q_rho[nq] = (uint8_t)rho;
+        q_nb[nq] = (uint8_t)(umax + 1);
+        q_off[nq] = ms_bit;
+        q_dst[nq] = drow + (uint64_t)(2 * qx);
+        nq++;
+        ms_bit += (uint32_t)__builtin_popcount(rho) * (uint32_t)(umax + 1);
       }
       std::swap(rho_prev, rho_cur);
+    }
+    const uint8_t* mb = ms.buf.data();
+    size_t mbs = ms.buf.size();
+    int32_t* outp = j->out;
+    for (size_t i = 0; i < nq; i++) {
+      uint32_t rho = q_rho[i];
+      int nb = q_nb[i];
+      int32_t* o0 = outp + q_dst[i];
+      int32_t* o1 = o0 + ostride;
+      size_t o = q_off[i];
+      // sample order TL, BL, TR, BR
+      if (rho == 15u) {  // dense quad: four independent extractions
+        uint32_t v0 = ms_peek(mb, mbs, o, nb);
+        uint32_t v1 = ms_peek(mb, mbs, o + (size_t)nb, nb);
+        uint32_t v2 = ms_peek(mb, mbs, o + 2 * (size_t)nb, nb);
+        uint32_t v3 = ms_peek(mb, mbs, o + 3 * (size_t)nb, nb);
+        int32_t a0 = (int32_t)(2 * ((v0 >> 1) + 1) + 1);
+        int32_t a1 = (int32_t)(2 * ((v1 >> 1) + 1) + 1);
+        int32_t a2 = (int32_t)(2 * ((v2 >> 1) + 1) + 1);
+        int32_t a3 = (int32_t)(2 * ((v3 >> 1) + 1) + 1);
+        o0[0] = (v0 & 1) ? -a0 : a0;
+        o1[0] = (v1 & 1) ? -a1 : a1;
+        o0[1] = (v2 & 1) ? -a2 : a2;
+        o1[1] = (v3 & 1) ? -a3 : a3;
+      } else {
+        if (rho & 1u) {
+          uint32_t v = ms_peek(mb, mbs, o, nb);
+          o += (size_t)nb;
+          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+          o0[0] = (v & 1) ? -val : val;
+        }
+        if (rho & 2u) {
+          uint32_t v = ms_peek(mb, mbs, o, nb);
+          o += (size_t)nb;
+          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+          o1[0] = (v & 1) ? -val : val;
+        }
+        if (rho & 4u) {
+          uint32_t v = ms_peek(mb, mbs, o, nb);
+          o += (size_t)nb;
+          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+          o0[1] = (v & 1) ? -val : val;
+        }
+        if (rho & 8u) {
+          uint32_t v = ms_peek(mb, mbs, o, nb);
+          int32_t val = (int32_t)(2 * ((v >> 1) + 1) + 1);
+          o1[1] = (v & 1) ? -val : val;
+        }
+      }
     }
     return;
   }
