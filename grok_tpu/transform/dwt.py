@@ -476,8 +476,21 @@ def inverse_dwt_window(bands: dict, band_offsets: dict, tc_rect,
         # inverse off its vectorized even-parity fast path (measured
         # -28% on window decodes when applied unconditionally).
         tgt = produce[r]
-        x0 = 2 * p.x0 - (1 if tgt.x0 < 2 * p.x0 else 0)
-        y0 = 2 * p.y0 - (1 if tgt.y0 < 2 * p.y0 else 0)
+        # Start odd ALSO when the produce rect was clipped at the low
+        # band's edge of an odd-origin tile: there rr.x0 == 2*p.x0 - 1
+        # and the high band really holds index p.x0 - 1, so an even
+        # start would mirror-fake a sample that exists and pollute the
+        # first `sup` columns — which a zero-margin window (tgt.x0 ==
+        # 2*p.x0) then keeps.  Interior starts have >= 2m-1 > sup
+        # columns of margin slack, so the condition never fires there
+        # and the vectorized even-parity path is kept.
+        sup = 2 if reversible else 4
+        x0 = 2 * p.x0
+        if tgt.x0 < x0 or (rr.x0 < x0 and tgt.x0 < x0 + sup):
+            x0 -= 1
+        y0 = 2 * p.y0
+        if tgt.y0 < y0 or (rr.y0 < y0 and tgt.y0 < y0 + sup):
+            y0 -= 1
         o = Rect(max(x0, rr.x0), max(y0, rr.y0),
                  min(2 * p.x1, rr.x1), min(2 * p.y1, rr.y1))
         # even/odd index spans of the output rect in the level-below grids

@@ -474,3 +474,36 @@ def test_unsignaled_sop_markers_tolerated(rng):
     assert patched == 1
     out = grok_tpu.decompress(bytes(ba))
     assert np.array_equal(out.comps[0].data, arr)
+
+
+def test_window_decode_odd_tile_origin_zero_margin():
+    """Window decodes that begin exactly at the clipped produce edge of
+    an ODD-origin tile must still equal the full-decode crop: the high
+    band extends one sample left of the low band there (floor vs ceil),
+    and the merge must consume that real sample instead of mirror-faking
+    it (fuzz trial 63 regression).  Sweeps both parities, both filters,
+    multiple window offsets."""
+    rng = np.random.default_rng(6363)
+    arr = rng.integers(0, 65536, size=(55, 115)).astype(np.int32)
+    img = GrkImage.from_array(arr, prec=16)
+    for irrev in (False, True):
+        for tile in [(37, 41), (41, 37), (33, 39)]:
+            p = CompressParams(numresolution=4, tile_size=tile,
+                               irreversible=irrev)
+            data = grok_tpu.compress(img, p)
+            full = grok_tpu.decompress(data).comps[0].data
+            # windows starting 0..3 samples inside each tile seam
+            tw = tile[0]
+            for dx in (0, 1, 2, 3):
+                for dy in (0, 1, 2, 3):
+                    wx0, wy0 = tw + dx, tile[1] + dy
+                    wx1 = min(wx0 + 30, 115)
+                    wy1 = min(wy0 + 12, 55)
+                    if wx0 >= 115 or wy0 >= 55:
+                        continue
+                    dp = DecompressParams()
+                    dp.window = (wx0, wy0, wx1, wy1)
+                    got = grok_tpu.decompress(data, dp).comps[0].data
+                    want = full[wy0:wy1, wx0:wx1]
+                    assert np.array_equal(got, want), (
+                        irrev, tile, (wx0, wy0, wx1, wy1))
