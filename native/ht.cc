@@ -58,35 +58,44 @@ static inline uint32_t ht_quad_ctx(uint32_t left, uint32_t up,
 // (stuff_stream), which is byte-identical to streaming the bits through
 // a stuffing-aware writer.
 struct FastBitW {
+  // Branchless writer: `acc` holds the <8 pending bits LEFT-aligned and
+  // every put unconditionally stores the 8-byte window at the byte
+  // cursor, then advances past the completed whole bytes.  The old
+  // 32-bit-accumulator variant flushed behind a data-dependent branch
+  // (taken ~40% of puts with an input-dependent pattern — a steady
+  // mispredict tax on the encode hot loop); an always-store writer
+  // trades that for one cheap store per put.  Callers may pass n up to
+  // 56 bits (ht.cc callers stay <= 32); n == 0 is a no-op by masking.
   uint8_t* base = nullptr;
   uint8_t* p = nullptr;
   uint64_t acc = 0;
-  uint32_t used = 0;
+  uint32_t used = 0;  // pending bits in acc, always < 8 between puts
   void init(uint8_t* buf) {
     base = p = buf;
     acc = 0;
     used = 0;
   }
   inline void put(int bit) { put_bits((uint32_t)(bit & 1), 1); }
-  inline void put_bits(uint32_t v, int n) {
-    acc = (acc << n) | (uint64_t)(v & ((n >= 32) ? 0xFFFFFFFFu
-                                                 : ((1u << n) - 1)));
+  inline void put_bits(uint64_t v, int n) {
+    // shift (64 - used - n) is 0..63 except the degenerate used=n=0
+    // case, where the &63 wrap makes it 0 and the masked v is 0 anyway
+    uint32_t sh = (64u - used - (uint32_t)n) & 63u;
+    acc |= (v & ((1ull << n) - 1)) << sh;
     used += (uint32_t)n;
-    if (used >= 32) {
-      used -= 32;
-      uint32_t out = __builtin_bswap32((uint32_t)(acc >> used));
-      std::memcpy(p, &out, 4);
-      p += 4;
-    }
+    uint64_t be = __builtin_bswap64(acc);
+    std::memcpy(p, &be, 8);
+    p += used >> 3;
+    acc <<= (used & ~7u);
+    used &= 7u;
   }
   long nbits() const { return (long)(p - base) * 8 + used; }
-  // close the packed byte buffer (zero-pad the final partial byte)
+  // close the packed byte buffer; the zero-padded partial byte is
+  // already in memory from the last unconditional store
   void finalize() {
-    uint32_t rem = used;
-    if (rem) {
-      uint64_t tail = acc << (8 * ((rem + 7) / 8) - rem);
-      for (int k = (int)((rem + 7) / 8) - 1; k >= 0; k--)
-        *p++ = (uint8_t)(tail >> (8 * k));
+    if (used) {
+      p++;
+      used = 0;
+      acc = 0;
     }
   }
 };
@@ -300,10 +309,14 @@ static inline void ht_put_quad_vlc(FastBitW& vlc, uint32_t ctx,
                           : (((uint32_t)(-diff) << 1) - 1);
   u_pred = umax;
   uint32_t cw = g_vlc_enc[ctx * 16 + rho], cl = g_vlc_len[ctx * 16 + rho];
-  if (zz == 0) vlc.put_bits(cw << 1, cl + 1);
-  else if (zz == 1) vlc.put_bits((cw << 2) | 0b10, cl + 2);
-  else if (zz == 2) vlc.put_bits((cw << 3) | 0b110, cl + 3);
-  else vlc.put_bits((cw << 10) | (0b111 << 7) | (zz - 3), cl + 10);
+  // branchless u-code (mirror of the decode-side window decode): the
+  // small codes are zz ones then a zero, read as ((1<<zz)-1)<<1 over
+  // zz+1 bits; the escape is '111' + 7-bit residual (zz <= 62 fits)
+  uint32_t small = zz <= 2;
+  uint32_t ul = small ? zz + 1 : 10;
+  uint32_t uv = small ? ((1u << (zz & 31)) - 1) << 1
+                      : (0x380u | (zz - 3));
+  vlc.put_bits((cw << ul) | uv, (int)(cl + ul));
 }
 
 static void ht_encode_one(GrkHTEncJob* j) {
@@ -381,10 +394,16 @@ static void ht_encode_one(GrkHTEncJob* j) {
           magsgn.put_bits((s0 << nb) | s1, 2 * nb);
           magsgn.put_bits((s2 << nb) | s3, 2 * nb);
         } else {
-          if (m0) magsgn.put_bits(((m0 - 1) << 1) | (v0 < 0 ? 1u : 0u), nb);
-          if (m1) magsgn.put_bits(((m1 - 1) << 1) | (v1 < 0 ? 1u : 0u), nb);
-          if (m2) magsgn.put_bits(((m2 - 1) << 1) | (v2 < 0 ? 1u : 0u), nb);
-          if (m3) magsgn.put_bits(((m3 - 1) << 1) | (v3 < 0 ? 1u : 0u), nb);
+          // insignificant samples contribute zero bits: n == 0 puts are
+          // masked no-ops, so these four are branch-free on rho
+          magsgn.put_bits(((m0 - 1) << 1) | (v0 < 0 ? 1u : 0u),
+                          m0 ? nb : 0);
+          magsgn.put_bits(((m1 - 1) << 1) | (v1 < 0 ? 1u : 0u),
+                          m1 ? nb : 0);
+          magsgn.put_bits(((m2 - 1) << 1) | (v2 < 0 ? 1u : 0u),
+                          m2 ? nb : 0);
+          magsgn.put_bits(((m3 - 1) << 1) | (v3 < 0 ? 1u : 0u),
+                          m3 ? nb : 0);
         }
       }
       std::swap(rho_prev, rho_cur);
