@@ -351,11 +351,120 @@ static void ht_encode_one(GrkHTEncJob* j) {
   mel.init(mel_raw.data());
   vlc.init(vlc_raw.data());
   int qh = (h + 1) / 2, qw = (w + 1) / 2;
-  // neighbor-significance context rows (previous / current quad row)
+  // neighbor-significance context rows (previous / current quad row;
+  // +8 slack so the vectorized precompute can store whole 8-quad
+  // groups at the row tail)
   thread_local std::vector<uint8_t> rho_prev, rho_cur;
-  rho_prev.assign((size_t)qw, 0);
-  rho_cur.assign((size_t)qw, 0);
+  rho_prev.assign((size_t)qw + 8, 0);
+  rho_cur.assign((size_t)qw + 8, 0);
   if ((h & 1) == 0 && (w & 1) == 0) {
+#if defined(__AVX512F__) && defined(__AVX512BW__) && \
+    defined(__AVX512CD__) && defined(__AVX512VL__) && defined(__BMI2__)
+    // fast path, vectorized front: for each quad row, ONE SIMD sweep
+    // computes every quad's rho nibble, umax, and the four MagSgn
+    // s-values ((m-1)<<1 | sign; garbage where m == 0, never emitted)
+    // into L1-resident temps, then the serial MEL/VLC/MagSgn writers
+    // consume them with no per-sample recomputation.  The scalar
+    // front (abs/clamp/or/clz per quad) was measured at 43% of the
+    // encode kernel; this sweep does 16 samples per iteration.
+    thread_local std::vector<uint32_t> q_s;
+    thread_local std::vector<uint8_t> q_umax;
+    if (q_s.size() < (size_t)qw * 4 + 32) {
+      q_s.resize((size_t)qw * 4 + 32);
+      q_umax.resize((size_t)qw + 8);
+    }
+    const __m512i vclamp = _mm512_set1_epi32(0x7FFFFFFF);
+    const __m512i vtwo = _mm512_set1_epi32(2);
+    // quad-order interleave of row a / row b samples (TL,BL,TR,BR)
+    const __m512i idx_lo = _mm512_set_epi32(23, 7, 22, 6, 21, 5, 20, 4,
+                                            19, 3, 18, 2, 17, 1, 16, 0);
+    const __m512i idx_hi = _mm512_set_epi32(31, 15, 30, 14, 29, 13, 28,
+                                            12, 27, 11, 26, 10, 25, 9,
+                                            24, 8);
+    // lane representatives (dword 0 of each 128-bit lane, both zmm)
+    const __m512i idx_g = _mm512_set_epi32(0, 0, 0, 0, 0, 0, 0, 0,
+                                           28, 24, 20, 16, 12, 8, 4, 0);
+    __m512i vor = _mm512_setzero_si512();
+    for (int qy = 0; qy < qh; qy++) {
+      const int32_t* a = cf + (size_t)(2 * qy) * cstride;
+      const int32_t* b = a + cstride;
+      for (int c0 = 0; c0 < w; c0 += 16) {
+        __mmask16 lm = (w - c0 >= 16)
+                           ? (__mmask16)0xFFFF
+                           : (__mmask16)((1u << (w - c0)) - 1);
+        __m512i va = _mm512_maskz_loadu_epi32(lm, a + c0);
+        __m512i vb = _mm512_maskz_loadu_epi32(lm, b + c0);
+        __m512i ra = _mm512_abs_epi32(va);
+        __m512i rb = _mm512_abs_epi32(vb);
+        vor = _mm512_or_si512(vor, _mm512_or_si512(ra, rb));
+        __m512i ma = _mm512_min_epu32(ra, vclamp);
+        __m512i mb2 = _mm512_min_epu32(rb, vclamp);
+        __m512i sa = _mm512_srli_epi32(va, 31);
+        __m512i sb = _mm512_srli_epi32(vb, 31);
+        __m512i mlo = _mm512_permutex2var_epi32(ma, idx_lo, mb2);
+        __m512i mhi = _mm512_permutex2var_epi32(ma, idx_hi, mb2);
+        __m512i slo = _mm512_permutex2var_epi32(sa, idx_lo, sb);
+        __m512i shi = _mm512_permutex2var_epi32(sa, idx_hi, sb);
+        __m512i svlo = _mm512_sub_epi32(
+            _mm512_add_epi32(_mm512_slli_epi32(mlo, 1), slo), vtwo);
+        __m512i svhi = _mm512_sub_epi32(
+            _mm512_add_epi32(_mm512_slli_epi32(mhi, 1), shi), vtwo);
+        _mm512_storeu_si512(q_s.data() + 2 * c0, svlo);
+        _mm512_storeu_si512(q_s.data() + 2 * c0 + 16, svhi);
+        uint32_t rbits =
+            (uint32_t)_mm512_cmpneq_epu32_mask(mlo, _mm512_setzero_si512())
+            | ((uint32_t)_mm512_cmpneq_epu32_mask(mhi,
+                                                  _mm512_setzero_si512())
+               << 16);
+        // spread the 8 rho nibbles to bytes
+        uint64_t spread = _pdep_u64(rbits, 0x0F0F0F0F0F0F0F0FULL);
+        std::memcpy(rho_cur.data() + (c0 >> 1), &spread, 8);
+        // per-quad OR then lzcnt -> umax (all-zero quad yields 0)
+        __m512i t = _mm512_or_si512(
+            mlo, _mm512_shuffle_epi32(mlo, (_MM_PERM_ENUM)0x4E));
+        t = _mm512_or_si512(t,
+                            _mm512_shuffle_epi32(t, (_MM_PERM_ENUM)0xB1));
+        __m512i u = _mm512_or_si512(
+            mhi, _mm512_shuffle_epi32(mhi, (_MM_PERM_ENUM)0x4E));
+        u = _mm512_or_si512(u,
+                            _mm512_shuffle_epi32(u, (_MM_PERM_ENUM)0xB1));
+        __m512i lz = _mm512_permutex2var_epi32(_mm512_lzcnt_epi32(t),
+                                               idx_g,
+                                               _mm512_lzcnt_epi32(u));
+        __m256i um8 = _mm256_sub_epi32(_mm256_set1_epi32(32),
+                                       _mm512_castsi512_si256(lz));
+        _mm_storel_epi64((__m128i*)(q_umax.data() + (c0 >> 1)),
+                         _mm256_cvtepi32_epi8(um8));
+      }
+      uint32_t u_pred = 1;
+      uint32_t left = 0;
+      uint32_t upleft = 0;
+      for (int qx = 0; qx < qw; qx++) {
+        uint32_t rho = rho_cur[qx];
+        mel.encode(rho ? 1 : 0);
+        uint32_t up = rho_prev[qx];
+        uint32_t ctx = ht_quad_ctx(left, up, upleft);
+        upleft = up;
+        left = rho;
+        if (!rho) continue;
+        uint32_t umax = q_umax[qx];
+        ht_put_quad_vlc(vlc, ctx, rho, umax, u_pred);
+        int nb = (int)umax + 1;
+        const uint32_t* s = q_s.data() + 4 * qx;
+        if (rho == 15u && nb <= 16) {
+          magsgn.put_bits(((uint64_t)s[0] << nb) | s[1], 2 * nb);
+          magsgn.put_bits(((uint64_t)s[2] << nb) | s[3], 2 * nb);
+        } else {
+          magsgn.put_bits(s[0], (rho & 1u) ? nb : 0);
+          magsgn.put_bits(s[1], (rho & 2u) ? nb : 0);
+          magsgn.put_bits(s[2], (rho & 4u) ? nb : 0);
+          magsgn.put_bits(s[3], (rho & 8u) ? nb : 0);
+        }
+      }
+      std::swap(rho_prev, rho_cur);
+    }
+    ormag_raw |= (uint32_t)_mm512_reduce_or_epi32(vor);
+#else
     // fast path: every quad is full (the production codeblock shape),
     // branch-lean with two row pointers and one clz per quad
     for (int qy = 0; qy < qh; qy++) {
@@ -410,6 +519,7 @@ static void ht_encode_one(GrkHTEncJob* j) {
       }
       std::swap(rho_prev, rho_cur);
     }
+#endif
   } else {
     for (int qy = 0; qy < qh; qy++) {
       uint32_t u_pred = 1;
